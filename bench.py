@@ -1,0 +1,172 @@
+"""Benchmark harness: headline pipelines over $GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+    {"metric": ..., "value": <headline sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
+     "pairs_per_sec": ..., "probes_per_sec": ...}
+
+``--scaling`` runs the headline pipeline twice in FRESH processes
+(num_cpus=8 then 32) on the same input and reports both throughputs plus
+scaling efficiency (T_8/T_32)/4 — the sandbox stand-in for the N vs 4N
+node cluster rule (see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def _consume(res) -> int:
+    """Fully execute a Dataset/table; return row count."""
+    import pandas as pd
+    import pyarrow as pa
+
+    if isinstance(res, (pd.DataFrame, pa.Table)):
+        return len(res)
+    total = 0
+    for batch in res.iter_batches(batch_format="pyarrow"):
+        total += batch.num_rows
+    return total
+
+
+def run_headline(sf_dir: str) -> dict:
+    """The flagship shell-count join; returns timing + counted-pair stats."""
+    import ray
+
+    from spatialjoincountovershells_ray.queries import LADDER, q_shell_count
+
+    t0 = time.time()
+    ds = q_shell_count(sf_dir)
+    scols = [f"s{i}" for i in range(LADDER.nrads)]
+    totals = dict.fromkeys(scols, 0)
+    nrows = 0
+    for batch in ds.iter_batches(batch_format="pyarrow"):
+        nrows += batch.num_rows
+        for c in scols:
+            s = batch.column(c)
+            import pyarrow.compute as pc
+
+            totals[c] += pc.sum(s).as_py() or 0
+    elapsed = time.time() - t0
+    pairs = sum(totals.values())
+    return {
+        "sec": elapsed,
+        "halos": nrows,
+        "counted_pairs": pairs,
+        "pairs_per_sec": pairs / elapsed if elapsed else None,
+        "probes_per_sec": nrows / elapsed if elapsed else None,
+    }
+
+
+BENCH_QUERIES = [
+    "shell_count_shuffle",
+    "range_join",
+    "knn",
+    "tile_assign",
+    "point_in_rects",
+    "token_count",
+    "quality_counts",
+    "exact_dedup",
+    "minhash_pairs",
+    "simhash",
+    "ann_topk",
+    "lineitem_agg",
+]
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--headline-only", action="store_true")
+    ap.add_argument("--sf-dir", default=SF_DIR)
+    args = ap.parse_args()
+
+    if args.scaling:
+        results = {}
+        for cpus in (8, 32):
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus), GRAFT_SF_DIR=args.sf_dir)
+            out = subprocess.run(
+                [sys.executable, __file__, "--headline-only", "--sf-dir", args.sf_dir],
+                env=env,
+                capture_output=True,
+                text=True,
+                check=False,
+            )
+            line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
+            if not line:
+                print(json.dumps({"error": out.stderr[-2000:]}))
+                sys.exit(1)
+            results[cpus] = json.loads(line[-1])
+        t8 = results[8]["value"]
+        t32 = results[32]["value"]
+        eff = (t8 / t32) / 4 if t32 else None
+        print(
+            json.dumps(
+                {
+                    "metric": "shell-count scaling 8->32 cpus",
+                    "value": eff,
+                    "unit": "efficiency",
+                    "sec_8cpu": t8,
+                    "sec_32cpu": t32,
+                    "pairs_per_sec_8cpu": results[8].get("pairs_per_sec"),
+                    "pairs_per_sec_32cpu": results[32].get("pairs_per_sec"),
+                    "sf": args.sf_dir,
+                }
+            )
+        )
+        return
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False)
+
+    head = run_headline(args.sf_dir)
+    qtimes: dict[str, float] = {"shell_count": round(head["sec"], 3)}
+
+    if not args.headline_only:
+        from spatialjoincountovershells_ray.queries import REGISTRY
+
+        for name in BENCH_QUERIES:
+            qd = REGISTRY.get(name)
+            if qd is None:
+                continue
+            t0 = time.time()
+            try:
+                _consume(qd.fn(args.sf_dir))
+                qtimes[name] = round(time.time() - t0, 3)
+            except Exception as e:  # noqa: BLE001
+                qtimes[name] = f"ERROR: {type(e).__name__}"
+
+    print(
+        json.dumps(
+            {
+                "metric": "shell-count spatial join wall time (headline) + per-query times",
+                "value": round(head["sec"], 3),
+                "unit": "sec",
+                "queries": qtimes,
+                "sf": args.sf_dir,
+                "num_cpus": NUM_CPUS,
+                "halos": head["halos"],
+                "counted_pairs": head["counted_pairs"],
+                "pairs_per_sec": round(head["pairs_per_sec"] or 0),
+                "probes_per_sec": round(head["probes_per_sec"] or 0),
+            }
+        )
+    )
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,76 @@
+"""Torus (minimum-image) distance kernels and shell binning.
+
+Replaces the reference's SSE squared-distance kernel + mirror-probe
+periodic wrapper (reference include/objects/RTree/Distance.h:5-25,
+src/objects/ArraySTR/MultiRangeCount.c:13-73) with vectorized NumPy.
+The minimum-image convention Δ -= box*floor(Δ/box + 0.5) is equivalent
+to the reference's "shift the query center by ±box per out-of-bound
+axis" search for rmax < box/2 (same validity envelope).
+
+Two precision modes:
+- float32: bit-for-bit parity with the reference (all coordinate math
+  and comparisons stay in float32, strict `<` on squared values).
+- float64: exactly reproducible in ANSI SQL (DuckDB oracle) using the
+  identical formula d2 = mx*mx + my*my + mz*mz with
+  m = d - box*floor(d/box + 0.5).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from spatialjoincountovershells_ray.config import BOX_SIZE
+
+
+def min_image(delta: np.ndarray, box: float = BOX_SIZE) -> np.ndarray:
+    """Minimum-image displacement on the torus, dtype-preserving.
+
+    Uses floor(d/box + 0.5) rather than round() so the same expression is
+    reproducible in SQL (DuckDB round() is half-away-from-zero, NumPy is
+    half-to-even; floor is unambiguous in both).
+    """
+    dt = delta.dtype
+    return delta - np.asarray(box, dtype=dt) * np.floor(
+        delta / np.asarray(box, dtype=dt) + np.asarray(0.5, dtype=dt)
+    )
+
+
+def torus_d2(a: np.ndarray, b: np.ndarray, box: float = BOX_SIZE) -> np.ndarray:
+    """Pairwise-broadcastable squared torus distance.
+
+    ``a`` and ``b`` are (..., 3) arrays of identical dtype; the sum is
+    expanded explicitly (mx*mx + my*my + mz*mz) so float rounding matches
+    the SQL oracle term-for-term.
+    """
+    d = a - b
+    m = min_image(d, box)
+    return m[..., 0] * m[..., 0] + m[..., 1] * m[..., 1] + m[..., 2] * m[..., 2]
+
+
+def shell_of(d2: np.ndarray, r2: np.ndarray) -> np.ndarray:
+    """First shell index i with d2 < r2[i]; len(r2) means "not counted".
+
+    Matches the reference's leaf binning loop (reference
+    src/objects/ArraySTR/MultiRangeCount.c:103-114): strict `<`, so a
+    pair exactly on a boundary (d2 == r2[i]) goes to shell i+1.
+    ``searchsorted(r2, d2, side='right')`` returns the count of r2 values
+    <= d2, i.e. exactly the first index with d2 < r2[i].
+    """
+    return np.searchsorted(r2, d2, side="right")
+
+
+def bin_counts(
+    halo_rows: np.ndarray, d2: np.ndarray, r2: np.ndarray, nhalos: int
+) -> np.ndarray:
+    """Accumulate pair distances into per-halo shell histograms.
+
+    halo_rows: int array, local halo row index per pair.
+    Returns uint64[nhalos, nrads] — the distributed analogue of the
+    reference's shared counts matrix (reference src/astr_rcount/main.c:651).
+    """
+    nrads = len(r2)
+    shell = shell_of(d2, r2)
+    keep = shell < nrads
+    flat = np.zeros(nhalos * nrads, dtype=np.uint64)
+    np.add.at(flat, halo_rows[keep] * nrads + shell[keep], 1)
+    return flat.reshape(nhalos, nrads)

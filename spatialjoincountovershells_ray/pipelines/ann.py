@@ -1,0 +1,181 @@
+"""Approximate / exact nearest-neighbour search over embedding columns.
+
+- ``cosine_topk``: brute-force exact top-k by cosine similarity — the
+  data matrix streams through an actor pool, each batch emits partial
+  top-k candidates against the broadcast query matrix (numpy matmul);
+  a groupby(query) reduction selects the global k. Exact baseline.
+- ``lsh_topk``: random-hyperplane LSH variant — vectors are bucketed by
+  sign-bit prefix (groupby on bucket), queries probe only their bucket
+  (plus Hamming-1 neighbours), trading recall for a bounded candidate
+  set. The scale path when brute force is too wide.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+from spatialjoincountovershells_ray.functions.hashing import mix64
+
+
+def _norm_rows(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+class _TopkKernel:
+    def __init__(self, queries_ref, k: int):
+        q = ray.get(queries_ref[0]) if isinstance(queries_ref, list) else queries_ref
+        self.qids: np.ndarray = q["ids"]
+        self.qmat: np.ndarray = q["mat"]  # normalized [Q, D]
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_numpy()
+        mat = _norm_rows(
+            np.stack(batch.column("embedding").to_numpy(zero_copy_only=False)).astype(np.float64)
+        )
+        sims = self.qmat @ mat.T  # [Q, B]
+        k = min(self.k, sims.shape[1])
+        part = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+        rows = np.repeat(np.arange(len(self.qids), dtype=np.int64), k)
+        cols = part.reshape(-1)
+        return pa.table(
+            {
+                "qid": self.qids[rows],
+                "vec_id": ids[cols],
+                "sim": sims[rows, cols],
+            }
+        )
+
+
+def cosine_topk(
+    embeddings: "ray.data.Dataset",
+    query_ids: np.ndarray,
+    query_mat: np.ndarray,
+    k: int,
+    *,
+    batch_size: int = 4096,
+    concurrency=None,
+    include_sim: bool = False,
+    exclude_self: bool = True,
+) -> "ray.data.Dataset":
+    """-> qid:int64, vec_id:int64, rnk:int64 (1-based by sim desc, vec_id asc)."""
+    if concurrency is None:
+        concurrency = (1, max(2, int(ray.cluster_resources().get("CPU", 4))))
+    ref = ray.put({"ids": np.asarray(query_ids), "mat": _norm_rows(np.asarray(query_mat, dtype=np.float64))})
+    cands = embeddings.map_batches(
+        _TopkKernel,
+        fn_constructor_kwargs={"queries_ref": [ref], "k": k + (1 if exclude_self else 0)},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+    def select(group: pd.DataFrame) -> pd.DataFrame:
+        if exclude_self:
+            group = group[group["vec_id"] != group["qid"]]
+        g = group.sort_values(["sim", "vec_id"], ascending=[False, True], kind="mergesort").head(k)
+        g = g.assign(rnk=np.arange(1, len(g) + 1, dtype=np.int64))
+        cols = ["qid", "vec_id", "rnk"] + (["sim"] if include_sim else [])
+        return g[cols]
+
+    return (
+        cands.groupby("qid").map_groups(select, batch_format="pandas").sort(["qid", "rnk"])
+    )
+
+
+def hyperplane_codes(mat: np.ndarray, nbits: int, dim: int, seed: int = 7) -> np.ndarray:
+    """Deterministic random-hyperplane sign codes (uint64)."""
+    raw = mix64(np.arange(nbits * dim, dtype=np.uint64) + np.uint64(seed))
+    planes = (raw.astype(np.float64) / 2**64 - 0.5).reshape(nbits, dim)
+    bits = (mat @ planes.T) > 0  # [N, nbits]
+    weights = np.uint64(1) << np.arange(nbits, dtype=np.uint64)
+    return (bits.astype(np.uint64) * weights[None, :]).sum(axis=1, dtype=np.uint64)
+
+
+def lsh_topk(
+    embeddings: "ray.data.Dataset",
+    query_ids: np.ndarray,
+    query_mat: np.ndarray,
+    k: int,
+    *,
+    nbits: int = 8,
+    concurrency=None,
+) -> "ray.data.Dataset":
+    """Bucketed ANN: probe only the query's hyperplane bucket and its
+    Hamming-1 neighbours. Approximate (recall < 1); same output schema as
+    cosine_topk."""
+    if concurrency is None:
+        concurrency = (1, max(2, int(ray.cluster_resources().get("CPU", 4))))
+    qmat = _norm_rows(np.asarray(query_mat, dtype=np.float64))
+    dim = qmat.shape[1]
+    qcodes = hyperplane_codes(qmat, nbits, dim)
+    # probe set per query: own bucket + Hamming-1
+    probes = {}
+    for qi, c in enumerate(qcodes):
+        s = {int(c)}
+        for b in range(nbits):
+            s.add(int(c) ^ (1 << b))
+        probes[qi] = s
+    bucket_to_q: dict[int, list[int]] = {}
+    for qi, s in probes.items():
+        for b in s:
+            bucket_to_q.setdefault(b, []).append(qi)
+    ref = ray.put({"ids": np.asarray(query_ids), "mat": qmat, "bucket_to_q": bucket_to_q, "nbits": nbits, "dim": dim})
+
+    class Kernel:
+        def __init__(self, ref, k):
+            p = ray.get(ref[0])
+            self.qids, self.qmat = p["ids"], p["mat"]
+            self.bucket_to_q = p["bucket_to_q"]
+            self.nbits, self.dim = p["nbits"], p["dim"]
+            self.k = k
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch.column("vec_id").to_numpy()
+            mat = _norm_rows(
+                np.stack(batch.column("embedding").to_numpy(zero_copy_only=False)).astype(np.float64)
+            )
+            codes = hyperplane_codes(mat, self.nbits, self.dim)
+            out_q, out_v, out_s = [], [], []
+            for b in np.unique(codes):
+                qlist = self.bucket_to_q.get(int(b))
+                if not qlist:
+                    continue
+                rows = np.nonzero(codes == b)[0]
+                sims = self.qmat[qlist] @ mat[rows].T
+                kk = min(self.k, len(rows))
+                part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+                for j, qi in enumerate(qlist):
+                    sel = rows[part[j]]
+                    out_q.append(np.full(len(sel), self.qids[qi], dtype=np.int64))
+                    out_v.append(ids[sel])
+                    out_s.append(sims[j, part[j]])
+            if not out_q:
+                return pa.table(
+                    {"qid": pa.array([], pa.int64()), "vec_id": pa.array([], pa.int64()), "sim": pa.array([], pa.float64())}
+                )
+            return pa.table(
+                {"qid": np.concatenate(out_q), "vec_id": np.concatenate(out_v), "sim": np.concatenate(out_s)}
+            )
+
+    cands = embeddings.map_batches(
+        Kernel,
+        fn_constructor_kwargs={"ref": [ref], "k": k + 1},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=concurrency,
+    )
+
+    def select(group: pd.DataFrame) -> pd.DataFrame:
+        group = group[group["vec_id"] != group["qid"]]
+        g = group.sort_values(["sim", "vec_id"], ascending=[False, True], kind="mergesort").head(k)
+        g = g.assign(rnk=np.arange(1, len(g) + 1, dtype=np.int64))
+        return g[["qid", "vec_id", "rnk"]]
+
+    return cands.groupby("qid").map_groups(select, batch_format="pandas").sort(["qid", "rnk"])

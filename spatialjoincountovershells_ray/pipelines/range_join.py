@@ -1,0 +1,52 @@
+"""Range join: emit (halo_id, particle_id) pairs with d2 < r^2.
+
+The id-returning distance join surface of the reference
+(``RangeSearch`` + ResultBuffer, reference
+src/objects/ArraySTR/RangeSearch.c:11-52, include/scheme.h:15-18),
+expressed as the same broadcast/shuffle plans as the shell count but
+emitting join rows instead of histograms.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from spatialjoincountovershells_ray.config import BOX_SIZE, GridSpec, RadiusLadder
+from spatialjoincountovershells_ray.pipelines.shell_count import dataset_to_table
+from spatialjoincountovershells_ray.stages.join_kernels import BroadcastRangeJoin, HaloIndex
+
+
+def range_join(
+    halos: "ray.data.Dataset | pa.Table",
+    particles: "ray.data.Dataset",
+    radius: float,
+    *,
+    grid: GridSpec | None = None,
+    box: float = BOX_SIZE,
+    dtype=np.float64,
+    batch_size: int = 8192,
+    concurrency=None,
+    sort: bool = True,
+) -> "ray.data.Dataset":
+    ladder = RadiusLadder(radii=np.array([radius]), dtype=np.dtype(dtype))
+    grid = grid or GridSpec.for_radius(radius, box=box)
+    if concurrency is None:
+        concurrency = (1, max(2, int(ray.cluster_resources().get("CPU", 4))))
+    halos_tbl = halos if isinstance(halos, pa.Table) else dataset_to_table(halos)
+    hids = halos_tbl.column("halo_id").to_numpy()
+    hxyz = np.stack(
+        [halos_tbl.column(c).to_numpy().astype(dtype, copy=False) for c in "xyz"], axis=1
+    )
+    index = HaloIndex.build(hids, hxyz, radius, grid, box)
+    index_ref = ray.put(index)
+    pairs = particles.map_batches(
+        BroadcastRangeJoin,
+        fn_constructor_kwargs={"index_ref": [index_ref], "ladder": ladder},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+    return pairs.sort(["halo_id", "particle_id"]) if sort else pairs

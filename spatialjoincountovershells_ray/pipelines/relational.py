@@ -1,0 +1,141 @@
+"""General relational operators expressed Ray-Data-first.
+
+Not part of the reference's surface (it has no relational ops beyond the
+semi-join filter) but part of a complete data-processing engine; these
+exercise groupby-aggregate with partial pre-aggregation, broadcast hash
+join, filter + sort + limit. All outputs are integer-exact so the DuckDB
+oracle hashes match regardless of accumulation order.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+
+
+def lineitem_agg(sf_dir: str) -> "ray.data.Dataset":
+    """TPC-H Q1-style: count + integral sums per (returnflag, linestatus).
+
+    Partial aggregation inside map_batches, then a tiny groupby — the
+    combiner pattern that keeps the shuffle O(groups), not O(rows).
+    """
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = pa.table(
+            {
+                "l_returnflag": batch.column("l_returnflag"),
+                "l_linestatus": batch.column("l_linestatus"),
+                "qty": pc.cast(batch.column("l_quantity"), pa.int64()),
+            }
+        )
+        g = keys.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("qty", "sum"), ("qty", "count")]
+        )
+        return g.rename_columns(["l_returnflag", "l_linestatus", "sum_qty", "cnt"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    agg = partials.groupby(["l_returnflag", "l_linestatus"]).sum(["sum_qty", "cnt"])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": batch.column("l_returnflag"),
+                "l_linestatus": batch.column("l_linestatus"),
+                "sum_qty": batch.column("sum(sum_qty)"),
+                "cnt": batch.column("sum(cnt)"),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True).sort(
+        ["l_returnflag", "l_linestatus"]
+    )
+
+
+def orders_per_segment(sf_dir: str) -> "ray.data.Dataset":
+    """Broadcast hash join orders->customer + groupby count per segment."""
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    from spatialjoincountovershells_ray.pipelines.shell_count import dataset_to_table
+
+    ctbl = dataset_to_table(cust)
+    lookup_ref = ray.put(
+        {
+            "keys": ctbl.column("c_custkey").to_numpy(),
+            "seg": np.asarray(ctbl.column("c_mktsegment").to_pylist(), dtype=object),
+        }
+    )
+
+    class JoinCount:
+        def __init__(self, ref):
+            p = ray.get(ref[0])
+            order = np.argsort(p["keys"])
+            self.keys = p["keys"][order]
+            self.seg = p["seg"][order]
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ck = batch.column("o_custkey").to_numpy()
+            pos = np.searchsorted(self.keys, ck)
+            pos = np.minimum(pos, len(self.keys) - 1)
+            ok = self.keys[pos] == ck
+            segs = self.seg[pos[ok]]
+            uniq, cnt = np.unique(segs, return_counts=True)
+            return pa.table(
+                {
+                    "c_mktsegment": pa.array(uniq.tolist(), pa.string()),
+                    "n_orders": pa.array(cnt, pa.int64()),
+                }
+            )
+
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+    partials = orders.map_batches(
+        JoinCount,
+        fn_constructor_kwargs={"ref": [lookup_ref]},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 4),
+    )
+    agg = partials.groupby("c_mktsegment").sum("n_orders")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_mktsegment": batch.column("c_mktsegment"),
+                "n_orders": batch.column("sum(n_orders)"),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True).sort(
+        "c_mktsegment"
+    )
+
+
+def event_type_counts(sf_dir: str) -> "ray.data.Dataset":
+    """Filter + partial-count + groupby over the events stream table."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = (
+            pa.table({"event_type": batch.column("event_type")})
+            .group_by("event_type")
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["event_type", "n"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    agg = partials.groupby("event_type").sum("n")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"event_type": batch.column("event_type"), "n": batch.column("sum(n)")}
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True).sort(
+        "event_type"
+    )

@@ -1,0 +1,187 @@
+"""The flagship pipeline: shell-count spatial join (SJCS semantics).
+
+Logical query (reference README.md:18-31): for every halo, count
+particles per concentric radial shell under the periodic-box metric.
+Physical plans (SURVEY.md §7.1):
+
+- ``mode='broadcast'``: halo side indexed once (cell->replica CSR),
+  ``ray.put`` once, particles stream through an actor pool. No shuffle
+  of the big side at all; the only exchange is the tiny partial-histogram
+  groupby. Correct while the halo table fits the object store (~24 B/row
+  + replicas — 10 M halos is fine).
+
+- ``mode='shuffle'``: both sides get cell keys (halos ball-cover
+  replicated), co-partitioned by groupby('cell'); per-cell vectorized
+  kernel; partial histograms merged by groupby('halo_id').sum. Scales to
+  both sides huge; one all-to-all exchange keyed by cell.
+
+Both plans end in the same partial+final aggregate, the distributed
+replacement of the reference's shared counts matrix (reference
+src/astr_rcount/main.c:651, 815-823 / A1-A2 in SURVEY.md §2.5).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from spatialjoincountovershells_ray.config import BOX_SIZE, GridSpec, RadiusLadder
+from spatialjoincountovershells_ray.stages import extract
+from spatialjoincountovershells_ray.stages.join_kernels import (
+    BroadcastShellCount,
+    HaloIndex,
+    add_particle_cell,
+    cell_group_shell_count,
+    replicate_halos,
+)
+
+
+def dataset_to_table(ds: "ray.data.Dataset") -> pa.Table:
+    """Materialize a SMALL dataset driver-side as one Arrow table."""
+    refs = ds.to_arrow_refs()
+    tables = [t for t in ray.get(refs) if t.num_rows > 0]
+    if not tables:
+        return ray.get(refs[0]) if refs else pa.table({})
+    return pa.concat_tables(tables)
+
+
+def _zeros_for(halos_tbl: pa.Table, nrads: int) -> pa.Table:
+    cols = {"halo_id": halos_tbl.column("halo_id")}
+    z = pa.array(np.zeros(halos_tbl.num_rows, dtype=np.int64))
+    for i in range(nrads):
+        cols[f"s{i}"] = z
+    return pa.table(cols)
+
+
+def _merge_partials(
+    partials: "ray.data.Dataset", zeros: pa.Table | None, nrads: int, sort: bool
+) -> "ray.data.Dataset":
+    """groupby(halo_id).sum over partial histograms (+ dense zero rows)."""
+    if zeros is not None:
+        partials = partials.union(ray.data.from_arrow(zeros))
+    scols = [f"s{i}" for i in range(nrads)]
+    agg = partials.groupby("halo_id").sum(scols)
+
+    def rename(batch: pa.Table) -> pa.Table:
+        mapping = {f"sum({c})": c for c in scols}
+        return batch.rename_columns(
+            [mapping.get(n, n) for n in batch.schema.names]
+        )
+
+    out = agg.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)
+    return out.sort("halo_id") if sort else out
+
+
+def shell_count(
+    halos: "ray.data.Dataset | pa.Table",
+    particles: "ray.data.Dataset",
+    ladder: RadiusLadder,
+    *,
+    mode: str = "broadcast",
+    grid: GridSpec | None = None,
+    box: float = BOX_SIZE,
+    batch_size: int = 8192,
+    concurrency: tuple[int, int] | int | None = None,
+    sort: bool = True,
+    include_zero_halos: bool = True,
+) -> "ray.data.Dataset":
+    """Per-halo shell histograms: halo_id:int64, s0..s{nrads-1}:int64."""
+    # default grid: ~2 cells per rmax per axis — candidate volume per halo
+    # ≈ (2r + L)^3, a ~50-100x prune at rmax=160, while halo replication
+    # stays ~5^3 cells. Tune per workload via `grid`.
+    grid = grid or GridSpec.for_radius(ladder.rmax, box=box, target_cells_per_r=2.0)
+    nrads = ladder.nrads
+    if concurrency is None:
+        concurrency = (1, max(2, int(ray.cluster_resources().get("CPU", 4))))
+
+    if mode == "broadcast":
+        halos_tbl = halos if isinstance(halos, pa.Table) else dataset_to_table(halos)
+        hids = halos_tbl.column("halo_id").to_numpy()
+        hxyz = np.stack(
+            [halos_tbl.column(c).to_numpy().astype(ladder.dtype, copy=False) for c in "xyz"],
+            axis=1,
+        )
+        index = HaloIndex.build(hids, hxyz, ladder.rmax, grid, box)
+        index_ref = ray.put(index)
+        partials = particles.map_batches(
+            BroadcastShellCount,
+            fn_constructor_kwargs={"index_ref": [index_ref], "ladder": ladder},
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=batch_size,
+            concurrency=concurrency,
+        )
+        zeros = _zeros_for(halos_tbl, nrads) if include_zero_halos else None
+        return _merge_partials(partials, zeros, nrads, sort)
+
+    if mode == "shuffle":
+        if isinstance(halos, pa.Table):
+            halos = ray.data.from_arrow(halos)
+        dt = (
+            pa.float32() if ladder.dtype == np.dtype(np.float32) else pa.float64()
+        )
+
+        def tag_particles(batch: pa.Table) -> pa.Table:
+            b = add_particle_cell(batch, grid, ladder.dtype)
+            return pa.table(
+                {
+                    "cell": b.column("cell"),
+                    "role": pa.array(np.ones(b.num_rows, dtype=np.int8)),
+                    "id": b.column("particle_id"),
+                    "x": pa.compute.cast(b.column("x"), dt),
+                    "y": pa.compute.cast(b.column("y"), dt),
+                    "z": pa.compute.cast(b.column("z"), dt),
+                }
+            )
+
+        def tag_halos(batch: pa.Table) -> pa.Table:
+            b = replicate_halos(batch, ladder.rmax, grid, ladder.dtype)
+            return pa.table(
+                {
+                    "cell": b.column("cell"),
+                    "role": pa.array(np.zeros(b.num_rows, dtype=np.int8)),
+                    "id": b.column("halo_id"),
+                    "x": pa.compute.cast(b.column("x"), dt),
+                    "y": pa.compute.cast(b.column("y"), dt),
+                    "z": pa.compute.cast(b.column("z"), dt),
+                }
+            )
+
+        both = halos.map_batches(
+            tag_halos, batch_format="pyarrow", zero_copy_batch=True
+        ).union(
+            particles.map_batches(tag_particles, batch_format="pyarrow", zero_copy_batch=True)
+        )
+        partials = both.groupby("cell").map_groups(
+            lambda g: cell_group_shell_count(g, ladder, box), batch_format="pyarrow"
+        )
+        zeros = None
+        if include_zero_halos:
+            htbl = dataset_to_table(halos.select_columns(["halo_id"]))
+            zeros = _zeros_for(htbl, nrads)
+        return _merge_partials(partials, zeros, nrads, sort)
+
+    raise ValueError(f"unknown mode {mode!r}")
+
+
+def shell_count_from_documents(
+    halo_docs: "ray.data.Dataset",
+    particle_docs: "ray.data.Dataset",
+    ladder: RadiusLadder,
+    **kwargs,
+) -> "ray.data.Dataset":
+    """Documents in, histograms out: the reference's end-to-end run
+    (read halos -> read particles -> join -> counts, reference
+    src/astr_rcount/main.c:445-672) over the interleaved-span table."""
+    halos = halo_docs.map_batches(
+        lambda b: extract.extract_halos(b, dtype=ladder.dtype),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).select_columns(["halo_id", "x", "y", "z"])
+    particles = particle_docs.map_batches(
+        lambda b: extract.extract_particles(b, dtype=ladder.dtype),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).select_columns(["particle_id", "x", "y", "z"])
+    return shell_count(halos, particles, ladder, **kwargs)

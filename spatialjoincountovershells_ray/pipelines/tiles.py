@@ -1,0 +1,162 @@
+"""Tile assignment and point-in-polygon joins.
+
+- ``tile_assign``: raster<->vector assignment — every point gets the id
+  of the grid tile containing it (the engine's cell-key codec applied as
+  a user-facing operator; tile ids are the flattened floor(c/L) keys).
+- ``point_in_rects``: point-in-polygon against a broadcast set of
+  axis-aligned boxes (half-open [lo, hi) per axis) — vectorized interval
+  tests, no shuffle of the point side.
+- ``point_in_polygons``: general 2-D polygons via a vectorized
+  even-odd ray-casting kernel (no external geometry lib); polygons are
+  broadcast, points stream.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+
+def tile_assign(
+    points: "ray.data.Dataset",
+    L: float,
+    ntiles_per_axis: int,
+    id_col: str = "particle_id",
+) -> "ray.data.Dataset":
+    """-> (id_col, tile_id:int64); tile = (ix*n + iy)*n + iz."""
+
+    def assign(batch: pa.Table) -> pa.Table:
+        n = np.int64(ntiles_per_axis)
+        ids = batch.column(id_col).to_numpy()
+        ix = np.floor(batch.column("x").to_numpy() / L).astype(np.int64)
+        iy = np.floor(batch.column("y").to_numpy() / L).astype(np.int64)
+        iz = np.floor(batch.column("z").to_numpy() / L).astype(np.int64)
+        tile = (ix * n + iy) * n + iz
+        return pa.table({id_col: ids, "tile_id": tile})
+
+    return points.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+
+
+class _RectJoin:
+    """Actor kernel: points x broadcast rectangles containment join."""
+
+    def __init__(self, rects_ref, id_col: str):
+        r = ray.get(rects_ref[0]) if isinstance(rects_ref, list) else rects_ref
+        self.poly_ids: np.ndarray = r["poly_ids"]
+        self.lo: np.ndarray = r["lo"]  # [R, 2]
+        self.hi: np.ndarray = r["hi"]
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_col).to_numpy()
+        x = batch.column("x").to_numpy()
+        y = batch.column("y").to_numpy()
+        inside = (
+            (x[:, None] >= self.lo[None, :, 0])
+            & (x[:, None] < self.hi[None, :, 0])
+            & (y[:, None] >= self.lo[None, :, 1])
+            & (y[:, None] < self.hi[None, :, 1])
+        )
+        pi, ri = np.nonzero(inside)
+        return pa.table(
+            {self.id_col: ids[pi], "poly_id": self.poly_ids[ri]}
+        )
+
+
+def point_in_rects(
+    points: "ray.data.Dataset",
+    poly_ids: np.ndarray,
+    lo: np.ndarray,
+    hi: np.ndarray,
+    id_col: str = "particle_id",
+    concurrency=None,
+    sort: bool = True,
+) -> "ray.data.Dataset":
+    if concurrency is None:
+        concurrency = (1, max(2, int(ray.cluster_resources().get("CPU", 4))))
+    ref = ray.put({"poly_ids": poly_ids, "lo": lo, "hi": hi})
+    out = points.map_batches(
+        _RectJoin,
+        fn_constructor_kwargs={"rects_ref": [ref], "id_col": id_col},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=concurrency,
+    )
+    return out.sort([id_col, "poly_id"]) if sort else out
+
+
+def _ray_cast(px: np.ndarray, py: np.ndarray, verts: np.ndarray) -> np.ndarray:
+    """Even-odd rule for one polygon over a point batch (vectorized over
+    points and edges). verts: [V, 2], closed implicitly."""
+    x1 = verts[:, 0]
+    y1 = verts[:, 1]
+    x2 = np.roll(x1, -1)
+    y2 = np.roll(y1, -1)
+    # edge straddles the horizontal line through py (half-open to handle
+    # vertices hit exactly once)
+    straddle = (y1[None, :] > py[:, None]) != (y2[None, :] > py[:, None])
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xint = x1[None, :] + (py[:, None] - y1[None, :]) / (y2 - y1)[None, :] * (x2 - x1)[None, :]
+    crossings = (straddle & (px[:, None] < xint)).sum(axis=1)
+    return (crossings % 2).astype(bool)
+
+
+class _PolyJoin:
+    def __init__(self, polys_ref, id_col: str):
+        p = ray.get(polys_ref[0]) if isinstance(polys_ref, list) else polys_ref
+        self.polys: list[tuple[int, np.ndarray]] = p  # [(poly_id, verts)]
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_col).to_numpy()
+        x = batch.column("x").to_numpy()
+        y = batch.column("y").to_numpy()
+        out_ids, out_polys = [], []
+        for poly_id, verts in self.polys:
+            # cheap bbox prune before the edge test
+            bb = (
+                (x >= verts[:, 0].min())
+                & (x <= verts[:, 0].max())
+                & (y >= verts[:, 1].min())
+                & (y <= verts[:, 1].max())
+            )
+            if not bb.any():
+                continue
+            sel = np.nonzero(bb)[0]
+            inside = _ray_cast(x[sel], y[sel], verts)
+            hit = sel[inside]
+            out_ids.append(ids[hit])
+            out_polys.append(np.full(len(hit), poly_id, dtype=np.int64))
+        if not out_ids:
+            return pa.table(
+                {self.id_col: pa.array([], pa.int64()), "poly_id": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                self.id_col: np.concatenate(out_ids),
+                "poly_id": np.concatenate(out_polys),
+            }
+        )
+
+
+def point_in_polygons(
+    points: "ray.data.Dataset",
+    polygons: list[tuple[int, np.ndarray]],
+    id_col: str = "particle_id",
+    concurrency=None,
+    sort: bool = True,
+) -> "ray.data.Dataset":
+    """Even-odd-rule containment join of a point stream against a
+    broadcast polygon list [(poly_id, verts[V,2])]."""
+    if concurrency is None:
+        concurrency = (1, max(2, int(ray.cluster_resources().get("CPU", 4))))
+    ref = ray.put(polygons)
+    out = points.map_batches(
+        _PolyJoin,
+        fn_constructor_kwargs={"polys_ref": [ref], "id_col": id_col},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=concurrency,
+    )
+    return out.sort([id_col, "poly_id"]) if sort else out

@@ -1,0 +1,356 @@
+"""Query registry: every implemented pipeline as a (callable, oracle SQL) pair.
+
+Each callable takes ``sf_dir`` (a testdata directory) and returns a Ray
+Dataset / Arrow table; the SQL twin runs on DuckDB over the same parquet
+views and must match row-for-row (column names included). Entries with
+``sql=None`` are non-SQL-expressible (sketches, LSH, stubs) and get the
+driver's rows-only check.
+
+Float-sensitive queries derive geometry with int64 hash arithmetic and
+compute distances in float64 using expressions that are term-for-term
+identical on both sides (see sources.synthetic) — so value hashes match
+bit-for-bit without any tolerance.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from spatialjoincountovershells_ray.config import GridSpec, RadiusLadder
+from spatialjoincountovershells_ray.functions.hashing import derive_coord_sql
+from spatialjoincountovershells_ray.sources import synthetic
+from spatialjoincountovershells_ray.sources.documents import (
+    halo_documents,
+    particle_documents,
+    write_documents,
+)
+from spatialjoincountovershells_ray.pipelines import ann, dedup, knn, range_join, relational
+from spatialjoincountovershells_ray.pipelines import shell_count as sc
+from spatialjoincountovershells_ray.pipelines import textops, tiles
+
+# ---- flagship configuration (shared by engine + SQL sides) ---------------
+LADDER = RadiusLadder.log2_spaced(5.0, 160.0, 8)  # 8 shells, r in [5, 160]
+RANGE_R = 30.0
+KNN_K = 5
+TILE_L = 100.0
+TILE_N = 10
+ANN_K = 10
+ANN_NQ = 8
+
+
+@dataclass
+class QueryDef:
+    fn: Callable[[str], "ray.data.Dataset | pa.Table"]
+    sql: Optional[str]
+
+
+def _shell_sql(extra_halo_where: str = "") -> str:
+    cases = []
+    r2 = LADDER.r2
+    for i in range(LADDER.nrads):
+        lo = "0" if i == 0 else repr(float(r2[i - 1]))
+        cases.append(
+            f"CAST(SUM(CASE WHEN d2 >= {lo} AND d2 < {float(r2[i])!r} THEN 1 ELSE 0 END) AS BIGINT) AS s{i}"
+        )
+    halos_cte = synthetic.HALOS_CTE
+    if extra_halo_where:
+        halos_cte = halos_cte[:-1] + f" WHERE {extra_halo_where})"
+    return (
+        f"WITH {halos_cte}, {synthetic.PARTICLES_CTE}, "
+        f"pairs AS (SELECT h.halo_id, {synthetic.D2_SQL} AS d2 "
+        "FROM halos h CROSS JOIN particles p) "
+        f"SELECT halo_id, {', '.join(cases)} FROM pairs GROUP BY halo_id ORDER BY halo_id"
+    )
+
+
+def _filter_halos(ds: "ray.data.Dataset", modulus: int) -> "ray.data.Dataset":
+    """Halo-id filter semi-join (reference readAndFilterHalos,
+    src/Gadget/BufHalo.c:121-214): broadcastable predicate on the id."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        ids = batch.column("halo_id").to_numpy()
+        return batch.filter(pa.array(ids % modulus == 0))
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---- document-table round trip -------------------------------------------
+
+
+def spatial_document_paths(sf_dir: str) -> tuple[str, str]:
+    """Build (cached) the interleaved-document parquet twin of the derived
+    halo/particle tables for ``sf_dir`` (exact float64 repr round-trip)."""
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
+    base = f"/tmp/sjcs_docs/{tag}"
+    hpath, ppath = f"{base}/halo_docs.parquet", f"{base}/particle_docs.parquet"
+    if not (os.path.exists(hpath) and os.path.exists(ppath)):
+        ht = sc.dataset_to_table(synthetic.halos_dataset(sf_dir))
+        pt = sc.dataset_to_table(synthetic.particles_dataset(sf_dir))
+        hxyz = np.stack([ht.column(c).to_numpy() for c in "xyz"], axis=1)
+        pxyz = np.stack([pt.column(c).to_numpy() for c in "xyz"], axis=1)
+        write_documents(
+            halo_documents(ht.column("halo_id").to_numpy(), hxyz, precision="repr"), hpath
+        )
+        write_documents(
+            particle_documents(pt.column("particle_id").to_numpy(), pxyz, precision="repr"),
+            ppath,
+        )
+    return hpath, ppath
+
+
+# ---- query callables ------------------------------------------------------
+
+
+def q_shell_count(sf_dir: str):
+    return sc.shell_count(
+        synthetic.halos_dataset(sf_dir), synthetic.particles_dataset(sf_dir), LADDER
+    )
+
+
+def q_shell_count_shuffle(sf_dir: str):
+    return sc.shell_count(
+        synthetic.halos_dataset(sf_dir),
+        synthetic.particles_dataset(sf_dir),
+        LADDER,
+        mode="shuffle",
+    )
+
+
+def q_shell_count_docs(sf_dir: str):
+    hpath, ppath = spatial_document_paths(sf_dir)
+    return sc.shell_count_from_documents(
+        ray.data.read_parquet(hpath), ray.data.read_parquet(ppath), LADDER
+    )
+
+
+def q_shell_count_filtered(sf_dir: str):
+    return sc.shell_count(
+        _filter_halos(synthetic.halos_dataset(sf_dir), 7),
+        synthetic.particles_dataset(sf_dir),
+        LADDER,
+    )
+
+
+def q_range_join(sf_dir: str):
+    return range_join.range_join(
+        synthetic.halos_dataset(sf_dir), synthetic.particles_dataset(sf_dir), RANGE_R
+    )
+
+
+def q_knn(sf_dir: str):
+    return knn.knn(
+        synthetic.halos_dataset(sf_dir), synthetic.particles_dataset(sf_dir), KNN_K
+    )
+
+
+def q_tile_assign(sf_dir: str):
+    return tiles.tile_assign(synthetic.particles_dataset(sf_dir), TILE_L, TILE_N)
+
+
+def _rect_arrays(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey"])
+    keys = sup.column("s_suppkey").to_numpy()
+    from spatialjoincountovershells_ray.functions.hashing import derive_coord
+
+    cx = derive_coord(keys, 0)
+    cy = derive_coord(keys, 1)
+    w = ((keys * np.int64(2654435761)) % np.int64(150) + np.int64(50)).astype(np.float64)
+    lo = np.stack([cx - w, cy - w], axis=1)
+    hi = np.stack([cx + w, cy + w], axis=1)
+    return keys, lo, hi
+
+
+def q_point_in_rects(sf_dir: str):
+    keys, lo, hi = _rect_arrays(sf_dir)
+    return tiles.point_in_rects(synthetic.particles_dataset(sf_dir), keys, lo, hi)
+
+
+def q_token_count(sf_dir: str):
+    return textops.token_counts(ray.data.read_parquet(f"{sf_dir}/documents.parquet"))
+
+
+def q_quality_counts(sf_dir: str):
+    return textops.quality_counts(ray.data.read_parquet(f"{sf_dir}/documents.parquet"))
+
+
+def q_lang_id(sf_dir: str):
+    return textops.lang_id(ray.data.read_parquet(f"{sf_dir}/documents.parquet"))
+
+
+def q_exact_dedup(sf_dir: str):
+    return dedup.exact_dedup(ray.data.read_parquet(f"{sf_dir}/documents.parquet"))
+
+
+def q_fingerprints(sf_dir: str):
+    return textops.fingerprints(ray.data.read_parquet(f"{sf_dir}/documents.parquet"))
+
+
+def q_minhash_pairs(sf_dir: str):
+    return dedup.minhash_lsh_pairs(ray.data.read_parquet(f"{sf_dir}/documents.parquet"))
+
+
+def q_simhash(sf_dir: str):
+    return dedup.simhash64(ray.data.read_parquet(f"{sf_dir}/documents.parquet"))
+
+
+def q_embedding_near_dups(sf_dir: str):
+    return dedup.embedding_near_dups(
+        ray.data.read_parquet(f"{sf_dir}/embeddings.parquet"), threshold=0.95
+    )
+
+
+def _query_vectors(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    mask = t.column("vec_id").to_numpy() < ANN_NQ
+    ids = t.column("vec_id").to_numpy()[mask]
+    mat = np.stack(t.column("embedding").to_numpy(zero_copy_only=False)[mask]).astype(np.float64)
+    return ids, mat
+
+
+def q_ann_topk(sf_dir: str):
+    ids, mat = _query_vectors(sf_dir)
+    return ann.cosine_topk(
+        ray.data.read_parquet(f"{sf_dir}/embeddings.parquet"), ids, mat, ANN_K
+    )
+
+
+def q_ann_lsh(sf_dir: str):
+    ids, mat = _query_vectors(sf_dir)
+    return ann.lsh_topk(
+        ray.data.read_parquet(f"{sf_dir}/embeddings.parquet"), ids, mat, ANN_K
+    )
+
+
+# ---- SQL twins ------------------------------------------------------------
+
+_RANGE_SQL = (
+    f"WITH {synthetic.HALOS_CTE}, {synthetic.PARTICLES_CTE} "
+    f"SELECT h.halo_id, p.particle_id FROM halos h CROSS JOIN particles p "
+    f"WHERE {synthetic.D2_SQL} < {RANGE_R * RANGE_R!r} "
+    "ORDER BY halo_id, particle_id"
+)
+
+_KNN_SQL = (
+    f"WITH {synthetic.HALOS_CTE}, {synthetic.PARTICLES_CTE}, "
+    f"ranked AS (SELECT h.halo_id, p.particle_id, "
+    f"row_number() OVER (PARTITION BY h.halo_id ORDER BY {synthetic.D2_SQL}, p.particle_id) AS rnk "
+    "FROM halos h CROSS JOIN particles p) "
+    f"SELECT halo_id, particle_id, CAST(rnk AS BIGINT) AS rnk FROM ranked "
+    f"WHERE rnk <= {KNN_K} ORDER BY halo_id, rnk"
+)
+
+_TILE_SQL = (
+    f"WITH {synthetic.PARTICLES_CTE} "
+    "SELECT particle_id, (CAST(floor(x / 100.0) AS BIGINT) * 10 "
+    "+ CAST(floor(y / 100.0) AS BIGINT)) * 10 "
+    "+ CAST(floor(z / 100.0) AS BIGINT) AS tile_id FROM particles"
+)
+
+_RECTS_SQL = (
+    f"WITH {synthetic.PARTICLES_CTE}, "
+    "rects AS (SELECT s_suppkey AS poly_id, "
+    f"{derive_coord_sql('s_suppkey', 0)} AS cx, "
+    f"{derive_coord_sql('s_suppkey', 1)} AS cy, "
+    "CAST((s_suppkey * 2654435761) % 150 + 50 AS DOUBLE) AS w FROM supplier) "
+    "SELECT p.particle_id, r.poly_id FROM particles p JOIN rects r "
+    "ON p.x >= r.cx - r.w AND p.x < r.cx + r.w "
+    "AND p.y >= r.cy - r.w AND p.y < r.cy + r.w "
+    "ORDER BY particle_id, poly_id"
+)
+
+_TOKEN_SQL = (
+    "SELECT doc_id, CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT) "
+    "AS n_tokens FROM documents"
+)
+
+_QUALITY_SQL = (
+    "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, "
+    "CAST(length(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS n_alpha, "
+    "CAST(length(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digit, "
+    "CAST(length(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT) AS n_punct, "
+    "CAST(length(regexp_extract_all(text, ' ')) AS BIGINT) AS n_space "
+    "FROM documents"
+)
+
+_LANG_SQL = (
+    "SELECT doc_id, CASE "
+    "WHEN cnt_en >= cnt_de AND cnt_en >= cnt_fr THEN 'en' "
+    "WHEN cnt_de >= cnt_fr THEN 'de' ELSE 'fr' END AS lang_pred FROM ("
+    "SELECT doc_id, "
+    "length(regexp_extract_all(lower(text), '\\b(the|and|of|to|is|in)\\b')) AS cnt_en, "
+    "length(regexp_extract_all(lower(text), '\\b(der|die|und|das|ist|nicht)\\b')) AS cnt_de, "
+    "length(regexp_extract_all(lower(text), '\\b(le|la|et|les|est|des)\\b')) AS cnt_fr "
+    "FROM documents)"
+)
+
+_DEDUP_SQL = (
+    "SELECT CAST(MIN(doc_id) AS BIGINT) AS keep_id, CAST(COUNT(*) AS BIGINT) "
+    "AS dup_count FROM documents GROUP BY text"
+)
+
+_LINEITEM_AGG_SQL = (
+    "SELECT l_returnflag, l_linestatus, "
+    "CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, "
+    "CAST(COUNT(*) AS BIGINT) AS cnt FROM lineitem "
+    "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"
+)
+
+_SEGMENT_SQL = (
+    "SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_orders "
+    "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+    "GROUP BY c_mktsegment ORDER BY c_mktsegment"
+)
+
+_EVENTS_SQL = (
+    "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM events "
+    "GROUP BY event_type ORDER BY event_type"
+)
+
+_ANN_SQL = (
+    f"WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv "
+    f"FROM embeddings WHERE vec_id < {ANN_NQ}), "
+    "base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+    "scored AS (SELECT q.qid, b.vec_id, list_cosine_similarity(q.qv, b.v) AS sim "
+    "FROM q CROSS JOIN base b WHERE b.vec_id != q.qid), "
+    "ranked AS (SELECT qid, vec_id, "
+    "row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rnk FROM scored) "
+    f"SELECT qid, vec_id, CAST(rnk AS BIGINT) AS rnk FROM ranked WHERE rnk <= {ANN_K} "
+    "ORDER BY qid, rnk"
+)
+
+
+REGISTRY: dict[str, QueryDef] = {
+    "shell_count": QueryDef(q_shell_count, _shell_sql()),
+    "shell_count_shuffle": QueryDef(q_shell_count_shuffle, _shell_sql()),
+    "shell_count_docs": QueryDef(q_shell_count_docs, _shell_sql()),
+    "shell_count_filtered": QueryDef(q_shell_count_filtered, _shell_sql("c_custkey % 7 = 0")),
+    "range_join": QueryDef(q_range_join, _RANGE_SQL),
+    "knn": QueryDef(q_knn, _KNN_SQL),
+    "tile_assign": QueryDef(q_tile_assign, _TILE_SQL),
+    "point_in_rects": QueryDef(q_point_in_rects, _RECTS_SQL),
+    "token_count": QueryDef(q_token_count, _TOKEN_SQL),
+    "quality_counts": QueryDef(q_quality_counts, _QUALITY_SQL),
+    "lang_id": QueryDef(q_lang_id, _LANG_SQL),
+    "exact_dedup": QueryDef(q_exact_dedup, _DEDUP_SQL),
+    "lineitem_agg": QueryDef(relational.lineitem_agg, _LINEITEM_AGG_SQL),
+    "orders_per_segment": QueryDef(relational.orders_per_segment, _SEGMENT_SQL),
+    "event_type_counts": QueryDef(relational.event_type_counts, _EVENTS_SQL),
+    "ann_topk": QueryDef(q_ann_topk, _ANN_SQL),
+    # non-SQL-expressible (sketch / LSH / hash) — rows-only checks
+    "fingerprints": QueryDef(q_fingerprints, None),
+    "minhash_pairs": QueryDef(q_minhash_pairs, None),
+    "simhash": QueryDef(q_simhash, None),
+    "embedding_near_dups": QueryDef(q_embedding_near_dups, None),
+    "ann_lsh": QueryDef(q_ann_lsh, None),
+}

@@ -1,0 +1,224 @@
+"""Tests for training-data operators: dedup, ANN, text analysis, tiles."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray
+
+from spatialjoincountovershells_ray.functions import text as T
+from spatialjoincountovershells_ray.pipelines import ann, dedup, textops, tiles
+from spatialjoincountovershells_ray.pipelines.shell_count import dataset_to_table
+
+
+def _docs_table():
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy cat",  # near-dup of 0
+        "der hund ist nicht der beste und das ist gut",
+        "le chat est la et les oiseaux est des amis",
+        "completely unrelated text about ray data pipelines",
+        "the quick brown fox jumps over the lazy dog",  # exact dup of 0
+        "",
+    ]
+    return pa.table(
+        {
+            "doc_id": np.arange(len(texts), dtype=np.int64),
+            "text": texts,
+            "source": ["s0", "s0", "s1", "s1", "s0", "s0", "s1"],
+        }
+    )
+
+
+class TestTextFunctions:
+    def test_token_count_matches_duckdb_semantics(self):
+        import duckdb
+
+        texts = ["a  b c", "", "  ", "one", "x y z w"]
+        got = T.token_count(pa.array(texts)).to_pylist()
+        want = [
+            duckdb.sql(
+                f"SELECT length(regexp_extract_all('{t}', '\\S+'))"
+            ).fetchone()[0]
+            for t in texts
+        ]
+        assert got == want == [3, 0, 0, 1, 4]
+
+    def test_lang_predict_deterministic_ties(self):
+        # no stopwords at all -> everything ties at 0 -> 'en' (first in order)
+        out = T.lang_predict(pa.array(["xyzzy", "the der le"]))
+        assert out[0] == "en"
+        assert out[1] == "en"  # three-way tie resolved to en
+
+    def test_shingles_and_jaccard(self):
+        assert T.char_shingles("abcd", 3) == {"abc", "bcd"}
+        assert T.char_shingles("ab", 3) == {"ab"}
+        assert T.char_shingles("", 3) == set()
+        assert T.jaccard({"a", "b"}, {"b", "c"}) == pytest.approx(1 / 3)
+        assert T.jaccard(set(), set()) == 1.0
+
+    def test_fingerprint_deterministic(self):
+        a = T.rolling_fingerprint(["hello", "hello", "world", ""])
+        assert a[0] == a[1] != a[2]
+        assert (a >= 0).all()
+
+
+class TestDedup:
+    def test_exact_dedup(self):
+        ds = ray.data.from_arrow(_docs_table())
+        res = dataset_to_table(dedup.exact_dedup(ds)).to_pandas()
+        assert len(res) == 6  # 7 docs, one exact dup
+        row = res[res.keep_id == 0]
+        assert row.dup_count.iloc[0] == 2
+
+    def test_minhash_finds_near_dups(self):
+        ds = ray.data.from_arrow(_docs_table())
+        res = dataset_to_table(
+            dedup.minhash_lsh_pairs(ds, num_perm=64, bands=16, threshold=0.5)
+        ).to_pandas()
+        pairs = set(zip(res.id_a, res.id_b))
+        assert (0, 5) in pairs  # exact dup always caught
+        assert (0, 1) in pairs  # near dup
+        assert all(a < b for a, b in pairs)
+
+    def test_simhash_near_dups_close(self):
+        ds = ray.data.from_arrow(_docs_table())
+        res = dataset_to_table(dedup.simhash64(ds)).to_pandas().set_index("doc_id")
+        h = res.simhash
+        assert h[0] == h[5]  # identical text -> identical simhash
+        ham = bin(np.uint64(h[0]) ^ np.uint64(h[1])).count("1")
+        ham_far = bin(np.uint64(h[0]) ^ np.uint64(h[4])).count("1")
+        assert ham < ham_far  # near-dup closer than unrelated
+
+    def test_ngram_jaccard_pairs(self):
+        ds = ray.data.from_arrow(_docs_table())
+        res = dataset_to_table(
+            dedup.ngram_jaccard_pairs(ds, n=3, threshold=0.5)
+        ).to_pandas()
+        pairs = set(zip(res.id_a, res.id_b))
+        assert (0, 5) in pairs
+
+    def test_embedding_near_dups(self):
+        vecs = np.array(
+            [[1.0, 0.0], [0.999, 0.01], [0.0, 1.0], [-1.0, 0.0]], dtype=np.float32
+        )
+        tbl = pa.table(
+            {
+                "vec_id": np.arange(4, dtype=np.int64),
+                "embedding": pa.array(list(vecs), pa.list_(pa.float32())),
+            }
+        )
+        res = dataset_to_table(
+            dedup.embedding_near_dups(ray.data.from_arrow(tbl), threshold=0.95)
+        ).to_pandas()
+        assert set(zip(res.vec_id_a, res.vec_id_b)) == {(0, 1)}
+
+
+class TestANN:
+    def _emb(self, n=200, d=16, seed=3):
+        rng = np.random.default_rng(seed)
+        m = rng.normal(size=(n, d)).astype(np.float32)
+        return pa.table(
+            {
+                "vec_id": np.arange(n, dtype=np.int64),
+                "embedding": pa.array(list(m), pa.list_(pa.float32())),
+            }
+        ), m
+
+    def test_cosine_topk_exact(self):
+        tbl, m = self._emb()
+        qids = np.arange(3, dtype=np.int64)
+        res = dataset_to_table(
+            ann.cosine_topk(
+                ray.data.from_arrow(tbl), qids, m[:3].astype(np.float64), 5, batch_size=64
+            )
+        ).to_pandas()
+        mm = m.astype(np.float64)
+        mm /= np.linalg.norm(mm, axis=1, keepdims=True)
+        for q in range(3):
+            sims = mm @ mm[q]
+            sims[q] = -np.inf
+            want = np.argsort(-sims, kind="stable")[:5].tolist()
+            got = res[res.qid == q].sort_values("rnk").vec_id.tolist()
+            assert got == want
+
+    def test_lsh_topk_recall(self):
+        tbl, m = self._emb(400, 16)
+        qids = np.arange(5, dtype=np.int64)
+        exact = dataset_to_table(
+            ann.cosine_topk(ray.data.from_arrow(tbl), qids, m[:5].astype(np.float64), 10)
+        ).to_pandas()
+        approx = dataset_to_table(
+            ann.lsh_topk(ray.data.from_arrow(tbl), qids, m[:5].astype(np.float64), 10, nbits=6)
+        ).to_pandas()
+        # bucketed probe returns k results with decent overlap
+        recalls = []
+        for q in range(5):
+            e = set(exact[exact.qid == q].vec_id)
+            a = set(approx[approx.qid == q].vec_id)
+            recalls.append(len(e & a) / len(e))
+        assert np.mean(recalls) >= 0.3  # approximate by design
+
+
+class TestTiles:
+    def test_tile_assign_partition_of_space(self):
+        pts = pa.table(
+            {
+                "particle_id": np.arange(4, dtype=np.int64),
+                "x": [0.0, 99.9, 100.0, 999.9],
+                "y": [0.0, 0.0, 0.0, 999.9],
+                "z": [0.0, 0.0, 0.0, 999.9],
+            }
+        )
+        res = dataset_to_table(
+            tiles.tile_assign(ray.data.from_arrow(pts), 100.0, 10)
+        ).to_pandas()
+        assert res.tile_id.tolist() == [0, 0, 100, 999]
+
+    def test_point_in_polygons_triangle(self):
+        tri = np.array([[0.0, 0.0], [10.0, 0.0], [0.0, 10.0]])
+        pts = pa.table(
+            {
+                "particle_id": np.arange(4, dtype=np.int64),
+                "x": [1.0, 9.0, 4.0, 11.0],
+                "y": [1.0, 9.0, 4.0, 1.0],
+            }
+        )
+        res = dataset_to_table(
+            tiles.point_in_polygons(ray.data.from_arrow(pts), [(7, tri)])
+        ).to_pandas()
+        assert res.particle_id.tolist() == [0, 2]
+        assert (res.poly_id == 7).all()
+
+    def test_point_in_rects_half_open(self):
+        pts = pa.table(
+            {
+                "particle_id": np.arange(3, dtype=np.int64),
+                "x": [5.0, 10.0, 0.0],
+                "y": [5.0, 5.0, 0.0],
+            }
+        )
+        res = dataset_to_table(
+            tiles.point_in_rects(
+                ray.data.from_arrow(pts),
+                np.array([1], dtype=np.int64),
+                np.array([[0.0, 0.0]]),
+                np.array([[10.0, 10.0]]),
+            )
+        ).to_pandas()
+        assert res.particle_id.tolist() == [0, 2]  # hi edge excluded
+
+
+class TestTextops:
+    def test_quality_counts_columns(self):
+        ds = ray.data.from_arrow(_docs_table())
+        res = dataset_to_table(textops.quality_counts(ds)).to_pandas()
+        assert set(res.columns) == {
+            "doc_id",
+            "n_chars",
+            "n_alpha",
+            "n_digit",
+            "n_punct",
+            "n_space",
+        }
+        empty = res[res.doc_id == 6].iloc[0]
+        assert empty.n_chars == 0 and empty.n_alpha == 0

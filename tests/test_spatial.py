@@ -1,0 +1,249 @@
+"""End-to-end spatial pipeline tests: PBC fixture, oracle parity, modes,
+span invariant, float32 reference semantics."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray
+
+from spatialjoincountovershells_ray.config import GridSpec, RadiusLadder
+from spatialjoincountovershells_ray.functions.mt19937 import MT19937, uniform_coords
+from spatialjoincountovershells_ray.oracle import (
+    knn_oracle,
+    range_join_oracle,
+    shell_count_oracle,
+)
+from spatialjoincountovershells_ray.pipelines import knn as knn_mod
+from spatialjoincountovershells_ray.pipelines import range_join as rj_mod
+from spatialjoincountovershells_ray.pipelines.shell_count import (
+    dataset_to_table,
+    shell_count,
+    shell_count_from_documents,
+)
+from spatialjoincountovershells_ray.sources.documents import (
+    halo_documents,
+    particle_documents,
+)
+
+# FIXTURES.md §4 — the reference's TestData4PB corner fixture
+PB_HALOS = np.array([[0.0, 0.0, 0.0], [999.0, 999.0, 999.0]], dtype=np.float32)
+PB_PARTICLES = np.array(
+    [
+        [0, 0, 0],
+        [999, 0, 0],
+        [999, 999, 0],
+        [999, 999, 999],
+        [999, 0, 999],
+        [0, 999, 0],
+        [0, 999, 999],
+        [0, 0, 999],
+    ],
+    dtype=np.float32,
+)
+
+
+def _tables(hxyz, pxyz, dtype):
+    halos = pa.table(
+        {
+            "halo_id": np.arange(len(hxyz), dtype=np.int64),
+            "x": hxyz[:, 0].astype(dtype),
+            "y": hxyz[:, 1].astype(dtype),
+            "z": hxyz[:, 2].astype(dtype),
+        }
+    )
+    parts = pa.table(
+        {
+            "particle_id": np.arange(len(pxyz), dtype=np.int64),
+            "x": pxyz[:, 0].astype(dtype),
+            "y": pxyz[:, 1].astype(dtype),
+            "z": pxyz[:, 2].astype(dtype),
+        }
+    )
+    return halos, ray.data.from_arrow(parts)
+
+
+@pytest.mark.parametrize("mode", ["broadcast", "shuffle"])
+def test_periodic_boundary_corner_fixture(mode):
+    """Both halos must see [1, 0, 7] with radii (0.5, 1, 2) — all seven
+    mirror combinations of the reference's periodic search."""
+    lad = RadiusLadder.parse("0.5:2:3", dtype=np.float32)
+    halos, parts = _tables(PB_HALOS, PB_PARTICLES, np.float32)
+    res = dataset_to_table(shell_count(halos, parts, lad, mode=mode)).to_pandas()
+    assert len(res) == 2
+    for _, row in res.iterrows():
+        assert [row.s0, row.s1, row.s2] == [1, 0, 7]
+
+
+@pytest.mark.parametrize("dtype", [np.float32, np.float64])
+@pytest.mark.parametrize("mode", ["broadcast", "shuffle"])
+def test_shell_count_matches_oracle_uniform(mode, dtype):
+    """t1-smoke-style: MT19937 uniform tables vs the brute-force oracle,
+    bit for bit, in both precisions and both physical plans."""
+    hxyz = uniform_coords(MT19937(1659533), 100)
+    pxyz = uniform_coords(MT19937(113), 2000)
+    lad = RadiusLadder.log2_spaced(1, 100, 8, dtype=dtype)
+    halos, parts = _tables(hxyz, pxyz, dtype)
+    res = (
+        dataset_to_table(shell_count(halos, parts, lad, mode=mode))
+        .to_pandas()
+        .sort_values("halo_id")
+    )
+    oracle = shell_count_oracle(hxyz.astype(dtype), pxyz.astype(dtype), lad.r2)
+    got = res[[f"s{i}" for i in range(8)]].to_numpy()
+    np.testing.assert_array_equal(got, oracle.astype(np.int64))
+
+
+def test_shell_count_multifile_accumulation():
+    """Counts accumulate over unioned particle shards (reference A2
+    semantics: one counts matrix shared across files,
+    src/astr_rcount/main.c:135-146)."""
+    rng = MT19937(113)
+    shard1 = uniform_coords(rng, 1000)
+    shard2 = uniform_coords(rng, 1000)  # stream continues across files
+    hxyz = uniform_coords(MT19937(1659533), 50)
+    lad = RadiusLadder.log2_spaced(1, 100, 8, dtype=np.float32)
+    halos, p1 = _tables(hxyz, shard1, np.float32)
+    _, p2 = _tables(hxyz, shard2, np.float32)
+    res = (
+        dataset_to_table(shell_count(halos, p1.union(p2), lad))
+        .to_pandas()
+        .sort_values("halo_id")
+    )
+    both = np.concatenate([shard1, shard2])
+    oracle = shell_count_oracle(hxyz, both, lad.r2)
+    np.testing.assert_array_equal(
+        res[[f"s{i}" for i in range(8)]].to_numpy(), oracle.astype(np.int64)
+    )
+
+
+def test_range_join_matches_oracle():
+    hxyz = uniform_coords(MT19937(1659533), 60)
+    pxyz = uniform_coords(MT19937(113), 1500)
+    halos, parts = _tables(hxyz, pxyz, np.float64)
+    res = dataset_to_table(
+        rj_mod.range_join(halos, parts, 60.0, dtype=np.float64)
+    ).to_pandas()
+    got = set(zip(res.halo_id, res.particle_id))
+    want = range_join_oracle(
+        np.arange(60),
+        hxyz.astype(np.float64),
+        np.arange(1500),
+        pxyz.astype(np.float64),
+        60.0,
+    )
+    assert got == want
+
+
+def test_knn_matches_oracle():
+    hxyz = uniform_coords(MT19937(1659533), 30)
+    pxyz = uniform_coords(MT19937(113), 800)
+    halos, parts = _tables(hxyz, pxyz, np.float64)
+    res = dataset_to_table(
+        knn_mod.knn(halos, parts, 5, dtype=np.float64, batch_size=128)
+    ).to_pandas()
+    want = knn_oracle(
+        np.arange(30), hxyz.astype(np.float64), np.arange(800), pxyz.astype(np.float64), 5
+    )
+    for hid, grp in res.groupby("halo_id"):
+        assert grp.sort_values("rnk").particle_id.tolist() == want[int(hid)]
+
+
+def test_zero_count_halos_present():
+    lad = RadiusLadder.parse("1:2:2", dtype=np.float64)
+    hxyz = np.array([[500.0, 500.0, 500.0]], dtype=np.float64)
+    pxyz = np.array([[0.0, 0.0, 0.0]], dtype=np.float64)
+    halos, parts = _tables(hxyz, pxyz, np.float64)
+    res = dataset_to_table(shell_count(halos, parts, lad)).to_pandas()
+    assert len(res) == 1
+    assert res.iloc[0].s0 == 0 and res.iloc[0].s1 == 0
+
+
+def test_document_pipeline_and_span_invariant():
+    """Docs -> extract -> join equals the direct path, and extracted rows
+    carry spans byte-identical to the input (kind, text, media_ref, order)."""
+    hxyz = uniform_coords(MT19937(1659533), 40).astype(np.float64)
+    pxyz = uniform_coords(MT19937(113), 500).astype(np.float64)
+    hdocs = halo_documents(np.arange(40), hxyz, precision="repr")
+    pdocs = particle_documents(np.arange(500), pxyz, precision="repr")
+    lad = RadiusLadder.log2_spaced(1, 100, 8, dtype=np.float64)
+    res = (
+        dataset_to_table(
+            shell_count_from_documents(
+                ray.data.from_arrow(hdocs), ray.data.from_arrow(pdocs), lad
+            )
+        )
+        .to_pandas()
+        .sort_values("halo_id")
+    )
+    oracle = shell_count_oracle(hxyz, pxyz, lad.r2)
+    np.testing.assert_array_equal(
+        res[[f"s{i}" for i in range(8)]].to_numpy(), oracle.astype(np.int64)
+    )
+
+    # span invariant through the extractor
+    from spatialjoincountovershells_ray.stages.extract import extract_halos
+
+    out = extract_halos(hdocs, dtype=np.float64, carry_spans=True)
+    assert out.column("spans").combine_chunks().equals(
+        hdocs.column("spans").combine_chunks()
+    )
+    assert out.column("doc_id").equals(hdocs.column("doc_id"))
+    # parsed coordinates round-trip exactly
+    np.testing.assert_array_equal(out.column("x").to_numpy(), hxyz[:, 0])
+
+
+def test_f6_precision_matches_reference_parser_rounding():
+    """%f-format docs parse back like the reference's atof-then-assign."""
+    xyz = np.array([[418.681091, 810.143127, 415.767883]], dtype=np.float32)
+    docs = halo_documents(np.array([17]), xyz.astype(np.float64), precision="f6")
+    from spatialjoincountovershells_ray.stages.extract import extract_halos
+
+    out = extract_halos(docs, dtype=np.float32)
+    assert out.column("halo_id").to_numpy()[0] == 17
+    got = out.column("x").to_numpy()[0]
+    assert got == np.float32(float("%f" % 418.681091))
+
+
+def test_skewed_data_same_result():
+    """Fixture C: clumped particles — salted/unsalted and both modes agree
+    with the oracle (correctness under skew)."""
+    rng = np.random.default_rng(7)
+    clump = (rng.normal(500, 2, size=(1600, 3)) % 1000).astype(np.float64)
+    bg = rng.uniform(0, 1000, size=(400, 3))
+    pxyz = np.concatenate([clump, bg])
+    hxyz = np.concatenate(
+        [(rng.normal(500, 2, size=(20, 3)) % 1000), rng.uniform(0, 1000, size=(30, 3))]
+    )
+    lad = RadiusLadder.log2_spaced(1, 50, 6, dtype=np.float64)
+    halos, parts = _tables(hxyz, pxyz, np.float64)
+    for mode in ("broadcast", "shuffle"):
+        res = (
+            dataset_to_table(shell_count(halos, parts, lad, mode=mode))
+            .to_pandas()
+            .sort_values("halo_id")
+        )
+        oracle = shell_count_oracle(hxyz, pxyz, lad.r2)
+        np.testing.assert_array_equal(
+            res[[f"s{i}" for i in range(6)]].to_numpy(), oracle.astype(np.int64)
+        )
+
+
+@pytest.mark.parametrize("ncells", [1, 2, 3, 5, 13])
+def test_grid_choice_does_not_change_result(ncells):
+    """The physical grid is an implementation detail: any ncells gives the
+    same histograms (ball-cover dedup + min-image)."""
+    hxyz = uniform_coords(MT19937(1659533), 25).astype(np.float64)
+    pxyz = uniform_coords(MT19937(113), 400).astype(np.float64)
+    lad = RadiusLadder.log2_spaced(10, 300, 4, dtype=np.float64)
+    halos, parts = _tables(hxyz, pxyz, np.float64)
+    res = (
+        dataset_to_table(
+            shell_count(halos, parts, lad, grid=GridSpec(ncells=ncells))
+        )
+        .to_pandas()
+        .sort_values("halo_id")
+    )
+    oracle = shell_count_oracle(hxyz, pxyz, lad.r2)
+    np.testing.assert_array_equal(
+        res[[f"s{i}" for i in range(4)]].to_numpy(), oracle.astype(np.int64)
+    )
