@@ -16,6 +16,17 @@ BOX_SIZE = 1000.0
 NDIMS = 3
 
 
+def default_pool(reserve: int = 4) -> tuple[int, int]:
+    """Default actor-pool concurrency: autoscale up to cluster CPUs minus a
+    reserve for upstream reads / downstream aggregation. A pool sized to
+    ALL CPUs starves the other pipeline stages (the read task never gets a
+    CPU and the whole stream stalls — observed, not hypothetical)."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+    return (1, max(2, cpus - reserve))
+
+
 def logspace_ladder(base: float, a: float, b: float, n: int) -> np.ndarray:
     """Log-spaced ladder of ``n`` values base**a .. base**b, last pinned.
 

@@ -39,7 +39,7 @@ def point_cells(xyz: np.ndarray, grid: GridSpec) -> np.ndarray:
     return flatten_cell(ix, iy, iz, grid)
 
 
-def ball_cover_cells(xyz: np.ndarray, rmax: float, grid: GridSpec):
+def ball_cover_cells(xyz: np.ndarray, rmax: float, grid: GridSpec, tighten: bool = True):
     """Replicate each point to every cell overlapping its ball of radius rmax.
 
     Returns ``(row, cell)`` int64 arrays: ``row[k]`` is the input row index
@@ -49,6 +49,11 @@ def ball_cover_cells(xyz: np.ndarray, rmax: float, grid: GridSpec):
     (row, cell) appears once — the particle-side single-cell assignment
     then guarantees each halo-particle pair is evaluated exactly once
     (SURVEY.md §7.5).
+
+    ``tighten``: drop cube-corner cells whose closest point lies beyond
+    rmax (sphere cover instead of cube cover, ~pi/6 of the cells for fine
+    grids). Skipped for points whose cover wraps a full axis, where
+    unwrapped distances are no longer valid.
     """
     n = xyz.shape[0]
     nc = grid.ncells
@@ -74,9 +79,26 @@ def ball_cover_cells(xyz: np.ndarray, rmax: float, grid: GridSpec):
     rem = local // sz
     dy = rem % sy
     dx = rem // sy
-    ix = np.mod(lo[row, 0] + dx, nc)
-    iy = np.mod(lo[row, 1] + dy, nc)
-    iz = np.mod(lo[row, 2] + dz, nc)
+    ux = lo[row, 0] + dx
+    uy = lo[row, 1] + dy
+    uz = lo[row, 2] + dz
+    if tighten:
+        capped = (span >= nc).any(axis=1)
+        dmin2 = np.zeros(total)
+        for u, ax in ((ux, 0), (uy, 1), (uz, 2)):
+            c = xyz[row, ax]
+            low = u * grid.L
+            upp = low + grid.L
+            d = np.maximum(low - c, c - upp)
+            np.maximum(d, 0.0, out=d)
+            dmin2 += d * d
+        # tiny relative margin: float error in dmin2 must never drop a cell
+        # holding a particle at distance < rmax
+        keep = (dmin2 <= rmax * rmax * (1.0 + 1e-9)) | capped[row]
+        row, ux, uy, uz = row[keep], ux[keep], uy[keep], uz[keep]
+    ix = np.mod(ux, nc)
+    iy = np.mod(uy, nc)
+    iz = np.mod(uz, nc)
     cell = flatten_cell(ix, iy, iz, grid)
     return row, cell
 

@@ -17,6 +17,8 @@ import pandas as pd
 import pyarrow as pa
 import ray
 
+from spatialjoincountovershells_ray.config import default_pool
+
 from spatialjoincountovershells_ray.functions.hashing import mix64
 
 
@@ -65,7 +67,7 @@ def cosine_topk(
 ) -> "ray.data.Dataset":
     """-> qid:int64, vec_id:int64, rnk:int64 (1-based by sim desc, vec_id asc)."""
     if concurrency is None:
-        concurrency = (1, max(2, int(ray.cluster_resources().get("CPU", 4))))
+        concurrency = default_pool()
     ref = ray.put({"ids": np.asarray(query_ids), "mat": _norm_rows(np.asarray(query_mat, dtype=np.float64))})
     cands = embeddings.map_batches(
         _TopkKernel,
@@ -111,7 +113,7 @@ def lsh_topk(
     Hamming-1 neighbours. Approximate (recall < 1); same output schema as
     cosine_topk."""
     if concurrency is None:
-        concurrency = (1, max(2, int(ray.cluster_resources().get("CPU", 4))))
+        concurrency = default_pool()
     qmat = _norm_rows(np.asarray(query_mat, dtype=np.float64))
     dim = qmat.shape[1]
     qcodes = hyperplane_codes(qmat, nbits, dim)

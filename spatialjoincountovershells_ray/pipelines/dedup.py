@@ -27,6 +27,8 @@ import pandas as pd
 import pyarrow as pa
 import ray
 
+from spatialjoincountovershells_ray.config import default_pool
+
 from spatialjoincountovershells_ray.functions import text as T
 from spatialjoincountovershells_ray.functions.hashing import hash_bytes_rows, minhash_params, mix64
 
@@ -226,7 +228,7 @@ def embedding_near_dups(
     via blocked matmul of streamed batches against the broadcast
     normalized matrix."""
     if concurrency is None:
-        concurrency = (1, max(2, int(ray.cluster_resources().get("CPU", 4))))
+        concurrency = default_pool()
     from spatialjoincountovershells_ray.pipelines.shell_count import dataset_to_table
 
     tbl = dataset_to_table(embeddings.select_columns(["vec_id", "embedding"]))

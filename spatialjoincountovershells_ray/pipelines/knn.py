@@ -1,23 +1,59 @@
 """kNN under the torus metric: k nearest particles per halo.
 
 No reference counterpart (SURVEY.md §2.6) — a new capability of the
-generic engine. Plan: an actor pool scans particle batches against the
-broadcast halo table emitting per-batch partial top-k candidate rows
-(halo_id, particle_id, d2); a groupby('halo_id') reduction selects the
-global top k ordered by (d2, particle_id). The partial top-k bounds the
-shuffle to H x k rows per input batch regardless of particle count.
+generic engine. Plan: a task/actor stage scans particle batches against
+the broadcast halo table emitting per-batch top-k candidate rows
+(halo_id, particle_id, d2); a log-depth tree of merge tasks selects the
+global top k ordered by (d2, particle_id). Per-batch partial top-k
+bounds every exchange to H x k rows per input batch; the tree merge is
+associative, so the result is exact.
 """
 
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import ray
 
 from spatialjoincountovershells_ray.config import BOX_SIZE
 from spatialjoincountovershells_ray.pipelines.shell_count import dataset_to_table
-from spatialjoincountovershells_ray.stages.join_kernels import BroadcastKnnCandidates
+from spatialjoincountovershells_ray.stages.join_kernels import (
+    BroadcastKnnCandidates,
+    select_topk_rows,
+)
+
+_KNN_CACHE: dict[tuple, BroadcastKnnCandidates] = {}
+
+
+def _run_knn_kernel(batch: pa.Table, ref_list, k, box, dtype_str) -> pa.Table:
+    """Task-mode wrapper with per-worker kernel cache (see
+    join_kernels.run_broadcast_kernel for why tasks, not actors)."""
+    key = (ref_list[0].hex(), k, box, dtype_str)
+    kern = _KNN_CACHE.get(key)
+    if kern is None:
+        _KNN_CACHE.clear()
+        kern = BroadcastKnnCandidates(ref_list, k, box, np.dtype(dtype_str))
+        _KNN_CACHE[key] = kern
+    return kern(batch)
+
+
+@ray.remote
+def _merge_knn_blocks(k: int, include_d2: bool, final: bool, *tables: pa.Table) -> pa.Table:
+    t = pa.concat_tables([x for x in tables if x.num_rows], promote_options="none")
+    h, p, d, r = select_topk_rows(
+        t.column("halo_id").to_numpy(),
+        t.column("particle_id").to_numpy(),
+        t.column("d2").to_numpy(),
+        k,
+    )
+    cols = {"halo_id": h, "particle_id": p}
+    if final:
+        cols["rnk"] = r
+        if include_d2:
+            cols["d2"] = d
+    else:
+        cols["d2"] = d
+    return pa.table(cols)
 
 
 def knn(
@@ -33,8 +69,6 @@ def knn(
     sort: bool = True,
 ) -> "ray.data.Dataset":
     """-> halo_id:int64, particle_id:int64, rnk:int64 (1-based), [d2]."""
-    if concurrency is None:
-        concurrency = (1, max(2, int(ray.cluster_resources().get("CPU", 4))))
     halos_tbl = halos if isinstance(halos, pa.Table) else dataset_to_table(halos)
     payload = {
         "halo_ids": halos_tbl.column("halo_id").to_numpy(),
@@ -45,19 +79,30 @@ def knn(
     }
     ref = ray.put(payload)
     cands = particles.map_batches(
-        BroadcastKnnCandidates,
-        fn_constructor_kwargs={"halos_ref": [ref], "k": k, "box": box, "dtype": dtype},
+        _run_knn_kernel,
+        fn_kwargs={
+            "ref_list": [ref],
+            "k": k,
+            "box": box,
+            "dtype_str": np.dtype(dtype).str,
+        },
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=batch_size,
-        concurrency=concurrency,
     )
-
-    def select_topk(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["d2", "particle_id"], kind="mergesort").head(k)
-        g = g.assign(rnk=np.arange(1, len(g) + 1, dtype=np.int64))
-        cols = ["halo_id", "particle_id", "rnk"] + (["d2"] if include_d2 else [])
-        return g[cols]
-
-    out = cands.groupby("halo_id").map_groups(select_topk, batch_format="pandas")
-    return out.sort(["halo_id", "rnk"]) if sort else out
+    refs = list(cands.materialize().to_arrow_refs())
+    fanin = 8
+    while len(refs) > 1:
+        last = len(refs) <= fanin
+        refs = [
+            _merge_knn_blocks.remote(k, include_d2, last, *refs[i : i + fanin])
+            for i in range(0, len(refs), fanin)
+        ]
+    final = ray.get(refs[0]) if refs else pa.table(
+        {"halo_id": pa.array([], pa.int64()), "particle_id": pa.array([], pa.int64()), "rnk": pa.array([], pa.int64())}
+    )
+    if refs and "rnk" not in final.schema.names:
+        final = ray.get(_merge_knn_blocks.remote(k, include_d2, True, final))
+    if sort:
+        final = final.sort_by([("halo_id", "ascending"), ("rnk", "ascending")])
+    return ray.data.from_arrow(final)

@@ -16,6 +16,8 @@ import numpy as np
 import pyarrow as pa
 import ray
 
+from spatialjoincountovershells_ray.config import default_pool
+
 from spatialjoincountovershells_ray.functions.hashing import hash_bytes_rows, mix64
 
 FEATURE_DIM = 16
@@ -75,7 +77,7 @@ def media_spans(docs: "ray.data.Dataset") -> "ray.data.Dataset":
 def media_features(docs: "ray.data.Dataset", concurrency=None) -> "ray.data.Dataset":
     """documents -> per-media-span stub features (actor pool)."""
     if concurrency is None:
-        concurrency = (1, max(2, int(ray.cluster_resources().get("CPU", 4))))
+        concurrency = default_pool()
     return media_spans(docs).map_batches(
         MediaFeatureExtractor,
         fn_constructor_kwargs={"fake": True},

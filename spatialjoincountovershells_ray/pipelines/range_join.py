@@ -13,9 +13,13 @@ import numpy as np
 import pyarrow as pa
 import ray
 
-from spatialjoincountovershells_ray.config import BOX_SIZE, GridSpec, RadiusLadder
+from spatialjoincountovershells_ray.config import BOX_SIZE, GridSpec, RadiusLadder, default_pool
 from spatialjoincountovershells_ray.pipelines.shell_count import dataset_to_table
-from spatialjoincountovershells_ray.stages.join_kernels import BroadcastRangeJoin, HaloIndex
+from spatialjoincountovershells_ray.stages.join_kernels import (
+    BroadcastRangeJoin,
+    HaloIndex,
+    run_broadcast_kernel,
+)
 
 
 def range_join(
@@ -32,8 +36,6 @@ def range_join(
 ) -> "ray.data.Dataset":
     ladder = RadiusLadder(radii=np.array([radius]), dtype=np.dtype(dtype))
     grid = grid or GridSpec.for_radius(radius, box=box)
-    if concurrency is None:
-        concurrency = (1, max(2, int(ray.cluster_resources().get("CPU", 4))))
     halos_tbl = halos if isinstance(halos, pa.Table) else dataset_to_table(halos)
     hids = halos_tbl.column("halo_id").to_numpy()
     hxyz = np.stack(
@@ -41,12 +43,22 @@ def range_join(
     )
     index = HaloIndex.build(hids, hxyz, radius, grid, box)
     index_ref = ray.put(index)
-    pairs = particles.map_batches(
-        BroadcastRangeJoin,
-        fn_constructor_kwargs={"index_ref": [index_ref], "ladder": ladder},
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        batch_size=batch_size,
-        concurrency=concurrency,
-    )
+    if concurrency is None:
+        # task mode + per-worker kernel cache (see run_broadcast_kernel)
+        pairs = particles.map_batches(
+            run_broadcast_kernel,
+            fn_kwargs={"cls": BroadcastRangeJoin, "ref_list": [index_ref], "ladder": ladder},
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=batch_size,
+        )
+    else:
+        pairs = particles.map_batches(
+            BroadcastRangeJoin,
+            fn_constructor_kwargs={"index_ref": [index_ref], "ladder": ladder},
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=batch_size,
+            concurrency=concurrency,
+        )
     return pairs.sort(["halo_id", "particle_id"]) if sort else pairs

@@ -17,6 +17,8 @@ import numpy as np
 import pyarrow as pa
 import ray
 
+from spatialjoincountovershells_ray.config import default_pool
+
 
 def tile_assign(
     points: "ray.data.Dataset",
@@ -74,7 +76,7 @@ def point_in_rects(
     sort: bool = True,
 ) -> "ray.data.Dataset":
     if concurrency is None:
-        concurrency = (1, max(2, int(ray.cluster_resources().get("CPU", 4))))
+        concurrency = default_pool()
     ref = ray.put({"poly_ids": poly_ids, "lo": lo, "hi": hi})
     out = points.map_batches(
         _RectJoin,
@@ -150,7 +152,7 @@ def point_in_polygons(
     """Even-odd-rule containment join of a point stream against a
     broadcast polygon list [(poly_id, verts[V,2])]."""
     if concurrency is None:
-        concurrency = (1, max(2, int(ray.cluster_resources().get("CPU", 4))))
+        concurrency = default_pool()
     ref = ray.put(polygons)
     out = points.map_batches(
         _PolyJoin,

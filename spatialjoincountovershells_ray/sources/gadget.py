@@ -79,13 +79,17 @@ def pack_header(h: GadgetHeader) -> bytes:
 
 def unpack_header(raw: bytes) -> GadgetHeader:
     vals = struct.unpack_from(_HEAD_FMT, raw)
+    # field offsets in _HEAD_FMT: npart 0-5, mass 6-11, time 12, redshift 13,
+    # flag_sfr 14, flag_feedback 15, npartTotal 16-21, flag_cooling 22,
+    # num_files 23, BoxSize 24, disp_min 25-27, disp_max 28-30, pos_bits 31,
+    # id_start 32, id_end 33
     npart = vals[0:6]
-    box_size = vals[19]
-    disp_min = np.array(vals[20:23], dtype=np.float32)
-    disp_max = np.array(vals[23:26], dtype=np.float32)
-    pos_bits = vals[26]
-    id_start, id_end = vals[27], vals[28]
-    npart_total = vals[12]
+    box_size = vals[24]
+    disp_min = np.array(vals[25:28], dtype=np.float32)
+    disp_max = np.array(vals[28:31], dtype=np.float32)
+    pos_bits = vals[31]
+    id_start, id_end = vals[32], vals[33]
+    npart_total = vals[16]
     return GadgetHeader(npart, box_size, disp_min, disp_max, pos_bits, id_start, id_end, npart_total)
 
 

@@ -32,8 +32,17 @@ import pyarrow as pa
 import ray
 
 from spatialjoincountovershells_ray.config import BOX_SIZE, GridSpec, RadiusLadder
-from spatialjoincountovershells_ray.functions.cells import ball_cover_cells, point_cells
-from spatialjoincountovershells_ray.functions.distance import shell_of, torus_d2
+from spatialjoincountovershells_ray.functions.cells import (
+    ball_cover_cells,
+    cell_index,
+    flatten_cell,
+    point_cells,
+)
+from spatialjoincountovershells_ray.functions.distance import (
+    PairD2Kernel,
+    shell_of,
+    torus_d2,
+)
 
 
 @dataclass
@@ -69,13 +78,28 @@ class HaloIndex:
             box=box,
         )
 
-    def candidates(self, pxyz: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    @property
+    def cols(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Per-axis contiguous halo coordinate columns (for PairD2Kernel)."""
+        c = getattr(self, "_cols", None)
+        if c is None:
+            c = tuple(np.ascontiguousarray(self.xyz[:, ax]) for ax in range(3))
+            self._cols = c
+        return c
+
+    def candidates(self, p_cols) -> tuple[np.ndarray, np.ndarray]:
         """Vectorized candidate generation for a particle batch.
 
-        Returns (pair_particle_row, pair_halo_row): for every particle,
-        all halos whose ball cover includes the particle's cell.
+        ``p_cols``: per-axis 1-D particle coordinate arrays. Returns
+        (pair_particle_row, pair_halo_row): for every particle, all halos
+        whose ball cover includes the particle's cell.
         """
-        pcell = point_cells(pxyz, self.grid)
+        pcell = flatten_cell(
+            cell_index(p_cols[0], self.grid),
+            cell_index(p_cols[1], self.grid),
+            cell_index(p_cols[2], self.grid),
+            self.grid,
+        )
         pos = np.searchsorted(self.ucells, pcell)
         pos_c = np.minimum(pos, len(self.ucells) - 1) if len(self.ucells) else pos
         valid = np.zeros(len(pcell), dtype=bool)
@@ -100,8 +124,42 @@ def _batch_xyz(batch: pa.Table, dtype) -> np.ndarray:
     )
 
 
+def _batch_cols(batch: pa.Table, dtype) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-axis coordinate columns, zero-copy from Arrow when dtype matches."""
+    return tuple(
+        batch.column(c).to_numpy(zero_copy_only=False).astype(dtype, copy=False)
+        for c in ("x", "y", "z")
+    )
+
+
+class _PairScratch:
+    """Persistent candidate-expansion buffers (allocation/page-fault churn
+    on fresh multi-MB arrays costs more than the arithmetic on this class
+    of hardware — allocate once per actor, reuse every sub-chunk)."""
+
+    def __init__(self, dtype):
+        self.cap = 0
+        self.dtype = dtype
+
+    def ensure(self, n: int) -> None:
+        if n <= self.cap:
+            return
+        cap = int(n * 1.25) + 1024
+        self.pp = np.empty(cap, np.int64)
+        self.local = np.empty(cap, np.int64)
+        self.rep = np.empty(cap, np.int64)
+        self.ph = np.empty(cap, np.int64)
+        self.ar = np.arange(cap, dtype=np.int64)
+        self.d2 = np.empty(cap, self.dtype)
+        self.cap = cap
+
+
 class _BroadcastKernel:
     """Shared actor-pool setup: fetch the HaloIndex once per actor."""
+
+    # target pairs per expansion sub-chunk: bounds the persistent buffer
+    # working set (~6 x 8B x SUBCHUNK) while keeping it cache/page hot
+    SUBCHUNK_PAIRS = 1 << 20
 
     def __init__(self, index_ref, ladder: RadiusLadder):
         # index_ref is wrapped in a list so Ray Data does not resolve it per
@@ -110,6 +168,70 @@ class _BroadcastKernel:
         self.ladder = ladder
         self.dtype = ladder.dtype
         self.r2 = ladder.r2
+        self.d2k = PairD2Kernel(dtype=ladder.dtype)
+        self.scratch = _PairScratch(ladder.dtype)
+
+    def _batch_cell_counts(self, p_cols):
+        """Per-particle candidate-halo counts for a batch (tiny arrays)."""
+        idx = self.index
+        pcell = flatten_cell(
+            cell_index(p_cols[0], idx.grid),
+            cell_index(p_cols[1], idx.grid),
+            cell_index(p_cols[2], idx.grid),
+            idx.grid,
+        )
+        if len(idx.ucells) == 0:
+            return np.zeros(len(pcell), np.int64), np.zeros(len(pcell), np.int64)
+        pos = np.searchsorted(idx.ucells, pcell)
+        pos_c = np.minimum(pos, len(idx.ucells) - 1)
+        valid = idx.ucells[pos_c] == pcell
+        cnt = np.where(valid, idx.counts[pos_c], 0)
+        rep_start = idx.starts[pos_c] * valid
+        return cnt, rep_start
+
+    def _iter_pair_chunks(self, p_cols):
+        """Yield (pair_p, pair_h, d2) over sub-chunks of the batch, using
+        the persistent scratch buffers. pair_p indexes into the batch."""
+        idx = self.index
+        cnt, rep_start = self._batch_cell_counts(p_cols)
+        ends = np.cumsum(cnt)
+        total = int(ends[-1]) if len(ends) else 0
+        if total == 0:
+            return
+        s = self.scratch
+        # split the particle range into segments of <= SUBCHUNK_PAIRS pairs
+        bounds = [0]
+        while bounds[-1] < len(cnt):
+            lo = bounds[-1]
+            base = ends[lo - 1] if lo else 0
+            hi = int(np.searchsorted(ends, base + self.SUBCHUNK_PAIRS, side="right"))
+            hi = max(hi, lo + 1)  # force progress even if one particle exceeds the target
+            bounds.append(min(hi, len(cnt)))
+        for lo, hi in zip(bounds[:-1], bounds[1:]):
+            base = int(ends[lo - 1]) if lo else 0
+            n = int(ends[hi - 1]) - base
+            if n == 0:
+                continue
+            s.ensure(n)
+            pp = s.pp[:n]
+            pp.fill(0)
+            # block starts within this segment: particle lo+1..hi-1 begins at
+            # ends[lo..hi-2]-base; add 1 there (coincident for cnt==0 rows)
+            seg_ends = ends[lo : hi - 1] - base
+            np.add.at(pp, seg_ends[seg_ends < n], 1)
+            np.cumsum(pp, out=pp)  # 0-based particle ordinal within segment
+            block_start = (ends[lo:hi] - cnt[lo:hi] - base).astype(np.int64)
+            local = s.local[:n]
+            np.take(block_start, pp, out=local)
+            np.subtract(s.ar[:n], local, out=local)
+            rep = s.rep[:n]
+            np.take(rep_start[lo:hi], pp, out=rep)
+            np.add(rep, local, out=rep)
+            ph = s.ph[:n]
+            np.take(idx.rep_rows, rep, out=ph)
+            np.add(pp, lo, out=pp)  # absolute particle row in the batch
+            d2 = self.d2k(idx.cols, p_cols, ph, pp, idx.box, out=s.d2[:n])
+            yield pp, ph, d2
 
 
 class BroadcastShellCount(_BroadcastKernel):
@@ -122,24 +244,26 @@ class BroadcastShellCount(_BroadcastKernel):
     def __call__(self, batch: pa.Table) -> pa.Table:
         idx = self.index
         nrads = self.ladder.nrads
-        pxyz = _batch_xyz(batch, self.dtype)
-        pair_p, pair_h = idx.candidates(pxyz)
+        p_cols = _batch_cols(batch, self.dtype)
         names = ["halo_id"] + [f"s{i}" for i in range(nrads)]
-        if len(pair_p) == 0:
-            return pa.table(
-                {n: pa.array([], pa.int64()) for n in names}
-            )
-        d2 = torus_d2(idx.xyz[pair_h], pxyz[pair_p], idx.box)
-        shell = shell_of(d2, self.r2)
-        keep = shell < nrads
-        pair_h = pair_h[keep]
-        shell = shell[keep]
-        if len(pair_h) == 0:
+        nhalos = len(idx.halo_ids)
+        flat = np.zeros(nhalos * nrads, dtype=np.int64)
+        any_pairs = False
+        for pp, ph, d2 in self._iter_pair_chunks(p_cols):
+            # restrict to counted pairs first (cheap mask), then bin:
+            # bincount over halo_row*nrads+shell beats unique + add.at ~10x
+            keep = d2 < self.r2[-1]
+            kept_h = ph[keep]
+            if len(kept_h) == 0:
+                continue
+            any_pairs = True
+            shell = shell_of(d2[keep], self.r2)
+            flat += np.bincount(kept_h * nrads + shell, minlength=nhalos * nrads)
+        if not any_pairs:
             return pa.table({n: pa.array([], pa.int64()) for n in names})
-        touched, inv = np.unique(pair_h, return_inverse=True)
-        hist = np.zeros(len(touched) * nrads, dtype=np.int64)
-        np.add.at(hist, inv * nrads + shell, 1)
-        hist = hist.reshape(len(touched), nrads)
+        hist = flat.reshape(nhalos, nrads)
+        touched = np.nonzero(hist.any(axis=1))[0]
+        hist = hist[touched]
         cols = {"halo_id": idx.halo_ids[touched]}
         for i in range(nrads):
             cols[f"s{i}"] = hist[:, i]
@@ -155,37 +279,62 @@ class BroadcastRangeJoin(_BroadcastKernel):
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         idx = self.index
-        pxyz = _batch_xyz(batch, self.dtype)
+        p_cols = _batch_cols(batch, self.dtype)
         pids = batch.column("particle_id").to_numpy()
-        pair_p, pair_h = idx.candidates(pxyz)
-        if len(pair_p) == 0:
+        out_h, out_p = [], []
+        for pp, ph, d2 in self._iter_pair_chunks(p_cols):
+            keep = d2 < self.r2[-1]
+            out_h.append(idx.halo_ids[ph[keep]])
+            out_p.append(pids[pp[keep]])
+        if not out_h:
             return pa.table(
                 {"halo_id": pa.array([], pa.int64()), "particle_id": pa.array([], pa.int64())}
             )
-        d2 = torus_d2(idx.xyz[pair_h], pxyz[pair_p], idx.box)
-        keep = d2 < self.r2[-1]
         return pa.table(
             {
-                "halo_id": idx.halo_ids[pair_h[keep]],
-                "particle_id": pids[pair_p[keep]],
+                "halo_id": np.concatenate(out_h),
+                "particle_id": np.concatenate(out_p),
             }
         )
+
+
+def select_topk_rows(
+    halo: np.ndarray, pid: np.ndarray, d2: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Exact vectorized per-halo top-k by (d2, particle_id).
+
+    Returns (halo, pid, d2, rank) of the kept rows, ordered by
+    (halo, d2, pid); rank is 1-based. No Python loop over halos.
+    """
+    order = np.lexsort((pid, d2, halo))
+    h = halo[order]
+    # rank within each halo run: position - start-of-run
+    starts = np.flatnonzero(np.concatenate(([True], h[1:] != h[:-1])))
+    run_id = np.cumsum(np.concatenate(([0], (h[1:] != h[:-1]).astype(np.int64))))
+    rank = np.arange(len(h), dtype=np.int64) - starts[run_id]
+    keep = rank < k
+    sel = order[keep]
+    return halo[sel], pid[sel], d2[sel], rank[keep] + 1
 
 
 class BroadcastKnnCandidates:
     """Particle batches -> per-batch top-k (halo_id, particle_id, d2) rows.
 
-    Partial top-k per (halo, batch); the pipeline's groupby(halo_id)
-    reduction selects the global k by (d2, particle_id). Unlike the
-    shell/range kernels this scans ALL halos per batch (no radius bound
-    exists for kNN), so it is meant for a broadcastable query side; the
-    grid-ring variant is the scale path (pipelines.knn).
+    Scans ALL halos per batch (no radius bound exists for kNN), chunking
+    the particle axis internally so the H x C distance block stays
+    bounded, with one exact top-k selection over the collected per-chunk
+    winners at batch end. Output is H x k rows per batch regardless of
+    batch size; the pipeline tree-merges batches to the global k. Meant
+    for a broadcastable query side (the grid-ring variant is the future
+    scale path for huge query sides).
     """
+
+    CHUNK = 512  # particles per distance block: H x 512 doubles
 
     def __init__(self, halos_ref, k: int, box: float = BOX_SIZE, dtype=np.float64):
         h = ray.get(halos_ref[0]) if isinstance(halos_ref, list) else halos_ref
         self.halo_ids: np.ndarray = h["halo_ids"]
-        self.xyz: np.ndarray = h["xyz"].astype(dtype, copy=False)
+        self.xyz: np.ndarray = np.ascontiguousarray(h["xyz"].astype(dtype, copy=False))
         self.k = k
         self.box = box
         self.dtype = dtype
@@ -195,25 +344,39 @@ class BroadcastKnnCandidates:
         pids = batch.column("particle_id").to_numpy()
         H = len(self.halo_ids)
         P = len(pids)
+        empty = {
+            "halo_id": pa.array([], pa.int64()),
+            "particle_id": pa.array([], pa.int64()),
+            "d2": pa.array([], pa.float64()),
+        }
         if P == 0 or H == 0:
-            return pa.table(
-                {
-                    "halo_id": pa.array([], pa.int64()),
-                    "particle_id": pa.array([], pa.int64()),
-                    "d2": pa.array([], pa.float64()),
-                }
+            return pa.table(empty)
+        cand_p: list[np.ndarray] = []
+        cand_d: list[np.ndarray] = []
+        h_arange = np.arange(H, dtype=np.int64)
+        for s in range(0, P, self.CHUNK):
+            e = min(s + self.CHUNK, P)
+            d2 = torus_d2(self.xyz[:, None, :], pxyz[None, s:e, :], self.box)  # [H, C]
+            kk = min(self.k, e - s)
+            part = np.argpartition(d2, kk - 1, axis=1)[:, :kk] if kk < (e - s) else np.tile(
+                np.arange(e - s), (H, 1)
             )
-        d2 = torus_d2(self.xyz[:, None, :], pxyz[None, :, :], self.box)  # [H, P]
-        k = min(self.k, P)
-        # partial selection per halo row; ties resolved at the final merge
-        part = np.argpartition(d2, k - 1, axis=1)[:, :k]
-        rows = np.repeat(np.arange(H, dtype=np.int64), k)
-        cols = part.reshape(-1)
+            rows = np.repeat(h_arange, part.shape[1])
+            cols = part.reshape(-1)
+            cand_p.append(pids[s + cols])
+            cand_d.append(d2[rows, cols])
+        # halo row index per candidate: chunk layout is H-major within chunk
+        halos_all = np.concatenate(
+            [np.repeat(h_arange, c.shape[0] // H) for c in cand_p]
+        )
+        pid_all = np.concatenate(cand_p)
+        d2_all = np.concatenate(cand_d)
+        hsel, psel, dsel, _ = select_topk_rows(halos_all, pid_all, d2_all, self.k)
         return pa.table(
             {
-                "halo_id": self.halo_ids[rows],
-                "particle_id": pids[cols],
-                "d2": d2[rows, cols].astype(np.float64, copy=False),
+                "halo_id": self.halo_ids[hsel],
+                "particle_id": psel,
+                "d2": dsel.astype(np.float64, copy=False),
             }
         )
 
@@ -241,33 +404,89 @@ def replicate_halos(
     return taken.append_column("cell", pa.array(cell, pa.int64()))
 
 
+_KERNEL_CACHE: dict[tuple, object] = {}
+
+
+def run_broadcast_kernel(batch: pa.Table, cls, ref_list, ladder: RadiusLadder) -> pa.Table:
+    """Task-mode driver for the broadcast kernels with a per-worker cache.
+
+    Ray task workers are long-lived and reused across batches, datasets
+    and queries, so caching the constructed kernel (index ray.get + scratch
+    buffers) in a module global gives actor-style amortized setup WITHOUT
+    paying a fresh process spawn per pool — on this sandbox, spawning an
+    actor pool costs ~10 CPU-seconds per worker (imports + first-touch
+    page faults, globally serialized), which dwarfed the join itself.
+    The cache key pins the exact broadcast object and ladder; it is
+    bounded to the few most recent indexes.
+    """
+    tag = (ref_list[0].hex(), ladder.dtype.str, ladder.radii.tobytes())
+    entry = _KERNEL_CACHE.get(cls.__name__)
+    if entry is None or entry[0] != tag:
+        k = cls(ref_list, ladder)
+        if entry is not None:
+            # evict the stale kernel but keep its warm scratch buffers (the
+            # expensive part on this hardware) when dtypes match
+            old = entry[1]
+            if getattr(old, "scratch", None) is not None and old.scratch.dtype == k.scratch.dtype:
+                k.scratch = old.scratch
+            if getattr(old, "d2k", None) is not None and old.d2k.dtype == k.d2k.dtype:
+                k.d2k = old.d2k
+        _KERNEL_CACHE[cls.__name__] = (tag, k)
+        entry = _KERNEL_CACHE[cls.__name__]
+    return entry[1](batch)
+
+
+_D2K_CACHE: dict[str, PairD2Kernel] = {}
+
+
+def _cached_d2k(dtype) -> PairD2Kernel:
+    """Per-worker-process kernel cache (map_groups tasks reuse workers, so
+    the scratch buffers amortize across groups)."""
+    key = str(np.dtype(dtype))
+    k = _D2K_CACHE.get(key)
+    if k is None:
+        k = _D2K_CACHE[key] = PairD2Kernel(dtype=dtype)
+    return k
+
+
 def cell_group_shell_count(
-    group: pa.Table, ladder: RadiusLadder, box: float = BOX_SIZE, tile_pairs: int = 8_000_000
+    group: pa.Table, ladder: RadiusLadder, box: float = BOX_SIZE, tile_pairs: int = 4_000_000
 ) -> pa.Table:
     """Per-cell kernel for the shuffle plan: one group = one cell's halo
     replicas ('h' rows) + particles ('p' rows); emits partial histograms.
 
-    Tiled over the halo axis so the H x P distance temp stays under
-    ~tile_pairs floats regardless of cell skew.
+    Tiled over the halo axis so pair temporaries stay under ~tile_pairs
+    regardless of cell skew.
     """
     nrads = ladder.nrads
     role = group.column("role").to_numpy(zero_copy_only=False)
-    xyz = _batch_xyz(group, ladder.dtype)
     ids = group.column("id").to_numpy(zero_copy_only=False)
+    cols = _batch_cols(group, ladder.dtype)
     hmask = role == 0
-    hxyz, pxyz = xyz[hmask], xyz[~hmask]
+    h_cols = tuple(c[hmask] for c in cols)
+    p_cols = tuple(c[~hmask] for c in cols)
     hids = ids[hmask]
+    H, P = len(h_cols[0]), len(p_cols[0])
     names = ["halo_id"] + [f"s{i}" for i in range(nrads)]
-    if len(hxyz) == 0 or len(pxyz) == 0:
+    if H == 0 or P == 0:
         return pa.table({n: pa.array([], pa.int64()) for n in names})
-    hist = np.zeros((len(hxyz), nrads), dtype=np.int64)
-    chunk = max(1, tile_pairs // len(pxyz))
-    for s in range(0, len(hxyz), chunk):
-        d2 = torus_d2(hxyz[s : s + chunk, None, :], pxyz[None, :, :], box)
-        shell = shell_of(d2, ladder.r2)
-        for i in range(nrads):
-            hist[s : s + chunk, i] += (shell == i).sum(axis=1)
-    cols = {"halo_id": hids}
+    d2k = _cached_d2k(ladder.dtype)
+    hist = np.zeros(H * nrads, dtype=np.int64)
+    chunk = max(1, tile_pairs // P)
+    p_arange = np.arange(P, dtype=np.int64)
+    for s in range(0, H, chunk):
+        e = min(s + chunk, H)
+        m = e - s
+        pair_h = np.repeat(np.arange(s, e, dtype=np.int64), P)
+        pair_p = np.tile(p_arange, m)
+        d2 = d2k(h_cols, p_cols, pair_h, pair_p, box)
+        keep = d2 < ladder.r2[-1]
+        ph = pair_h[keep]
+        if len(ph):
+            shell = shell_of(d2[keep], ladder.r2)
+            hist += np.bincount(ph * nrads + shell, minlength=H * nrads)
+    hist = hist.reshape(H, nrads)
+    out = {"halo_id": hids}
     for i in range(nrads):
-        cols[f"s{i}"] = hist[:, i]
-    return pa.table(cols)
+        out[f"s{i}"] = hist[:, i]
+    return pa.table(out)

@@ -91,8 +91,16 @@ class CheckpointedRun:
         return ShardResult(shard_id, final, rows, dt, skipped=False)
 
     def read_all(self):
-        """Dataset over every completed shard's output."""
+        """Dataset over every completed shard's output.
+
+        (Ray's read_parquet rejects a LIST of directories — expand to the
+        individual parquet files.)"""
         import ray
 
-        paths = [self.shard_dir(s) for s in sorted(self._done)]
-        return ray.data.read_parquet(paths)
+        files = []
+        for s in sorted(self._done):
+            d = self.shard_dir(s)
+            files.extend(
+                os.path.join(d, f) for f in sorted(os.listdir(d)) if f.endswith(".parquet")
+            )
+        return ray.data.read_parquet(files)

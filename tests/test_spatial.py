@@ -228,6 +228,59 @@ def test_skewed_data_same_result():
         )
 
 
+def test_salted_shuffle_matches_unsalted():
+    """Fixture C core assertion: hot-cell salting changes the physical
+    grouping only — bit-identical histograms, smaller max group."""
+    rng = np.random.default_rng(11)
+    clump = (rng.normal(500, 2, size=(3000, 3)) % 1000).astype(np.float64)
+    bg = rng.uniform(0, 1000, size=(500, 3))
+    pxyz = np.concatenate([clump, bg])
+    hxyz = np.concatenate(
+        [(rng.normal(500, 2, size=(25, 3)) % 1000), rng.uniform(0, 1000, size=(25, 3))]
+    )
+    lad = RadiusLadder.log2_spaced(1, 50, 6, dtype=np.float64)
+    halos, parts = _tables(hxyz, pxyz, np.float64)
+    plain = (
+        dataset_to_table(shell_count(halos, parts, lad, mode="shuffle"))
+        .to_pandas()
+        .sort_values("halo_id")
+        .reset_index(drop=True)
+    )
+    _, parts2 = _tables(hxyz, pxyz, np.float64)
+    salted = (
+        dataset_to_table(
+            shell_count(halos, parts2, lad, mode="shuffle", auto_salt=True, salt_target=500)
+        )
+        .to_pandas()
+        .sort_values("halo_id")
+        .reset_index(drop=True)
+    )
+    assert plain.equals(salted)
+    oracle = shell_count_oracle(hxyz, pxyz, lad.r2)
+    np.testing.assert_array_equal(
+        salted[[f"s{i}" for i in range(6)]].to_numpy(), oracle.astype(np.int64)
+    )
+
+
+def test_salt_plan_splits_hot_cells():
+    from spatialjoincountovershells_ray.stages.salt import SaltMap, salt_plan
+
+    plan = salt_plan({1: 1000, 2: 100, 3: 5000}, target_rows_per_group=500)
+    assert plan == {1: 2, 3: 10}
+    sm = SaltMap(plan)
+    pids = np.arange(10_000, dtype=np.int64)
+    cells = np.full(10_000, 3, dtype=np.int64)
+    keys = sm.particle_keys(cells, pids)
+    # particles of cell 3 spread over 10 salted keys, roughly evenly
+    uniq, counts = np.unique(keys, return_counts=True)
+    assert len(uniq) == 10
+    assert counts.max() < 2 * counts.min()
+    # halo replicas cover every salt exactly once
+    rows, hkeys = sm.halo_replica_keys(np.array([3, 2], dtype=np.int64))
+    assert len(hkeys) == 11  # 10 salts for cell 3 + 1 for cell 2
+    assert set(hkeys[rows == 0]) == set(uniq)
+
+
 @pytest.mark.parametrize("ncells", [1, 2, 3, 5, 13])
 def test_grid_choice_does_not_change_result(ncells):
     """The physical grid is an implementation detail: any ncells gives the

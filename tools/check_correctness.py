@@ -48,6 +48,7 @@ def main():
     from spatialjoincountovershells_ray.queries import REGISTRY
 
     con = duckdb.connect()
+    con.execute("SET threads=8")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
