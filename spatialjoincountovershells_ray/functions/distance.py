@@ -72,7 +72,7 @@ class PairD2Kernel:
     Hold one instance per actor (state lives across batches).
     """
 
-    def __init__(self, dtype=np.float64, chunk: int = 1 << 20):
+    def __init__(self, dtype=np.float64, chunk: int = 1 << 16):
         self.chunk = chunk
         self.dtype = np.dtype(dtype)
         self._a = np.empty(chunk, self.dtype)

@@ -23,6 +23,120 @@ from spatialjoincountovershells_ray.stages.join_kernels import (
 )
 
 _KNN_CACHE: dict[tuple, BroadcastKnnCandidates] = {}
+_RING_CACHE: dict[tuple, "BroadcastRangeTopK"] = {}
+
+
+def _run_ring_kernel(batch: pa.Table, ref_list, ladder, k) -> pa.Table:
+    from spatialjoincountovershells_ray.stages.join_kernels import BroadcastRangeTopK
+
+    key = (ref_list[0].hex(), ladder.radii.tobytes(), ladder.dtype.str, k)
+    kern = _RING_CACHE.get(key)
+    if kern is None:
+        _RING_CACHE.clear()
+        kern = BroadcastRangeTopK(ref_list, ladder)
+        kern.k = k
+        _RING_CACHE[key] = kern
+    return kern(batch)
+
+
+def _topk_tree(cands: "ray.data.Dataset", k: int) -> pa.Table:
+    """Tree-merge candidate blocks to exact per-halo top-k (keeps d2)."""
+    refs = list(cands.materialize().to_arrow_refs())
+    fanin = 8
+    while len(refs) > 1:
+        refs = [
+            _merge_knn_blocks.remote(k, True, False, *refs[i : i + fanin])
+            for i in range(0, len(refs), fanin)
+        ]
+    if not refs:
+        return pa.table(
+            {"halo_id": pa.array([], pa.int64()), "particle_id": pa.array([], pa.int64()), "d2": pa.array([], pa.float64())}
+        )
+    t = ray.get(refs[0])
+    if "d2" not in t.schema.names:  # single-block path never merged
+        pass
+    return t
+
+
+def _knn_ring(
+    halos, particles, k, *, box, dtype, batch_size, include_d2, sort, r0
+):
+    import math
+
+    from spatialjoincountovershells_ray.config import GridSpec, RadiusLadder
+    from spatialjoincountovershells_ray.stages.join_kernels import HaloIndex
+
+    halos_tbl = halos if isinstance(halos, pa.Table) else dataset_to_table(halos)
+    hids = halos_tbl.column("halo_id").to_numpy()
+    hxyz = np.stack(
+        [halos_tbl.column(c).to_numpy().astype(dtype, copy=False) for c in "xyz"],
+        axis=1,
+    )
+    # cache the (small) particle side? No — particles stream every round;
+    # rounds are few because r doubles and completion is checked per halo.
+    nparts = particles.count()
+    density = max(nparts, 1) / box**3
+    r = r0 or min(
+        box / 4, max(1e-3 * box, 1.3 * ((3.0 * k) / (4.0 * math.pi * density)) ** (1.0 / 3.0))
+    )
+    pending = np.arange(len(hids), dtype=np.int64)
+    done_tables: list[pa.Table] = []
+    rounds = 0
+    while len(pending):
+        rounds += 1
+        full_sweep = r >= box / 2
+        rmax = box * math.sqrt(3.0) if full_sweep else r  # full torus diameter bound
+        ladder = RadiusLadder(radii=np.array([rmax]), dtype=np.dtype(dtype))
+        ncells = max(1, min(int(box * 2.0 / rmax), 64))
+        grid = GridSpec(ncells=ncells, box=box)
+        index = HaloIndex.build(hids[pending], hxyz[pending], rmax, grid, box)
+        ref = ray.put(index)
+        cands = particles.map_batches(
+            _run_ring_kernel,
+            fn_kwargs={"ref_list": [ref], "ladder": ladder, "k": k},
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=batch_size,
+        )
+        merged = _topk_tree(cands, k)
+        got = merged.column("halo_id").to_numpy()
+        counts = np.zeros(len(hids), dtype=np.int64)
+        # map halo_id back to row: hids may be arbitrary — use searchsorted on
+        # a sorted copy
+        order = np.argsort(hids, kind="stable")
+        pos = order[np.searchsorted(hids[order], got)]
+        np.add.at(counts, pos, 1)
+        complete_rows = np.flatnonzero(counts >= k)
+        if full_sweep:
+            complete_rows = np.unique(np.concatenate([complete_rows, pending]))
+        complete_set = set(complete_rows.tolist()) & set(pending.tolist())
+        if complete_set:
+            keep_mask = np.isin(pos, np.array(sorted(complete_set), dtype=np.int64))
+            done_tables.append(merged.filter(pa.array(keep_mask)))
+        pending = np.array(sorted(set(pending.tolist()) - complete_set), dtype=np.int64)
+        if full_sweep:
+            break
+        r *= 2.0
+    allt = (
+        pa.concat_tables(done_tables, promote_options="none")
+        if done_tables
+        else pa.table(
+            {"halo_id": pa.array([], pa.int64()), "particle_id": pa.array([], pa.int64()), "d2": pa.array([], pa.float64())}
+        )
+    )
+    h, p, d, rnk = select_topk_rows(
+        allt.column("halo_id").to_numpy(),
+        allt.column("particle_id").to_numpy(),
+        allt.column("d2").to_numpy(),
+        k,
+    )
+    cols = {"halo_id": h, "particle_id": p, "rnk": rnk}
+    if include_d2:
+        cols["d2"] = d
+    final = pa.table(cols)
+    if sort:
+        final = final.sort_by([("halo_id", "ascending"), ("rnk", "ascending")])
+    return ray.data.from_arrow(final)
 
 
 def _run_knn_kernel(batch: pa.Table, ref_list, k, box, dtype_str) -> pa.Table:
@@ -67,8 +181,24 @@ def knn(
     concurrency=None,
     include_d2: bool = False,
     sort: bool = True,
+    method: str = "ring",
+    r0: float | None = None,
 ) -> "ray.data.Dataset":
-    """-> halo_id:int64, particle_id:int64, rnk:int64 (1-based), [d2]."""
+    """-> halo_id:int64, particle_id:int64, rnk:int64 (1-based), [d2].
+
+    ``method='ring'`` (default): exact expanding-radius search — run the
+    grid-pruned range kernel at radius r, keep halos that found >= k
+    neighbours within r (their true kNN are provably among those
+    candidates), double r for the stragglers, repeat. Reuses the fast
+    cell-bucketed candidate path, so cost tracks the k-NN density radius
+    instead of all H x P pairs. ``method='brute'`` scans every pair
+    (the oracle-ish fallback; no radius assumption).
+    """
+    if method == "ring":
+        return _knn_ring(
+            halos, particles, k, box=box, dtype=dtype, batch_size=batch_size,
+            include_d2=include_d2, sort=sort, r0=r0,
+        )
     halos_tbl = halos if isinstance(halos, pa.Table) else dataset_to_table(halos)
     payload = {
         "halo_ids": halos_tbl.column("halo_id").to_numpy(),

@@ -134,23 +134,31 @@ def shell_count(
     salt=None,
     auto_salt: bool = False,
     salt_target: int = 200_000,
+    halo_index: "HaloIndex | None" = None,
 ) -> "ray.data.Dataset":
     """Per-halo shell histograms: halo_id:int64, s0..s{nrads-1}:int64."""
-    # default grid: ~2 cells per rmax per axis — candidate volume per halo
-    # ≈ (2r + L)^3, a ~50-100x prune at rmax=160, while halo replication
-    # stays ~5^3 cells. Tune per workload via `grid`.
-    grid = grid or GridSpec.for_radius(ladder.rmax, box=box, target_cells_per_r=2.0)
+    # default grid: ~3 cells per rmax per axis (sweep-tuned: candidate
+    # pruning wins over replica-index growth up to L ~ rmax/3 with the
+    # sphere-tightened cover). Tune per workload via `grid`.
+    grid = grid or GridSpec.for_radius(ladder.rmax, box=box, target_cells_per_r=3.0)
     nrads = ladder.nrads
 
     if mode == "broadcast":
-        halos_tbl = halos if isinstance(halos, pa.Table) else dataset_to_table(halos)
-        hids = halos_tbl.column("halo_id").to_numpy()
-        hxyz = np.stack(
-            [halos_tbl.column(c).to_numpy().astype(ladder.dtype, copy=False) for c in "xyz"],
-            axis=1,
-        )
-        index = HaloIndex.build(hids, hxyz, ladder.rmax, grid, box)
-        index_ref = ray.put(index)
+        if halo_index is not None:
+            # prebuilt/cached index (a production job builds it once and
+            # probes many particle shards — reference A2 semantics)
+            index = halo_index
+            hids = index.halo_ids
+        else:
+            halos_tbl = halos if isinstance(halos, pa.Table) else dataset_to_table(halos)
+            hids = halos_tbl.column("halo_id").to_numpy()
+            hxyz = np.stack(
+                [halos_tbl.column(c).to_numpy().astype(ladder.dtype, copy=False) for c in "xyz"],
+                axis=1,
+            )
+            index = HaloIndex.build(hids, hxyz, ladder.rmax, grid, box)
+        index_ref = getattr(index, "_ref", None) or ray.put(index)
+        index._ref = index_ref
         if concurrency is None:
             # task mode: long-lived task workers + per-worker kernel cache
             # amortize index fetch and scratch like an actor pool would,
@@ -176,7 +184,13 @@ def shell_count(
                 batch_size=batch_size,
                 concurrency=concurrency,
             )
-        zeros = _zeros_for(halos_tbl, nrads) if include_zero_halos else None
+        zeros = None
+        if include_zero_halos:
+            zcols = {"halo_id": pa.array(hids, pa.int64())}
+            z = pa.array(np.zeros(len(hids), dtype=np.int64))
+            for i in range(nrads):
+                zcols[f"s{i}"] = z
+            zeros = pa.table(zcols)
         return _merge_partials_tree(partials, zeros, nrads, sort)
 
     if mode == "shuffle":

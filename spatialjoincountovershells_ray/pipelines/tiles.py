@@ -66,6 +66,22 @@ class _RectJoin:
         )
 
 
+_TILE_CACHE: dict[tuple, object] = {}
+
+
+def _run_cached(batch, cls, ref_list, id_col):
+    """Task-mode wrapper with per-worker kernel cache (tasks reuse warm
+    worker processes; actor pools pay a fresh spawn per dataset — see
+    join_kernels.run_broadcast_kernel)."""
+    key = (cls.__name__, ref_list[0].hex(), id_col)
+    k = _TILE_CACHE.get(key)
+    if k is None:
+        _TILE_CACHE.clear()
+        k = cls(ref_list, id_col)
+        _TILE_CACHE[key] = k
+    return k(batch)
+
+
 def point_in_rects(
     points: "ray.data.Dataset",
     poly_ids: np.ndarray,
@@ -73,17 +89,16 @@ def point_in_rects(
     hi: np.ndarray,
     id_col: str = "particle_id",
     concurrency=None,
-    sort: bool = True,
+    sort: bool = False,
 ) -> "ray.data.Dataset":
-    if concurrency is None:
-        concurrency = default_pool()
+    # sort=False default: a Dataset-wide sort is an all-to-all exchange and
+    # the containment join's consumers are order-insensitive
     ref = ray.put({"poly_ids": poly_ids, "lo": lo, "hi": hi})
     out = points.map_batches(
-        _RectJoin,
-        fn_constructor_kwargs={"rects_ref": [ref], "id_col": id_col},
+        _run_cached,
+        fn_kwargs={"cls": _RectJoin, "ref_list": [ref], "id_col": id_col},
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=concurrency,
     )
     return out.sort([id_col, "poly_id"]) if sort else out
 
@@ -147,7 +162,7 @@ def point_in_polygons(
     polygons: list[tuple[int, np.ndarray]],
     id_col: str = "particle_id",
     concurrency=None,
-    sort: bool = True,
+    sort: bool = False,
 ) -> "ray.data.Dataset":
     """Even-odd-rule containment join of a point stream against a
     broadcast polygon list [(poly_id, verts[V,2])]."""

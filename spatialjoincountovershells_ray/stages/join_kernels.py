@@ -58,6 +58,10 @@ class HaloIndex:
     grid: GridSpec
     box: float
 
+    # replica-expanded coordinate columns (cell-grouped, so the pair loop
+    # reads them in near-sequential ranges): set by build()
+    rep_cols: "tuple[np.ndarray, np.ndarray, np.ndarray] | None" = None
+
     @classmethod
     def build(
         cls, halo_ids: np.ndarray, xyz: np.ndarray, rmax: float, grid: GridSpec, box: float = BOX_SIZE
@@ -67,7 +71,7 @@ class HaloIndex:
         cell = cell[order]
         row = row[order]
         ucells, starts, counts = np.unique(cell, return_index=True, return_counts=True)
-        return cls(
+        idx = cls(
             halo_ids=np.ascontiguousarray(halo_ids),
             xyz=np.ascontiguousarray(xyz),
             ucells=ucells,
@@ -77,6 +81,10 @@ class HaloIndex:
             grid=grid,
             box=box,
         )
+        # materialize per-replica coordinates: turns the halo-side pair
+        # gather from random row access into contiguous range reads
+        idx.rep_cols = tuple(np.ascontiguousarray(xyz[row, ax]) for ax in range(3))
+        return idx
 
     @property
     def cols(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -159,7 +167,7 @@ class _BroadcastKernel:
 
     # target pairs per expansion sub-chunk: bounds the persistent buffer
     # working set (~6 x 8B x SUBCHUNK) while keeping it cache/page hot
-    SUBCHUNK_PAIRS = 1 << 20
+    SUBCHUNK_PAIRS = 1 << 16  # L2/L3-resident working set: scales across many workers
 
     def __init__(self, index_ref, ladder: RadiusLadder):
         # index_ref is wrapped in a list so Ray Data does not resolve it per
@@ -191,8 +199,22 @@ class _BroadcastKernel:
 
     def _iter_pair_chunks(self, p_cols):
         """Yield (pair_p, pair_h, d2) over sub-chunks of the batch, using
-        the persistent scratch buffers. pair_p indexes into the batch."""
+        the persistent scratch buffers. pair_p indexes into the batch.
+
+        Particles are processed in cell order and the halo side is read
+        through the cell-grouped replica columns, so both coordinate
+        streams are near-sequential — the kernel is cache-bound instead
+        of DRAM-gather-bound (this is what lets 32 concurrent workers
+        scale instead of fighting over memory bandwidth)."""
         idx = self.index
+        pcell = flatten_cell(
+            cell_index(p_cols[0], idx.grid),
+            cell_index(p_cols[1], idx.grid),
+            cell_index(p_cols[2], idx.grid),
+            idx.grid,
+        )
+        psort = np.argsort(pcell, kind="stable")
+        p_cols = tuple(np.ascontiguousarray(c[psort]) for c in p_cols)
         cnt, rep_start = self._batch_cell_counts(p_cols)
         ends = np.cumsum(cnt)
         total = int(ends[-1]) if len(ends) else 0
@@ -227,10 +249,13 @@ class _BroadcastKernel:
             rep = s.rep[:n]
             np.take(rep_start[lo:hi], pp, out=rep)
             np.add(rep, local, out=rep)
+            np.add(pp, lo, out=pp)  # absolute particle row (cell-sorted space)
+            # distance via the cell-grouped replica columns: rep indices are
+            # contiguous runs per particle, particles are cell-sorted
+            d2 = self.d2k(idx.rep_cols, p_cols, rep, pp, idx.box, out=s.d2[:n])
             ph = s.ph[:n]
             np.take(idx.rep_rows, rep, out=ph)
-            np.add(pp, lo, out=pp)  # absolute particle row in the batch
-            d2 = self.d2k(idx.cols, p_cols, ph, pp, idx.box, out=s.d2[:n])
+            np.take(psort, pp, out=pp)  # back to original batch rows
             yield pp, ph, d2
 
 
@@ -294,6 +319,46 @@ class BroadcastRangeJoin(_BroadcastKernel):
             {
                 "halo_id": np.concatenate(out_h),
                 "particle_id": np.concatenate(out_p),
+            }
+        )
+
+
+class BroadcastRangeTopK(_BroadcastKernel):
+    """Range join emitting per-batch per-halo top-k (halo_id, particle_id,
+    d2) rows with d2 < rmax^2 — the per-round kernel of the expanding-ring
+    kNN (pipelines.knn). ``k`` is set post-construction by the cache
+    wrapper."""
+
+    k: int = 5
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        idx = self.index
+        p_cols = _batch_cols(batch, self.dtype)
+        pids = batch.column("particle_id").to_numpy()
+        hs, ps, ds = [], [], []
+        for pp, ph, d2 in self._iter_pair_chunks(p_cols):
+            keep = d2 < self.r2[-1]
+            hs.append(ph[keep])
+            ps.append(pids[pp[keep]])
+            ds.append(d2[keep].copy())
+        empty = {
+            "halo_id": pa.array([], pa.int64()),
+            "particle_id": pa.array([], pa.int64()),
+            "d2": pa.array([], pa.float64()),
+        }
+        if not hs:
+            return pa.table(empty)
+        h = np.concatenate(hs)
+        if len(h) == 0:
+            return pa.table(empty)
+        p = np.concatenate(ps)
+        d = np.concatenate(ds)
+        hsel, psel, dsel, _ = select_topk_rows(h, p, d, self.k)
+        return pa.table(
+            {
+                "halo_id": idx.halo_ids[hsel],
+                "particle_id": psel,
+                "d2": dsel.astype(np.float64, copy=False),
             }
         )
 
