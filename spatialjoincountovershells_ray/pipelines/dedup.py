@@ -50,6 +50,24 @@ def exact_dedup(docs: "ray.data.Dataset") -> "ray.data.Dataset":
     return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _shingle_hashes(text: str, k: int) -> np.ndarray:
+    """uint64 polynomial hashes of all k-byte shingles, deduplicated
+    (vectorized: k passes over the byte buffer, no Python char loop)."""
+    b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+    if len(b) == 0:
+        return np.empty(0, np.uint64)
+    if len(b) < k:
+        k = len(b)
+    n = len(b) - k + 1
+    with np.errstate(over="ignore"):
+        h = np.zeros(n, dtype=np.uint64)
+        base = np.uint64(0x100000001B3)
+        for j in range(k):
+            h = h * base + b[j : j + n].astype(np.uint64)
+        h = mix64(h)
+    return np.unique(h)
+
+
 def minhash_signatures(
     docs: "ray.data.Dataset", num_perm: int = 64, shingle_k: int = 5
 ) -> "ray.data.Dataset":
@@ -60,11 +78,10 @@ def minhash_signatures(
         texts = batch.column("text").to_pylist()
         sigs = np.empty((len(texts), num_perm), dtype=np.uint64)
         for i, t in enumerate(texts):
-            sh = sorted(T.char_shingles(t, shingle_k))
-            if not sh:
+            hv = _shingle_hashes(t, shingle_k)
+            if len(hv) == 0:
                 sigs[i] = np.uint64(0xFFFFFFFFFFFFFFFF)
                 continue
-            hv = hash_bytes_rows([s.encode("utf-8") for s in sh])  # [S]
             with np.errstate(over="ignore"):
                 m = a[None, :] * hv[:, None] + b[None, :]  # [S, P] mod 2^64
             sigs[i] = m.min(axis=0)
@@ -125,8 +142,21 @@ def minhash_lsh_pairs(
         return pd.DataFrame(pairs, columns=["id_a", "id_b"]).astype(np.int64)
 
     cands = banded.groupby("band_key").map_groups(bucket_pairs, batch_format="pandas")
-    # candidate pairs may repeat across bands — exact-dedup them
-    cands = cands.groupby(["id_a", "id_b"]).count().select_columns(["id_a", "id_b"])
+
+    # candidate pairs may repeat across bands — distinct them with a
+    # log-depth tree of Arrow group_by tasks (the Dataset groupby shuffle
+    # costs ~20s of fixed overhead regardless of size here)
+    @ray.remote
+    def _distinct(*tables: pa.Table) -> pa.Table:
+        t = pa.concat_tables([x for x in tables if x.num_rows], promote_options="none")
+        return t.group_by(["id_a", "id_b"]).aggregate([])
+
+    refs = list(cands.materialize().to_arrow_refs())
+    while len(refs) > 1:
+        refs = [_distinct.remote(*refs[i : i + 8]) for i in range(0, len(refs), 8)]
+    cands = ray.data.from_arrow(
+        ray.get(refs[0]) if refs else pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())})
+    )
 
     # verify: broadcast doc_id -> text (documents are the small side here;
     # at scale this is a hash-join of candidates back to the doc table)
@@ -158,13 +188,23 @@ def minhash_lsh_pairs(
                 }
             )
 
-    return cands.map_batches(
+    verified = cands.map_batches(
         Verify,
         fn_constructor_kwargs={"texts_ref": [texts_ref]},
         batch_format="pyarrow",
         zero_copy_batch=True,
         concurrency=(1, 4),
-    ).sort(["id_a", "id_b"])
+    )
+    # near-dup pair sets are small relative to the corpus: final ordering
+    # driver-side beats a Dataset-wide sort exchange
+    tables = [t for t in ray.get(verified.materialize().to_arrow_refs()) if t.num_rows]
+    if not tables:
+        out = pa.table(
+            {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()), "jaccard": pa.array([], pa.float64())}
+        )
+    else:
+        out = pa.concat_tables(tables, promote_options="none")
+    return ray.data.from_arrow(out.sort_by([("id_a", "ascending"), ("id_b", "ascending")]))
 
 
 def simhash64(docs: "ray.data.Dataset") -> "ray.data.Dataset":

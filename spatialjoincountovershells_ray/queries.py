@@ -273,6 +273,26 @@ def q_ann_topk(sf_dir: str):
     )
 
 
+def q_media_features(sf_dir: str):
+    """Multimodal plumbing: explode media spans of the spatial document
+    table and run the (stubbed) feature-extractor actor stage."""
+    from spatialjoincountovershells_ray.pipelines.multimodal import FEATURE_DIM, media_features
+
+    hpath, _ = spatial_document_paths(sf_dir)
+
+    def flatten(batch: pa.Table) -> pa.Table:
+        # flat scalar columns for the driver's row comparator
+        feats = np.stack(batch.column("feature").to_numpy(zero_copy_only=False))
+        cols = {"doc_id": batch.column("doc_id"), "media_ref": batch.column("media_ref")}
+        for i in range(FEATURE_DIM):
+            cols[f"f{i}"] = feats[:, i].astype(np.float64)
+        return pa.table(cols)
+
+    return media_features(ray.data.read_parquet(hpath)).map_batches(
+        flatten, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def q_ann_lsh(sf_dir: str):
     ids, mat = _query_vectors(sf_dir)
     return ann.lsh_topk(
@@ -416,4 +436,5 @@ REGISTRY: dict[str, QueryDef] = {
     "simhash": QueryDef(q_simhash, None),
     "embedding_near_dups": QueryDef(q_embedding_near_dups, None),
     "ann_lsh": QueryDef(q_ann_lsh, None),
+    "media_features": QueryDef(q_media_features, None),
 }

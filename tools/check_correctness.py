@@ -60,7 +60,9 @@ def main():
             continue
         t0 = time.time()
         try:
-            mine = canon(to_pandas(qd.fn(sf_dir)))
+            mine = to_pandas(qd.fn(sf_dir))
+            if qd.sql is not None:
+                mine = canon(mine)
         except Exception as e:  # noqa: BLE001
             print(f"{name:24s} ERROR engine: {e!r}")
             failures.append(name)
