@@ -1,0 +1,53 @@
+"""Lon-lat hierarchical cell codec tests (cap cover completeness)."""
+
+import numpy as np
+
+from spatialjoincountovershells_ray.functions import geo
+
+
+class TestLatLonCells:
+    def test_cell_determinism_and_level(self):
+        lat = np.array([0.0, 45.0, -89.9, 89.9])
+        lon = np.array([0.0, -179.9, 179.9, 10.0])
+        c = geo.latlon_cell(lat, lon, 10)
+        assert np.array_equal(c, geo.latlon_cell(lat, lon, 10))
+        assert (geo.cell_level(c) == 10).all()
+        # different points in distinct cells at fine level
+        assert len(np.unique(geo.latlon_cell(lat, lon, 16))) == 4
+
+    def test_lon_wrap(self):
+        c1 = geo.latlon_cell(np.array([10.0]), np.array([-180.0]), 8)
+        c2 = geo.latlon_cell(np.array([10.0]), np.array([180.0]), 8)  # wraps
+        assert c1[0] == c2[0]
+
+    def test_parent_containment(self):
+        rng = np.random.default_rng(5)
+        lat = rng.uniform(-89, 89, 200)
+        lon = rng.uniform(-180, 180, 200)
+        fine = geo.latlon_cell(lat, lon, 12)
+        coarse = geo.latlon_cell(lat, lon, 7)
+        assert np.array_equal(geo.cell_parent(fine, 7), coarse)
+
+    def test_cap_cover_complete(self):
+        """Every point within radius_km of the center must land in a
+        covered cell (the correctness invariant of ball-cover covers)."""
+        rng = np.random.default_rng(9)
+        for center_lat, center_lon, r_km in [
+            (0.0, 0.0, 200.0),
+            (60.0, 170.0, 500.0),   # lon wrap at high latitude
+            (88.0, 0.0, 400.0),     # polar cap
+        ]:
+            level = 7
+            cover = set(geo.cap_cover(center_lat, center_lon, r_km, level).tolist())
+            lat = rng.uniform(-90, 90, 4000)
+            lon = rng.uniform(-180, 180, 4000)
+            d = geo.haversine_km(center_lat, center_lon, lat, lon)
+            inside = d <= r_km
+            cells = geo.latlon_cell(lat[inside], lon[inside], level)
+            missing = [c for c in cells.tolist() if c not in cover]
+            assert not missing
+
+    def test_haversine_sanity(self):
+        # quarter circumference pole-to-equator
+        d = geo.haversine_km(np.array([0.0]), np.array([0.0]), np.array([90.0]), np.array([0.0]))
+        assert abs(d[0] - np.pi / 2 * geo.EARTH_RADIUS_KM) < 1.0
