@@ -135,6 +135,7 @@ def shell_count(
     auto_salt: bool = False,
     salt_target: int = 200_000,
     halo_index: "HaloIndex | None" = None,
+    exchange: str = "bucket",
 ) -> "ray.data.Dataset":
     """Per-halo shell histograms: halo_id:int64, s0..s{nrads-1}:int64."""
     # default grid: ~3 cells per rmax per axis (sweep-tuned: candidate
@@ -249,13 +250,25 @@ def shell_count(
         ).union(
             particles.map_batches(tag_particles, batch_format="pyarrow", zero_copy_batch=True)
         )
-        partials = both.groupby("cell").map_groups(
-            lambda g: cell_group_shell_count(g, ladder, box), batch_format="pyarrow"
-        )
         zeros = None
         if include_zero_halos:
             htbl = dataset_to_table(halos.select_columns(["halo_id"]))
             zeros = _zeros_for(htbl, nrads)
+        if exchange == "bucket":
+            # explicit two-stage hash shuffle on raw Ray tasks: co-locate by
+            # cell hash, then merge by halo-id hash — neither stage assumes
+            # the result fits one task (see stages/exchange.py)
+            from spatialjoincountovershells_ray.stages.exchange import (
+                bucketed_cell_join,
+                bucketed_hist_merge,
+            )
+
+            partials = bucketed_cell_join(both, ladder, box)
+            out = bucketed_hist_merge(partials, zeros, nrads)
+            return out.sort("halo_id") if sort else out
+        partials = both.groupby("cell").map_groups(
+            lambda g: cell_group_shell_count(g, ladder, box), batch_format="pyarrow"
+        )
         return _merge_partials(partials, zeros, nrads, sort)
 
     raise ValueError(f"unknown mode {mode!r}")

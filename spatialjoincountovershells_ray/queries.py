@@ -147,6 +147,7 @@ def q_shell_count_shuffle(sf_dir: str):
         synthetic.particles_dataset(sf_dir),
         LADDER,
         mode="shuffle",
+        sort=False,
     )
 
 
@@ -159,6 +160,7 @@ def q_shell_count_salted(sf_dir: str):
         mode="shuffle",
         auto_salt=True,
         salt_target=20_000,
+        sort=False,
     )
 
 

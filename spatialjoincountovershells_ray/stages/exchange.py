@@ -1,0 +1,168 @@
+"""Manual hash-bucket exchange: an explicit two-stage shuffle on raw Ray
+tasks.
+
+Ray Data's groupby is a general sort-based all-to-all with ~20 s of fixed
+overhead on this setup; for the cell-copartitioned join we only need
+*co-location by cell hash*, not global order. Classic map/reduce shuffle:
+
+  stage 1 (map):    each input block is split into B bucket sub-tables
+                    (cell % B), returned as B separate objects;
+  stage 2 (reduce): per bucket, concatenate its sub-tables from every
+                    block and run the join kernel.
+
+O(nblocks x B) small objects through the object store; no sort anywhere.
+The reduce kernel handles multi-cell buckets by segmenting on the cell
+key (a halo replica must meet exactly the particles of ITS cell — pairing
+across cells inside a bucket would double-count, SURVEY.md §7.5).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from spatialjoincountovershells_ray.config import BOX_SIZE, RadiusLadder
+from spatialjoincountovershells_ray.functions.distance import shell_of
+
+
+@ray.remote
+def _split_block(block: pa.Table, nbuckets: int) -> list[pa.Table]:
+    cell = block.column("cell").to_numpy()
+    bucket = cell % nbuckets
+    order = np.argsort(bucket, kind="stable")
+    sorted_tbl = block.take(pa.array(order, pa.int64()))
+    sb = bucket[order]
+    bounds = np.searchsorted(sb, np.arange(nbuckets + 1))
+    return [sorted_tbl.slice(bounds[i], bounds[i + 1] - bounds[i]) for i in range(nbuckets)]
+
+
+@ray.remote
+def _reduce_bucket(ladder_bytes: bytes, dtype_str: str, box: float, *parts: pa.Table) -> pa.Table:
+    """Per-bucket join: segment by cell, vectorized kernel per cell."""
+    from spatialjoincountovershells_ray.stages.join_kernels import _cached_d2k
+
+    ladder = RadiusLadder(
+        radii=np.frombuffer(ladder_bytes, dtype=dtype_str), dtype=np.dtype(dtype_str)
+    )
+    nrads = ladder.nrads
+    names = ["halo_id"] + [f"s{i}" for i in range(nrads)]
+    tbls = [t for t in parts if t.num_rows]
+    if not tbls:
+        return pa.table({n: pa.array([], pa.int64()) for n in names})
+    t = pa.concat_tables(tbls, promote_options="none")
+    cell = t.column("cell").to_numpy()
+    order = np.argsort(cell, kind="stable")
+    cell = cell[order]
+    role = t.column("role").to_numpy(zero_copy_only=False)[order]
+    ids = t.column("id").to_numpy()[order]
+    cols = tuple(
+        t.column(c).to_numpy(zero_copy_only=False).astype(ladder.dtype, copy=False)[order]
+        for c in ("x", "y", "z")
+    )
+    d2k = _cached_d2k(ladder.dtype)
+    out_h: list[np.ndarray] = []
+    out_s: list[np.ndarray] = []
+    starts = np.flatnonzero(np.concatenate(([True], cell[1:] != cell[:-1])))
+    ends = np.concatenate((starts[1:], [len(cell)]))
+    for s, e in zip(starts, ends):
+        r = role[s:e]
+        hsel = np.flatnonzero(r == 0) + s
+        psel = np.flatnonzero(r == 1) + s
+        H, P = len(hsel), len(psel)
+        if H == 0 or P == 0:
+            continue
+        h_cols = tuple(np.ascontiguousarray(c[hsel]) for c in cols)
+        p_cols = tuple(np.ascontiguousarray(c[psel]) for c in cols)
+        hist = np.zeros(H * nrads, dtype=np.int64)
+        chunk = max(1, (1 << 20) // P)
+        p_ar = np.arange(P, dtype=np.int64)
+        for hs in range(0, H, chunk):
+            he = min(hs + chunk, H)
+            pair_h = np.repeat(np.arange(hs, he, dtype=np.int64), P)
+            pair_p = np.tile(p_ar, he - hs)
+            d2 = d2k(h_cols, p_cols, pair_h, pair_p, box)
+            keep = d2 < ladder.r2[-1]
+            ph = pair_h[keep]
+            if len(ph):
+                shell = shell_of(d2[keep], ladder.r2)
+                hist += np.bincount(ph * nrads + shell, minlength=H * nrads)
+        hist2 = hist.reshape(H, nrads)
+        touched = np.flatnonzero(hist2.any(axis=1))
+        out_h.append(ids[hsel[touched]])
+        out_s.append(hist2[touched])
+    if not out_h:
+        return pa.table({n: pa.array([], pa.int64()) for n in names})
+    hcat = np.concatenate(out_h)
+    scat = np.concatenate(out_s, axis=0)
+    result = {"halo_id": hcat}
+    for i in range(nrads):
+        result[f"s{i}"] = scat[:, i]
+    return pa.table(result)
+
+
+@ray.remote
+def _split_by_halo(block: pa.Table, nbuckets: int) -> list[pa.Table]:
+    h = block.column("halo_id").to_numpy()
+    bucket = h % nbuckets
+    order = np.argsort(bucket, kind="stable")
+    sorted_tbl = block.take(pa.array(order, pa.int64()))
+    sb = bucket[order]
+    bounds = np.searchsorted(sb, np.arange(nbuckets + 1))
+    return [sorted_tbl.slice(bounds[i], bounds[i + 1] - bounds[i]) for i in range(nbuckets)]
+
+
+@ray.remote
+def _sum_hist_bucket(nrads: int, *parts: pa.Table) -> pa.Table:
+    scols = [f"s{i}" for i in range(nrads)]
+    tbls = [t for t in parts if t.num_rows]
+    if not tbls:
+        return pa.table({n: pa.array([], pa.int64()) for n in ["halo_id"] + scols})
+    t = pa.concat_tables(tbls, promote_options="none")
+    g = t.group_by("halo_id").aggregate([(c, "sum") for c in scols])
+    return g.rename_columns(["halo_id"] + scols)
+
+
+def bucketed_hist_merge(
+    partials: "ray.data.Dataset", zeros: "pa.Table | None", nrads: int, nbuckets: int | None = None
+) -> "ray.data.Dataset":
+    """Hash-bucket merge of per-halo partial histograms: each bucket's sum
+    is bounded by its share of the halo key space, so the merge scales to
+    query sides that do NOT fit a single task (the unbounded-halo story
+    of the shuffle plan)."""
+    if nbuckets is None:
+        nbuckets = max(8, int(ray.cluster_resources().get("CPU", 8)))
+    blocks = list(partials.materialize().to_arrow_refs())
+    if zeros is not None:
+        blocks.append(ray.put(zeros))
+    split_refs = [
+        _split_by_halo.options(num_returns=nbuckets).remote(b, nbuckets) for b in blocks
+    ]
+    results = [
+        _sum_hist_bucket.remote(nrads, *[sr[bi] for sr in split_refs])
+        for bi in range(nbuckets)
+    ]
+    return ray.data.from_arrow_refs(results)
+
+
+def bucketed_cell_join(
+    tagged: "ray.data.Dataset",
+    ladder: RadiusLadder,
+    box: float = BOX_SIZE,
+    nbuckets: int | None = None,
+) -> "ray.data.Dataset":
+    """tagged (cell, role, id, x, y, z) -> partial histograms per bucket."""
+    if nbuckets is None:
+        nbuckets = max(8, int(ray.cluster_resources().get("CPU", 8)) * 2)
+    blocks = list(tagged.materialize().to_arrow_refs())
+    split_refs = [
+        _split_block.options(num_returns=nbuckets).remote(b, nbuckets) for b in blocks
+    ]
+    lb = ladder.radii.tobytes()
+    ds = ladder.dtype.str
+    bucket_results = []
+    for bi in range(nbuckets):
+        shards = [sr[bi] for sr in split_refs]
+        bucket_results.append(_reduce_bucket.remote(lb, ds, box, *shards))
+    # keep results in the object store; downstream merge reads the refs
+    return ray.data.from_arrow_refs(bucket_results)
