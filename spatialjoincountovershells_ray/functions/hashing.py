@@ -27,6 +27,9 @@ _AXIS_PARAMS = (
 )
 _COORD_MOD = 1_000_000  # 3 fractional digits at box=1000
 _COORD_SCALE = 1000.0
+# k*A + B must stay inside int64 for every axis or numpy wraps silently
+# while the SQL twin does not — parity would break, not crash
+_MAX_KEY = min(((1 << 63) - 1 - b) // a for a, b in _AXIS_PARAMS)
 
 
 def derive_coord(key: np.ndarray, axis: int, box: float = BOX_SIZE) -> np.ndarray:
@@ -37,8 +40,11 @@ def derive_coord(key: np.ndarray, axis: int, box: float = BOX_SIZE) -> np.ndarra
     """
     a, b = _AXIS_PARAMS[axis]
     k = np.asarray(key, dtype=np.int64)
-    if k.size and int(k.max(initial=0)) > (1 << 41):
-        raise ValueError("key too large for overflow-free int64 derivation")
+    if k.size and int(k.max(initial=0)) > _MAX_KEY:
+        raise ValueError(
+            f"key exceeds {_MAX_KEY} — k*A+B would wrap int64 and silently "
+            "diverge from the SQL twin"
+        )
     v = (k * np.int64(a) + np.int64(b)) % np.int64(_COORD_MOD)
     return (v.astype(np.float64) / _COORD_SCALE) * (box / BOX_SIZE)
 

@@ -29,8 +29,11 @@ def event_lag(sf_dir_or_ds) -> "ray.data.Dataset":
 
     def lag(group: pd.DataFrame) -> pd.DataFrame:
         g = group.sort_values(["ts", "event_id"], kind="mergesort")
-        prev = g["event_id"].shift(1)
-        return pd.DataFrame({"event_id": g["event_id"], "prev_event_id": prev.astype("Int64")})
+        # float64-with-NaN (shift's native output) is the canonical null
+        # representation the driver hashes the DuckDB oracle side into;
+        # a nullable Int64 column hashes `7` differently from `7.0`.
+        prev = g["event_id"].shift(1).astype("float64")
+        return pd.DataFrame({"event_id": g["event_id"], "prev_event_id": prev})
 
     return ds.groupby("user_id").map_groups(lag, batch_format="pandas")
 

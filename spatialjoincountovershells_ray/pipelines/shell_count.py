@@ -60,7 +60,10 @@ def _merge_hist_blocks(nrads: int, *tables: pa.Table) -> pa.Table:
     scols = [f"s{i}" for i in range(nrads)]
     t = pa.concat_tables([t for t in tables if t.num_rows], promote_options="none")
     g = t.group_by("halo_id").aggregate([(c, "sum") for c in scols])
-    return g.rename_columns(["halo_id"] + scols)
+    # select by name: pyarrow versions differ on whether group keys come
+    # first or last in the aggregate output — positional rename would
+    # silently relabel halo_id as a count column
+    return pa.table({"halo_id": g.column("halo_id"), **{c: g.column(f"{c}_sum") for c in scols}})
 
 
 def _merge_partials_tree(
@@ -84,11 +87,17 @@ def _merge_partials_tree(
         refs.append(ray.put(zeros))
     if not refs:
         return ray.data.from_arrow(zeros if zeros is not None else pa.table({}))
+    merged = False
     while len(refs) > 1:
         refs = [
             _merge_hist_blocks.remote(nrads, *refs[i : i + fanin])
             for i in range(0, len(refs), fanin)
         ]
+        merged = True
+    if not merged:
+        # a single block may still bundle several map_batches outputs with
+        # duplicate halo_id partial rows — always aggregate at least once
+        refs = [_merge_hist_blocks.remote(nrads, refs[0])]
     final: pa.Table = ray.get(refs[0])
     if isinstance(final, list):
         final = final[0]

@@ -120,7 +120,8 @@ def _sum_hist_bucket(nrads: int, *parts: pa.Table) -> pa.Table:
         return pa.table({n: pa.array([], pa.int64()) for n in ["halo_id"] + scols})
     t = pa.concat_tables(tbls, promote_options="none")
     g = t.group_by("halo_id").aggregate([(c, "sum") for c in scols])
-    return g.rename_columns(["halo_id"] + scols)
+    # select by name — pyarrow's aggregate column order is version-dependent
+    return pa.table({"halo_id": g.column("halo_id"), **{c: g.column(f"{c}_sum") for c in scols}})
 
 
 def bucketed_hist_merge(

@@ -26,7 +26,12 @@ class TestParticlesBin:
         pa_ = particles_bin.write_particle_file(str(tmp_path / "a.dat"), a)
         pb_ = particles_bin.write_particle_file(str(tmp_path / "b.dat"), b)
         ds = particles_bin.read_decoded_particles([pa_, pb_])
-        assert ds.count() == 250
+        tbl = dataset_to_table(ds).to_pandas().sort_values("particle_id")
+        # per-file id bases: globally unique ids in append (path) order
+        assert tbl.particle_id.tolist() == list(range(250))
+        np.testing.assert_array_equal(
+            tbl[["x", "y", "z"]].to_numpy(), np.concatenate([a, b])
+        )
 
     def test_bad_size_rejected(self, tmp_path):
         p = tmp_path / "bad.dat"
@@ -35,44 +40,93 @@ class TestParticlesBin:
             particles_bin.read_decoded_particles(str(p)).materialize()
 
 
+def _c_id2pos(ident, ng1d, ntile):
+    """Direct scalar transcription of the reference id2posGadId
+    (GadId.c:38-74 with Nt1D=ntile, Ng1D=ng1d) for cross-checking the
+    vectorized implementation."""
+    ng2d, ng3d = ng1d * ng1d, ng1d * ng1d * ng1d
+    idt = (ident - 1) // ng3d
+    idg = ident - 1 - idt * ng3d
+    gx = idg // ng2d
+    gy = (idg - gx * ng2d) // ng1d
+    gz = idg - gx * ng2d - gy * ng1d
+    tx = idt // (ntile * ntile)
+    ty = (idt - tx * ntile * ntile) // ntile
+    tz = idt - tx * ntile * ntile - ty * ntile
+    return tx * ng1d + gx, ty * ng1d + gy, tz * ng1d + gz
+
+
 class TestGadget:
     def _header(self, n):
-        return gadget.GadgetHeader(
-            npart=(0, n, 0, 0, 0, 0),
+        # 16^3 grid, ids 1-based from 1 (reference ntile=1 configuration)
+        return gadget.GadgetHeader.create(
+            npart1=n,
+            npart_total=4096,
             box_size=1000.0,
-            disp_min=np.array([-0.5, -0.5, -0.5], dtype=np.float32),
-            disp_max=np.array([0.5, 0.5, 0.5], dtype=np.float32),
+            disp_min=-0.5,
+            disp_max=0.5,
             pos_bits=16,
-            id_start=0,
-            id_end=n - 1,
-            npart_total=4096,  # 16^3 grid
+            id_start=1,
         )
 
     def test_header_roundtrip(self):
         h = self._header(100)
+        h.omega0, h.omega_lambda, h.hubble_param = 0.3, 0.7, 0.67
+        h.hashsize, h.flag_metals = 64, 1
         h2 = gadget.unpack_header(gadget.pack_header(h))
         assert h2.npart[1] == 100
         assert h2.box_size == 1000.0
         assert h2.pos_bits == 16
-        np.testing.assert_array_equal(h2.disp_min, h.disp_min)
+        assert h2.disp_min == np.float32(-0.5) and h2.disp_max == np.float32(0.5)
+        assert (h2.omega0, h2.omega_lambda, h2.hubble_param) == (0.3, 0.7, 0.67)
+        assert (h2.hashsize, h2.flag_metals) == (64, 1)
+        assert h2.id_start == 1 and h2.id_end == 100
 
-    def test_id2pos_bijective(self):
-        ids = np.arange(16**3)
-        pos = gadget.id2pos(ids, 16, 8)
-        # all grid cells hit exactly once
-        flat = (pos[:, 0] * 16 + pos[:, 1]) * 16 + pos[:, 2]
-        assert len(np.unique(flat)) == 16**3
+    def test_header_byte_layout(self):
+        """Field offsets must match the gcc x86-64 layout of the reference
+        struct GadgetHeader (include/Gadget/GadgetHeader.h:4-27)."""
+        h = self._header(7)
+        h.npart_total6 = (0, 0x49ABCDEF, 0x1234, 0, 0, 0)
+        raw = gadget.pack_header(h)
+        assert len(raw) == 256
+        import struct as _s
+
+        assert _s.unpack_from("<6i", raw, 0)[1] == 7  # npart
+        assert _s.unpack_from("<d", raw, 128)[0] == 1000.0  # BoxSize
+        assert _s.unpack_from("<i", raw, 96 + 4)[0] == 0x49ABCDEF  # npartTotal[1]
+        assert _s.unpack_from("<f", raw, 172)[0] == np.float32(-0.5)  # disp_min
+        assert _s.unpack_from("<f", raw, 176)[0] == np.float32(0.5)  # disp_max
+        assert _s.unpack_from("<i", raw, 180)[0] == 16  # pos_bits
+        assert _s.unpack_from("<q", raw, 184)[0] == 1  # id_start
+        # 64-bit total recombines from words [1] and [2] (GadgetHeader.c:12)
+        assert gadget.unpack_header(raw).npart_total == 0x49ABCDEF + (0x1234 << 32)
+
+    def test_id2pos_matches_c_and_bijective(self):
+        for ng1d, ntile in ((16, 1), (8, 2), (4, 3)):
+            side = ng1d * ntile
+            ids = np.arange(1, side**3 + 1)
+            pos = gadget.id2pos(ids, ng1d, ntile)
+            flat = (pos[:, 0] * side + pos[:, 1]) * side + pos[:, 2]
+            assert len(np.unique(flat)) == side**3
+            for ident in (1, 2, side, side**2 + 3, side**3):
+                assert tuple(pos[ident - 1]) == _c_id2pos(ident, ng1d, ntile)
+            np.testing.assert_array_equal(gadget.pos2id(pos, ng1d, ntile), ids)
 
     def test_decode_formula(self):
         h = self._header(4)
         q = np.array([[0, 0, 0], [65535, 65535, 65535], [32768, 0, 100], [1, 2, 3]], dtype=np.uint16)
-        ids = np.array([0, 1, 2, 3])
-        pos = gadget.decode_quantized(q, ids, h, idsep=8)
-        grid = gadget.id2pos(ids, 16, 8).astype(np.float32)
+        ids = np.array([1, 2, 3, 4])
+        pos = gadget.decode_quantized(q, ids, h, ntile=1)
+        # scalar transcription of decodeCompressedParticle's non-AVX path:
+        # float32 cell term, float64 unitsep term, float32 store
+        us = (0.5 - (-0.5)) / 2.0**16
         ci = np.float32(1000.0 / 16)
-        us = (np.float32(1.0) / np.float32(2**16))
-        expect = ci * grid + np.float32(-0.5) + us * q.astype(np.float32)
-        np.testing.assert_array_equal(pos, expect)
+        for r, ident in enumerate(ids):
+            gx, gy, gz = _c_id2pos(int(ident), 16, 1)
+            for d, g in enumerate((gx, gy, gz)):
+                cell = np.float32(ci * np.float32(g) + np.float32(-0.5))
+                want = np.float32(float(cell) + us * float(q[r, d]))
+                assert pos[r, d] == want
 
     def test_file_roundtrip(self, tmp_path):
         h = self._header(50)
@@ -82,7 +136,8 @@ class TestGadget:
         ds = gadget.read_compressed_particles(p)
         tbl = dataset_to_table(ds).to_pandas().sort_values("particle_id")
         assert len(tbl) == 50
-        want = gadget.decode_quantized(q, np.arange(50), h)
+        assert tbl.particle_id.iloc[0] == 1  # 1-based decode ids
+        want = gadget.decode_quantized(q, np.arange(1, 51), h)
         np.testing.assert_array_equal(tbl[["x", "y", "z"]].to_numpy(), want)
 
 
