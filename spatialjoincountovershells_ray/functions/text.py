@@ -63,6 +63,114 @@ def lang_predict(text: pa.ChunkedArray | pa.Array) -> np.ndarray:
     return best.astype(str)
 
 
+def string_bytes(col: "pa.ChunkedArray | pa.Array") -> tuple[np.ndarray, np.ndarray]:
+    """Zero-copy (utf-8 data, int64 offsets[N+1]) view of a string column.
+
+    The cast to large_binary only widens the offsets; the byte buffer is
+    shared. Basis for the segmented (per-row, variable-length) vectorized
+    kernels below — no Python-level row loop touches the text.
+    """
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    arr = col.cast(pa.large_binary())
+    off = np.frombuffer(arr.buffers()[1], dtype=np.int64)[
+        arr.offset : arr.offset + len(arr) + 1
+    ]
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    return data, off
+
+
+_FNV_BASE = np.uint64(0x100000001B3)
+
+
+def segmented_shingle_hashes(
+    col: "pa.ChunkedArray | pa.Array", k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """All k-byte-shingle hashes of every row in one flat uint64 array.
+
+    Returns ``(hashes, starts)`` with ``starts[i]:starts[i+1]`` the
+    hash span of row i (CSR layout, empty rows allowed). Hash values are
+    identical to the per-row scalar path (polynomial over utf-8 bytes +
+    mix64; rows shorter than k hash their full byte string) so the two
+    implementations are interchangeable. k fancy-index passes over the
+    concatenated byte buffer — no per-row Python.
+    """
+    from spatialjoincountovershells_ray.functions.hashing import mix64
+
+    data, off = string_bytes(col)
+    lens = np.diff(off)
+    n = len(lens)
+    nsh = np.where(lens == 0, 0, np.maximum(lens - k + 1, 1))
+    starts = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(nsh, out=starts[1:])
+    total = int(starts[-1])
+    if total == 0:
+        return np.empty(0, np.uint64), starts
+    row_of = np.repeat(np.arange(n, dtype=np.int64), nsh)
+    within = np.arange(total, dtype=np.int64) - np.repeat(starts[:-1], nsh)
+    gstart = off[:-1][row_of] + within
+    sh_len = np.minimum(lens[row_of], k)
+    h = np.zeros(total, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        full = sh_len == k
+        if full.all():
+            for j in range(k):
+                h = h * _FNV_BASE + data[gstart + j]
+        else:
+            for j in range(k):
+                m = j < sh_len
+                h[m] = h[m] * _FNV_BASE + data[gstart[m] + j]
+        h = mix64(h)
+    return h, starts
+
+
+_H128_BASES = (np.uint64(0x100000001B3), np.uint64(0x9E3779B97F4A7C15))
+
+
+def text_hash128(col: "pa.ChunkedArray | pa.Array") -> tuple[np.ndarray, np.ndarray]:
+    """Two independent 64-bit polynomial hashes of each row's full byte
+    string (combined: a 128-bit exact-dedup key — the shuffle then
+    carries 16-byte keys instead of document bodies). Vectorized as
+    byte-position passes per power-of-two length doubling: O(total_bytes
+    * log(maxlen)) with no per-row Python.
+
+    Implementation: Horner over byte columns, vectorized across rows.
+    Rows are sorted by length descending so at byte position j the still-
+    active rows are a contiguous prefix — each pass is a slice, not a
+    mask. O(total_bytes) gathered elements in maxlen cheap passes.
+    """
+    from spatialjoincountovershells_ray.functions.hashing import mix64
+
+    data, off = string_bytes(col)
+    lens = np.diff(off)
+    n = len(lens)
+    if n == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z
+    order = np.argsort(-lens, kind="stable")
+    slens = lens[order]
+    soff = off[:-1][order]
+    b1, b2 = _H128_BASES
+    a1 = np.zeros(n, dtype=np.uint64)
+    a2 = np.zeros(n, dtype=np.uint64)
+    maxlen = int(slens[0])
+    # rows with len > j form the prefix [0:cnt_j] of the desc-sorted order
+    counts = np.searchsorted(-slens, -np.arange(1, maxlen + 1), side="right")
+    with np.errstate(over="ignore"):
+        for j in range(maxlen):
+            c = counts[j]
+            byte = data[soff[:c] + j]
+            a1[:c] = a1[:c] * b1 + byte
+            a2[:c] = a2[:c] * b2 + byte
+        h1 = np.zeros(n, dtype=np.uint64)
+        h2 = np.zeros(n, dtype=np.uint64)
+        h1[order] = a1
+        h2[order] = a2
+        h1 = mix64(h1 ^ lens.astype(np.uint64))
+        h2 = mix64(h2 ^ (lens.astype(np.uint64) * np.uint64(0xDEADBEEF97F4A7C5)))
+    return h1.view(np.int64), h2.view(np.int64)
+
+
 def char_shingles(text: str, k: int) -> set[str]:
     """k-character shingle set of one document (deduplicated)."""
     if len(text) < k:

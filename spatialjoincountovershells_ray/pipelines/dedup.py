@@ -2,20 +2,30 @@
 
 Engine extensions for training-data curation (no reference counterpart):
 
-- ``exact_dedup``: group by exact text, keep min doc_id. One shuffle on
-  the text key (at scale, pre-hash to a 64-bit key inside map_batches so
-  the exchange carries 8-byte keys, not document bodies).
+- ``exact_dedup``: pre-hash each text to a 128-bit key inside
+  map_batches and pre-aggregate per batch, then groupby on the two
+  64-bit hash columns — the exchange carries 32-byte rows (hashes +
+  partial min/count), never document bodies. 128-bit keys make cross-
+  text collisions (the only divergence from a GROUP BY text oracle)
+  cryptographically improbable.
 - ``minhash_lsh_pairs``: character-shingle MinHash signatures, banded
   LSH bucketing (groupby on band hash), candidate pairs verified by
   exact shingle Jaccard. The canonical shingle->minhash->band->bucket
-  groupby plan; only signatures and candidate ids shuffle.
+  groupby plan; only signatures and candidate ids shuffle, and the
+  verify stage joins candidate ids back to the document table with a
+  broadcast semi-join (filter docs by candidate-id membership, ship
+  only those texts) — never the whole corpus.
 - ``simhash64``: 64-bit SimHash over token hashes -> near-dup buckets by
   Hamming-adjacent prefix bands.
 - ``ngram_jaccard_pairs``: exact all-pairs n-gram Jaccard within small
   candidate groups (verification primitive, reused by the LSH verify).
-- ``embedding_near_dups``: cosine near-duplicate pairs over the
-  embeddings table via brute-force blocked matmul against a broadcast
-  matrix (scale path: LSH/IVF bucketing in pipelines.ann).
+- ``embedding_near_dups``: EXACT cosine near-duplicate pairs via a
+  distributed block-pair matmul: the table's Arrow blocks stay in the
+  object store, one task per block pair (i <= j) computes the cross
+  similarities with bounded-memory chunking. No driver-side
+  materialization and no broadcast of the full matrix; O(B^2) tasks is
+  the price of exactness (the approximate scale path is the LSH
+  bucketing in pipelines.ann).
 """
 
 from __future__ import annotations
@@ -27,23 +37,44 @@ import pandas as pd
 import pyarrow as pa
 import ray
 
-from spatialjoincountovershells_ray.config import default_pool
-
 from spatialjoincountovershells_ray.functions import text as T
 from spatialjoincountovershells_ray.functions.hashing import hash_bytes_rows, minhash_params, mix64
 
 
 def exact_dedup(docs: "ray.data.Dataset") -> "ray.data.Dataset":
-    """-> keep_id:int64 (min doc_id per distinct text), dup_count:int64."""
-    agg = docs.groupby("text").aggregate(
-        ray.data.aggregate.Min("doc_id"), ray.data.aggregate.Count()
+    """-> keep_id:int64 (min doc_id per distinct text), dup_count:int64.
+
+    Shuffle bytes are O(32 * uniques-per-block), not O(corpus): texts are
+    hashed to (h1, h2) int64 pairs and partially aggregated inside each
+    map_batches before the groupby exchange.
+    """
+
+    def prehash(batch: pa.Table) -> pa.Table:
+        h1, h2 = T.text_hash128(batch.column("text"))
+        t = pa.table(
+            {"h1": h1, "h2": h2, "doc_id": batch.column("doc_id")}
+        )
+        g = t.group_by(["h1", "h2"]).aggregate([("doc_id", "min"), ("doc_id", "count")])
+        return pa.table(
+            {
+                "h1": g.column("h1"),
+                "h2": g.column("h2"),
+                "keep_id": g.column("doc_id_min"),
+                "dup_count": pa.compute.cast(g.column("doc_id_count"), pa.int64()),
+            }
+        )
+
+    agg = (
+        docs.map_batches(prehash, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["h1", "h2"])
+        .aggregate(ray.data.aggregate.Min("keep_id"), ray.data.aggregate.Sum("dup_count"))
     )
 
     def finish(batch: pa.Table) -> pa.Table:
         return pa.table(
             {
-                "keep_id": pa.compute.cast(batch.column("min(doc_id)"), pa.int64()),
-                "dup_count": pa.compute.cast(batch.column("count()"), pa.int64()),
+                "keep_id": pa.compute.cast(batch.column("min(keep_id)"), pa.int64()),
+                "dup_count": pa.compute.cast(batch.column("sum(dup_count)"), pa.int64()),
             }
         )
 
@@ -51,8 +82,10 @@ def exact_dedup(docs: "ray.data.Dataset") -> "ray.data.Dataset":
 
 
 def _shingle_hashes(text: str, k: int) -> np.ndarray:
-    """uint64 polynomial hashes of all k-byte shingles, deduplicated
-    (vectorized: k passes over the byte buffer, no Python char loop)."""
+    """uint64 polynomial hashes of all k-byte shingles (scalar fallback
+    for short-row handling and tests; the batch path is
+    functions.text.segmented_shingle_hashes, which produces identical
+    values)."""
     b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
     if len(b) == 0:
         return np.empty(0, np.uint64)
@@ -65,34 +98,126 @@ def _shingle_hashes(text: str, k: int) -> np.ndarray:
         for j in range(k):
             h = h * base + b[j : j + n].astype(np.uint64)
         h = mix64(h)
-    return np.unique(h)
+    return h
 
 
 def minhash_signatures(
     docs: "ray.data.Dataset", num_perm: int = 64, shingle_k: int = 5
 ) -> "ray.data.Dataset":
-    """-> doc_id, sig:list<uint64>[num_perm] per document."""
+    """-> doc_id, sig:list<uint64>[num_perm] per document.
+
+    Fully vectorized per batch: one CSR pass builds every shingle hash
+    of the batch (functions.text.segmented_shingle_hashes), then each
+    permutation is an a*h+b map plus a minimum.reduceat over the row
+    spans. No per-document Python loop; the per-permutation scratch is
+    reused so the hot path is allocation-free.
+    """
     a, b = minhash_params(num_perm)
+    EMPTY = np.uint64(0xFFFFFFFFFFFFFFFF)
 
     def fn(batch: pa.Table) -> pa.Table:
-        texts = batch.column("text").to_pylist()
-        sigs = np.empty((len(texts), num_perm), dtype=np.uint64)
-        for i, t in enumerate(texts):
-            hv = _shingle_hashes(t, shingle_k)
-            if len(hv) == 0:
-                sigs[i] = np.uint64(0xFFFFFFFFFFFFFFFF)
-                continue
+        n = batch.num_rows
+        h, starts = T.segmented_shingle_hashes(batch.column("text"), shingle_k)
+        sigs = np.full((n, num_perm), EMPTY, dtype=np.uint64)
+        nsh = np.diff(starts)
+        ne = nsh > 0
+        seg_starts = starts[:-1][ne]
+        if len(seg_starts):
+            m = np.empty_like(h)
             with np.errstate(over="ignore"):
-                m = a[None, :] * hv[:, None] + b[None, :]  # [S, P] mod 2^64
-            sigs[i] = m.min(axis=0)
+                for p in range(num_perm):
+                    np.multiply(h, a[p], out=m)
+                    m += b[p]
+                    sigs[ne, p] = np.minimum.reduceat(m, seg_starts)
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
-                "sig": pa.array(list(sigs), pa.list_(pa.uint64(), num_perm)),
+                "sig": pa.FixedSizeListArray.from_arrays(
+                    pa.array(sigs.reshape(-1), pa.uint64()), num_perm
+                ),
             }
         )
 
-    return docs.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+    return docs.map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True, batch_size=2048
+    )
+
+
+@ray.remote
+def _bucket_pairs(max_bucket: int, *shards: pa.Table) -> pa.Table:
+    """Per-bucket candidate-pair emission: segment by band_key, emit the
+    id pairs of each LSH bucket (capped: oversized buckets produce a
+    sorted consecutive chain — linear, still connects duplicate groups),
+    locally distinct-ed."""
+    empty = pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())})
+    tbls = [t for t in shards if t.num_rows]
+    if not tbls:
+        return empty
+    t = pa.concat_tables(tbls, promote_options="none")
+    key = t.column("band_key").to_numpy()
+    ids = t.column("doc_id").to_numpy()
+    order = np.argsort(key, kind="stable")
+    key, ids = key[order], ids[order]
+    starts = np.flatnonzero(np.concatenate(([True], key[1:] != key[:-1])))
+    ends = np.concatenate((starts[1:], [len(key)]))
+    out_a, out_b = [], []
+    for s, e in zip(starts, ends):
+        b = e - s
+        if b < 2:
+            continue
+        seg = np.sort(ids[s:e])
+        if b > max_bucket:
+            out_a.append(seg[:-1])
+            out_b.append(seg[1:])
+        else:
+            ia, ib = np.triu_indices(b, 1)
+            out_a.append(seg[ia])
+            out_b.append(seg[ib])
+    if not out_a:
+        return empty
+    res = pa.table(
+        {
+            "id_a": pa.array(np.concatenate(out_a), pa.int64()),
+            "id_b": pa.array(np.concatenate(out_b), pa.int64()),
+        }
+    )
+    return res.group_by(["id_a", "id_b"]).aggregate([])
+
+
+@ray.remote
+def _distinct_pairs(*tables: pa.Table) -> pa.Table:
+    t = pa.concat_tables([x for x in tables if x.num_rows], promote_options="none")
+    return t.group_by(["id_a", "id_b"]).aggregate([])
+
+
+@ray.remote
+def _verify_pairs(threshold: float, k: int, texts: dict, cand: pa.Table) -> pa.Table:
+    """Exact shingle-Jaccard verification of one candidate chunk; shingle
+    sets are built once per unique doc in the chunk."""
+    ia = cand.column("id_a").to_numpy()
+    ib = cand.column("id_b").to_numpy()
+    cache: dict[int, set] = {}
+
+    def sh(d: int) -> set:
+        s = cache.get(d)
+        if s is None:
+            s = cache[d] = T.char_shingles(texts[d], k)
+        return s
+
+    keep_a, keep_b, jac = [], [], []
+    for x, y in zip(ia, ib):
+        j = T.jaccard(sh(int(x)), sh(int(y)))
+        if j >= threshold:
+            keep_a.append(int(x))
+            keep_b.append(int(y))
+            jac.append(j)
+    return pa.table(
+        {
+            "id_a": pa.array(keep_a, pa.int64()),
+            "id_b": pa.array(keep_b, pa.int64()),
+            "jaccard": pa.array(jac, pa.float64()),
+        }
+    )
 
 
 def minhash_lsh_pairs(
@@ -101,20 +226,27 @@ def minhash_lsh_pairs(
     bands: int = 16,
     shingle_k: int = 5,
     threshold: float = 0.6,
+    max_bucket: int = 64,
 ) -> "ray.data.Dataset":
     """Near-duplicate pairs (id_a < id_b, jaccard >= threshold).
 
     Plan: signatures -> flat_map band rows (band_key = hash of the band's
-    signature slice) -> groupby(band_key) emits candidate pairs ->
-    dedup pairs -> verify exact shingle Jaccard on the (small) candidate
-    set via a broadcast text lookup.
+    signature slice) -> groupby(band_key) emits candidate pairs (buckets
+    larger than ``max_bucket`` emit a sorted consecutive CHAIN instead of
+    all O(b^2) pairs — a degenerate boilerplate bucket stays linear while
+    duplicate groups remain connected for clustering) -> distinct pairs
+    -> exact-Jaccard verify with texts obtained by a broadcast semi-join
+    (only candidate docs' texts ship, never the corpus).
     """
     rows_per_band = num_perm // bands
     sigs = minhash_signatures(docs, num_perm, shingle_k)
 
     def band_rows(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_numpy()
-        sig = np.stack(batch.column("sig").to_numpy(zero_copy_only=False))  # [N, P]
+        sig_col = batch.column("sig")
+        if isinstance(sig_col, pa.ChunkedArray):
+            sig_col = sig_col.combine_chunks()
+        sig = sig_col.flatten().to_numpy(zero_copy_only=False).reshape(len(ids), -1)
         out_ids, out_keys = [], []
         for bi in range(bands):
             sl = sig[:, bi * rows_per_band : (bi + 1) * rows_per_band]
@@ -134,70 +266,83 @@ def minhash_lsh_pairs(
 
     banded = sigs.map_batches(band_rows, batch_format="pyarrow", zero_copy_batch=True)
 
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(group["doc_id"].to_numpy())
-        if len(ids) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": []}).astype(np.int64)
-        pairs = list(itertools.combinations(ids.tolist(), 2))
-        return pd.DataFrame(pairs, columns=["id_a", "id_b"]).astype(np.int64)
+    # explicit hash-bucket exchange on band_key (the Dataset groupby is a
+    # sort-based all-to-all with seconds of fixed overhead; co-location by
+    # key hash is all the pair emission needs — same rationale as
+    # stages/exchange.py)
+    from spatialjoincountovershells_ray.stages.exchange import split_by_key
 
-    cands = banded.groupby("band_key").map_groups(bucket_pairs, batch_format="pandas")
+    blocks = list(banded.materialize().to_arrow_refs())
+    nbuckets = max(8, int(ray.cluster_resources().get("CPU", 8)))
+    splits = [
+        split_by_key.options(num_returns=nbuckets).remote(b, "band_key", nbuckets)
+        for b in blocks
+    ]
+    pair_refs = [
+        _bucket_pairs.remote(max_bucket, *[s[i] for s in splits]) for i in range(nbuckets)
+    ]
 
-    # candidate pairs may repeat across bands — distinct them with a
-    # log-depth tree of Arrow group_by tasks (the Dataset groupby shuffle
-    # costs ~20s of fixed overhead regardless of size here)
-    @ray.remote
-    def _distinct(*tables: pa.Table) -> pa.Table:
-        t = pa.concat_tables([x for x in tables if x.num_rows], promote_options="none")
-        return t.group_by(["id_a", "id_b"]).aggregate([])
-
-    refs = list(cands.materialize().to_arrow_refs())
+    # candidate pairs may repeat across bands (different band_key -> maybe
+    # different bucket) — distinct them with a log-depth tree of Arrow
+    # group_by tasks; always at least one pass (a single bucket still
+    # carries cross-band duplicates)
+    refs = [_distinct_pairs.remote(*pair_refs[i : i + 8]) for i in range(0, len(pair_refs), 8)]
     while len(refs) > 1:
-        refs = [_distinct.remote(*refs[i : i + 8]) for i in range(0, len(refs), 8)]
-    cands = ray.data.from_arrow(
-        ray.get(refs[0]) if refs else pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())})
+        refs = [_distinct_pairs.remote(*refs[i : i + 8]) for i in range(0, len(refs), 8)]
+    cand_tbl: pa.Table = (
+        ray.get(refs[0])
+        if refs
+        else pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())})
     )
-
-    # verify: broadcast doc_id -> text (documents are the small side here;
-    # at scale this is a hash-join of candidates back to the doc table)
-    texts_ref = ray.put(
-        {int(r["doc_id"]): r["text"] for r in docs.select_columns(["doc_id", "text"]).take_all()}
-    )
-
-    class Verify:
-        def __init__(self, texts_ref):
-            self.texts = ray.get(texts_ref[0])
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            ia = batch.column("id_a").to_numpy()
-            ib = batch.column("id_b").to_numpy()
-            keep_a, keep_b, jac = [], [], []
-            for x, y in zip(ia, ib):
-                sa = T.char_shingles(self.texts[int(x)], shingle_k)
-                sb = T.char_shingles(self.texts[int(y)], shingle_k)
-                j = T.jaccard(sa, sb)
-                if j >= threshold:
-                    keep_a.append(int(x))
-                    keep_b.append(int(y))
-                    jac.append(j)
-            return pa.table(
+    if cand_tbl.num_rows == 0:
+        return ray.data.from_arrow(
+            pa.table(
                 {
-                    "id_a": pa.array(keep_a, pa.int64()),
-                    "id_b": pa.array(keep_b, pa.int64()),
-                    "jaccard": pa.array(jac, pa.float64()),
+                    "id_a": pa.array([], pa.int64()),
+                    "id_b": pa.array([], pa.int64()),
+                    "jaccard": pa.array([], pa.float64()),
                 }
             )
+        )
 
-    verified = cands.map_batches(
-        Verify,
-        fn_constructor_kwargs={"texts_ref": [texts_ref]},
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        concurrency=(1, 4),
+    # verify: broadcast SEMI-JOIN of candidate ids back to the doc table.
+    # The candidate id set is bounded by the (capped) pair emission, so
+    # broadcasting it is O(pairs); the doc table then streams through a
+    # membership filter and only matching texts leave their blocks.
+    cand_ids = np.unique(
+        np.concatenate(
+            [cand_tbl.column("id_a").to_numpy(), cand_tbl.column("id_b").to_numpy()]
+        )
     )
+    cand_ids_ref = ray.put(cand_ids)
+
+    def filter_docs(batch: pa.Table, ids_ref) -> pa.Table:
+        ids = ray.get(ids_ref[0]) if isinstance(ids_ref, list) else ids_ref
+        keep = np.isin(batch.column("doc_id").to_numpy(), ids, assume_unique=False)
+        return batch.filter(pa.array(keep))
+
+    cand_docs = (
+        docs.select_columns(["doc_id", "text"])
+        .map_batches(
+            filter_docs,
+            fn_kwargs={"ids_ref": [cand_ids_ref]},
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .take_all()
+    )  # bounded by the candidate set, not the corpus
+    texts_ref = ray.put({int(r["doc_id"]): r["text"] for r in cand_docs})
+
+    # verify as plain tasks over candidate chunks (no actor pool: spawn
+    # cost dwarfs the work for pair counts this exchange produces)
+    chunk = max(1024, cand_tbl.num_rows // 16)
+    verify_refs = [
+        _verify_pairs.remote(threshold, shingle_k, texts_ref, cand_tbl.slice(s, chunk))
+        for s in range(0, cand_tbl.num_rows, chunk)
+    ]
+    tables = [t for t in ray.get(verify_refs) if t.num_rows]
     # near-dup pair sets are small relative to the corpus: final ordering
     # driver-side beats a Dataset-wide sort exchange
-    tables = [t for t in ray.get(verified.materialize().to_arrow_refs()) if t.num_rows]
     if not tables:
         out = pa.table(
             {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()), "jaccard": pa.array([], pa.float64())}
@@ -261,50 +406,77 @@ def ngram_jaccard_pairs(
     )
 
 
-def embedding_near_dups(
-    embeddings: "ray.data.Dataset", threshold: float = 0.95, concurrency=None
-) -> "ray.data.Dataset":
-    """Cosine near-duplicate pairs (vec_id_a < vec_id_b, cos >= threshold)
-    via blocked matmul of streamed batches against the broadcast
-    normalized matrix."""
-    if concurrency is None:
-        concurrency = default_pool()
-    from spatialjoincountovershells_ray.pipelines.shell_count import dataset_to_table
+@ray.remote
+def _prep_embed_block(block: pa.Table) -> dict:
+    """Normalize one Arrow block once: (ids, float64 row-normalized mat)."""
+    ids = block.column("vec_id").to_numpy()
+    emb = block.column("embedding")
+    if isinstance(emb, pa.ChunkedArray):
+        emb = emb.combine_chunks()
+    mat = np.stack(emb.to_numpy(zero_copy_only=False)).astype(np.float64)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return {"ids": ids, "mat": mat / norms}
 
-    tbl = dataset_to_table(embeddings.select_columns(["vec_id", "embedding"]))
-    ids = tbl.column("vec_id").to_numpy()
-    mat = np.stack(tbl.column("embedding").to_numpy(zero_copy_only=False)).astype(np.float64)
-    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-    ref = ray.put({"ids": ids, "mat": mat})
 
-    class NearDup:
-        def __init__(self, ref):
-            p = ray.get(ref[0])
-            self.ids, self.mat = p["ids"], p["mat"]
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            bids = batch.column("vec_id").to_numpy()
-            bmat = np.stack(batch.column("embedding").to_numpy(zero_copy_only=False)).astype(np.float64)
-            bmat /= np.linalg.norm(bmat, axis=1, keepdims=True)
-            sims = bmat @ self.mat.T
-            bi, gi = np.nonzero(sims >= threshold)
-            a = bids[bi]
-            b = self.ids[gi]
+@ray.remote
+def _embed_block_pair(threshold: float, left: dict, right: dict) -> pa.Table:
+    """Exact cosine pairs between two normalized blocks, chunked so the
+    similarity slab stays bounded regardless of block size."""
+    lids, lmat = left["ids"], left["mat"]
+    rids, rmat = right["ids"], right["mat"]
+    CH = 4096
+    out_a, out_b = [], []
+    for ls in range(0, len(lids), CH):
+        le = min(ls + CH, len(lids))
+        for rs in range(0, len(rids), CH):
+            re = min(rs + CH, len(rids))
+            # no triangle skip: ids need not ascend with row order, so the
+            # a<b filter below is the only safe dedup (diagonal blocks pay
+            # a 2x mirrored compute; cross blocks don't)
+            sims = lmat[ls:le] @ rmat[rs:re].T
+            li, ri = np.nonzero(sims >= threshold)
+            a = lids[ls:le][li]
+            b = rids[rs:re][ri]
             keep = a < b
-            return pa.table(
-                {
-                    "vec_id_a": pa.array(a[keep], pa.int64()),
-                    "vec_id_b": pa.array(b[keep], pa.int64()),
-                }
-            )
+            out_a.append(a[keep])
+            out_b.append(b[keep])
+    a = np.concatenate(out_a) if out_a else np.empty(0, np.int64)
+    b = np.concatenate(out_b) if out_b else np.empty(0, np.int64)
+    return pa.table(
+        {"vec_id_a": pa.array(a, pa.int64()), "vec_id_b": pa.array(b, pa.int64())}
+    )
 
-    return (
-        embeddings.map_batches(
-            NearDup,
-            fn_constructor_kwargs={"ref": [ref]},
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-            concurrency=concurrency,
+
+def embedding_near_dups(
+    embeddings: "ray.data.Dataset", threshold: float = 0.35
+) -> "ray.data.Dataset":
+    """Cosine near-duplicate pairs (vec_id_a < vec_id_b, cos >= threshold).
+
+    EXACT distributed block-pair join: normalize each Arrow block in a
+    task, then one task per block pair (i <= j) computes the cross
+    similarities with bounded chunking. Blocks live in the object store
+    (spillable); the driver only routes refs. O(B^2) tasks — the cost of
+    exactness; use the LSH bucketing in pipelines.ann when approximate
+    recall is acceptable at scale.
+    """
+    blocks = list(
+        embeddings.select_columns(["vec_id", "embedding"]).materialize().to_arrow_refs()
+    )
+    prepped = [_prep_embed_block.remote(b) for b in blocks]
+    results = [
+        _embed_block_pair.remote(threshold, prepped[i], prepped[j])
+        for i in range(len(prepped))
+        for j in range(i, len(prepped))
+    ]
+    tables = [t for t in ray.get(results) if t.num_rows]
+    if not tables:
+        out = pa.table(
+            {"vec_id_a": pa.array([], pa.int64()), "vec_id_b": pa.array([], pa.int64())}
         )
-        .sort(["vec_id_a", "vec_id_b"])
+    else:
+        out = pa.concat_tables(tables, promote_options="none")
+    # pair result is small; order driver-side (same rationale as minhash)
+    return ray.data.from_arrow(
+        out.sort_by([("vec_id_a", "ascending"), ("vec_id_b", "ascending")])
     )

@@ -252,9 +252,19 @@ def q_simhash(sf_dir: str):
     return dedup.simhash64(ray.data.read_parquet(f"{sf_dir}/documents.parquet"))
 
 
+NEAR_DUP_THRESHOLD = 0.35  # yields a few hundred true pairs at every sf
+
+
 def q_embedding_near_dups(sf_dir: str):
     return dedup.embedding_near_dups(
-        ray.data.read_parquet(f"{sf_dir}/embeddings.parquet"), threshold=0.95
+        ray.data.read_parquet(f"{sf_dir}/embeddings.parquet"),
+        threshold=NEAR_DUP_THRESHOLD,
+    )
+
+
+def q_ngram_jaccard(sf_dir: str):
+    return dedup.ngram_jaccard_pairs(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet"), n=3, threshold=0.2
     )
 
 
@@ -399,6 +409,14 @@ _SESSIONS_SQL = (
     "FROM events) GROUP BY user_id"
 )
 
+_NEAR_DUP_SQL = (
+    "WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) "
+    "SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b "
+    "FROM base a JOIN base b ON a.vec_id < b.vec_id "
+    f"WHERE list_cosine_similarity(a.v, b.v) >= {NEAR_DUP_THRESHOLD!r} "
+    "ORDER BY vec_id_a, vec_id_b"
+)
+
 _ANN_SQL = (
     f"WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv "
     f"FROM embeddings WHERE vec_id < {ANN_NQ}), "
@@ -432,11 +450,12 @@ REGISTRY: dict[str, QueryDef] = {
     "event_lag": QueryDef(events.event_lag, _EVENT_LAG_SQL),
     "user_sessions": QueryDef(events.user_sessions, _SESSIONS_SQL),
     "ann_topk": QueryDef(q_ann_topk, _ANN_SQL),
+    "embedding_near_dups": QueryDef(q_embedding_near_dups, _NEAR_DUP_SQL),
     # non-SQL-expressible (sketch / LSH / hash) — rows-only checks
     "fingerprints": QueryDef(q_fingerprints, None),
     "minhash_pairs": QueryDef(q_minhash_pairs, None),
     "simhash": QueryDef(q_simhash, None),
-    "embedding_near_dups": QueryDef(q_embedding_near_dups, None),
+    "ngram_jaccard": QueryDef(q_ngram_jaccard, None),
     "ann_lsh": QueryDef(q_ann_lsh, None),
     "media_features": QueryDef(q_media_features, None),
 }

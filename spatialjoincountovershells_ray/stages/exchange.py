@@ -102,6 +102,20 @@ def _reduce_bucket(ladder_bytes: bytes, dtype_str: str, box: float, *parts: pa.T
 
 
 @ray.remote
+def split_by_key(block: pa.Table, col: str, nbuckets: int) -> list[pa.Table]:
+    """Generic map-side shuffle split: partition a block into nbuckets
+    sub-tables by ``col % nbuckets`` (numpy modulo is non-negative for a
+    positive divisor, so negative hash keys are fine)."""
+    k = block.column(col).to_numpy()
+    bucket = k % nbuckets
+    order = np.argsort(bucket, kind="stable")
+    sorted_tbl = block.take(pa.array(order, pa.int64()))
+    sb = bucket[order]
+    bounds = np.searchsorted(sb, np.arange(nbuckets + 1))
+    return [sorted_tbl.slice(bounds[i], bounds[i + 1] - bounds[i]) for i in range(nbuckets)]
+
+
+@ray.remote
 def _split_by_halo(block: pa.Table, nbuckets: int) -> list[pa.Table]:
     h = block.column("halo_id").to_numpy()
     bucket = h % nbuckets

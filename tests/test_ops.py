@@ -61,6 +61,46 @@ class TestTextFunctions:
         assert a[0] == a[1] != a[2]
         assert (a >= 0).all()
 
+    def test_segmented_shingle_hashes_match_scalar(self):
+        texts = ["abcdefgh", "", "ab", "abcde", "xyz xyz xyz", "ü日本語テスト"]
+        col = pa.array(texts)
+        h, starts = T.segmented_shingle_hashes(col, 5)
+        for i, t in enumerate(texts):
+            want = dedup._shingle_hashes(t, 5)
+            got = h[starts[i] : starts[i + 1]]
+            np.testing.assert_array_equal(np.sort(got), np.sort(np.sort(want)))
+
+    def test_text_hash128_distinct_and_deterministic(self):
+        texts = ["", "a", "b", "ab", "ba", "hello world", "hello worlD", "hello world"]
+        h1, h2 = T.text_hash128(pa.array(texts))
+        keys = list(zip(h1.tolist(), h2.tolist()))
+        assert keys[5] == keys[7]  # identical text -> identical key
+        assert len(set(keys[:7])) == 7  # distinct texts -> distinct keys
+        # chunked column takes the same path
+        g1, g2 = T.text_hash128(pa.chunked_array([texts[:3], texts[3:]]))
+        np.testing.assert_array_equal(g1, h1)
+        np.testing.assert_array_equal(g2, h2)
+
+    def test_minhash_signatures_match_scalar_path(self):
+        from spatialjoincountovershells_ray.functions.hashing import minhash_params
+
+        texts = ["the quick brown fox", "ab", "", "jumps over the lazy dog", "the quick brown fox"]
+        tbl = pa.table({"doc_id": np.arange(5, dtype=np.int64), "text": texts})
+        res = dataset_to_table(
+            dedup.minhash_signatures(ray.data.from_arrow(tbl), num_perm=16, shingle_k=5)
+        )
+        sig = res.column("sig").combine_chunks().flatten().to_numpy(zero_copy_only=False).reshape(5, 16)
+        ids = res.column("doc_id").to_numpy()
+        a, b = minhash_params(16)
+        for row, ident in enumerate(ids):
+            hv = dedup._shingle_hashes(texts[int(ident)], 5)
+            if len(hv) == 0:
+                want = np.full(16, np.uint64(0xFFFFFFFFFFFFFFFF))
+            else:
+                with np.errstate(over="ignore"):
+                    want = (a[None, :] * hv[:, None] + b[None, :]).min(axis=0)
+            np.testing.assert_array_equal(sig[row], want)
+
 
 class TestDedup:
     def test_exact_dedup(self):
@@ -96,6 +136,31 @@ class TestDedup:
         ).to_pandas()
         pairs = set(zip(res.id_a, res.id_b))
         assert (0, 5) in pairs
+
+    def test_minhash_bucket_cap_keeps_chain(self):
+        # 80 identical docs share every band bucket (> max_bucket=8):
+        # the capped chain must still connect them without O(b^2) pairs
+        texts = ["same exact boilerplate text repeated everywhere"] * 80
+        tbl = pa.table({"doc_id": np.arange(80, dtype=np.int64), "text": texts})
+        res = dataset_to_table(
+            dedup.minhash_lsh_pairs(
+                ray.data.from_arrow(tbl), num_perm=16, bands=4, threshold=0.5, max_bucket=8
+            )
+        ).to_pandas()
+        pairs = set(zip(res.id_a, res.id_b))
+        assert len(pairs) < 200  # linear chain, not 80*79/2 = 3160
+        # connectivity: union the chain and check one component
+        parent = list(range(80))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a_, b_ in pairs:
+            parent[find(int(a_))] = find(int(b_))
+        assert len({find(i) for i in range(80)}) == 1
 
     def test_embedding_near_dups(self):
         vecs = np.array(
