@@ -86,22 +86,30 @@ def _decode(cell: np.ndarray) -> tuple[np.ndarray, np.ndarray, int]:
 
 def cap_cover(lat: float, lon: float, radius_km: float, level: int) -> np.ndarray:
     """Cell ids at ``level`` covering the spherical cap (vectorized ranges,
-    lon wrap, polar widening: near the poles the lon span grows as
-    1/cos(lat) and collapses to the full ring past the pole)."""
+    lon wrap, polar widening, collapsing to the full ring past a pole).
+
+    Completeness is provable, not heuristic: the cap's maximum longitude
+    half-width over ALL latitudes is asin(sin(r)/cos(lat0)) (attained at
+    lat = asin(sin(lat0)/cos(r))), which is >= the per-latitude width
+    everywhere in the cap; every row uses that bound plus a one-cell
+    quantization margin.
+    """
     nlat = 1 << level
     nlon = 1 << (level + 1)
-    dlat = np.degrees(radius_km / EARTH_RADIUS_KM)
+    r_ang = radius_km / EARTH_RADIUS_KM
+    dlat = np.degrees(r_ang)
     lat_lo, lat_hi = lat - dlat, lat + dlat
     la0 = int(np.floor((max(lat_lo, -90.0) + 90.0) / 180.0 * nlat))
     la1 = int(np.floor((min(lat_hi, 90.0 - 1e-12) + 90.0) / 180.0 * nlat))
     rows = np.arange(max(0, la0), min(nlat - 1, la1) + 1)
-    out = []
     pole_crossed = lat_lo < -90.0 or lat_hi > 90.0
+    sin_ratio = np.sin(min(r_ang, np.pi)) / max(np.cos(np.radians(lat)), 1e-15)
+    if pole_crossed or sin_ratio >= 1.0:
+        dlon = 360.0
+    else:
+        dlon = min(360.0, 2.0 * np.degrees(np.arcsin(sin_ratio)) + 360.0 / nlon)
+    out = []
     for r in rows:
-        # widest |lat| edge of the row bounds the needed lon span
-        edge = max(abs(r / nlat * 180.0 - 90.0), abs((r + 1) / nlat * 180.0 - 90.0))
-        coslat = np.cos(np.radians(min(edge, 89.9999)))
-        dlon = 360.0 if pole_crossed else min(360.0, np.degrees(radius_km / (EARTH_RADIUS_KM * coslat)) * 2 + 360.0 / nlon)
         if dlon >= 360.0:
             cols = np.arange(nlon)
         else:

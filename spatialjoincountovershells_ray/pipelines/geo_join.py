@@ -1,0 +1,152 @@
+"""Geographic (lon-lat) range join over the hierarchical cell codec.
+
+The cell-key abstraction of the periodic-box engine (SURVEY.md §2.10)
+instantiated for spherical geometry: the small "places" side is
+cap-covered into cells at an auto-picked level (functions.geo), the
+cover is broadcast once as a CSR keyed by cell id, and the big "points"
+side streams through map_batches — each batch computes its points'
+cells, looks up candidate places via searchsorted, and verifies the
+haversine predicate exactly. Same physical plan as the broadcast shell
+count (reference A2 semantics, src/astr_rcount/main.c:135-146), with
+the spherical codec swapped in for the wrapped uniform grid.
+
+The distance predicate is evaluated in its algebraic "a-term" form,
+``sin^2(dlat/2) + cos(lat1)cos(lat2)sin^2(dlon/2) <= sin^2(R/(2E))`` —
+monotone-equivalent to haversine <= R — with every float64 operation
+mirrored term for term by the DuckDB oracle SQL, so id results match
+exactly (no distances are emitted).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from spatialjoincountovershells_ray.functions import geo
+
+RAD = math.pi / 180.0  # literal shared with the SQL twin
+
+
+def auto_level(radius_km: float) -> int:
+    """Finest level whose cell lat-height still exceeds the cap radius
+    (cells ~ radius: small candidate sets, bounded cover size)."""
+    dlat_deg = math.degrees(radius_km / geo.EARTH_RADIUS_KM)
+    level = int(math.floor(math.log2(180.0 / max(dlat_deg, 1e-9))))
+    return max(0, min(geo.MAX_LEVEL, level))
+
+
+def _a_term(
+    lat1: np.ndarray, lon1: np.ndarray, lat2: np.ndarray, lon2: np.ndarray
+) -> np.ndarray:
+    """Haversine a-term, operation-for-operation the SQL twin's shape."""
+    p1 = lat1 * RAD
+    p2 = lat2 * RAD
+    sdlat = np.sin((p2 - p1) * 0.5)
+    sdlon = np.sin((lon2 * RAD - lon1 * RAD) * 0.5)
+    return sdlat * sdlat + np.cos(p1) * np.cos(p2) * (sdlon * sdlon)
+
+
+def a_threshold(radius_km: float) -> float:
+    """sin^2(R / (2*EARTH_RADIUS)) — embed repr() of this in the SQL."""
+    s = math.sin(radius_km / (2.0 * geo.EARTH_RADIUS_KM))
+    return s * s
+
+
+class _GeoJoinKernel:
+    """Broadcast cover CSR + per-batch candidate lookup and verify."""
+
+    def __init__(self, cover_ref):
+        c = ray.get(cover_ref[0]) if isinstance(cover_ref, list) else cover_ref
+        self.cells: np.ndarray = c["cells"]  # sorted cover cell ids
+        self.place_of: np.ndarray = c["place_of"]  # aligned place row index
+        self.pids: np.ndarray = c["pids"]
+        self.plat: np.ndarray = c["plat"]
+        self.plon: np.ndarray = c["plon"]
+        self.level: int = c["level"]
+        self.thr: float = c["thr"]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("point_id").to_numpy()
+        lat = batch.column("lat").to_numpy()
+        lon = batch.column("lon").to_numpy()
+        cell = geo.latlon_cell(lat, lon, self.level)
+        lo = np.searchsorted(self.cells, cell, side="left")
+        hi = np.searchsorted(self.cells, cell, side="right")
+        cnt = hi - lo
+        total = int(cnt.sum())
+        if total == 0:
+            return pa.table(
+                {"point_id": pa.array([], pa.int64()), "place_id": pa.array([], pa.int64())}
+            )
+        rows = np.repeat(np.arange(len(ids), dtype=np.int64), cnt)
+        bounds = np.zeros(len(ids) + 1, dtype=np.int64)
+        np.cumsum(cnt, out=bounds[1:])
+        within = np.arange(total, dtype=np.int64) - np.repeat(bounds[:-1], cnt)
+        cand = self.place_of[lo[rows] + within]
+        a = _a_term(lat[rows], lon[rows], self.plat[cand], self.plon[cand])
+        keep = a <= self.thr
+        return pa.table(
+            {
+                "point_id": pa.array(ids[rows[keep]], pa.int64()),
+                "place_id": pa.array(self.pids[cand[keep]], pa.int64()),
+            }
+        )
+
+
+def geo_range_join(
+    places: "ray.data.Dataset | pa.Table",
+    points: "ray.data.Dataset",
+    radius_km: float,
+    *,
+    level: int | None = None,
+    batch_size: int = 8192,
+    sort: bool = False,
+) -> "ray.data.Dataset":
+    """-> point_id:int64, place_id:int64 — all pairs within radius_km.
+
+    Broadcast plan: precondition is that the places side (plus its cap
+    covers) fits the object store — the same small-query-side contract
+    as the broadcast shell count; a huge places side would use the
+    bucket-exchange plan on cell keys instead.
+    """
+    from spatialjoincountovershells_ray.pipelines.shell_count import dataset_to_table
+
+    tbl = places if isinstance(places, pa.Table) else dataset_to_table(places)
+    pids = tbl.column("place_id").to_numpy()
+    plat = tbl.column("lat").to_numpy().astype(np.float64, copy=False)
+    plon = tbl.column("lon").to_numpy().astype(np.float64, copy=False)
+    level = auto_level(radius_km) if level is None else level
+    # per-place cap covers (small side by contract; each cover is a few
+    # dozen cells at the auto level)
+    cover_cells = []
+    cover_place = []
+    for i in range(len(pids)):
+        cells = geo.cap_cover(float(plat[i]), float(plon[i]), radius_km, level)
+        cover_cells.append(cells)
+        cover_place.append(np.full(len(cells), i, dtype=np.int64))
+    cells = np.concatenate(cover_cells) if cover_cells else np.empty(0, np.int64)
+    place_of = np.concatenate(cover_place) if cover_place else np.empty(0, np.int64)
+    order = np.argsort(cells, kind="stable")
+    cover_ref = ray.put(
+        {
+            "cells": cells[order],
+            "place_of": place_of[order],
+            "pids": pids,
+            "plat": plat,
+            "plon": plon,
+            "level": level,
+            "thr": a_threshold(radius_km),
+        }
+    )
+    out = points.map_batches(
+        _GeoJoinKernel,
+        fn_constructor_kwargs={"cover_ref": [cover_ref]},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=(1, 8),
+    )
+    return out.sort(["point_id", "place_id"]) if sort else out

@@ -27,6 +27,7 @@ def range_join(
     particles: "ray.data.Dataset",
     radius: float,
     *,
+    mode: str = "broadcast",
     grid: GridSpec | None = None,
     box: float = BOX_SIZE,
     dtype=np.float64,
@@ -36,6 +37,24 @@ def range_join(
 ) -> "ray.data.Dataset":
     ladder = RadiusLadder(radii=np.array([radius]), dtype=np.dtype(dtype))
     grid = grid or GridSpec.for_radius(radius, box=box)
+
+    if mode == "shuffle":
+        # no broadcastable-query-side assumption: both sides are tagged
+        # with cell keys (halos ball-cover replicated) and co-partitioned
+        # by the explicit hash-bucket exchange; each bucket emits its id
+        # pairs directly (stages/exchange.py:_reduce_bucket_pairs)
+        from spatialjoincountovershells_ray.stages.exchange import (
+            bucketed_pair_join,
+            tag_for_cell_exchange,
+        )
+
+        if isinstance(halos, pa.Table):
+            halos = ray.data.from_arrow(halos)
+        both = tag_for_cell_exchange(halos, particles, radius, grid, np.dtype(dtype))
+        pairs = bucketed_pair_join(both, radius, np.dtype(dtype), box)
+        return pairs.sort(["halo_id", "particle_id"]) if sort else pairs
+    if mode != "broadcast":
+        raise ValueError(f"unknown mode {mode!r}")
     halos_tbl = halos if isinstance(halos, pa.Table) else dataset_to_table(halos)
     hids = halos_tbl.column("halo_id").to_numpy()
     hxyz = np.stack(

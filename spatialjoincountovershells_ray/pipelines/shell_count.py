@@ -31,9 +31,7 @@ from spatialjoincountovershells_ray.stages import extract
 from spatialjoincountovershells_ray.stages.join_kernels import (
     BroadcastShellCount,
     HaloIndex,
-    add_particle_cell,
     cell_group_shell_count,
-    replicate_halos,
     run_broadcast_kernel,
 )
 
@@ -206,9 +204,6 @@ def shell_count(
     if mode == "shuffle":
         if isinstance(halos, pa.Table):
             halos = ray.data.from_arrow(halos)
-        dt = (
-            pa.float32() if ladder.dtype == np.dtype(np.float32) else pa.float64()
-        )
 
         if auto_salt and salt is None:
             from spatialjoincountovershells_ray.stages.salt import (
@@ -220,44 +215,10 @@ def shell_count(
             hist = cell_histogram(particles, grid, ladder.dtype)
             salt = SaltMap(salt_plan(hist, salt_target))
 
-        def tag_particles(batch: pa.Table) -> pa.Table:
-            b = add_particle_cell(batch, grid, ladder.dtype)
-            cell = b.column("cell").to_numpy()
-            if salt is not None:
-                cell = salt.particle_keys(cell, b.column("particle_id").to_numpy())
-            return pa.table(
-                {
-                    "cell": pa.array(cell, pa.int64()),
-                    "role": pa.array(np.ones(b.num_rows, dtype=np.int8)),
-                    "id": b.column("particle_id"),
-                    "x": pa.compute.cast(b.column("x"), dt),
-                    "y": pa.compute.cast(b.column("y"), dt),
-                    "z": pa.compute.cast(b.column("z"), dt),
-                }
-            )
+        from spatialjoincountovershells_ray.stages.exchange import tag_for_cell_exchange
 
-        def tag_halos(batch: pa.Table) -> pa.Table:
-            b = replicate_halos(batch, ladder.rmax, grid, ladder.dtype)
-            cell = b.column("cell").to_numpy()
-            if salt is not None:
-                rows, keys = salt.halo_replica_keys(cell)
-                b = b.take(pa.array(rows, pa.int64()))
-                cell = keys
-            return pa.table(
-                {
-                    "cell": pa.array(cell, pa.int64()),
-                    "role": pa.array(np.zeros(b.num_rows, dtype=np.int8)),
-                    "id": b.column("halo_id"),
-                    "x": pa.compute.cast(b.column("x"), dt),
-                    "y": pa.compute.cast(b.column("y"), dt),
-                    "z": pa.compute.cast(b.column("z"), dt),
-                }
-            )
-
-        both = halos.map_batches(
-            tag_halos, batch_format="pyarrow", zero_copy_batch=True
-        ).union(
-            particles.map_batches(tag_particles, batch_format="pyarrow", zero_copy_batch=True)
+        both = tag_for_cell_exchange(
+            halos, particles, ladder.rmax, grid, ladder.dtype, salt
         )
         zeros = None
         if include_zero_halos:

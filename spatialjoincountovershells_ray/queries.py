@@ -190,6 +190,18 @@ def q_range_join(sf_dir: str):
     )
 
 
+def q_range_join_shuffle(sf_dir: str):
+    """Shuffle-plan range join: no assumption that the query side fits
+    the object store (reference J4 without the broadcast precondition)."""
+    return range_join.range_join(
+        synthetic.halos_dataset(sf_dir),
+        synthetic.particles_dataset(sf_dir),
+        RANGE_R,
+        mode="shuffle",
+        sort=False,
+    )
+
+
 def q_knn(sf_dir: str):
     return knn.knn(
         synthetic.halos_dataset(sf_dir), synthetic.particles_dataset(sf_dir), KNN_K
@@ -222,6 +234,70 @@ def _rect_arrays(sf_dir: str):
 def q_point_in_rects(sf_dir: str):
     keys, lo, hi = _rect_arrays(sf_dir)
     return tiles.point_in_rects(synthetic.particles_dataset(sf_dir), keys, lo, hi)
+
+
+# ---- geographic (lon-lat) range join --------------------------------------
+
+GEO_R_KM = 800.0
+GEO_PLACE_MAX_KEY = 200  # bounded broadcast side (suppliers scale with sf)
+_GEO_LAT_AB = (2654435761, 0)
+_GEO_LON_AB = (2246822519, 1)
+_GEO_MOD = 1_000_000
+
+
+def _derive_lat(keys: np.ndarray) -> np.ndarray:
+    a, b = _GEO_LAT_AB
+    v = (np.asarray(keys, np.int64) * np.int64(a) + np.int64(b)) % np.int64(_GEO_MOD)
+    return v.astype(np.float64) / 1000000.0 * 180.0 - 90.0
+
+
+def _derive_lon(keys: np.ndarray) -> np.ndarray:
+    a, b = _GEO_LON_AB
+    v = (np.asarray(keys, np.int64) * np.int64(a) + np.int64(b)) % np.int64(_GEO_MOD)
+    return v.astype(np.float64) / 1000000.0 * 360.0 - 180.0
+
+
+def _lat_sql(k: str) -> str:
+    a, b = _GEO_LAT_AB
+    expr = f"{k} * {a}" if b == 0 else f"{k} * {a} + {b}"
+    return f"CAST(({expr}) % {_GEO_MOD} AS DOUBLE)/1000000.0*180.0-90.0"
+
+
+def _lon_sql(k: str) -> str:
+    a, b = _GEO_LON_AB
+    expr = f"{k} * {a}" if b == 0 else f"{k} * {a} + {b}"
+    return f"CAST(({expr}) % {_GEO_MOD} AS DOUBLE)/1000000.0*360.0-180.0"
+
+
+def q_geo_range_join(sf_dir: str):
+    from spatialjoincountovershells_ray.pipelines.geo_join import geo_range_join
+    import pyarrow.parquet as pq
+
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey"])
+    keys = sup.column("s_suppkey").to_numpy()
+    keys = keys[keys < GEO_PLACE_MAX_KEY]
+    places = pa.table(
+        {
+            "place_id": pa.array(keys, pa.int64()),
+            "lat": _derive_lat(keys),
+            "lon": _derive_lon(keys),
+        }
+    )
+
+    def to_points(batch: pa.Table) -> pa.Table:
+        k = batch.column("c_custkey").to_numpy()
+        return pa.table(
+            {
+                "point_id": pa.array(k, pa.int64()),
+                "lat": _derive_lat(k),
+                "lon": _derive_lon(k),
+            }
+        )
+
+    points = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"]
+    ).map_batches(to_points, batch_format="pyarrow", zero_copy_batch=True)
+    return geo_range_join(places, points, GEO_R_KM)
 
 
 def q_token_count(sf_dir: str):
@@ -409,6 +485,25 @@ _SESSIONS_SQL = (
     "FROM events) GROUP BY user_id"
 )
 
+def _geo_sql() -> str:
+    from spatialjoincountovershells_ray.pipelines.geo_join import RAD, a_threshold
+
+    thr = a_threshold(GEO_R_KM)
+    return (
+        f"WITH places AS (SELECT s_suppkey AS place_id, {_lat_sql('s_suppkey')} AS lat, "
+        f"{_lon_sql('s_suppkey')} AS lon FROM supplier WHERE s_suppkey < {GEO_PLACE_MAX_KEY}), "
+        f"points AS (SELECT c_custkey AS point_id, {_lat_sql('c_custkey')} AS lat, "
+        f"{_lon_sql('c_custkey')} AS lon FROM customer), "
+        "t AS (SELECT q.point_id, p.place_id, "
+        f"SIN((p.lat*{RAD!r} - q.lat*{RAD!r})*0.5) AS sdlat, "
+        f"SIN((p.lon*{RAD!r} - q.lon*{RAD!r})*0.5) AS sdlon, "
+        f"COS(q.lat*{RAD!r}) AS c1, COS(p.lat*{RAD!r}) AS c2 "
+        "FROM points q CROSS JOIN places p) "
+        f"SELECT point_id, place_id FROM t WHERE sdlat*sdlat + c1*c2*(sdlon*sdlon) <= {thr!r} "
+        "ORDER BY point_id, place_id"
+    )
+
+
 _NEAR_DUP_SQL = (
     "WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) "
     "SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b "
@@ -437,9 +532,11 @@ REGISTRY: dict[str, QueryDef] = {
     "shell_count_docs": QueryDef(q_shell_count_docs, _shell_sql()),
     "shell_count_filtered": QueryDef(q_shell_count_filtered, _shell_sql("c_custkey % 7 = 0")),
     "range_join": QueryDef(q_range_join, _RANGE_SQL),
+    "range_join_shuffle": QueryDef(q_range_join_shuffle, _RANGE_SQL),
     "knn": QueryDef(q_knn, _KNN_SQL),
     "tile_assign": QueryDef(q_tile_assign, _TILE_SQL),
     "point_in_rects": QueryDef(q_point_in_rects, _RECTS_SQL),
+    "geo_range_join": QueryDef(q_geo_range_join, _geo_sql()),
     "token_count": QueryDef(q_token_count, _TOKEN_SQL),
     "quality_counts": QueryDef(q_quality_counts, _QUALITY_SQL),
     "lang_id": QueryDef(q_lang_id, _LANG_SQL),

@@ -102,6 +102,92 @@ def _reduce_bucket(ladder_bytes: bytes, dtype_str: str, box: float, *parts: pa.T
 
 
 @ray.remote
+def _reduce_bucket_pairs(r2: float, dtype_str: str, box: float, *parts: pa.Table) -> pa.Table:
+    """Per-bucket id-pair join: segment by cell, emit (halo_id,
+    particle_id) for every pair with d2 < r2. The pair-emitting twin of
+    ``_reduce_bucket`` — the reference's J4 RangeSearch surface
+    (src/objects/ArraySTR/RangeSearch.c:11-52) without the
+    broadcastable-query-side assumption. Each (halo, particle) pair
+    appears exactly once: the particle is in one cell, and the halo
+    replica for that cell meets it there only.
+    """
+    from spatialjoincountovershells_ray.stages.join_kernels import _cached_d2k
+
+    dtype = np.dtype(dtype_str)
+    names = ("halo_id", "particle_id")
+    tbls = [t for t in parts if t.num_rows]
+    if not tbls:
+        return pa.table({n: pa.array([], pa.int64()) for n in names})
+    t = pa.concat_tables(tbls, promote_options="none")
+    cell = t.column("cell").to_numpy()
+    order = np.argsort(cell, kind="stable")
+    cell = cell[order]
+    role = t.column("role").to_numpy(zero_copy_only=False)[order]
+    ids = t.column("id").to_numpy()[order]
+    cols = tuple(
+        t.column(c).to_numpy(zero_copy_only=False).astype(dtype, copy=False)[order]
+        for c in ("x", "y", "z")
+    )
+    d2k = _cached_d2k(dtype)
+    out_h: list[np.ndarray] = []
+    out_p: list[np.ndarray] = []
+    starts = np.flatnonzero(np.concatenate(([True], cell[1:] != cell[:-1])))
+    ends = np.concatenate((starts[1:], [len(cell)]))
+    for s, e in zip(starts, ends):
+        r = role[s:e]
+        hsel = np.flatnonzero(r == 0) + s
+        psel = np.flatnonzero(r == 1) + s
+        H, P = len(hsel), len(psel)
+        if H == 0 or P == 0:
+            continue
+        h_cols = tuple(np.ascontiguousarray(c[hsel]) for c in cols)
+        p_cols = tuple(np.ascontiguousarray(c[psel]) for c in cols)
+        chunk = max(1, (1 << 20) // P)
+        p_ar = np.arange(P, dtype=np.int64)
+        for hs in range(0, H, chunk):
+            he = min(hs + chunk, H)
+            pair_h = np.repeat(np.arange(hs, he, dtype=np.int64), P)
+            pair_p = np.tile(p_ar, he - hs)
+            d2 = d2k(h_cols, p_cols, pair_h, pair_p, box)
+            keep = d2 < r2
+            if keep.any():
+                out_h.append(ids[hsel[pair_h[keep]]])
+                out_p.append(ids[psel[pair_p[keep]]])
+    if not out_h:
+        return pa.table({n: pa.array([], pa.int64()) for n in names})
+    return pa.table(
+        {
+            "halo_id": pa.array(np.concatenate(out_h), pa.int64()),
+            "particle_id": pa.array(np.concatenate(out_p), pa.int64()),
+        }
+    )
+
+
+def bucketed_pair_join(
+    tagged: "ray.data.Dataset",
+    radius: float,
+    dtype: np.dtype,
+    box: float = BOX_SIZE,
+    nbuckets: int | None = None,
+) -> "ray.data.Dataset":
+    """tagged (cell, role, id, x, y, z) -> (halo_id, particle_id) pairs
+    per bucket — the shuffle-plan range join for query sides too large to
+    broadcast."""
+    if nbuckets is None:
+        nbuckets = max(8, int(ray.cluster_resources().get("CPU", 8)) * 2)
+    blocks = list(tagged.materialize().to_arrow_refs())
+    split_refs = [
+        _split_block.options(num_returns=nbuckets).remote(b, nbuckets) for b in blocks
+    ]
+    r2 = float(radius) * float(radius)
+    results = [
+        _reduce_bucket_pairs.remote(r2, np.dtype(dtype).str, box, *[sr[bi] for sr in split_refs])
+        for bi in range(nbuckets)
+    ]
+    return ray.data.from_arrow_refs(results)
+
+
+@ray.remote
 def split_by_key(block: pa.Table, col: str, nbuckets: int) -> list[pa.Table]:
     """Generic map-side shuffle split: partition a block into nbuckets
     sub-tables by ``col % nbuckets`` (numpy modulo is non-negative for a
@@ -113,6 +199,66 @@ def split_by_key(block: pa.Table, col: str, nbuckets: int) -> list[pa.Table]:
     sb = bucket[order]
     bounds = np.searchsorted(sb, np.arange(nbuckets + 1))
     return [sorted_tbl.slice(bounds[i], bounds[i + 1] - bounds[i]) for i in range(nbuckets)]
+
+
+def tag_for_cell_exchange(
+    halos: "ray.data.Dataset",
+    particles: "ray.data.Dataset",
+    rmax: float,
+    grid,
+    dtype: np.dtype,
+    salt=None,
+) -> "ray.data.Dataset":
+    """Union of both sides tagged (cell, role, id, x, y, z): halos
+    ball-cover replicated to every cell within rmax, particles keyed by
+    their own cell. The common map side of every cell-copartitioned
+    shuffle plan (shell count histograms and range-join pairs)."""
+    from spatialjoincountovershells_ray.stages.join_kernels import (
+        add_particle_cell,
+        replicate_halos,
+    )
+
+    dt = pa.float32() if np.dtype(dtype) == np.dtype(np.float32) else pa.float64()
+
+    def tag_particles(batch: pa.Table) -> pa.Table:
+        b = add_particle_cell(batch, grid, dtype)
+        cell = b.column("cell").to_numpy()
+        if salt is not None:
+            cell = salt.particle_keys(cell, b.column("particle_id").to_numpy())
+        return pa.table(
+            {
+                "cell": pa.array(cell, pa.int64()),
+                "role": pa.array(np.ones(b.num_rows, dtype=np.int8)),
+                "id": b.column("particle_id"),
+                "x": pa.compute.cast(b.column("x"), dt),
+                "y": pa.compute.cast(b.column("y"), dt),
+                "z": pa.compute.cast(b.column("z"), dt),
+            }
+        )
+
+    def tag_halos(batch: pa.Table) -> pa.Table:
+        b = replicate_halos(batch, rmax, grid, dtype)
+        cell = b.column("cell").to_numpy()
+        if salt is not None:
+            rows, keys = salt.halo_replica_keys(cell)
+            b = b.take(pa.array(rows, pa.int64()))
+            cell = keys
+        return pa.table(
+            {
+                "cell": pa.array(cell, pa.int64()),
+                "role": pa.array(np.zeros(b.num_rows, dtype=np.int8)),
+                "id": b.column("halo_id"),
+                "x": pa.compute.cast(b.column("x"), dt),
+                "y": pa.compute.cast(b.column("y"), dt),
+                "z": pa.compute.cast(b.column("z"), dt),
+            }
+        )
+
+    return halos.map_batches(
+        tag_halos, batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        particles.map_batches(tag_particles, batch_format="pyarrow", zero_copy_batch=True)
+    )
 
 
 @ray.remote

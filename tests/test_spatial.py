@@ -134,6 +134,26 @@ def test_range_join_matches_oracle():
     assert got == want
 
 
+def test_range_join_shuffle_matches_oracle():
+    hxyz = uniform_coords(MT19937(1659533), 60)
+    pxyz = uniform_coords(MT19937(113), 1500)
+    halos, parts = _tables(hxyz, pxyz, np.float64)
+    res = dataset_to_table(
+        rj_mod.range_join(halos, parts, 60.0, mode="shuffle", dtype=np.float64, sort=False)
+    ).to_pandas()
+    # exactly-once pair emission (no replica double counting)
+    assert not res.duplicated().any()
+    got = set(zip(res.halo_id, res.particle_id))
+    want = range_join_oracle(
+        np.arange(60),
+        hxyz.astype(np.float64),
+        np.arange(1500),
+        pxyz.astype(np.float64),
+        60.0,
+    )
+    assert got == want
+
+
 def test_knn_matches_oracle():
     hxyz = uniform_coords(MT19937(1659533), 30)
     pxyz = uniform_coords(MT19937(113), 800)
