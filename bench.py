@@ -131,6 +131,9 @@ def run_scaling_workload(sf_dir: str) -> dict:
 BENCH_QUERIES = [
     "shell_count_shuffle",
     "range_join",
+    "range_join_shuffle",
+    "geo_range_join",
+    "embedding_near_dups",
     "knn",
     "tile_assign",
     "point_in_rects",

@@ -407,8 +407,9 @@ def ngram_jaccard_pairs(
 
 
 @ray.remote
-def _prep_embed_block(block: pa.Table) -> dict:
-    """Normalize one Arrow block once: (ids, float64 row-normalized mat)."""
+def _prep_embed_block(*blocks: pa.Table) -> dict:
+    """Normalize one block group once: (ids, float64 row-normalized mat)."""
+    block = pa.concat_tables([b for b in blocks if b.num_rows], promote_options="none")
     ids = block.column("vec_id").to_numpy()
     emb = block.column("embedding")
     if isinstance(emb, pa.ChunkedArray):
@@ -460,10 +461,17 @@ def embedding_near_dups(
     exactness; use the LSH bucketing in pipelines.ann when approximate
     recall is acceptable at scale.
     """
-    blocks = list(
-        embeddings.select_columns(["vec_id", "embedding"]).materialize().to_arrow_refs()
-    )
-    prepped = [_prep_embed_block.remote(b) for b in blocks]
+    mat = embeddings.select_columns(["vec_id", "embedding"]).materialize()
+    blocks = list(mat.to_arrow_refs())
+    # coalesce tiny blocks: O(B^2) pair tasks is only acceptable when B
+    # tracks data size, not the reader's block count — target ~64k rows
+    # per group (bounded matmul operand), capped task fan-out
+    rows = mat.count()
+    ngroups = max(1, min(len(blocks), -(-rows // 65536)))
+    groups = np.array_split(np.arange(len(blocks)), ngroups)
+    prepped = [
+        _prep_embed_block.remote(*[blocks[i] for i in g]) for g in groups if len(g)
+    ]
     results = [
         _embed_block_pair.remote(threshold, prepped[i], prepped[j])
         for i in range(len(prepped))

@@ -26,6 +26,19 @@ from spatialjoincountovershells_ray.config import BOX_SIZE, RadiusLadder
 from spatialjoincountovershells_ray.functions.distance import shell_of
 
 
+def _streamed_block_refs(ds: "ray.data.Dataset"):
+    """Block refs of the tagged union for the map-side split.
+
+    MEASURED: launching splits as blocks stream out of
+    ``iter_internal_ref_bundles()`` (overlapping tag and split) is 3x
+    SLOWER here than the materialize() barrier (30s vs 10s cold at
+    sf0.1/32cpus) — the split tasks' scheduling contends with the
+    still-running streaming executor. The barrier stays; it is also the
+    spill-safe shape (tagged blocks are object-store residents either
+    way)."""
+    yield from ds.materialize().to_arrow_refs()
+
+
 @ray.remote
 def _split_block(block: pa.Table, nbuckets: int) -> list[pa.Table]:
     cell = block.column("cell").to_numpy()
@@ -175,9 +188,9 @@ def bucketed_pair_join(
     broadcast."""
     if nbuckets is None:
         nbuckets = max(8, int(ray.cluster_resources().get("CPU", 8)) * 2)
-    blocks = list(tagged.materialize().to_arrow_refs())
     split_refs = [
-        _split_block.options(num_returns=nbuckets).remote(b, nbuckets) for b in blocks
+        _split_block.options(num_returns=nbuckets).remote(b, nbuckets)
+        for b in _streamed_block_refs(tagged)
     ]
     r2 = float(radius) * float(radius)
     results = [
@@ -315,9 +328,9 @@ def bucketed_cell_join(
     """tagged (cell, role, id, x, y, z) -> partial histograms per bucket."""
     if nbuckets is None:
         nbuckets = max(8, int(ray.cluster_resources().get("CPU", 8)) * 2)
-    blocks = list(tagged.materialize().to_arrow_refs())
     split_refs = [
-        _split_block.options(num_returns=nbuckets).remote(b, nbuckets) for b in blocks
+        _split_block.options(num_returns=nbuckets).remote(b, nbuckets)
+        for b in _streamed_block_refs(tagged)
     ]
     lb = ladder.radii.tobytes()
     ds = ladder.dtype.str
