@@ -101,6 +101,10 @@ def run_scaling_workload(sf_dir: str) -> dict:
             ladder,
             halo_index=idx,
             sort=False,
+            # sharded read = 32 equal blocks; one batch per block gives
+            # exactly 32 equal tasks (a fixed batch_size would split the
+            # last few rows of every block into tiny fold-dominated tasks)
+            batch_size=None,
         )
         pairs = 0
         rows = 0
@@ -224,10 +228,19 @@ def main() -> None:
             qd = REGISTRY.get(name)
             if qd is None:
                 continue
-            t0 = time.time()
+            # best-of-2: same steady-state methodology as the headline.
+            # First executions pay one-time scheduling/worker-warm costs
+            # with up to 4x run-to-run variance on this sandbox (measured:
+            # shell_count_shuffle 36s cold / 8-10s steady in one session).
             try:
-                _consume(qd.fn(args.sf_dir))
-                qtimes[name] = round(time.time() - t0, 3)
+                best = None
+                for _ in range(2):
+                    t0 = time.time()
+                    _consume(qd.fn(args.sf_dir))
+                    el = time.time() - t0
+                    if best is None or el < best:
+                        best = el
+                qtimes[name] = round(best, 3)
             except Exception as e:  # noqa: BLE001
                 qtimes[name] = f"ERROR: {type(e).__name__}"
 

@@ -72,11 +72,21 @@ class PairD2Kernel:
     Hold one instance per actor (state lives across batches).
     """
 
-    def __init__(self, dtype=np.float64, chunk: int = 1 << 16):
+    def __init__(self, dtype=np.float64, chunk: int = 1 << 16, fast_wrap: bool = False):
+        """``fast_wrap`` replaces the floor-based min-image with two
+        compare-and-masked-add passes (no divide/floor): for coordinates
+        in [0, box) the two forms pick the same image except when
+        delta/box + 0.5 rounds across an integer — where the two images'
+        squared lengths differ only by rounding error. ONLY valid for a
+        phase-1 filter whose decisions are re-checked within an error
+        band (join_kernels._band); the SQL-parity float64 path must keep
+        the floor form the oracle mirrors term-for-term."""
         self.chunk = chunk
         self.dtype = np.dtype(dtype)
+        self.fast_wrap = fast_wrap
         self._a = np.empty(chunk, self.dtype)
         self._b = np.empty(chunk, self.dtype)
+        self._m = np.empty(chunk, bool) if fast_wrap else None
 
     def __call__(
         self,
@@ -94,6 +104,8 @@ class PairD2Kernel:
             out = np.empty(n, self.dtype)
         boxv = self.dtype.type(box)
         half = self.dtype.type(0.5)
+        halfbox = self.dtype.type(box * 0.5)
+        neghalf = self.dtype.type(-box * 0.5)
         for s in range(0, n, self.chunk):
             e = min(s + self.chunk, n)
             m = e - s
@@ -103,12 +115,19 @@ class PairD2Kernel:
             for ax in range(3):
                 np.take(h_cols[ax], pair_h[s:e], out=am)
                 np.take(p_cols[ax], pair_p[s:e], out=bm)
-                np.subtract(am, bm, out=am)  # delta
-                np.divide(am, boxv, out=bm)
-                np.add(bm, half, out=bm)
-                np.floor(bm, out=bm)
-                np.multiply(bm, boxv, out=bm)
-                np.subtract(am, bm, out=am)  # min image
+                np.subtract(am, bm, out=am)  # delta in (-box, box)
+                if self.fast_wrap:
+                    mk = self._m[:m]
+                    np.greater_equal(am, halfbox, out=mk)
+                    np.subtract(am, boxv, out=am, where=mk)
+                    np.less(am, neghalf, out=mk)
+                    np.add(am, boxv, out=am, where=mk)
+                else:
+                    np.divide(am, boxv, out=bm)
+                    np.add(bm, half, out=bm)
+                    np.floor(bm, out=bm)
+                    np.multiply(bm, boxv, out=bm)
+                    np.subtract(am, bm, out=am)  # min image
                 np.multiply(am, am, out=am)
                 np.add(acc, am, out=acc)
         return out

@@ -171,6 +171,118 @@ def text_hash128(col: "pa.ChunkedArray | pa.Array") -> tuple[np.ndarray, np.ndar
     return h1.view(np.int64), h2.view(np.int64)
 
 
+def segmented_token_hashes(
+    col: "pa.ChunkedArray | pa.Array",
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """FNV-1a hash of every ASCII-whitespace token of every row.
+
+    Returns ``(hashes, row_of, tok_counts)``: one uint64 per token (same
+    value as ``hash_bytes_rows`` on the token's utf-8 bytes), the owning
+    row index per token (non-decreasing), and the per-row token count.
+    Tokenization splits on ASCII whitespace at the byte level — identical
+    to ``str.split()`` for ASCII-whitespace text (UTF-8 continuation
+    bytes can never alias the space bytes). No per-row Python: token
+    spans come from one boundary mask over the concatenated byte buffer,
+    hashing is Horner over byte positions with the tokens length-sorted
+    so each pass is a contiguous slice.
+    """
+    data, off = string_bytes(col)
+    n = len(off) - 1
+    if len(data) == 0:
+        return (
+            np.empty(0, np.uint64),
+            np.empty(0, np.int64),
+            np.zeros(n, np.int64),
+        )
+    is_sp = (
+        (data == 0x20) | (data == 0x09) | (data == 0x0A)
+        | (data == 0x0D) | (data == 0x0B) | (data == 0x0C)
+    )
+    prev_sp = np.empty(len(data), dtype=bool)
+    prev_sp[0] = True
+    prev_sp[1:] = is_sp[:-1]
+    next_sp = np.empty(len(data), dtype=bool)
+    next_sp[-1] = True
+    next_sp[:-1] = is_sp[1:]
+    # row boundaries act like whitespace on both sides
+    rs = off[:-1][off[:-1] < len(data)]
+    prev_sp[rs] = True
+    re_ = off[1:] - 1
+    re_ = re_[(re_ >= 0) & (re_ < len(data))]
+    next_sp[re_] = True
+    tok_start = np.flatnonzero(~is_sp & prev_sp)
+    tok_end = np.flatnonzero(~is_sp & next_sp)
+    tlen = tok_end - tok_start + 1
+    row_of = np.searchsorted(off, tok_start, side="right") - 1
+    tok_counts = np.bincount(row_of, minlength=n).astype(np.int64)
+    t = len(tok_start)
+    if t == 0:
+        return np.empty(0, np.uint64), row_of, tok_counts
+    # FNV-1a, Horner over byte position; length-desc sort makes the rows
+    # still active at position j a contiguous prefix
+    order = np.argsort(-tlen, kind="stable")
+    slens = tlen[order]
+    soff = tok_start[order]
+    h = np.full(t, np.uint64(0xCBF29CE484222325))
+    maxlen = int(slens[0])
+    counts = np.searchsorted(-slens, -np.arange(1, maxlen + 1), side="right")
+    with np.errstate(over="ignore"):
+        for j in range(maxlen):
+            c = counts[j]
+            h[:c] = (h[:c] ^ data[soff[:c] + j]) * _FNV_BASE
+    out = np.empty(t, dtype=np.uint64)
+    out[order] = h
+    return out, row_of, tok_counts
+
+
+_M61 = np.uint64((1 << 61) - 1)
+_FP_BASE = np.uint64(1315423911 % ((1 << 61) - 1))
+
+
+def _mulmod_m61(a: np.ndarray, b: np.uint64) -> np.ndarray:
+    """(a * b) mod 2^61-1 for a < 2^61, b < 2^31, without overflow.
+
+    Split a = hi*2^31 + lo; hi*b < 2^61 fits, and x*2^31 mod M is a bit
+    rotation for the Mersenne modulus (2^61 ≡ 1 mod M).
+    """
+    lo = a & np.uint64((1 << 31) - 1)
+    hi = a >> np.uint64(31)
+    with np.errstate(over="ignore"):
+        t = hi * b  # < 2^61
+        rot = ((t << np.uint64(31)) & _M61) + (t >> np.uint64(30))
+        s = rot + lo * b  # < 2^62 + 2^62: fits uint64
+    s = (s & _M61) + (s >> np.uint64(61))
+    s = np.where(s >= _M61, s - _M61, s)
+    return s
+
+
+def rolling_fingerprint_col(col: "pa.ChunkedArray | pa.Array") -> np.ndarray:
+    """Vectorized twin of :func:`rolling_fingerprint` over a string
+    column — identical values (exact Horner mod 2^61-1), no per-row
+    Python. Length-desc sorted rows; one slice pass per byte position."""
+    data, off = string_bytes(col)
+    lens = np.diff(off)
+    n = len(lens)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    order = np.argsort(-lens, kind="stable")
+    slens = lens[order]
+    soff = off[:-1][order]
+    h = np.zeros(n, dtype=np.uint64)
+    maxlen = int(slens[0]) if n else 0
+    counts = np.searchsorted(-slens, -np.arange(1, maxlen + 1), side="right")
+    for j in range(maxlen):
+        c = counts[j]
+        h[:c] = _mulmod_m61(h[:c], _FP_BASE)
+        with np.errstate(over="ignore"):
+            s = h[:c] + data[soff[:c] + j]
+        s = np.where(s >= _M61, s - _M61, s)
+        h[:c] = s
+    out = np.empty(n, dtype=np.uint64)
+    out[order] = h
+    return out.view(np.int64)
+
+
 def char_shingles(text: str, k: int) -> set[str]:
     """k-character shingle set of one document (deduplicated)."""
     if len(text) < k:

@@ -38,7 +38,7 @@ import pyarrow as pa
 import ray
 
 from spatialjoincountovershells_ray.functions import text as T
-from spatialjoincountovershells_ray.functions.hashing import hash_bytes_rows, minhash_params, mix64
+from spatialjoincountovershells_ray.functions.hashing import minhash_params, mix64
 
 
 def exact_dedup(docs: "ray.data.Dataset") -> "ray.data.Dataset":
@@ -357,20 +357,31 @@ def simhash64(docs: "ray.data.Dataset") -> "ray.data.Dataset":
     hashes (sign of per-bit vote sums)."""
 
     def fn(batch: pa.Table) -> pa.Table:
-        texts = batch.column("text").to_pylist()
-        out = np.empty(len(texts), dtype=np.uint64)
-        bitcols = np.uint64(1) << np.arange(64, dtype=np.uint64)
-        for i, t in enumerate(texts):
-            toks = t.split()
-            if not toks:
-                out[i] = 0
-                continue
-            hv = hash_bytes_rows([w.encode("utf-8") for w in toks])  # [W]
-            bits = (hv[:, None] & bitcols[None, :]) != 0  # [W, 64]
-            votes = bits.sum(axis=0) * 2 - len(toks)
-            out[i] = np.uint64(0)
-            sel = votes > 0
-            out[i] = bitcols[sel].sum(dtype=np.uint64) if sel.any() else np.uint64(0)
+        from spatialjoincountovershells_ray.functions.text import segmented_token_hashes
+
+        n = batch.num_rows
+        hv, row_of, tok_counts = segmented_token_hashes(batch.column("text"))
+        out = np.zeros(n, dtype=np.uint64)
+        if len(hv):
+            seg_starts = np.zeros(n, dtype=np.int64)
+            np.cumsum(tok_counts[:-1], out=seg_starts[1:])
+            has = tok_counts > 0
+            # one reduceat pass per bit (64 vectorized passes, O(T) memory;
+            # a T x 64 vote matrix would be 100x the batch's text bytes).
+            # reduceat runs over only the non-empty rows — duplicate start
+            # indices for empty rows would re-read the next segment.
+            starts_nz = seg_starts[has]
+            ones_nz = np.empty(len(starts_nz), dtype=np.int64)
+            ones = np.zeros(n, dtype=np.int64)
+            for b in range(64):
+                bitvec = ((hv >> np.uint64(b)) & np.uint64(1)).view(np.int64)
+                np.add.reduceat(bitvec, starts_nz, out=ones_nz)
+                ones[has] = ones_nz
+                np.bitwise_or(
+                    out,
+                    np.where(ones * 2 > tok_counts, np.uint64(1) << np.uint64(b), np.uint64(0)),
+                    out=out,
+                )
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
@@ -397,7 +408,15 @@ def ngram_jaccard_pairs(
             jac = T.jaccard(grams[i], grams[j])
             if jac >= threshold:
                 rows.append((int(ids[i]), int(ids[j]), jac))
-        return pd.DataFrame(rows, columns=["id_a", "id_b", "jaccard"])
+        # typed columns even when empty: an object-dtype empty frame makes
+        # Ray Data's block size estimator warn on every group
+        return pd.DataFrame(
+            {
+                "id_a": pd.Series([r[0] for r in rows], dtype="int64"),
+                "id_b": pd.Series([r[1] for r in rows], dtype="int64"),
+                "jaccard": pd.Series([r[2] for r in rows], dtype="float64"),
+            }
+        )
 
     return (
         docs.groupby("source")

@@ -134,7 +134,10 @@ def shell_count(
     mode: str = "broadcast",
     grid: GridSpec | None = None,
     box: float = BOX_SIZE,
-    batch_size: int = 8192,
+    # larger batches amortize the per-batch replica->halo histogram fold
+    # (span*nrads add.at elements per batch regardless of batch size);
+    # 16k keeps ~37 concurrent tasks even on a single-file sf0.1 read
+    batch_size: int = 16384,
     concurrency: tuple[int, int] | int | None = None,
     sort: bool = True,
     include_zero_halos: bool = True,

@@ -56,9 +56,11 @@ def fingerprints(docs: "ray.data.Dataset") -> "ray.data.Dataset":
     """-> doc_id, fp:int64 (rolling polynomial hash mod 2^61-1)."""
 
     def fn(batch: pa.Table) -> pa.Table:
-        texts = batch.column("text").to_pylist()
         return pa.table(
-            {"doc_id": batch.column("doc_id"), "fp": T.rolling_fingerprint(texts)}
+            {
+                "doc_id": batch.column("doc_id"),
+                "fp": T.rolling_fingerprint_col(batch.column("text")),
+            }
         )
 
     return docs.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

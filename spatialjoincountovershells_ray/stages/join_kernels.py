@@ -61,6 +61,11 @@ class HaloIndex:
     # replica-expanded coordinate columns (cell-grouped, so the pair loop
     # reads them in near-sequential ranges): set by build()
     rep_cols: "tuple[np.ndarray, np.ndarray, np.ndarray] | None" = None
+    # float32 copies of rep_cols for the two-phase kernel (phase 1 runs in
+    # float32 — half the gather bandwidth; borderline pairs are re-checked
+    # against rep_cols in float64). Shipped in the broadcast object so all
+    # workers read them zero-copy instead of each converting privately.
+    rep_cols32: "tuple[np.ndarray, np.ndarray, np.ndarray] | None" = None
 
     @classmethod
     def build(
@@ -84,6 +89,8 @@ class HaloIndex:
         # materialize per-replica coordinates: turns the halo-side pair
         # gather from random row access into contiguous range reads
         idx.rep_cols = tuple(np.ascontiguousarray(xyz[row, ax]) for ax in range(3))
+        if idx.rep_cols[0].dtype == np.float64:
+            idx.rep_cols32 = tuple(c.astype(np.float32) for c in idx.rep_cols)
         return idx
 
     @property
@@ -145,20 +152,28 @@ class _PairScratch:
     on fresh multi-MB arrays costs more than the arithmetic on this class
     of hardware — allocate once per actor, reuse every sub-chunk)."""
 
-    def __init__(self, dtype):
+    def __init__(self, dtype, idx_dtype=np.int32):
+        # int32 pair indices whenever the replica space allows it: the
+        # sub-chunk working set must stay inside the PRIVATE L2 (2 MB
+        # here) — at int64 it spilled into the shared L3 and 32 workers
+        # contended like a DRAM-bound stream (measured: 0.61 scaling
+        # efficiency vs the machine's 0.86 pure-compute ceiling)
         self.cap = 0
         self.dtype = dtype
+        self.idx_dtype = np.dtype(idx_dtype)
 
     def ensure(self, n: int) -> None:
         if n <= self.cap:
             return
         cap = int(n * 1.25) + 1024
-        self.pp = np.empty(cap, np.int64)
-        self.local = np.empty(cap, np.int64)
-        self.rep = np.empty(cap, np.int64)
+        it = self.idx_dtype
+        self.pp = np.empty(cap, it)
+        self.local = np.empty(cap, it)
+        self.rep = np.empty(cap, it)
         self.ph = np.empty(cap, np.int64)
-        self.ar = np.arange(cap, dtype=np.int64)
+        self.ar = np.arange(cap, dtype=it)
         self.d2 = np.empty(cap, self.dtype)
+        self.d2f = np.empty(cap, np.float32)  # phase-1 distances
         self.cap = cap
 
 
@@ -177,7 +192,99 @@ class _BroadcastKernel:
         self.dtype = ladder.dtype
         self.r2 = ladder.r2
         self.d2k = PairD2Kernel(dtype=ladder.dtype)
-        self.scratch = _PairScratch(ladder.dtype)
+        idx_dtype = (
+            np.int32 if len(self.index.rep_rows) < 2**31 - 1 else np.int64
+        )
+        self.scratch = _PairScratch(ladder.dtype, idx_dtype=idx_dtype)
+        # two-phase distance: available when the index carries float32
+        # replica columns and the query precision is float64 (phase 1 in
+        # float32 = half the gather/compute bandwidth; any pair within a
+        # conservative error band of a shell boundary is re-evaluated in
+        # float64, so shell decisions are bit-identical to the pure-f64
+        # path — see _band for the bound). Phase 1 also uses the fast
+        # compare-based torus wrap (no divide/floor); its divergence from
+        # the floor form is rounding-level and inside the same band.
+        self.rep32 = getattr(self.index, "rep_cols32", None)
+        self.two_phase = self.rep32 is not None and self.dtype == np.dtype(np.float64)
+        self.d2k32 = PairD2Kernel(dtype=np.float32, fast_wrap=True) if self.two_phase else None
+
+    def _shell_ctx(self, r2: np.ndarray):
+        """Precomputed constants for _shells over the boundary array r2.
+
+        Banded-edge trick: searchsorted over the interleaved edges
+        [r2_0-b, r2_0+b, r2_1-b, r2_1+b, ...] gives BOTH the shell
+        ((e+1)>>1) and the suspicion flag (e odd <=> inside a band) in a
+        single binary-search pass. Requires the edges to be strictly
+        increasing (bands narrower than boundary gaps); falls back to the
+        two-pass form otherwise.
+        """
+        if not self.two_phase:
+            return (r2, None, None, None, None, None)
+        r2_32 = r2.astype(np.float32)
+        band = np.float32(self._band(r2, self.index.box))
+        edges = np.empty(2 * len(r2), dtype=np.float32)
+        edges[0::2] = r2_32 - band
+        edges[1::2] = r2_32 + band
+        if not (np.diff(edges) > 0).all():
+            edges = None  # pathological ladder: adjacent bands overlap
+        lo_pad = np.concatenate(([-np.inf], r2_32)).astype(np.float32)
+        hi_pad = np.concatenate((r2_32, [np.inf])).astype(np.float32)
+        return (r2, r2_32, band, lo_pad, hi_pad, edges)
+
+    def _shells(self, rep, pp, sorted_cols, sorted32, ctx) -> np.ndarray:
+        """Exact shell index per pair: searchsorted(r2, d2_f64, 'right'),
+        computed via phase-1 float32 + float64 patch-up of every pair
+        within the error band of a boundary (bit-identical to pure f64)."""
+        idx = self.index
+        n = len(pp)
+        r2, r2_32, band, lo_pad, hi_pad, edges = ctx
+        if not self.two_phase:
+            d2 = self.d2k(idx.rep_cols, sorted_cols, rep, pp, idx.box, out=self.scratch.d2[:n])
+            return np.searchsorted(r2, d2, side="right")
+        d2f = self.d2k32(self.rep32, sorted32, rep, pp, idx.box, out=self.scratch.d2f[:n])
+        if edges is not None:
+            e = np.searchsorted(edges, d2f, side="right")
+            si = np.flatnonzero(e & 1)
+            np.add(e, 1, out=e)
+            shell = np.right_shift(e, 1, out=e)
+        else:
+            shell = np.searchsorted(r2_32, d2f, side="right")
+            near = (d2f - lo_pad[shell] <= band) | (hi_pad[shell] - d2f <= band)
+            si = np.flatnonzero(near)
+        if len(si):
+            d2x = self.d2k(idx.rep_cols, sorted_cols, rep[si], pp[si], idx.box)
+            shell[si] = np.searchsorted(r2, d2x, side="right")
+        return shell
+
+    @staticmethod
+    def _band(r2: np.ndarray, box: float) -> float:
+        """Conservative |d2_f32 - d2_f64| bound for coordinates in
+        [0, box]. Per-axis min-image error is <= ~6*box*2^-24 (two input
+        conversions + 4 rounded ops; an image flip near |delta| = box/2
+        changes m^2 by <= 2*box*err). d2 error <= 2*sqrt(3*d2)*E_m
+        + 3*d2*2^-23 <= 2*sqrt(3)*rmax*E_m + 3*r2max*2^-23 for the
+        relevant d2 <= r2max. The constants below carry a >10x safety
+        margin plus the f32 rounding of the boundaries themselves."""
+        r2max = float(r2[-1])
+        rmax = float(np.sqrt(r2max))
+        return float(128.0 * 2.0**-24 * box * rmax + 2.0**-16 * r2max + 1e-6)
+
+    def _sort_batch(self, p_cols):
+        """Cell-sort the particle batch; returns (psort, sorted_cols).
+
+        Particles processed in cell order + the cell-grouped replica
+        columns make both coordinate streams near-sequential — the kernel
+        is cache-bound instead of DRAM-gather-bound (this is what lets 32
+        concurrent workers scale instead of fighting over bandwidth)."""
+        idx = self.index
+        pcell = flatten_cell(
+            cell_index(p_cols[0], idx.grid),
+            cell_index(p_cols[1], idx.grid),
+            cell_index(p_cols[2], idx.grid),
+            idx.grid,
+        )
+        psort = np.argsort(pcell, kind="stable").astype(self.scratch.idx_dtype, copy=False)
+        return psort, tuple(np.ascontiguousarray(c[psort]) for c in p_cols)
 
     def _batch_cell_counts(self, p_cols):
         """Per-particle candidate-halo counts for a batch (tiny arrays)."""
@@ -197,25 +304,11 @@ class _BroadcastKernel:
         rep_start = idx.starts[pos_c] * valid
         return cnt, rep_start
 
-    def _iter_pair_chunks(self, p_cols):
-        """Yield (pair_p, pair_h, d2) over sub-chunks of the batch, using
-        the persistent scratch buffers. pair_p indexes into the batch.
-
-        Particles are processed in cell order and the halo side is read
-        through the cell-grouped replica columns, so both coordinate
-        streams are near-sequential — the kernel is cache-bound instead
-        of DRAM-gather-bound (this is what lets 32 concurrent workers
-        scale instead of fighting over memory bandwidth)."""
-        idx = self.index
-        pcell = flatten_cell(
-            cell_index(p_cols[0], idx.grid),
-            cell_index(p_cols[1], idx.grid),
-            cell_index(p_cols[2], idx.grid),
-            idx.grid,
-        )
-        psort = np.argsort(pcell, kind="stable")
-        p_cols = tuple(np.ascontiguousarray(c[psort]) for c in p_cols)
-        cnt, rep_start = self._batch_cell_counts(p_cols)
+    def _iter_expanded(self, sorted_cols):
+        """Candidate expansion over sub-chunks: yields (pp, rep) scratch
+        slices with pp the cell-sorted particle row and rep the halo
+        replica index, <= SUBCHUNK_PAIRS pairs per yield."""
+        cnt, rep_start = self._batch_cell_counts(sorted_cols)
         ends = np.cumsum(cnt)
         total = int(ends[-1]) if len(ends) else 0
         if total == 0:
@@ -229,6 +322,7 @@ class _BroadcastKernel:
             hi = int(np.searchsorted(ends, base + self.SUBCHUNK_PAIRS, side="right"))
             hi = max(hi, lo + 1)  # force progress even if one particle exceeds the target
             bounds.append(min(hi, len(cnt)))
+        it = s.idx_dtype
         for lo, hi in zip(bounds[:-1], bounds[1:]):
             base = int(ends[lo - 1]) if lo else 0
             n = int(ends[hi - 1]) - base
@@ -242,21 +336,48 @@ class _BroadcastKernel:
             seg_ends = ends[lo : hi - 1] - base
             np.add.at(pp, seg_ends[seg_ends < n], 1)
             np.cumsum(pp, out=pp)  # 0-based particle ordinal within segment
-            block_start = (ends[lo:hi] - cnt[lo:hi] - base).astype(np.int64)
+            block_start = (ends[lo:hi] - cnt[lo:hi] - base).astype(it)
             local = s.local[:n]
             np.take(block_start, pp, out=local)
             np.subtract(s.ar[:n], local, out=local)
             rep = s.rep[:n]
-            np.take(rep_start[lo:hi], pp, out=rep)
+            np.take(rep_start[lo:hi].astype(it, copy=False), pp, out=rep)
             np.add(rep, local, out=rep)
-            np.add(pp, lo, out=pp)  # absolute particle row (cell-sorted space)
+            np.add(pp, it.type(lo), out=pp)  # absolute particle row (cell-sorted space)
+            yield pp, rep
+
+    def _iter_pair_chunks(self, p_cols):
+        """Yield (pair_p, pair_h, d2) over sub-chunks of the batch, d2 in
+        full ladder precision. pair_p indexes into the original batch."""
+        idx = self.index
+        s = self.scratch
+        psort, sorted_cols = self._sort_batch(p_cols)
+        for pp, rep in self._iter_expanded(sorted_cols):
+            n = len(pp)
             # distance via the cell-grouped replica columns: rep indices are
             # contiguous runs per particle, particles are cell-sorted
-            d2 = self.d2k(idx.rep_cols, p_cols, rep, pp, idx.box, out=s.d2[:n])
+            d2 = self.d2k(idx.rep_cols, sorted_cols, rep, pp, idx.box, out=s.d2[:n])
             ph = s.ph[:n]
             np.take(idx.rep_rows, rep, out=ph)
             np.take(psort, pp, out=pp)  # back to original batch rows
             yield pp, ph, d2
+
+    def _iter_shell_chunks(self, p_cols, r2: np.ndarray):
+        """Yield (pair_p, pair_h, shell) with shell = searchsorted(r2, d2,
+        'right') computed EXACTLY as the pure float64 path would (two-phase
+        float32 + float64 patch-up when available)."""
+        idx = self.index
+        s = self.scratch
+        psort, sorted_cols = self._sort_batch(p_cols)
+        sorted32 = tuple(c.astype(np.float32) for c in sorted_cols) if self.two_phase else None
+        ctx = self._shell_ctx(r2)
+        for pp, rep in self._iter_expanded(sorted_cols):
+            n = len(pp)
+            shell = self._shells(rep, pp, sorted_cols, sorted32, ctx)
+            ph = s.ph[:n]
+            np.take(idx.rep_rows, rep, out=ph)
+            np.take(psort, pp, out=pp)  # back to original batch rows
+            yield pp, ph, shell
 
 
 class BroadcastShellCount(_BroadcastKernel):
@@ -272,21 +393,42 @@ class BroadcastShellCount(_BroadcastKernel):
         p_cols = _batch_cols(batch, self.dtype)
         names = ["halo_id"] + [f"s{i}" for i in range(nrads)]
         nhalos = len(idx.halo_ids)
-        flat = np.zeros(nhalos * nrads, dtype=np.int64)
         any_pairs = False
-        for pp, ph, d2 in self._iter_pair_chunks(p_cols):
-            # restrict to counted pairs first (cheap mask), then bin:
-            # bincount over halo_row*nrads+shell beats unique + add.at ~10x
-            keep = d2 < self.r2[-1]
-            kept_h = ph[keep]
-            if len(kept_h) == 0:
-                continue
+        psort, sorted_cols = self._sort_batch(p_cols)
+        sorted32 = tuple(c.astype(np.float32) for c in sorted_cols) if self.two_phase else None
+        ctx = self._shell_ctx(self.r2)
+        # nrads+1 columns: shell == nrads (beyond rmax) bins into the
+        # overflow column instead of being masked out — no keep-mask /
+        # boolean-compress passes in the hot loop at all
+        nr1 = nrads + 1
+        hist2d = np.zeros((nhalos, nr1), dtype=np.int64)
+        for pp, rep in self._iter_expanded(sorted_cols):
             any_pairs = True
-            shell = shell_of(d2[keep], self.r2)
-            flat += np.bincount(kept_h * nrads + shell, minlength=nhalos * nrads)
+            shell = self._shells(rep, pp, sorted_cols, sorted32, ctx)
+            # bin by REPLICA index, not halo row: rep values within a
+            # sub-chunk span a contiguous run of the cell-grouped replica
+            # space, so the bincount accumulator is the touched span only
+            # (halo rows are scattered — binning on them touched the whole
+            # nhalos*nrads accumulator every sub-chunk, as much DRAM
+            # traffic as the pair data). One duplicate-safe scatter-add
+            # per sub-chunk folds the span histogram into halo rows.
+            # The histogram path never needs the per-pair halo-row or
+            # original-batch-row gathers at all.
+            # cell-grouped expansion: the first pair holds the minimum
+            # replica index and the last pair the maximum
+            lo = int(rep[0])
+            hi = int(rep[-1])
+            span = hi - lo + 1
+            # build the bincount key fully in place (rep and shell are
+            # both dead after this): key = (rep - lo) * nr1 + shell
+            np.subtract(rep, self.scratch.idx_dtype.type(lo), out=rep)
+            np.multiply(rep, self.scratch.idx_dtype.type(nr1), out=rep)
+            np.add(shell, rep, out=shell)
+            bc = np.bincount(shell, minlength=span * nr1).reshape(span, nr1)
+            np.add.at(hist2d, idx.rep_rows[lo : hi + 1], bc)
         if not any_pairs:
             return pa.table({n: pa.array([], pa.int64()) for n in names})
-        hist = flat.reshape(nhalos, nrads)
+        hist = hist2d[:, :nrads]
         touched = np.nonzero(hist.any(axis=1))[0]
         hist = hist[touched]
         cols = {"halo_id": idx.halo_ids[touched]}
@@ -307,8 +449,9 @@ class BroadcastRangeJoin(_BroadcastKernel):
         p_cols = _batch_cols(batch, self.dtype)
         pids = batch.column("particle_id").to_numpy()
         out_h, out_p = [], []
-        for pp, ph, d2 in self._iter_pair_chunks(p_cols):
-            keep = d2 < self.r2[-1]
+        # single-boundary ladder: shell 0 = inside rmax (exact two-phase)
+        for pp, ph, shell in self._iter_shell_chunks(p_cols, self.r2[-1:]):
+            keep = shell == 0
             out_h.append(idx.halo_ids[ph[keep]])
             out_p.append(pids[pp[keep]])
         if not out_h:

@@ -287,3 +287,53 @@ class TestTextops:
         }
         empty = res[res.doc_id == 6].iloc[0]
         assert empty.n_chars == 0 and empty.n_alpha == 0
+
+
+class TestVectorizedTextKernels:
+    """Parity of the segmented (no-row-loop) kernels vs their scalar twins."""
+
+    TEXTS = [
+        "hello world",
+        "",
+        "  padded   spaces  ",
+        "one",
+        "a b c d e f",
+        "tab\tsep\nnewline",
+        "longword" * 20 + " x",
+        "unicode café test",
+        " ",
+    ]
+
+    def test_segmented_token_hashes_matches_scalar(self):
+        import pyarrow as pa
+
+        from spatialjoincountovershells_ray.functions.hashing import hash_bytes_rows
+        from spatialjoincountovershells_ray.functions.text import segmented_token_hashes
+
+        hv, row_of, cnt = segmented_token_hashes(pa.array(self.TEXTS))
+        exp_h, exp_r = [], []
+        for i, t in enumerate(self.TEXTS):
+            toks = t.split()
+            assert cnt[i] == len(toks)
+            exp_r.extend([i] * len(toks))
+            if toks:
+                exp_h.extend(hash_bytes_rows([w.encode() for w in toks]).tolist())
+        assert row_of.tolist() == exp_r
+        assert hv.tolist() == exp_h
+
+    def test_rolling_fingerprint_col_matches_scalar(self):
+        import pyarrow as pa
+
+        from spatialjoincountovershells_ray.functions.text import (
+            rolling_fingerprint,
+            rolling_fingerprint_col,
+        )
+
+        got = rolling_fingerprint_col(pa.array(self.TEXTS))
+        exp = rolling_fingerprint(self.TEXTS)
+        assert got.tolist() == exp.tolist()
+
+    def test_simhash_all_empty_batch(self):
+        ds = ray.data.from_items([{"doc_id": 0, "text": ""}, {"doc_id": 1, "text": "  "}])
+        res = dataset_to_table(dedup.simhash64(ds)).to_pandas()
+        assert res.simhash.tolist() == [0, 0]
