@@ -512,6 +512,66 @@ _NEAR_DUP_SQL = (
     "ORDER BY vec_id_a, vec_id_b"
 )
 
+# Exact DuckDB twin of functions.text.rolling_fingerprint_col: Horner
+# h = (h*1315423911 + byte) mod 2^61-1 over the document bytes, run in
+# HUGEINT (the intermediate product needs ~92 bits). `ord(text[i])` is the
+# code point, equal to the UTF-8 byte for the ASCII document fixture the
+# harness runs on.
+_FINGERPRINT_SQL = (
+    "SELECT doc_id, CAST(list_reduce(list_prepend(0::HUGEINT, "
+    "list_transform(generate_series(1, length(text)), i -> ord(text[i])::HUGEINT)), "
+    "(h, c) -> (h * 1315423911::HUGEINT + c) % 2305843009213693951::HUGEINT"
+    ") AS BIGINT) AS fp FROM documents ORDER BY doc_id"
+)
+
+# ASCII-whitespace tokenizer (same byte classes as
+# functions.text.segmented_token_hashes; RE2's \s omits \v so the class is
+# spelled out) shared by the simhash and ngram twins below.
+_WS_SPLIT = r"list_filter(regexp_split_to_array(text, '[ \t\n\r\x0b\x0c]+'), x -> x <> '')"
+
+# Exact DuckDB twin of pipelines.dedup.simhash64: FNV-1a 64 per token
+# (h = (h XOR byte) * 0x100000001b3 mod 2^64, HUGEINT arithmetic), then a
+# per-bit majority vote over all (non-distinct) token hashes; empty docs
+# hash to 0; the uint64 result is wrapped to the engine's int64 view.
+_SIMHASH_SQL = (
+    "WITH tok0 AS (SELECT doc_id, unnest(" + _WS_SPLIT + ") AS tok FROM documents), "
+    "tok AS (SELECT doc_id, list_reduce(list_prepend(14695981039346656037::HUGEINT, "
+    "list_transform(generate_series(1, length(tok)), i -> ord(tok[i])::HUGEINT)), "
+    "(h, c) -> (xor(h, c) * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT) AS h "
+    "FROM tok0), "
+    "votes AS (SELECT doc_id, b.b AS b, "
+    "count(*) FILTER (((h >> b.b) & 1) = 1) AS ones, count(*) AS cnt "
+    "FROM tok, (SELECT unnest(generate_series(0, 63)) AS b) b GROUP BY doc_id, b.b), "
+    "sims AS (SELECT doc_id, sum(CASE WHEN 2 * ones > cnt "
+    "THEN (1::HUGEINT << b) ELSE 0::HUGEINT END) AS s FROM votes GROUP BY doc_id) "
+    "SELECT d.doc_id, CAST(coalesce(s.s, 0) - CASE WHEN coalesce(s.s, 0) >= (1::HUGEINT << 63) "
+    "THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END AS BIGINT) AS simhash "
+    "FROM documents d LEFT JOIN sims s USING (doc_id) ORDER BY d.doc_id"
+)
+
+# Exact DuckDB twin of pipelines.dedup.ngram_jaccard_pairs(n=3,
+# threshold=0.2): distinct word-3-gram sets (docs with < 3 tokens
+# contribute their whole joined text, matching functions.text.word_ngrams),
+# Jaccard over an equi-join on (source, gram), plus the jaccard(∅,∅)=1.0
+# convention for pairs of empty docs.
+_NGRAM_JACCARD_SQL = (
+    "WITH t AS (SELECT doc_id, source, " + _WS_SPLIT + " AS w FROM documents), "
+    "g AS (SELECT doc_id, source, CASE WHEN len(w) = 0 THEN []::VARCHAR[] "
+    "WHEN len(w) < 3 THEN [array_to_string(w, ' ')] "
+    "ELSE list_distinct(list_transform(generate_series(1, len(w) - 2), "
+    "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) END AS grams FROM t), "
+    "ex AS (SELECT doc_id, source, len(grams) AS ng, unnest(grams) AS gram FROM g), "
+    "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+    "count(*)::DOUBLE / (any_value(a.ng) + any_value(b.ng) - count(*)) AS jaccard "
+    "FROM ex a JOIN ex b ON a.source = b.source AND a.gram = b.gram "
+    "AND a.doc_id < b.doc_id GROUP BY 1, 2), "
+    "empty_pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, 1.0 AS jaccard "
+    "FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id "
+    "WHERE len(a.grams) = 0 AND len(b.grams) = 0) "
+    "SELECT * FROM (SELECT * FROM pairs WHERE jaccard >= 0.2 "
+    "UNION ALL SELECT * FROM empty_pairs) ORDER BY id_a, id_b"
+)
+
 _ANN_SQL = (
     f"WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv "
     f"FROM embeddings WHERE vec_id < {ANN_NQ}), "
@@ -548,11 +608,12 @@ REGISTRY: dict[str, QueryDef] = {
     "user_sessions": QueryDef(events.user_sessions, _SESSIONS_SQL),
     "ann_topk": QueryDef(q_ann_topk, _ANN_SQL),
     "embedding_near_dups": QueryDef(q_embedding_near_dups, _NEAR_DUP_SQL),
-    # non-SQL-expressible (sketch / LSH / hash) — rows-only checks
-    "fingerprints": QueryDef(q_fingerprints, None),
+    "fingerprints": QueryDef(q_fingerprints, _FINGERPRINT_SQL),
+    "simhash": QueryDef(q_simhash, _SIMHASH_SQL),
+    "ngram_jaccard": QueryDef(q_ngram_jaccard, _NGRAM_JACCARD_SQL),
+    # genuinely non-SQL-expressible (approximate LSH candidates / stubbed
+    # codec) — rows-only checks
     "minhash_pairs": QueryDef(q_minhash_pairs, None),
-    "simhash": QueryDef(q_simhash, None),
-    "ngram_jaccard": QueryDef(q_ngram_jaccard, None),
     "ann_lsh": QueryDef(q_ann_lsh, None),
     "media_features": QueryDef(q_media_features, None),
 }
