@@ -207,6 +207,16 @@ class _BroadcastKernel:
         self.rep32 = getattr(self.index, "rep_cols32", None)
         self.two_phase = self.rep32 is not None and self.dtype == np.dtype(np.float64)
         self.d2k32 = PairD2Kernel(dtype=np.float32, fast_wrap=True) if self.two_phase else None
+        if self.two_phase:
+            # privatize the phase-1 hot arrays once per worker: the plasma
+            # object is a 4 KB-page shared mmap, and the gather loop over
+            # it is measurably slower than over private (THP-backed)
+            # anonymous memory. ~16 B/replica per worker; the float64
+            # columns stay shared (touched only for band patch-ups).
+            self.rep32 = tuple(np.ascontiguousarray(c) for c in self.rep32)
+            self._rep_rows_fold = np.ascontiguousarray(self.index.rep_rows)
+        else:
+            self._rep_rows_fold = self.index.rep_rows
 
     def _shell_ctx(self, r2: np.ndarray):
         """Precomputed constants for _shells over the boundary array r2.
@@ -425,7 +435,7 @@ class BroadcastShellCount(_BroadcastKernel):
             np.multiply(rep, self.scratch.idx_dtype.type(nr1), out=rep)
             np.add(shell, rep, out=shell)
             bc = np.bincount(shell, minlength=span * nr1).reshape(span, nr1)
-            np.add.at(hist2d, idx.rep_rows[lo : hi + 1], bc)
+            np.add.at(hist2d, self._rep_rows_fold[lo : hi + 1], bc)
         if not any_pairs:
             return pa.table({n: pa.array([], pa.int64()) for n in names})
         hist = hist2d[:, :nrads]

@@ -1,0 +1,76 @@
+"""Machine-ceiling control for the scaling-efficiency criterion.
+
+Runs the shell-count join kernel (the same BroadcastShellCount the engine's
+hot stage uses, two-phase f32 path) in N *plain* concurrent processes — no
+Ray, no object store, no scheduler — and reports aggregate pairs/s. Running
+it at N and 4N gives the *machine's* compute-scaling ceiling: on a single
+shared-DRAM box, 4x the workers never yields 4x the throughput (shared L3 /
+memory-controller contention), and that loss is a property of the host, not
+of the engine. A real 4N-node cluster has 4x the memory systems and does
+not pay it.
+
+`bench.py --scaling` efficiency should therefore be read relative to this
+ceiling: engine_layer_efficiency = end_to_end_efficiency / ceiling.
+
+Usage: python tools/scaling_control.py N   (prints one JSON line)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from multiprocessing import Process, Queue
+
+import numpy as np
+import pyarrow as pa
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from spatialjoincountovershells_ray.config import BOX_SIZE, GridSpec, RadiusLadder
+from spatialjoincountovershells_ray.functions.hashing import derive_xyz
+from spatialjoincountovershells_ray.stages.join_kernels import BroadcastShellCount, HaloIndex
+
+HALOS = 15_000
+PARTICLES_PER_PROC = 75_000
+BATCH = 9_375
+
+
+def worker(q: Queue, seed: int) -> None:
+    hxyz = derive_xyz(np.arange(1, HALOS + 1, dtype=np.int64))
+    lo = HALOS + 1 + seed * PARTICLES_PER_PROC
+    pxyz = derive_xyz(np.arange(lo, lo + PARTICLES_PER_PROC, dtype=np.int64))
+    ladder = RadiusLadder.log2_spaced(5.0, 300.0, 8)
+    grid = GridSpec.for_radius(ladder.rmax, box=BOX_SIZE, target_cells_per_r=3.0)
+    idx = HaloIndex.build(np.arange(HALOS, dtype=np.int64), hxyz, ladder.rmax, grid, BOX_SIZE)
+    k = BroadcastShellCount(idx, ladder)  # bare index (not a ref list): no Ray involved
+    batches = [
+        pa.table({"x": pxyz[s : s + BATCH, 0], "y": pxyz[s : s + BATCH, 1], "z": pxyz[s : s + BATCH, 2]})
+        for s in range(0, PARTICLES_PER_PROC, BATCH)
+    ]
+    k(batches[0])  # warm: first-touch scratch, code paths
+    t0 = time.perf_counter()
+    pairs = 0
+    for b in batches:
+        out = k(b)
+        if out.num_rows:
+            for i in range(ladder.nrads):
+                pairs += out.column(f"s{i}").to_numpy().sum()
+    q.put(pairs / (time.perf_counter() - t0))
+
+
+def main() -> None:
+    n = int(sys.argv[1])
+    q: Queue = Queue()
+    ps = [Process(target=worker, args=(q, i)) for i in range(n)]
+    for p in ps:
+        p.start()
+    rates = [q.get() for _ in ps]
+    for p in ps:
+        p.join()
+    print(json.dumps({"nprocs": n, "total_pairs_per_sec": float(np.sum(rates))}))
+
+
+if __name__ == "__main__":
+    main()
