@@ -208,6 +208,15 @@ def q_knn(sf_dir: str):
     )
 
 
+def q_knn_shuffle(sf_dir: str):
+    return knn.knn(
+        synthetic.halos_dataset(sf_dir),
+        synthetic.particles_dataset(sf_dir),
+        KNN_K,
+        method="shuffle",
+    )
+
+
 def q_tile_assign(sf_dir: str):
     return tiles.tile_assign(synthetic.particles_dataset(sf_dir), TILE_L, TILE_N)
 
@@ -594,6 +603,7 @@ REGISTRY: dict[str, QueryDef] = {
     "range_join": QueryDef(q_range_join, _RANGE_SQL),
     "range_join_shuffle": QueryDef(q_range_join_shuffle, _RANGE_SQL),
     "knn": QueryDef(q_knn, _KNN_SQL),
+    "knn_shuffle": QueryDef(q_knn_shuffle, _KNN_SQL),
     "tile_assign": QueryDef(q_tile_assign, _TILE_SQL),
     "point_in_rects": QueryDef(q_point_in_rects, _RECTS_SQL),
     "geo_range_join": QueryDef(q_geo_range_join, _geo_sql()),

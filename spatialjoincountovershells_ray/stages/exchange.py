@@ -41,6 +41,11 @@ def _streamed_block_refs(ds: "ray.data.Dataset"):
 
 @ray.remote
 def _split_block(block: pa.Table, nbuckets: int) -> list[pa.Table]:
+    if block.num_rows == 0:
+        # Ray Data passes empty blocks through map_batches without calling
+        # the fn, so an empty block may carry a pre-tag (or even empty)
+        # schema; every reducer skips zero-row parts before concat
+        return [block.slice(0, 0)] * nbuckets
     cell = block.column("cell").to_numpy()
     bucket = cell % nbuckets
     order = np.argsort(bucket, kind="stable")
@@ -176,6 +181,245 @@ def _reduce_bucket_pairs(r2: float, dtype_str: str, box: float, *parts: pa.Table
     )
 
 
+_KNN_BUCKET_COLS = ("halo_id", "particle_id", "d2", "cnt", "x", "y", "z")
+
+
+def _empty_knn_bucket() -> pa.Table:
+    return pa.table(
+        {
+            "halo_id": pa.array([], pa.int64()),
+            "particle_id": pa.array([], pa.int64()),
+            "d2": pa.array([], pa.float64()),
+            "cnt": pa.array([], pa.int64()),
+            "x": pa.array([], pa.float64()),
+            "y": pa.array([], pa.float64()),
+            "z": pa.array([], pa.float64()),
+        }
+    )
+
+
+@ray.remote
+def _reduce_bucket_knn(
+    k: int, r2: float, dtype_str: str, box: float, *parts: pa.Table
+) -> pa.Table:
+    """Per-bucket kNN candidates within radius sqrt(r2).
+
+    Emits two row kinds, distinguished by ``particle_id``:
+
+    - candidate rows (``particle_id >= 0``): the bucket-local top-k
+      (by d2, then particle_id) pairs per halo with d2 < r2; ``cnt`` 0.
+    - presence rows (``particle_id == -1``): one per distinct halo in the
+      bucket, carrying the halo's coordinates and ``cnt`` = the UNCAPPED
+      number of particles within r2 met in this bucket — the per-halo
+      completeness evidence (sum over buckets >= k proves the true kNN
+      are among the emitted candidates, same argument as the ring plan).
+
+    Each (halo, particle) pair within r meets in exactly one cell (the
+    particle's own), so candidate rows and counts are exact, not
+    over-counted, across buckets.
+    """
+    from spatialjoincountovershells_ray.stages.join_kernels import (
+        _cached_d2k,
+        select_topk_rows,
+    )
+
+    dtype = np.dtype(dtype_str)
+    tbls = [t for t in parts if t.num_rows]
+    if not tbls:
+        return _empty_knn_bucket()
+    t = pa.concat_tables(tbls, promote_options="none")
+    cell = t.column("cell").to_numpy()
+    order = np.argsort(cell, kind="stable")
+    cell = cell[order]
+    role = t.column("role").to_numpy(zero_copy_only=False)[order]
+    ids = t.column("id").to_numpy()[order]
+    cols = tuple(
+        t.column(c).to_numpy(zero_copy_only=False).astype(dtype, copy=False)[order]
+        for c in ("x", "y", "z")
+    )
+    # distinct halos in this bucket (replicas share id + coords)
+    hall = np.flatnonzero(role == 0)
+    if len(hall) == 0:
+        return _empty_knn_bucket()
+    uids, first = np.unique(ids[hall], return_index=True)
+    ux, uy, uz = (c[hall[first]].astype(np.float64, copy=False) for c in cols)
+    cnt = np.zeros(len(uids), dtype=np.int64)
+
+    d2k = _cached_d2k(dtype)
+    out_h: list[np.ndarray] = []
+    out_p: list[np.ndarray] = []
+    out_d: list[np.ndarray] = []
+    starts = np.flatnonzero(np.concatenate(([True], cell[1:] != cell[:-1])))
+    ends = np.concatenate((starts[1:], [len(cell)]))
+    for s, e in zip(starts, ends):
+        r = role[s:e]
+        hsel = np.flatnonzero(r == 0) + s
+        psel = np.flatnonzero(r == 1) + s
+        H, P = len(hsel), len(psel)
+        if H == 0 or P == 0:
+            continue
+        h_cols = tuple(np.ascontiguousarray(c[hsel]) for c in cols)
+        p_cols = tuple(np.ascontiguousarray(c[psel]) for c in cols)
+        chunk = max(1, (1 << 20) // P)
+        p_ar = np.arange(P, dtype=np.int64)
+        for hs in range(0, H, chunk):
+            he = min(hs + chunk, H)
+            pair_h = np.repeat(np.arange(hs, he, dtype=np.int64), P)
+            pair_p = np.tile(p_ar, he - hs)
+            d2 = d2k(h_cols, p_cols, pair_h, pair_p, box)
+            keep = d2 < r2
+            if keep.any():
+                hid = ids[hsel[pair_h[keep]]]
+                out_h.append(hid)
+                out_p.append(ids[psel[pair_p[keep]]])
+                out_d.append(d2[keep].astype(np.float64, copy=False))
+                np.add.at(cnt, np.searchsorted(uids, hid), 1)
+    if out_h:
+        ch, cp, cd, _ = select_topk_rows(
+            np.concatenate(out_h), np.concatenate(out_p), np.concatenate(out_d), k
+        )
+    else:
+        ch = cp = np.empty(0, np.int64)
+        cd = np.empty(0, np.float64)
+    nc = len(ch)
+    return pa.table(
+        {
+            "halo_id": pa.array(np.concatenate([ch, uids]), pa.int64()),
+            "particle_id": pa.array(
+                np.concatenate([cp, np.full(len(uids), -1, np.int64)]), pa.int64()
+            ),
+            "d2": pa.array(np.concatenate([cd, np.full(len(uids), np.inf)]), pa.float64()),
+            "cnt": pa.array(np.concatenate([np.zeros(nc, np.int64), cnt]), pa.int64()),
+            "x": pa.array(np.concatenate([np.zeros(nc), ux]), pa.float64()),
+            "y": pa.array(np.concatenate([np.zeros(nc), uy]), pa.float64()),
+            "z": pa.array(np.concatenate([np.zeros(nc), uz]), pa.float64()),
+        }
+    )
+
+
+def bucketed_knn_candidates(
+    tagged: "ray.data.Dataset",
+    radius: float,
+    k: int,
+    dtype: np.dtype,
+    box: float = BOX_SIZE,
+    nbuckets: int | None = None,
+) -> "ray.data.Dataset":
+    """tagged (cell, role, id, x, y, z) -> per-bucket kNN candidate +
+    presence rows (see _reduce_bucket_knn)."""
+    if nbuckets is None:
+        nbuckets = max(8, int(ray.cluster_resources().get("CPU", 8)) * 2)
+    split_refs = [
+        _split_block.options(num_returns=nbuckets).remote(b, nbuckets)
+        for b in _streamed_block_refs(tagged)
+    ]
+    r2 = float(radius) * float(radius)
+    results = [
+        _reduce_bucket_knn.remote(
+            k, r2, np.dtype(dtype).str, box, *[sr[bi] for sr in split_refs]
+        )
+        for bi in range(nbuckets)
+    ]
+    return ray.data.from_arrow_refs(results)
+
+
+@ray.remote
+def _knn_merge_bucket(k: int, full_sweep: bool, *parts: pa.Table) -> pa.Table:
+    """Per-halo-hash-bucket merge of kNN candidate/presence rows.
+
+    Output rows: resolved halos contribute their global top-k
+    (halo_id, particle_id, rnk, d2, resolved=True); unresolved halos one
+    row each (particle_id=-1, resolved=False) carrying coordinates for
+    the next, larger-radius round.
+    """
+    from spatialjoincountovershells_ray.stages.join_kernels import select_topk_rows
+
+    out_schema = pa.schema(
+        [
+            ("halo_id", pa.int64()),
+            ("particle_id", pa.int64()),
+            ("rnk", pa.int64()),
+            ("d2", pa.float64()),
+            ("resolved", pa.bool_()),
+            ("x", pa.float64()),
+            ("y", pa.float64()),
+            ("z", pa.float64()),
+        ]
+    )
+    tbls = [t for t in parts if t.num_rows]
+    if not tbls:
+        return out_schema.empty_table()
+    t = pa.concat_tables(tbls, promote_options="none")
+    pid = t.column("particle_id").to_numpy()
+    hid = t.column("halo_id").to_numpy()
+    is_pres = pid == -1
+    puids, pfirst = np.unique(hid[is_pres], return_index=True)
+    pres_rows = np.flatnonzero(is_pres)
+    total = np.zeros(len(puids), dtype=np.int64)
+    np.add.at(total, np.searchsorted(puids, hid[is_pres]), t.column("cnt").to_numpy()[is_pres])
+    resolved = total >= k
+    if full_sweep:
+        resolved[:] = True
+    # candidates of resolved halos -> global top-k + rank
+    cmask = ~is_pres
+    if cmask.any():
+        ch = hid[cmask]
+        keep = resolved[np.searchsorted(puids, ch)]
+        cp = pid[cmask][keep]
+        cd = t.column("d2").to_numpy()[cmask][keep]
+        rh, rp, rd, rnk = select_topk_rows(ch[keep], cp, cd, k)
+    else:
+        rh = rp = rnk = np.empty(0, np.int64)
+        rd = np.empty(0, np.float64)
+    un = np.flatnonzero(~resolved)
+    un_rows = pres_rows[pfirst[un]]
+    nu = len(un)
+    return pa.table(
+        {
+            "halo_id": pa.array(np.concatenate([rh, puids[un]]), pa.int64()),
+            "particle_id": pa.array(
+                np.concatenate([rp, np.full(nu, -1, np.int64)]), pa.int64()
+            ),
+            "rnk": pa.array(np.concatenate([rnk, np.zeros(nu, np.int64)]), pa.int64()),
+            "d2": pa.array(np.concatenate([rd, np.full(nu, np.inf)]), pa.float64()),
+            "resolved": pa.array(
+                np.concatenate([np.ones(len(rh), bool), np.zeros(nu, bool)])
+            ),
+            "x": pa.array(
+                np.concatenate([np.zeros(len(rh)), t.column("x").to_numpy()[un_rows]]),
+                pa.float64(),
+            ),
+            "y": pa.array(
+                np.concatenate([np.zeros(len(rh)), t.column("y").to_numpy()[un_rows]]),
+                pa.float64(),
+            ),
+            "z": pa.array(
+                np.concatenate([np.zeros(len(rh)), t.column("z").to_numpy()[un_rows]]),
+                pa.float64(),
+            ),
+        }
+    )
+
+
+def bucketed_knn_merge(
+    cands: "ray.data.Dataset", k: int, full_sweep: bool, nbuckets: int | None = None
+) -> "ray.data.Dataset":
+    """Hash-bucket (by halo_id) merge of kNN bucket outputs — bounded
+    per-task state even for query sides that fit no single task."""
+    if nbuckets is None:
+        nbuckets = max(8, int(ray.cluster_resources().get("CPU", 8)))
+    blocks = list(cands.materialize().to_arrow_refs())
+    split_refs = [
+        split_by_key.options(num_returns=nbuckets).remote(b, "halo_id", nbuckets)
+        for b in blocks
+    ]
+    results = [
+        _knn_merge_bucket.remote(k, full_sweep, *[sr[bi] for sr in split_refs])
+        for bi in range(nbuckets)
+    ]
+    return ray.data.from_arrow_refs(results)
+
+
 def bucketed_pair_join(
     tagged: "ray.data.Dataset",
     radius: float,
@@ -205,6 +449,8 @@ def split_by_key(block: pa.Table, col: str, nbuckets: int) -> list[pa.Table]:
     """Generic map-side shuffle split: partition a block into nbuckets
     sub-tables by ``col % nbuckets`` (numpy modulo is non-negative for a
     positive divisor, so negative hash keys are fine)."""
+    if block.num_rows == 0:
+        return [block.slice(0, 0)] * nbuckets
     k = block.column(col).to_numpy()
     bucket = k % nbuckets
     order = np.argsort(bucket, kind="stable")
@@ -276,6 +522,8 @@ def tag_for_cell_exchange(
 
 @ray.remote
 def _split_by_halo(block: pa.Table, nbuckets: int) -> list[pa.Table]:
+    if block.num_rows == 0:
+        return [block.slice(0, 0)] * nbuckets
     h = block.column("halo_id").to_numpy()
     bucket = h % nbuckets
     order = np.argsort(bucket, kind="stable")

@@ -168,6 +168,38 @@ def test_knn_matches_oracle():
         assert grp.sort_values("rnk").particle_id.tolist() == want[int(hid)]
 
 
+def test_knn_shuffle_matches_oracle():
+    hxyz = uniform_coords(MT19937(1659533), 30)
+    pxyz = uniform_coords(MT19937(113), 800)
+    halos, parts = _tables(hxyz, pxyz, np.float64)
+    res = dataset_to_table(
+        knn_mod.knn(halos, parts, 5, dtype=np.float64, method="shuffle")
+    ).to_pandas()
+    want = knn_oracle(
+        np.arange(30), hxyz.astype(np.float64), np.arange(800), pxyz.astype(np.float64), 5
+    )
+    for hid, grp in res.groupby("halo_id"):
+        assert grp.sort_values("rnk").particle_id.tolist() == want[int(hid)]
+
+
+def test_knn_shuffle_sparse_multi_round():
+    # k exceeds what the first ring radius can find: forces round
+    # expansion up to the full-torus sweep, including halos with fewer
+    # global neighbours than particles within no radius at round 1
+    hxyz = uniform_coords(MT19937(42), 8)
+    pxyz = uniform_coords(MT19937(7), 12)  # sparse: k=5 of only 12 particles
+    halos, parts = _tables(hxyz, pxyz, np.float64)
+    res = dataset_to_table(
+        knn_mod.knn(halos, parts, 5, dtype=np.float64, method="shuffle", r0=1.0)
+    ).to_pandas()
+    want = knn_oracle(
+        np.arange(8), hxyz.astype(np.float64), np.arange(12), pxyz.astype(np.float64), 5
+    )
+    assert set(res.halo_id) == set(range(8))
+    for hid, grp in res.groupby("halo_id"):
+        assert grp.sort_values("rnk").particle_id.tolist() == want[int(hid)]
+
+
 def test_zero_count_halos_present():
     lad = RadiusLadder.parse("1:2:2", dtype=np.float64)
     hxyz = np.array([[500.0, 500.0, 500.0]], dtype=np.float64)
