@@ -9,10 +9,17 @@ memory-controller contention), and that loss is a property of the host, not
 of the engine. A real 4N-node cluster has 4x the memory systems and does
 not pay it.
 
+Methodology notes:
+- every process builds its index and warms up BEFORE a shared barrier, so
+  setup of one process never overlaps another's timing window;
+- each process then measures a fixed-duration window (batches cycled), so
+  all N processes are measured under full N-way contention — no tail bias
+  from early finishers freeing the memory system.
+
 `bench.py --scaling` efficiency should therefore be read relative to this
 ceiling: engine_layer_efficiency = end_to_end_efficiency / ceiling.
 
-Usage: python tools/scaling_control.py N   (prints one JSON line)
+Usage: python tools/scaling_control.py N [duration_sec]   (one JSON line)
 """
 
 from __future__ import annotations
@@ -21,7 +28,7 @@ import json
 import os
 import sys
 import time
-from multiprocessing import Process, Queue
+from multiprocessing import Barrier, Process, Queue
 
 import numpy as np
 import pyarrow as pa
@@ -37,7 +44,7 @@ PARTICLES_PER_PROC = 75_000
 BATCH = 9_375
 
 
-def worker(q: Queue, seed: int) -> None:
+def worker(q: Queue, barrier: Barrier, seed: int, duration: float) -> None:
     hxyz = derive_xyz(np.arange(1, HALOS + 1, dtype=np.int64))
     lo = HALOS + 1 + seed * PARTICLES_PER_PROC
     pxyz = derive_xyz(np.arange(lo, lo + PARTICLES_PER_PROC, dtype=np.int64))
@@ -50,20 +57,26 @@ def worker(q: Queue, seed: int) -> None:
         for s in range(0, PARTICLES_PER_PROC, BATCH)
     ]
     k(batches[0])  # warm: first-touch scratch, code paths
+    barrier.wait()
     t0 = time.perf_counter()
+    deadline = t0 + duration
     pairs = 0
-    for b in batches:
-        out = k(b)
+    i = 0
+    while time.perf_counter() < deadline:
+        out = k(batches[i % len(batches)])
+        i += 1
         if out.num_rows:
-            for i in range(ladder.nrads):
-                pairs += out.column(f"s{i}").to_numpy().sum()
+            for j in range(ladder.nrads):
+                pairs += out.column(f"s{j}").to_numpy().sum()
     q.put(pairs / (time.perf_counter() - t0))
 
 
 def main() -> None:
     n = int(sys.argv[1])
+    duration = float(sys.argv[2]) if len(sys.argv) > 2 else 8.0
     q: Queue = Queue()
-    ps = [Process(target=worker, args=(q, i)) for i in range(n)]
+    barrier = Barrier(n)
+    ps = [Process(target=worker, args=(q, barrier, i, duration)) for i in range(n)]
     for p in ps:
         p.start()
     rates = [q.get() for _ in ps]
