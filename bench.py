@@ -152,6 +152,7 @@ BENCH_QUERIES = [
     "knn",
     "tile_assign",
     "point_in_rects",
+    "point_in_polygons",
     "token_count",
     "quality_counts",
     "exact_dedup",

@@ -245,6 +245,41 @@ def q_point_in_rects(sf_dir: str):
     return tiles.point_in_rects(synthetic.particles_dataset(sf_dir), keys, lo, hi)
 
 
+POLY_MAX_KEY = 120  # bounded broadcast polygon set
+POLY_NV = 6  # vertices per polygon
+
+
+def _poly_list(sf_dir: str) -> "list[tuple[int, np.ndarray]]":
+    """Deterministic general (possibly self-intersecting) hexagons: centre
+    from derive_coord(key), vertex offsets in [-100, 100) from
+    derive_coord(key*16 + 2j [+1]) — every float64 op mirrors _POLYS_SQL
+    term for term, so the even-odd containment decisions are bit-identical
+    to the DuckDB crossing-number twin."""
+    import pyarrow.parquet as pq
+
+    from spatialjoincountovershells_ray.functions.hashing import derive_coord
+
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey"])
+    keys = sup.column("s_suppkey").to_numpy()
+    keys = np.sort(keys[keys < POLY_MAX_KEY]).astype(np.int64)
+    j = np.arange(POLY_NV, dtype=np.int64)
+    polys = []
+    for p in keys:
+        cx = derive_coord(np.int64(p), 0)
+        cy = derive_coord(np.int64(p), 1)
+        # distinct multipliers (axis 2 vs axis 0) decorrelate the x/y
+        # offset sequences — same-axis consecutive LCG values are
+        # collinear and give degenerate (near-flat) polygons
+        vx = cx + (derive_coord(p * 16 + 2 * j, 2) * 0.2 - 100.0)
+        vy = cy + (derive_coord(p * 16 + 2 * j + 1, 0) * 0.2 - 100.0)
+        polys.append((int(p), np.stack([vx, vy], axis=1)))
+    return polys
+
+
+def q_point_in_polygons(sf_dir: str):
+    return tiles.point_in_polygons(synthetic.particles_dataset(sf_dir), _poly_list(sf_dir))
+
+
 # ---- geographic (lon-lat) range join --------------------------------------
 
 GEO_R_KM = 800.0
@@ -420,6 +455,48 @@ _TILE_SQL = (
     "SELECT particle_id, (CAST(floor(x / 100.0) AS BIGINT) * 10 "
     "+ CAST(floor(y / 100.0) AS BIGINT)) * 10 "
     "+ CAST(floor(z / 100.0) AS BIGINT) AS tile_id FROM particles"
+)
+
+# Crossing-number (even-odd) point-in-polygon as SQL: one row per edge
+# (vertex j -> vertex (j+1) % NV, both endpoints derived inline from the
+# same integer-hash scheme the engine uses), count ray crossings per
+# (particle, polygon), keep odd counts. Every float64 subexpression is
+# written in the exact order tiles._ray_cast evaluates it, so boundary
+# decisions match bit for bit.
+def _poly_edges_sql() -> str:
+    def vx(jexpr: str) -> str:
+        key = f"(s_suppkey * 16 + 2 * ({jexpr}))"
+        return f"{derive_coord_sql('s_suppkey', 0)} + ({derive_coord_sql(key, 2)} * 0.2 - 100.0)"
+
+    def vy(jexpr: str) -> str:
+        key = f"(s_suppkey * 16 + 2 * ({jexpr}) + 1)"
+        return f"{derive_coord_sql('s_suppkey', 1)} + ({derive_coord_sql(key, 0)} * 0.2 - 100.0)"
+
+    return (
+        "edges AS (SELECT CAST(s_suppkey AS BIGINT) AS poly_id, "
+        f"{vx('j')} AS x1, {vy('j')} AS y1, "
+        f"{vx(f'(j + 1) % {POLY_NV}')} AS x2, {vy(f'(j + 1) % {POLY_NV}')} AS y2 "
+        f"FROM supplier, range({POLY_NV}) t(j) WHERE s_suppkey < {POLY_MAX_KEY})"
+    )
+
+
+# The crossing-count parity must be computed once per DISTINCT particle
+# (the synthetic lineitem carries duplicate (orderkey, linenumber) pairs,
+# so the raw particles CTE has duplicate ids; the engine processes each
+# row instance independently and emits duplicates). Compute parity over
+# the distinct ids, then re-join to the raw CTE so output multiplicity
+# matches the engine row for row.
+_POLYS_SQL = (
+    f"WITH {synthetic.PARTICLES_CTE}, "
+    "pd AS (SELECT DISTINCT particle_id, x, y FROM particles), "
+    f"{_poly_edges_sql()}, "
+    "hits AS (SELECT p.particle_id, e.poly_id FROM pd p JOIN edges e "
+    "ON ((e.y1 > p.y) <> (e.y2 > p.y)) "
+    "AND p.x < e.x1 + (p.y - e.y1) / (e.y2 - e.y1) * (e.x2 - e.x1) "
+    "GROUP BY p.particle_id, e.poly_id HAVING count(*) % 2 = 1) "
+    "SELECT pr.particle_id, h.poly_id FROM particles pr "
+    "JOIN hits h ON pr.particle_id = h.particle_id "
+    "ORDER BY pr.particle_id, h.poly_id"
 )
 
 _RECTS_SQL = (
@@ -606,6 +683,7 @@ REGISTRY: dict[str, QueryDef] = {
     "knn_shuffle": QueryDef(q_knn_shuffle, _KNN_SQL),
     "tile_assign": QueryDef(q_tile_assign, _TILE_SQL),
     "point_in_rects": QueryDef(q_point_in_rects, _RECTS_SQL),
+    "point_in_polygons": QueryDef(q_point_in_polygons, _POLYS_SQL),
     "geo_range_join": QueryDef(q_geo_range_join, _geo_sql()),
     "token_count": QueryDef(q_token_count, _TOKEN_SQL),
     "quality_counts": QueryDef(q_quality_counts, _QUALITY_SQL),

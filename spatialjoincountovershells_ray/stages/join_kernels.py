@@ -207,16 +207,27 @@ class _BroadcastKernel:
         self.rep32 = getattr(self.index, "rep_cols32", None)
         self.two_phase = self.rep32 is not None and self.dtype == np.dtype(np.float64)
         self.d2k32 = PairD2Kernel(dtype=np.float32, fast_wrap=True) if self.two_phase else None
+
+        # Privatize the per-sub-chunk hot arrays once per worker: a plasma
+        # object is a read-only 4 KB-page shared mmap, and the gather /
+        # binary-search loops over it pay measurably more TLB+DRAM cost
+        # than over private (THP-backed) anonymous memory — with N workers
+        # all hammering the same shared pages the loss compounds and shows
+        # up directly as lost scaling efficiency at high parallelism.
+        # _private copies ONLY arrays that are actually plasma-backed
+        # (read-only); locally-built indexes pass through untouched.
+        # Cost: ~20 B/replica + CSR per worker. The float64 replica
+        # columns stay shared in the two-phase path (touched only for the
+        # rare boundary-band patch-ups).
+        def _private(a: np.ndarray) -> np.ndarray:
+            return a.copy() if (a is not None and not a.flags.writeable) else a
+
         if self.two_phase:
-            # privatize the phase-1 hot arrays once per worker: the plasma
-            # object is a 4 KB-page shared mmap, and the gather loop over
-            # it is measurably slower than over private (THP-backed)
-            # anonymous memory. ~16 B/replica per worker; the float64
-            # columns stay shared (touched only for band patch-ups).
-            self.rep32 = tuple(np.ascontiguousarray(c) for c in self.rep32)
-            self._rep_rows_fold = np.ascontiguousarray(self.index.rep_rows)
-        else:
-            self._rep_rows_fold = self.index.rep_rows
+            self.rep32 = tuple(_private(c) for c in self.rep32)
+        self._rep_rows_fold = _private(self.index.rep_rows)
+        self._csr_ucells = _private(self.index.ucells)
+        self._csr_starts = _private(self.index.starts)
+        self._csr_counts = _private(self.index.counts)
 
     def _shell_ctx(self, r2: np.ndarray):
         """Precomputed constants for _shells over the boundary array r2.
@@ -305,13 +316,14 @@ class _BroadcastKernel:
             cell_index(p_cols[2], idx.grid),
             idx.grid,
         )
-        if len(idx.ucells) == 0:
+        ucells, starts, counts = self._csr_ucells, self._csr_starts, self._csr_counts
+        if len(ucells) == 0:
             return np.zeros(len(pcell), np.int64), np.zeros(len(pcell), np.int64)
-        pos = np.searchsorted(idx.ucells, pcell)
-        pos_c = np.minimum(pos, len(idx.ucells) - 1)
-        valid = idx.ucells[pos_c] == pcell
-        cnt = np.where(valid, idx.counts[pos_c], 0)
-        rep_start = idx.starts[pos_c] * valid
+        pos = np.searchsorted(ucells, pcell)
+        pos_c = np.minimum(pos, len(ucells) - 1)
+        valid = ucells[pos_c] == pcell
+        cnt = np.where(valid, counts[pos_c], 0)
+        rep_start = starts[pos_c] * valid
         return cnt, rep_start
 
     def _iter_expanded(self, sorted_cols):
@@ -368,7 +380,7 @@ class _BroadcastKernel:
             # contiguous runs per particle, particles are cell-sorted
             d2 = self.d2k(idx.rep_cols, sorted_cols, rep, pp, idx.box, out=s.d2[:n])
             ph = s.ph[:n]
-            np.take(idx.rep_rows, rep, out=ph)
+            np.take(self._rep_rows_fold, rep, out=ph)
             np.take(psort, pp, out=pp)  # back to original batch rows
             yield pp, ph, d2
 
@@ -385,7 +397,7 @@ class _BroadcastKernel:
             n = len(pp)
             shell = self._shells(rep, pp, sorted_cols, sorted32, ctx)
             ph = s.ph[:n]
-            np.take(idx.rep_rows, rep, out=ph)
+            np.take(self._rep_rows_fold, rep, out=ph)
             np.take(psort, pp, out=pp)  # back to original batch rows
             yield pp, ph, shell
 

@@ -254,6 +254,37 @@ class TestTiles:
         assert res.particle_id.tolist() == [0, 2]
         assert (res.poly_id == 7).all()
 
+    def test_point_in_polygons_registry_matches_duckdb(self):
+        # full-path parity: the registry query (Ray Dataset pipeline) vs
+        # the crossing-number SQL twin, bit-exact including the duplicate
+        # particle-id multiplicity in the synthetic lineitem table
+        import duckdb
+
+        from spatialjoincountovershells_ray.queries import _POLYS_SQL, q_point_in_polygons
+
+        sf = "/root/testdata/sf0.001"
+        con = duckdb.connect(config={"threads": 2})
+        for t in ("lineitem", "supplier"):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+            )
+        want = (
+            con.execute(_POLYS_SQL)
+            .df()
+            .astype("int64")
+            .sort_values(["particle_id", "poly_id"])
+            .reset_index(drop=True)
+        )
+        got = (
+            dataset_to_table(q_point_in_polygons(sf))
+            .to_pandas()
+            .astype("int64")
+            .sort_values(["particle_id", "poly_id"])
+            .reset_index(drop=True)
+        )
+        assert len(want) > 0
+        assert got.equals(want)
+
     def test_point_in_rects_half_open(self):
         pts = pa.table(
             {
