@@ -95,17 +95,21 @@ def run_scaling_workload(sf_dir: str) -> dict:
     idx = halo_index_for(sf_dir, ladder)
 
     def once():
-        # 4x the probe stream (the same 32 shards read four times — the
+        # 4x the probe stream (the same shards read four times — the
         # per-task shape of a 4x larger snapshot, with every pass fully
-        # recomputed): 256 equal ~3.5s tasks = 8 waves at 32 CPUs, so
-        # wave-packing loss and the one-time serial setup stop dominating
-        # the ratio (at 1x the job is 2 waves of 64 tasks and straggler
-        # spread alone costs ~15% of the measured efficiency)
-        parts = synthetic.particles_dataset(sf_dir, sharded=True)
+        # recomputed) so the parallel join phase dominates one-time setup.
+        # 56 shards x 4 = 224 equal fused read->derive->kernel tasks:
+        # 224 = LCM(7,28)*8, i.e. EXACT task waves at both comparison
+        # levels (32 exact waves at 7 CPUs, 8 at 28). At the old 32x4=256
+        # tasks the tail wave ran 4 tasks on 28 slots — a ~9% idle tail
+        # charged only to the high-parallelism level, biasing measured
+        # efficiency down by that much.
+        nsh = 56
+        parts = synthetic.particles_dataset(sf_dir, sharded=True, nshards=nsh)
         probe = parts.union(
-            synthetic.particles_dataset(sf_dir, sharded=True),
-            synthetic.particles_dataset(sf_dir, sharded=True),
-            synthetic.particles_dataset(sf_dir, sharded=True),
+            synthetic.particles_dataset(sf_dir, sharded=True, nshards=nsh),
+            synthetic.particles_dataset(sf_dir, sharded=True, nshards=nsh),
+            synthetic.particles_dataset(sf_dir, sharded=True, nshards=nsh),
         )
         ds = sc.shell_count(
             None,

@@ -8,6 +8,11 @@
   sign-bit prefix (groupby on bucket), queries probe only their bucket
   (plus Hamming-1 neighbours), trading recall for a bounded candidate
   set. The scale path when brute force is too wide.
+- ``ivf_topk``: inverted-file (IVF) variant — k-means centroids are
+  trained on a bounded sample, every vector is assigned to its nearest
+  centroid inside ``map_batches``, and each query probes only its
+  ``nprobe`` nearest lists. Same one-pass streaming shape as LSH but
+  with data-adaptive buckets (better recall on clustered embeddings).
 """
 
 from __future__ import annotations
@@ -144,6 +149,127 @@ def lsh_topk(
                 np.stack(batch.column("embedding").to_numpy(zero_copy_only=False)).astype(np.float64)
             )
             codes = hyperplane_codes(mat, self.nbits, self.dim)
+            out_q, out_v, out_s = [], [], []
+            for b in np.unique(codes):
+                qlist = self.bucket_to_q.get(int(b))
+                if not qlist:
+                    continue
+                rows = np.nonzero(codes == b)[0]
+                sims = self.qmat[qlist] @ mat[rows].T
+                kk = min(self.k, len(rows))
+                part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+                for j, qi in enumerate(qlist):
+                    sel = rows[part[j]]
+                    out_q.append(np.full(len(sel), self.qids[qi], dtype=np.int64))
+                    out_v.append(ids[sel])
+                    out_s.append(sims[j, part[j]])
+            if not out_q:
+                return pa.table(
+                    {"qid": pa.array([], pa.int64()), "vec_id": pa.array([], pa.int64()), "sim": pa.array([], pa.float64())}
+                )
+            return pa.table(
+                {"qid": np.concatenate(out_q), "vec_id": np.concatenate(out_v), "sim": np.concatenate(out_s)}
+            )
+
+    cands = embeddings.map_batches(
+        Kernel,
+        fn_constructor_kwargs={"ref": [ref], "k": k + 1},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=concurrency,
+    )
+
+    def select(group: pd.DataFrame) -> pd.DataFrame:
+        group = group[group["vec_id"] != group["qid"]]
+        g = group.sort_values(["sim", "vec_id"], ascending=[False, True], kind="mergesort").head(k)
+        g = g.assign(rnk=np.arange(1, len(g) + 1, dtype=np.int64))
+        return g[["qid", "vec_id", "rnk"]]
+
+    return cands.groupby("qid").map_groups(select, batch_format="pandas").sort(["qid", "rnk"])
+
+
+def kmeans_centroids(
+    sample: np.ndarray, nlist: int, *, iters: int = 10, seed: int = 7
+) -> np.ndarray:
+    """Deterministic spherical k-means on a (already normalized) sample.
+
+    k-means++ seeding with a fixed RNG, then ``iters`` Lloyd rounds with
+    cosine assignment; empty clusters are re-seeded from the farthest
+    points. Returns normalized centroids [nlist, D]."""
+    rng = np.random.default_rng(seed)
+    n = len(sample)
+    nlist = min(nlist, n)
+    # k-means++ seeding
+    first = int(rng.integers(n))
+    cents = [sample[first]]
+    d2 = 2.0 - 2.0 * (sample @ cents[0])  # squared euclid on unit sphere
+    for _ in range(nlist - 1):
+        p = np.maximum(d2, 0)
+        tot = p.sum()
+        idx = int(rng.choice(n, p=p / tot)) if tot > 0 else int(rng.integers(n))
+        cents.append(sample[idx])
+        d2 = np.minimum(d2, 2.0 - 2.0 * (sample @ cents[-1]))
+    c = np.stack(cents)
+    for _ in range(iters):
+        assign = np.argmax(sample @ c.T, axis=1)
+        for j in range(nlist):
+            rows = assign == j
+            if rows.any():
+                c[j] = sample[rows].mean(axis=0)
+            else:  # re-seed dead cluster from the worst-fit point
+                c[j] = sample[int(np.argmin((sample @ c.T).max(axis=1)))]
+        c = _norm_rows(c)
+    return c
+
+
+def ivf_topk(
+    embeddings: "ray.data.Dataset",
+    query_ids: np.ndarray,
+    query_mat: np.ndarray,
+    k: int,
+    *,
+    nlist: int = 32,
+    nprobe: int = 4,
+    train_rows: int = 4096,
+    concurrency=None,
+) -> "ray.data.Dataset":
+    """IVF ANN: train centroids on a bounded sample (``limit(train_rows)``
+    — the only driver-side materialization, O(train_rows × D) regardless
+    of corpus size), broadcast them, assign vectors to lists inside
+    ``map_batches``, probe each query's ``nprobe`` nearest lists.
+    Approximate (recall < 1); same output schema as cosine_topk."""
+    if concurrency is None:
+        concurrency = default_pool()
+    sample_tbl = embeddings.limit(train_rows).select_columns(["embedding"]).take_all()
+    sample = _norm_rows(
+        np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in sample_tbl])
+    )
+    cents = kmeans_centroids(sample, nlist)
+    qmat = _norm_rows(np.asarray(query_mat, dtype=np.float64))
+    # per-query probe lists -> bucket -> queries inverted map
+    order = np.argsort(-(qmat @ cents.T), axis=1, kind="stable")[:, : min(nprobe, len(cents))]
+    bucket_to_q: dict[int, list[int]] = {}
+    for qi in range(len(qmat)):
+        for b in order[qi]:
+            bucket_to_q.setdefault(int(b), []).append(qi)
+    ref = ray.put(
+        {"ids": np.asarray(query_ids), "mat": qmat, "bucket_to_q": bucket_to_q, "cents": cents}
+    )
+
+    class Kernel:
+        def __init__(self, ref, k):
+            p = ray.get(ref[0])
+            self.qids, self.qmat = p["ids"], p["mat"]
+            self.bucket_to_q = p["bucket_to_q"]
+            self.cents = p["cents"]
+            self.k = k
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch.column("vec_id").to_numpy()
+            mat = _norm_rows(
+                np.stack(batch.column("embedding").to_numpy(zero_copy_only=False)).astype(np.float64)
+            )
+            codes = np.argmax(mat @ self.cents.T, axis=1)
             out_q, out_v, out_s = [], [], []
             for b in np.unique(codes):
                 qlist = self.bucket_to_q.get(int(b))

@@ -56,3 +56,94 @@ def user_sessions(sf_dir_or_ds) -> "ray.data.Dataset":
         )
 
     return ds.groupby("user_id").map_groups(sess, batch_format="pandas")
+
+
+WINDOW_US = 3_600 * 1_000_000  # 1-hour tumbling window, microseconds
+
+
+def event_window_agg(sf_dir_or_ds) -> "ray.data.Dataset":
+    """Tumbling-window aggregate: -> user_id, win (hour bucket), n_events,
+    min_value, max_value.
+
+    The combiner pattern: the window key is derived vectorized inside
+    ``map_batches`` and partially aggregated per batch, so the shuffle is
+    O(user×window groups), not O(events); count/min/max are accumulation-
+    order independent, keeping the result bit-exact vs any oracle."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    ds = (
+        ray.data.read_parquet(
+            f"{sf_dir_or_ds}/events.parquet", columns=["ts", "user_id", "value"]
+        )
+        if isinstance(sf_dir_or_ds, str)
+        else sf_dir_or_ds
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = batch.column("ts").cast(pa.int64())
+        win = pc.floor(pc.divide(pc.cast(us, pa.float64()), float(WINDOW_US)))
+        keys = pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "win": pc.cast(win, pa.int64()),
+                "value": batch.column("value"),
+            }
+        )
+        g = keys.group_by(["user_id", "win"]).aggregate(
+            [("value", "count"), ("value", "min"), ("value", "max")]
+        )
+        out = {
+            "user_id": g.column("user_id"),
+            "win": g.column("win"),
+            "n_events": g.column("value_count"),
+            "min_value": g.column("value_min"),
+            "max_value": g.column("value_max"),
+        }
+        return pa.table(out)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    agg = partials.groupby(["user_id", "win"]).aggregate(
+        Sum("n_events", alias_name="n_events_f"),
+        Min("min_value", alias_name="min_value_f"),
+        Max("max_value", alias_name="max_value_f"),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "win": batch.column("win"),
+                "n_events": batch.column("n_events_f"),
+                "min_value": batch.column("min_value_f"),
+                "max_value": batch.column("max_value_f"),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True).sort(
+        ["user_id", "win"]
+    )
+
+
+def event_rolling_max(sf_dir_or_ds, window: int = 3) -> "ray.data.Dataset":
+    """ROWS-window op: -> event_id, roll_max — max of ``value`` over the
+    current + previous ``window-1`` events of the same user in
+    (ts, event_id) order. Key-partitioned like :func:`event_lag`; max is
+    bit-exact (it selects a stored double, no accumulation)."""
+    ds = (
+        ray.data.read_parquet(
+            f"{sf_dir_or_ds}/events.parquet",
+            columns=["event_id", "ts", "user_id", "value"],
+        )
+        if isinstance(sf_dir_or_ds, str)
+        else sf_dir_or_ds
+    )
+
+    def roll(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["ts", "event_id"], kind="mergesort")
+        rm = g["value"].rolling(window, min_periods=1).max()
+        return pd.DataFrame({"event_id": g["event_id"], "roll_max": rm})
+
+    return ds.groupby("user_id").map_groups(roll, batch_format="pandas")

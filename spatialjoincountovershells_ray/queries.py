@@ -432,6 +432,13 @@ def q_ann_lsh(sf_dir: str):
     )
 
 
+def q_ann_ivf(sf_dir: str):
+    ids, mat = _query_vectors(sf_dir)
+    return ann.ivf_topk(
+        ray.data.read_parquet(f"{sf_dir}/embeddings.parquet"), ids, mat, ANN_K
+    )
+
+
 # ---- SQL twins ------------------------------------------------------------
 
 _RANGE_SQL = (
@@ -571,6 +578,17 @@ _SESSIONS_SQL = (
     "FROM events) GROUP BY user_id"
 )
 
+_WINDOW_AGG_SQL = (
+    "SELECT user_id, CAST(floor(epoch_us(ts) / 3600000000.0) AS BIGINT) AS win, "
+    "CAST(COUNT(*) AS BIGINT) AS n_events, MIN(value) AS min_value, "
+    "MAX(value) AS max_value FROM events GROUP BY 1, 2 ORDER BY user_id, win"
+)
+
+_ROLLING_MAX_SQL = (
+    "SELECT event_id, MAX(value) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+    "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS roll_max FROM events"
+)
+
 def _geo_sql() -> str:
     from spatialjoincountovershells_ray.pipelines.geo_join import RAD, a_threshold
 
@@ -694,6 +712,8 @@ REGISTRY: dict[str, QueryDef] = {
     "event_type_counts": QueryDef(relational.event_type_counts, _EVENTS_SQL),
     "event_lag": QueryDef(events.event_lag, _EVENT_LAG_SQL),
     "user_sessions": QueryDef(events.user_sessions, _SESSIONS_SQL),
+    "event_window_agg": QueryDef(events.event_window_agg, _WINDOW_AGG_SQL),
+    "event_rolling_max": QueryDef(events.event_rolling_max, _ROLLING_MAX_SQL),
     "ann_topk": QueryDef(q_ann_topk, _ANN_SQL),
     "embedding_near_dups": QueryDef(q_embedding_near_dups, _NEAR_DUP_SQL),
     "fingerprints": QueryDef(q_fingerprints, _FINGERPRINT_SQL),
@@ -703,5 +723,6 @@ REGISTRY: dict[str, QueryDef] = {
     # codec) — rows-only checks
     "minhash_pairs": QueryDef(q_minhash_pairs, None),
     "ann_lsh": QueryDef(q_ann_lsh, None),
+    "ann_ivf": QueryDef(q_ann_ivf, None),
     "media_features": QueryDef(q_media_features, None),
 }

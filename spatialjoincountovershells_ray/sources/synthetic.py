@@ -66,7 +66,10 @@ def particles_dataset(
 
     if sharded:
         path = _sharded_lineitem_keys(sf_dir, nshards)
-        ds = ray.data.read_parquet(path)
+        # pin one block per shard: Ray's size-based read planning may
+        # otherwise bundle/split small files, and downstream per-block
+        # task counts (wave packing across CPU levels) depend on it
+        ds = ray.data.read_parquet(path, override_num_blocks=nshards)
     else:
         ds = ray.data.read_parquet(
             f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_linenumber"]

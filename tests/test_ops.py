@@ -223,6 +223,37 @@ class TestANN:
             recalls.append(len(e & a) / len(e))
         assert np.mean(recalls) >= 0.3  # approximate by design
 
+    def test_ivf_topk_recall(self):
+        tbl, m = self._emb(400, 16)
+        qids = np.arange(5, dtype=np.int64)
+        exact = dataset_to_table(
+            ann.cosine_topk(ray.data.from_arrow(tbl), qids, m[:5].astype(np.float64), 10)
+        ).to_pandas()
+        approx = dataset_to_table(
+            ann.ivf_topk(
+                ray.data.from_arrow(tbl), qids, m[:5].astype(np.float64), 10,
+                nlist=16, nprobe=6,
+            )
+        ).to_pandas()
+        recalls = []
+        for q in range(5):
+            e = set(exact[exact.qid == q].vec_id)
+            a = set(approx[approx.qid == q].vec_id)
+            recalls.append(len(e & a) / len(e))
+        # data-adaptive lists + 6/16 probes: should beat LSH's floor
+        assert np.mean(recalls) >= 0.5
+
+    def test_ivf_deterministic(self):
+        tbl, m = self._emb(200, 8)
+        qids = np.arange(2, dtype=np.int64)
+        runs = [
+            dataset_to_table(
+                ann.ivf_topk(ray.data.from_arrow(tbl), qids, m[:2].astype(np.float64), 5, nlist=8)
+            ).to_pandas()
+            for _ in range(2)
+        ]
+        assert runs[0].equals(runs[1])
+
 
 class TestTiles:
     def test_tile_assign_partition_of_space(self):
