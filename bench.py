@@ -163,6 +163,9 @@ BENCH_QUERIES = [
     "minhash_pairs",
     "simhash",
     "ann_topk",
+    "ann_ivf",
+    "event_window_agg",
+    "event_rolling_max",
     "lineitem_agg",
 ]
 

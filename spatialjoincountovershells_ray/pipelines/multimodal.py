@@ -86,3 +86,146 @@ def media_features(docs: "ray.data.Dataset", concurrency=None) -> "ray.data.Data
         batch_size=1024,
         concurrency=concurrency,
     )
+
+
+class MediaDecodeStub:
+    """Actor stage: (doc_id, media_ref) -> raw pixel payload + dims.
+
+    A real implementation opens the blob and decodes with PIL/libav,
+    loaded once here in ``__init__``. STUBBED (no codecs in this
+    container): with ``fake=True`` it emits a deterministic pseudo-image
+    whose dims and bytes derive from the media_ref hash, so downstream
+    stages (resize, feature extract) exercise real variable-size binary
+    payloads. Schema: doc_id, media_ref, height, width, channels,
+    pixels:binary (H*W*C row-major uint8)."""
+
+    def __init__(self, fake: bool = True):
+        if not fake:
+            raise NotImplementedError(
+                "image codecs are not available in this environment; "
+                "construct with fake=True for the deterministic stub"
+            )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        refs = batch.column("media_ref").to_pylist()
+        h0 = hash_bytes_rows([r.encode() for r in refs])
+        hts = (8 + (h0 % np.uint64(9))).astype(np.int32)  # 8..16
+        wds = (8 + (mix64(h0) % np.uint64(9))).astype(np.int32)
+        chans = np.full(len(refs), 3, dtype=np.int32)
+        # per-item loop is inherent to variable-size media decode; the
+        # byte generation inside is vectorized
+        pix = []
+        for i, seed in enumerate(h0):
+            n = int(hts[i]) * int(wds[i]) * 3
+            words = mix64(np.uint64(seed) + np.arange((n + 7) // 8, dtype=np.uint64))
+            pix.append(words.view(np.uint8)[:n].tobytes())
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "media_ref": batch.column("media_ref"),
+                "height": pa.array(hts, pa.int32()),
+                "width": pa.array(wds, pa.int32()),
+                "channels": pa.array(chans, pa.int32()),
+                "pixels": pa.array(pix, pa.binary()),
+            }
+        )
+
+
+class ResizeMedia:
+    """Actor stage: nearest-neighbour resize of raw uint8 images to a
+    fixed (out_h, out_w). REAL implementation (pure numpy index-gather —
+    no codec needed); per-row loop is inherent to variable input dims,
+    the gather per row is vectorized. Output pixels are
+    fixed_size_list<uint8> so downstream batches are rectangular."""
+
+    def __init__(self, out_h: int = 8, out_w: int = 8):
+        self.out_h, self.out_w = out_h, out_w
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        hts = batch.column("height").to_numpy()
+        wds = batch.column("width").to_numpy()
+        chans = batch.column("channels").to_numpy()
+        pix = batch.column("pixels").to_pylist()
+        oh, ow = self.out_h, self.out_w
+        out = np.empty((len(pix), oh * ow * 3), dtype=np.uint8)
+        for i, raw in enumerate(pix):
+            h, w, c = int(hts[i]), int(wds[i]), int(chans[i])
+            img = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, c)
+            # nearest-neighbour: src index = floor((dst + .5) * src/dst)
+            ri = ((np.arange(oh) + 0.5) * h / oh).astype(np.int64)
+            ci = ((np.arange(ow) + 0.5) * w / ow).astype(np.int64)
+            out[i] = img[ri][:, ci].reshape(-1)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "media_ref": batch.column("media_ref"),
+                "height": pa.array(np.full(len(pix), oh, dtype=np.int32)),
+                "width": pa.array(np.full(len(pix), ow, dtype=np.int32)),
+                "channels": batch.column("channels"),
+                "pixels": pa.array(list(out), pa.list_(pa.uint8(), oh * ow * 3)),
+            }
+        )
+
+
+def decode_resize(docs: "ray.data.Dataset", out_h: int = 8, out_w: int = 8,
+                  concurrency=None) -> "ray.data.Dataset":
+    """documents -> media spans -> decoded (stub) -> resized (real).
+
+    Small batch sizes on the decode stage: raw pixel payloads are the
+    large-binary case where batch_size × concurrency must fit the worker
+    heap (a real 4k image is ~24 MB decoded — batch of 128 is already
+    3 GB; keep it small and let the object store stream)."""
+    if concurrency is None:
+        concurrency = default_pool()
+    decoded = media_spans(docs).map_batches(
+        MediaDecodeStub,
+        fn_constructor_kwargs={"fake": True},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=256,
+        concurrency=concurrency,
+    )
+    return decoded.map_batches(
+        ResizeMedia,
+        fn_constructor_kwargs={"out_h": out_h, "out_w": out_w},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=256,
+        concurrency=concurrency,
+    )
+
+
+def sample_frames(docs: "ray.data.Dataset", stride: int = 10) -> "ray.data.Dataset":
+    """Frame sampling for video spans: every ``stride``-th frame index.
+
+    -> (doc_id, media_ref, frame_idx). Frame *count* comes from span
+    metadata (stubbed: derived from the ref hash, 1..120); the explode
+    itself is the real vectorized repeat/arange pattern a frame sampler
+    at scale needs (no per-row Python loop)."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        refs = batch.column("media_ref").to_pylist()
+        h = hash_bytes_rows([r.encode() for r in refs])
+        nframes = (1 + (h % np.uint64(120))).astype(np.int64)
+        counts = (nframes + stride - 1) // stride
+        parent = np.repeat(np.arange(len(refs), dtype=np.int64), counts)
+        # frame index within each span: global arange minus each span's start
+        starts = np.repeat(np.cumsum(counts) - counts, counts)
+        fidx = (np.arange(len(parent), dtype=np.int64) - starts) * stride
+        doc = batch.column("doc_id").combine_chunks() if isinstance(
+            batch.column("doc_id"), pa.ChunkedArray) else batch.column("doc_id")
+        ref = batch.column("media_ref").combine_chunks() if isinstance(
+            batch.column("media_ref"), pa.ChunkedArray) else batch.column("media_ref")
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "doc_id": pc.take(doc, pa.array(parent)),
+                "media_ref": pc.take(ref, pa.array(parent)),
+                "frame_idx": pa.array(fidx, pa.int64()),
+            }
+        )
+
+    return media_spans(docs).map_batches(
+        explode, batch_format="pyarrow", zero_copy_batch=True
+    )

@@ -432,6 +432,15 @@ def q_ann_lsh(sf_dir: str):
     )
 
 
+def q_media_frames(sf_dir: str):
+    """Frame-sampling plumbing over the spatial document table's media
+    spans (stub frame counts; real vectorized explode)."""
+    from spatialjoincountovershells_ray.pipelines.multimodal import sample_frames
+
+    hpath, _ = spatial_document_paths(sf_dir)
+    return sample_frames(ray.data.read_parquet(hpath), stride=10)
+
+
 def q_ann_ivf(sf_dir: str):
     ids, mat = _query_vectors(sf_dir)
     return ann.ivf_topk(
@@ -724,5 +733,6 @@ REGISTRY: dict[str, QueryDef] = {
     "minhash_pairs": QueryDef(q_minhash_pairs, None),
     "ann_lsh": QueryDef(q_ann_lsh, None),
     "ann_ivf": QueryDef(q_ann_ivf, None),
+    "media_frames": QueryDef(q_media_frames, None),
     "media_features": QueryDef(q_media_features, None),
 }

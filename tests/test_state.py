@@ -74,8 +74,69 @@ class TestMultimodal:
         import pytest
 
         from spatialjoincountovershells_ray.pipelines.multimodal import (
+            MediaDecodeStub,
             MediaFeatureExtractor,
         )
 
         with pytest.raises(NotImplementedError):
             MediaFeatureExtractor(fake=False)
+        with pytest.raises(NotImplementedError):
+            MediaDecodeStub(fake=False)
+
+    def test_decode_resize_pipeline(self):
+        from spatialjoincountovershells_ray.pipelines.multimodal import decode_resize
+        from spatialjoincountovershells_ray.pipelines.shell_count import dataset_to_table
+        from spatialjoincountovershells_ray.sources.documents import halo_documents
+
+        docs = halo_documents(np.arange(12), np.random.rand(12, 3) * 1000)
+        res = dataset_to_table(decode_resize(ray.data.from_arrow(docs), 4, 4)).to_pandas()
+        assert len(res) == 12
+        assert (res.height == 4).all() and (res.width == 4).all()
+        assert all(len(p) == 4 * 4 * 3 for p in res.pixels)
+        # deterministic
+        res2 = dataset_to_table(decode_resize(ray.data.from_arrow(docs), 4, 4)).to_pandas()
+        a = np.stack(res.sort_values("media_ref").pixels.to_numpy())
+        b = np.stack(res2.sort_values("media_ref").pixels.to_numpy())
+        np.testing.assert_array_equal(a, b)
+
+    def test_resize_nearest_neighbour_exact(self):
+        import pyarrow as pa
+
+        from spatialjoincountovershells_ray.pipelines.multimodal import ResizeMedia
+
+        # 4x4x3 image with pixel value = 10*row + col in every channel
+        img = np.zeros((4, 4, 3), dtype=np.uint8)
+        for r in range(4):
+            for c in range(4):
+                img[r, c] = 10 * r + c
+        batch = pa.table(
+            {
+                "doc_id": pa.array([1], pa.int64()),
+                "media_ref": pa.array(["m"], pa.string()),
+                "height": pa.array([4], pa.int32()),
+                "width": pa.array([4], pa.int32()),
+                "channels": pa.array([3], pa.int32()),
+                "pixels": pa.array([img.tobytes()], pa.binary()),
+            }
+        )
+        out = ResizeMedia(2, 2)(batch)
+        got = np.asarray(out.column("pixels").to_pylist()[0], dtype=np.uint8).reshape(2, 2, 3)
+        # centers at src rows/cols floor((i+.5)*2) = 1, 3
+        want = img[[1, 3]][:, [1, 3]]
+        np.testing.assert_array_equal(got, want)
+
+    def test_sample_frames(self):
+        from spatialjoincountovershells_ray.pipelines.multimodal import sample_frames
+        from spatialjoincountovershells_ray.pipelines.shell_count import dataset_to_table
+        from spatialjoincountovershells_ray.sources.documents import halo_documents
+
+        docs = halo_documents(np.arange(10), np.random.rand(10, 3) * 1000)
+        res = dataset_to_table(sample_frames(ray.data.from_arrow(docs), stride=10)).to_pandas()
+        assert res.frame_idx.min() == 0
+        assert (res.frame_idx % 10 == 0).all()
+        # every span contributes frame 0, and indices are unique per span
+        per = res.groupby("media_ref").frame_idx
+        assert (per.min() == 0).all()
+        assert per.apply(lambda s: s.is_unique).all()
+        # per-span count = ceil(nframes/stride) <= 12 (nframes <= 120)
+        assert per.count().max() <= 12
