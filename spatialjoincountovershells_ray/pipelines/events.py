@@ -127,6 +127,49 @@ def event_window_agg(sf_dir_or_ds) -> "ray.data.Dataset":
     )
 
 
+def event_asof_join(
+    sf_dir_or_ds, left_type: str = "purchase", right_type: str = "click"
+) -> "ray.data.Dataset":
+    """Keyed as-of join: for each ``left_type`` event, the latest
+    ``right_type`` event of the same user at or before it in
+    (ts, event_id) order. -> event_id:int64, prev_click_id:float64|NaN.
+
+    The classic as-of shape done Ray-Data-first: a vectorized type
+    filter *before* the keyed exchange (only the two joined types are
+    shuffled), then per-user sort + forward-fill — no global sort, no
+    row loop. Ties at equal ts resolve by event_id, deterministically."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ds = (
+        ray.data.read_parquet(
+            f"{sf_dir_or_ds}/events.parquet",
+            columns=["event_id", "ts", "user_id", "event_type"],
+        )
+        if isinstance(sf_dir_or_ds, str)
+        else sf_dir_or_ds
+    )
+
+    def prefilter(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(
+            batch.column("event_type"), value_set=pa.array([left_type, right_type])
+        )
+        return batch.filter(mask)
+
+    slim = ds.map_batches(prefilter, batch_format="pyarrow", zero_copy_batch=True)
+
+    def asof(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["ts", "event_id"], kind="mergesort")
+        right_ids = g["event_id"].where(g["event_type"].eq(right_type))
+        prev = right_ids.ffill().astype("float64")  # driver-canonical null repr
+        sel = g["event_type"].eq(left_type)
+        return pd.DataFrame(
+            {"event_id": g.loc[sel, "event_id"], "prev_click_id": prev[sel]}
+        )
+
+    return slim.groupby("user_id").map_groups(asof, batch_format="pandas")
+
+
 def event_rolling_max(sf_dir_or_ds, window: int = 3) -> "ray.data.Dataset":
     """ROWS-window op: -> event_id, roll_max — max of ``value`` over the
     current + previous ``window-1`` events of the same user in

@@ -593,6 +593,16 @@ _WINDOW_AGG_SQL = (
     "MAX(value) AS max_value FROM events GROUP BY 1, 2 ORDER BY user_id, win"
 )
 
+_ASOF_SQL = (
+    "SELECT event_id, prev_click_id FROM ("
+    "SELECT event_id, event_type, "
+    "last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS) "
+    "OVER (PARTITION BY user_id ORDER BY ts, event_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_click_id "
+    "FROM events WHERE event_type IN ('click', 'purchase')"
+    ") WHERE event_type = 'purchase'"
+)
+
 _ROLLING_MAX_SQL = (
     "SELECT event_id, MAX(value) OVER (PARTITION BY user_id ORDER BY ts, event_id "
     "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS roll_max FROM events"
@@ -723,6 +733,7 @@ REGISTRY: dict[str, QueryDef] = {
     "user_sessions": QueryDef(events.user_sessions, _SESSIONS_SQL),
     "event_window_agg": QueryDef(events.event_window_agg, _WINDOW_AGG_SQL),
     "event_rolling_max": QueryDef(events.event_rolling_max, _ROLLING_MAX_SQL),
+    "event_asof_join": QueryDef(events.event_asof_join, _ASOF_SQL),
     "ann_topk": QueryDef(q_ann_topk, _ANN_SQL),
     "embedding_near_dups": QueryDef(q_embedding_near_dups, _NEAR_DUP_SQL),
     "fingerprints": QueryDef(q_fingerprints, _FINGERPRINT_SQL),

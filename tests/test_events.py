@@ -43,6 +43,69 @@ def test_event_lag():
     assert pd.isna(res.prev_event_id[3])
 
 
+def test_event_asof_join_tie_and_order():
+    # user 1: click(1) @10:00, purchase(2) @10:00 (tie ts, click id < purchase
+    # id -> eligible), click(3) @10:05, purchase(4) @10:10 -> matches 3;
+    # user 2: purchase(5) with no prior click -> NaN; click(6) after it.
+    ts = pd.to_datetime(
+        [
+            "2026-01-01 10:00:00",
+            "2026-01-01 10:00:00",
+            "2026-01-01 10:05:00",
+            "2026-01-01 10:10:00",
+            "2026-01-01 10:00:00",
+            "2026-01-01 10:30:00",
+        ]
+    )
+    tbl = pa.table(
+        {
+            "event_id": np.array([1, 2, 3, 4, 5, 6], dtype=np.int64),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "user_id": np.array([1, 1, 1, 1, 2, 2], dtype=np.int64),
+            "event_type": ["click", "purchase", "click", "purchase", "purchase", "click"],
+        }
+    )
+    res = (
+        dataset_to_table(events.event_asof_join(ray.data.from_arrow(tbl)))
+        .to_pandas()
+        .sort_values("event_id")
+        .set_index("event_id")
+    )
+    assert res.index.tolist() == [2, 4, 5]
+    assert res.loc[2, "prev_click_id"] == 1.0
+    assert res.loc[4, "prev_click_id"] == 3.0
+    assert pd.isna(res.loc[5, "prev_click_id"])
+
+
+def test_event_window_agg_small():
+    ds = ray.data.from_arrow(
+        _events_table().append_column(
+            "value", pa.array([1.5, 2.5, 3.5, 9.0], pa.float64())
+        )
+    )
+    res = dataset_to_table(events.event_window_agg(ds)).to_pandas()
+    u1 = res[res.user_id == 1]
+    # 10:00 and 10:10 share an hour bucket; 11:00:01 is the next
+    assert len(u1) == 2 and u1.n_events.tolist() == [2, 1]
+    assert u1.min_value.tolist() == [1.5, 3.5]
+    assert u1.max_value.tolist() == [2.5, 3.5]
+
+
+def test_event_rolling_max_small():
+    ds = ray.data.from_arrow(
+        _events_table().append_column(
+            "value", pa.array([5.0, 2.0, 3.0, 9.0], pa.float64())
+        )
+    )
+    res = (
+        dataset_to_table(events.event_rolling_max(ds))
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert res.roll_max.tolist() == [5.0, 5.0, 5.0, 9.0]
+
+
 def test_user_sessions_gap_rule():
     ds = ray.data.from_arrow(_events_table())
     res = (
