@@ -5,10 +5,12 @@ Prints ONE JSON line:
      "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
      "pairs_per_sec": ..., "probes_per_sec": ...}
 
-``--scaling`` runs the headline pipeline twice in FRESH processes
-(num_cpus=8 then 32) on the same input and reports both throughputs plus
-scaling efficiency (T_8/T_32)/4 — the sandbox stand-in for the N vs 4N
-node cluster rule (see BASELINE.md).
+``--scaling`` runs the pair-dense scaling workload at two parallelism
+levels (default 7 and 28 CPUs) in interleaved FRESH processes — npairs
+alternating lo/hi trials so both levels sample the same host-noise
+epochs — and reports min-based throughputs, per-pair efficiencies and
+the scaling efficiency (T_lo/T_hi)/(hi/lo): the sandbox stand-in for
+the N vs 4N node cluster rule (see BASELINE.md).
 """
 
 from __future__ import annotations
@@ -77,7 +79,7 @@ def run_headline(sf_dir: str) -> dict:
     }
 
 
-def run_scaling_workload(sf_dir: str) -> dict:
+def run_scaling_workload(sf_dir: str, *, ntrials: int = 3, light_warmup: bool = False) -> dict:
     """The workload of the two-parallelism-level comparison: the same
     shell-count join with a wider ladder (rmax=300 -> ~1G counted pairs at
     sf0.1), so the parallel join phase dominates the one-time setup that
@@ -129,15 +131,31 @@ def run_scaling_workload(sf_dir: str) -> dict:
                 pairs += pc.sum(b.column(f"s{i}")).as_py() or 0
         return rows, pairs
 
-    once()  # warmup (worker imports, first-touch, index put)
-    # best-of-3: this machine's timings vary >2x run-to-run under external
+    if light_warmup:
+        # warm worker imports / index put / first-touch with a single 1x
+        # pass over all shards (touches every worker slot); the full 4x
+        # warmup is wasted work when file page cache is already host-warm
+        nsh = int(os.environ.get("SCALING_NSHARDS", "56"))
+        wds = sc.shell_count(
+            None,
+            synthetic.particles_dataset(sf_dir, sharded=True, nshards=nsh),
+            ladder,
+            halo_index=idx,
+            sort=False,
+            batch_size=None,
+        )
+        for _ in wds.iter_batches(batch_format="pyarrow"):
+            pass
+    else:
+        once()  # warmup (worker imports, first-touch, index put)
+    # min-of-N: this machine's timings vary >2x run-to-run under external
     # noise; the minimum is the standard noise-robust estimator. The host
-    # (shared; /proc/loadavg is not namespaced) carries a ~17 load of
-    # external tasks while this container idles — record it per trial so
+    # (shared; /proc/loadavg is not namespaced) carries a fluctuating
+    # external load while this container idles — record it per trial so
     # the noise source is in the evidence.
     best = None
     trials = []
-    for _ in range(3):
+    for _ in range(ntrials):
         la0 = os.getloadavg()[0]
         t0 = time.time()
         rows, pairs = once()
@@ -182,6 +200,7 @@ def main() -> None:
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--headline-only", action="store_true")
     ap.add_argument("--scaling-workload", action="store_true")
+    ap.add_argument("--one-trial", action="store_true")
     ap.add_argument("--sf-dir", default=SF_DIR)
     args = ap.parse_args()
 
@@ -191,47 +210,103 @@ def main() -> None:
         # cluster those run on reserved cores per node; with workers on
         # all 32 hardware threads they steal worker cycles only at the
         # high-parallelism level and bias the ratio (measured ~15%).
+        #
+        # INTERLEAVED PAIRS: host load drifts on ~minutes timescales (other
+        # tenants; loadavg ~17 while this container idles), so running all
+        # lo-level trials then all hi-level trials confounds the ratio with
+        # the drift (measured: the later trials within a run are up to 20%
+        # slower). Alternating fresh lo/hi processes samples both levels
+        # from the same noise epochs; min over trials per level is the
+        # noise-robust estimator of each level's capability.
         levels = tuple(
             int(x) for x in os.environ.get("SCALING_CPUS", "7,28").split(",")
         )
-        results = {}
-        for cpus in levels:
-            env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus), GRAFT_SF_DIR=args.sf_dir)
-            out = subprocess.run(
-                [sys.executable, __file__, "--scaling-workload", "--sf-dir", args.sf_dir],
-                env=env,
-                capture_output=True,
-                text=True,
-                check=False,
-            )
-            line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
-            if not line:
-                print(json.dumps({"error": out.stderr[-2000:]}))
-                sys.exit(1)
-            results[cpus] = json.loads(line[-1])
+        npairs = int(os.environ.get("SCALING_PAIRS", "5"))
+        with_control = os.environ.get("SCALING_CONTROL", "1") != "0"
+        control = os.path.join(REPO, "tools", "scaling_control.py")
         lo, hi = levels
-        t_lo = results[lo]["value"]
-        t_hi = results[hi]["value"]
-        ratio = hi / lo
-        eff = (t_lo / t_hi) / ratio if t_hi else None
-        print(
-            json.dumps(
-                {
-                    "metric": f"shell-count scaling {lo}->{hi} cpus",
-                    "value": eff,
-                    "unit": "efficiency",
-                    f"sec_{lo}cpu": t_lo,
-                    f"sec_{hi}cpu": t_hi,
-                    f"pairs_per_sec_{lo}cpu": results[lo].get("pairs_per_sec"),
-                    f"pairs_per_sec_{hi}cpu": results[hi].get("pairs_per_sec"),
-                    f"trials_{lo}cpu": results[lo].get("trials"),
-                    f"trials_{hi}cpu": results[hi].get("trials"),
-                    "counted_pairs": results[hi].get("counted_pairs"),
-                    "sf": args.sf_dir,
-                }
+        times: dict[int, list] = {lo: [], hi: []}
+        loads: dict[int, list] = {lo: [], hi: []}
+        ctl_rates: dict[int, list] = {lo: [], hi: []}
+        pair_effs, pair_ctl_effs = [], []
+        for p in range(npairs):
+            for cpus in (lo, hi):
+                env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus), GRAFT_SF_DIR=args.sf_dir)
+                out = subprocess.run(
+                    [
+                        sys.executable, __file__, "--scaling-workload", "--one-trial",
+                        "--sf-dir", args.sf_dir,
+                    ],
+                    env=env,
+                    capture_output=True,
+                    text=True,
+                    check=False,
+                )
+                line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
+                if not line:
+                    print(json.dumps({"error": out.stderr[-2000:]}))
+                    sys.exit(1)
+                r = json.loads(line[-1])
+                times[cpus].append(r["value"])
+                loads[cpus].append(r.get("host_load_before_init"))
+                if with_control:
+                    # same-epoch machine ceiling: the identical join kernel
+                    # in bare processes (no Ray) right after the engine run
+                    cout = subprocess.run(
+                        [sys.executable, control, str(cpus), "8"],
+                        capture_output=True,
+                        text=True,
+                        check=False,
+                    )
+                    cline = [
+                        l for l in cout.stdout.strip().splitlines() if l.startswith("{")
+                    ]
+                    if cline:
+                        ctl_rates[cpus].append(
+                            json.loads(cline[-1])["total_pairs_per_sec"]
+                        )
+            pair_effs.append(
+                round((times[lo][-1] / times[hi][-1]) / (hi / lo), 3)
             )
-        )
+            if with_control and ctl_rates[lo] and ctl_rates[hi]:
+                pair_ctl_effs.append(
+                    round(
+                        (ctl_rates[hi][-1] / ctl_rates[lo][-1]) / (hi / lo), 3
+                    )
+                )
+        t_lo, t_hi = min(times[lo]), min(times[hi])
+        eff = (t_lo / t_hi) / (hi / lo)
+        result = {
+            "metric": f"shell-count scaling {lo}->{hi} cpus",
+            "value": eff,
+            "unit": "efficiency",
+            f"sec_{lo}cpu": t_lo,
+            f"sec_{hi}cpu": t_hi,
+            f"all_sec_{lo}cpu": times[lo],
+            f"all_sec_{hi}cpu": times[hi],
+            f"ext_load_{lo}cpu": loads[lo],
+            f"ext_load_{hi}cpu": loads[hi],
+            "pair_efficiencies": pair_effs,
+            "npairs": npairs,
+            "sf": args.sf_dir,
+        }
+        if with_control and pair_ctl_effs:
+            # machine ceiling = best kernel-only rate per level (no Ray,
+            # no engine); engine-layer efficiency is how much of that
+            # ceiling the full pipeline achieves
+            ctl_eff = (max(ctl_rates[hi]) / max(ctl_rates[lo])) / (hi / lo)
+            result["machine_ceiling_efficiency"] = round(ctl_eff, 3)
+            result["pair_ceiling_efficiencies"] = pair_ctl_effs
+            result["engine_layer_efficiency"] = round(eff / ctl_eff, 3) if ctl_eff else None
+            result[f"ctl_pairs_per_sec_{lo}cpu"] = [round(x) for x in ctl_rates[lo]]
+            result[f"ctl_pairs_per_sec_{hi}cpu"] = [round(x) for x in ctl_rates[hi]]
+        print(json.dumps(result))
         return
+
+    # external-host-load reading, taken before our own Ray cluster exists
+    # (loadavg is host-wide, not namespaced): anything here is other
+    # tenants' work on the shared box
+    load_before_init = os.getloadavg()[0]
 
     import ray
 
@@ -239,7 +314,11 @@ def main() -> None:
         ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False)
 
     if args.scaling_workload:
-        r = run_scaling_workload(args.sf_dir)
+        r = run_scaling_workload(
+            args.sf_dir,
+            ntrials=1 if args.one_trial else 3,
+            light_warmup=args.one_trial,
+        )
         print(
             json.dumps(
                 {
@@ -251,6 +330,7 @@ def main() -> None:
                     "counted_pairs": r["counted_pairs"],
                     "pairs_per_sec": round(r["pairs_per_sec"] or 0),
                     "trials": r["trials"],
+                    "host_load_before_init": round(load_before_init, 1),
                 }
             )
         )

@@ -146,13 +146,34 @@ def shell_count(
     salt_target: int = 200_000,
     halo_index: "HaloIndex | None" = None,
     exchange: str = "bucket",
+    auto_broadcast_bytes: float = 2 * 1024**3,
 ) -> "ray.data.Dataset":
-    """Per-halo shell histograms: halo_id:int64, s0..s{nrads-1}:int64."""
+    """Per-halo shell histograms: halo_id:int64, s0..s{nrads-1}:int64.
+
+    ``mode='auto'`` picks broadcast vs shuffle from the estimated
+    replicated-index footprint vs ``auto_broadcast_bytes``."""
     # default grid: ~3 cells per rmax per axis (sweep-tuned: candidate
     # pruning wins over replica-index growth up to L ~ rmax/3 with the
     # sphere-tightened cover). Tune per workload via `grid`.
     grid = grid or GridSpec.for_radius(ladder.rmax, box=box, target_cells_per_r=3.0)
     nrads = ladder.nrads
+
+    if mode == "auto":
+        # cost-based plan choice: broadcast iff the replicated halo index
+        # fits a per-worker budget; otherwise exchange both sides. The
+        # index footprint is nhalos x cover-cells-per-ball x bytes-per-
+        # replica (3 coords + id + CSR slot); 0.6 ~= sphere/cube volume
+        # ratio of the tightened cover. Counting a Dataset halo side may
+        # execute its pipeline — pass a pa.Table or halo_index when that
+        # matters.
+        if halo_index is not None:
+            mode = "broadcast"
+        else:
+            n = len(halos) if isinstance(halos, pa.Table) else halos.count()
+            cover = 0.6 * (2.0 * ladder.rmax / grid.L + 1.0) ** 3
+            bytes_per_replica = 3 * np.dtype(ladder.dtype).itemsize + 16
+            est = n * cover * bytes_per_replica
+            mode = "broadcast" if est <= auto_broadcast_bytes else "shuffle"
 
     if mode == "broadcast":
         if halo_index is not None:

@@ -93,6 +93,32 @@ def test_shell_count_matches_oracle_uniform(mode, dtype):
     np.testing.assert_array_equal(got, oracle.astype(np.int64))
 
 
+def test_shell_count_auto_mode_matches_both_plans():
+    """mode='auto' picks a plan by estimated index footprint; either way
+    the result equals the explicit plans."""
+    hxyz = uniform_coords(MT19937(1659533), 100)
+    pxyz = uniform_coords(MT19937(113), 2000)
+    lad = RadiusLadder.log2_spaced(1, 100, 8, dtype=np.float64)
+    halos, parts = _tables(hxyz, pxyz, np.float64)
+    want = (
+        dataset_to_table(shell_count(halos, parts, lad, mode="broadcast"))
+        .to_pandas()
+        .sort_values("halo_id")
+        .reset_index(drop=True)
+    )
+    # generous budget -> broadcast; zero budget -> shuffle; same numbers
+    for budget in (2 * 1024**3, 0):
+        got = (
+            dataset_to_table(
+                shell_count(halos, parts, lad, mode="auto", auto_broadcast_bytes=budget)
+            )
+            .to_pandas()
+            .sort_values("halo_id")
+            .reset_index(drop=True)
+        )
+        assert got.equals(want)
+
+
 def test_shell_count_multifile_accumulation():
     """Counts accumulate over unioned particle shards (reference A2
     semantics: one counts matrix shared across files,
