@@ -174,24 +174,39 @@ def run_scaling_workload(sf_dir: str, *, ntrials: int = 3, light_warmup: bool = 
 
 BENCH_QUERIES = [
     "shell_count_shuffle",
+    "shell_count_salted",
+    "shell_count_docs",
+    "shell_count_filtered",
     "range_join",
     "range_join_shuffle",
     "geo_range_join",
     "embedding_near_dups",
     "knn",
+    "knn_shuffle",
     "tile_assign",
     "point_in_rects",
     "point_in_polygons",
     "token_count",
     "quality_counts",
+    "lang_id",
     "exact_dedup",
     "minhash_pairs",
     "simhash",
+    "ngram_jaccard",
+    "fingerprints",
     "ann_topk",
+    "ann_lsh",
     "ann_ivf",
+    "event_type_counts",
+    "event_lag",
+    "user_sessions",
     "event_window_agg",
     "event_rolling_max",
+    "event_asof_join",
+    "orders_per_segment",
     "lineitem_agg",
+    "media_frames",
+    "media_features",
 ]
 
 
