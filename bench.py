@@ -29,6 +29,28 @@ SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
 
+def _proc_stat():
+    """Host-wide (not namespaced) cumulative jiffies from /proc/stat."""
+    with open("/proc/stat") as f:
+        parts = f.readline().split()[1:]
+    vals = [int(x) for x in parts[:8]]  # user nice system idle iowait irq softirq steal
+    return {"nice": vals[1], "steal": vals[7], "total": sum(vals)}
+
+
+def ext_cpu_fraction(before: dict, after: dict) -> float:
+    """External interference during a window: the hypervisor-steal share
+    of all jiffies. NOTE: nice time is NOT external here — Ray Data runs
+    its map workers at nice 15 (verified with ps during a trial), so the
+    host's large cumulative nice time is this engine's own kernel work,
+    and loadavg-before-init readings mostly pick up our own decayed
+    prior trials. Steal is the only host-level signal of somebody else
+    (the hypervisor) taking cycles out of a timing window."""
+    dt = after["total"] - before["total"]
+    if dt <= 0:
+        return 0.0
+    return (after["steal"] - before["steal"]) / dt
+
+
 def _consume(res) -> int:
     """Fully execute a Dataset/table; return row count."""
     import pandas as pd
@@ -154,20 +176,31 @@ def run_scaling_workload(sf_dir: str, *, ntrials: int = 3, light_warmup: bool = 
     # external load while this container idles — record it per trial so
     # the noise source is in the evidence.
     best = None
+    best_ext = None
     trials = []
     for _ in range(ntrials):
         la0 = os.getloadavg()[0]
+        st0 = _proc_stat()
         t0 = time.time()
         rows, pairs = once()
         elapsed = time.time() - t0
-        trials.append({"sec": round(elapsed, 3), "host_load1m": round(la0, 1)})
+        ext = ext_cpu_fraction(st0, _proc_stat())
+        trials.append(
+            {
+                "sec": round(elapsed, 3),
+                "host_load1m": round(la0, 1),
+                "ext_cpu_frac": round(ext, 4),
+            }
+        )
         if best is None or elapsed < best:
             best = elapsed
+            best_ext = ext
     return {
         "sec": best,
         "halos": rows,
         "counted_pairs": pairs,
         "pairs_per_sec": pairs / best if best else None,
+        "ext_cpu_frac": best_ext,
         "trials": trials,
     }
 
@@ -242,6 +275,7 @@ def main() -> None:
         lo, hi = levels
         times: dict[int, list] = {lo: [], hi: []}
         loads: dict[int, list] = {lo: [], hi: []}
+        exts: dict[int, list] = {lo: [], hi: []}
         ctl_rates: dict[int, list] = {lo: [], hi: []}
         pair_effs, pair_ctl_effs = [], []
         for p in range(npairs):
@@ -264,6 +298,7 @@ def main() -> None:
                 r = json.loads(line[-1])
                 times[cpus].append(r["value"])
                 loads[cpus].append(r.get("host_load_before_init"))
+                exts[cpus].append(r.get("ext_cpu_frac"))
                 if with_control:
                     # same-epoch machine ceiling: the identical join kernel
                     # in bare processes (no Ray) right after the engine run
@@ -291,6 +326,37 @@ def main() -> None:
                 )
         t_lo, t_hi = min(times[lo]), min(times[hi])
         eff = (t_lo / t_hi) / (hi / lo)
+        # The min-based number mixes epochs (the two minima can come from
+        # different pairs); the per-pair median is the drift-robust primary
+        # estimator the interleaved design exists for.
+        srt = sorted(pair_effs)
+        pair_median = (
+            srt[len(srt) // 2]
+            if len(srt) % 2
+            else (srt[len(srt) // 2 - 1] + srt[len(srt) // 2]) / 2
+        )
+        # clean pairs: both trials saw <2% external (other-tenant nice +
+        # hypervisor steal) CPU during their windows — the efficiency the
+        # machine shows when nobody else is on it
+        clean_effs = [
+            pair_effs[p]
+            for p in range(npairs)
+            if (exts[lo][p] or 0) <= 0.02 and (exts[hi][p] or 0) <= 0.02
+        ]
+        # steal-adjusted: hypervisor steal removes capacity roughly
+        # proportionally (measured: steal spikes to ~14% exactly when the
+        # 28-CPU level demands the whole VM, ~0 at 7 CPUs — a shared-host
+        # artifact a dedicated 4N-node cluster does not have), so scale
+        # each wall time by its window's non-stolen fraction
+        steal_adj_effs = [
+            round(
+                (times[lo][p] * (1 - (exts[lo][p] or 0)))
+                / (times[hi][p] * (1 - (exts[hi][p] or 0)))
+                / (hi / lo),
+                3,
+            )
+            for p in range(npairs)
+        ]
         result = {
             "metric": f"shell-count scaling {lo}->{hi} cpus",
             "value": eff,
@@ -301,7 +367,16 @@ def main() -> None:
             f"all_sec_{hi}cpu": times[hi],
             f"ext_load_{lo}cpu": loads[lo],
             f"ext_load_{hi}cpu": loads[hi],
+            f"ext_cpu_frac_{lo}cpu": exts[lo],
+            f"ext_cpu_frac_{hi}cpu": exts[hi],
             "pair_efficiencies": pair_effs,
+            "pair_eff_median": round(pair_median, 3),
+            "pair_eff_best": max(pair_effs) if pair_effs else None,
+            "clean_pair_efficiencies": clean_effs,
+            "steal_adj_pair_efficiencies": steal_adj_effs,
+            "steal_adj_median": round(sorted(steal_adj_effs)[len(steal_adj_effs) // 2], 3)
+            if steal_adj_effs
+            else None,
             "npairs": npairs,
             "sf": args.sf_dir,
         }
@@ -346,6 +421,7 @@ def main() -> None:
                     "pairs_per_sec": round(r["pairs_per_sec"] or 0),
                     "trials": r["trials"],
                     "host_load_before_init": round(load_before_init, 1),
+                    "ext_cpu_frac": round(r.get("ext_cpu_frac") or 0.0, 4),
                 }
             )
         )
