@@ -1,0 +1,187 @@
+"""Decomposable relational aggregates: top-k per group, discrete
+quantiles per group, distinct count per group, deterministic hash
+sampling.
+
+Engine extensions (no reference counterpart — the reference's only
+aggregates are the grouped shell counts, src/astr_rcount/main.c); these
+cover the reduce-side surface a training-data pipeline needs. Every op
+pre-reduces inside ``map_batches`` (a combiner) so the shuffle carries
+partial state bounded by groups x k (top-k), groups x distinct values
+(quantile histograms) or groups x distinct members (distinct count) —
+never the raw rows. The hash sample is stateless map-only with an
+SQL-parity multiply-mod predicate (same contract as
+functions.hashing.derive_coord: int64 arithmetic that an ANSI-SQL
+oracle evaluates bit-for-bit).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+
+# SQL-parity sampling hash: keep iff (key*A + B) % M < M*rate.
+# A odd 32-bit (Knuth), products bounded like derive_coord so numpy's
+# silent int64 wraparound can never diverge from the SQL twin.
+_SAMPLE_A = 2654435761
+_SAMPLE_B = 7
+_SAMPLE_M = 1_000_000
+_SAMPLE_MAX_KEY = ((1 << 63) - 1 - _SAMPLE_B) // _SAMPLE_A
+
+
+def sample_hash_sql(key_expr: str, rate: float) -> str:
+    """DuckDB-evaluable twin of the :func:`hash_sample` predicate."""
+    thresh = int(rate * _SAMPLE_M)
+    return f"({key_expr} * {_SAMPLE_A} + {_SAMPLE_B}) % {_SAMPLE_M} < {thresh}"
+
+
+def hash_sample(
+    ds: "ray.data.Dataset", key: str, rate: float, columns: list[str] | None = None
+) -> "ray.data.Dataset":
+    """Deterministic ~``rate`` sample keyed on an int64 column.
+
+    Map-only (no shuffle, no RNG state): the same key always lands on the
+    same side of the cut, so re-runs, retries and incremental loads
+    sample consistently — the property a 100 TB pipeline needs from its
+    sampling stage."""
+    thresh = np.int64(int(rate * _SAMPLE_M))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        k = batch.column(key).to_numpy()
+        if k.size and int(k.max(initial=0)) > _SAMPLE_MAX_KEY:
+            raise ValueError(
+                f"{key} exceeds {_SAMPLE_MAX_KEY} — k*A+B would wrap int64 "
+                "and silently diverge from the SQL twin"
+            )
+        v = (k.astype(np.int64) * np.int64(_SAMPLE_A) + np.int64(_SAMPLE_B)) % np.int64(
+            _SAMPLE_M
+        )
+        return batch.filter(pa.array(v < thresh))
+
+    if columns is not None:
+        ds = ds.select_columns(columns)
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _topk_frame(df: pd.DataFrame, group: str, order: str, ident: str, k: int) -> pd.DataFrame:
+    """Top-k rows per group by (order DESC, ident ASC) — deterministic."""
+    df = df.sort_values([group, order, ident], ascending=[True, False, True], kind="mergesort")
+    return df.groupby(group, sort=False).head(k)
+
+
+def topk_per_group(
+    ds: "ray.data.Dataset", group: str, order: str, ident: str, k: int
+) -> "ray.data.Dataset":
+    """-> group, ident, order, rnk:int64 (1-based) — the k rows with the
+    largest ``order`` per group, ties broken by ascending ``ident``.
+
+    Two-stage: each batch keeps only its own top-k per group (the global
+    top-k is a subset of the per-batch top-k's — max is decomposable),
+    then one groupby over <= k rows per group per batch finishes. The
+    exchange moves O(groups x k x batches) rows, not the table."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = _topk_frame(batch.select([group, ident, order]).to_pandas(), group, order, ident, k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = _topk_frame(g, group, order, ident, k)
+        g = g.assign(rnk=np.arange(1, len(g) + 1, dtype=np.int64))
+        return g[[group, ident, order, "rnk"]]
+
+    return (
+        ds.select_columns([group, ident, order])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(group)
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+def grouped_quantiles_disc(
+    ds: "ray.data.Dataset", group: str, value: str, qs: dict[str, float]
+) -> "ray.data.Dataset":
+    """-> group, <name>:int64 per entry of ``qs`` — exact discrete
+    quantiles (DuckDB ``quantile_disc`` semantics: sorted[ceil(q*n)-1]).
+
+    Decomposable histogram plan: batches emit (group, value, n) partial
+    counts, the groupby merges histograms and reads the quantile off the
+    cumulative counts. Exchange volume is groups x distinct values —
+    exact quantiles without shuffling a single raw row. (For unbounded
+    float domains you'd bucket values first and accept bucket-width
+    error; integer-ish feature columns — lengths, token counts — are the
+    common case and stay exact.)"""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select([group, value]).to_pandas()
+        counts = df.groupby([group, value], sort=False).size().reset_index(name="n")
+        counts["n"] = counts["n"].astype(np.int64)
+        return pa.Table.from_pandas(counts, preserve_index=False)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(value, kind="mergesort")
+        vals = g[value].to_numpy()
+        cum = g["n"].to_numpy().cumsum()
+        total = int(cum[-1])
+        out = {group: [g[group].iloc[0]]}
+        for name, q in qs.items():
+            idx = max(0, int(np.ceil(q * total)) - 1)
+            out[name] = [np.int64(vals[np.searchsorted(cum, idx + 1)])]
+        return pd.DataFrame(out)
+
+    return (
+        ds.select_columns([group, value])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(group)
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+def distinct_count_per_group(
+    ds: "ray.data.Dataset", group: str, member: str
+) -> "ray.data.Dataset":
+    """-> group, n_distinct:int64 — exact COUNT(DISTINCT member) per group.
+
+    Batches pre-dedup their own (group, member) pairs, so the exchange
+    carries at most one row per pair per batch; the groupby counts
+    uniques across batches. For member cardinalities too large for one
+    reducer, hash-partition on (group, member) first and sum partial
+    distinct counts — same two-level shape, one more exchange."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return batch.select([group, member]).group_by([group, member]).aggregate([])
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {group: [g[group].iloc[0]], "n_distinct": [np.int64(g[member].nunique())]}
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(group)
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+def daily_active_users(events: "ray.data.Dataset") -> "ray.data.Dataset":
+    """-> day:string (YYYY-MM-DD), n_users:int64 — exact DAU."""
+
+    def to_day(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "day": pc.strftime(batch.column("ts"), format="%Y-%m-%d"),
+                "user_id": batch.column("user_id"),
+            }
+        )
+
+    days = events.select_columns(["ts", "user_id"]).map_batches(
+        to_day, batch_format="pyarrow", zero_copy_batch=True
+    )
+    out = distinct_count_per_group(days, "day", "user_id")
+    # driver-canonical column name
+    return out.map_batches(
+        lambda b: b.rename_columns(["day", "n_users"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )

@@ -31,7 +31,7 @@ from spatialjoincountovershells_ray.sources.documents import (
     particle_documents,
     write_documents,
 )
-from spatialjoincountovershells_ray.pipelines import ann, dedup, events, knn, range_join, relational
+from spatialjoincountovershells_ray.pipelines import ann, dedup, events, knn, range_join, relagg, relational
 from spatialjoincountovershells_ray.pipelines import shell_count as sc
 from spatialjoincountovershells_ray.pipelines import textops, tiles
 
@@ -362,6 +362,51 @@ def q_exact_dedup(sf_dir: str):
 
 def q_fingerprints(sf_dir: str):
     return textops.fingerprints(ray.data.read_parquet(f"{sf_dir}/documents.parquet"))
+
+
+DOC_SAMPLE_RATE = 0.1
+TOPK_PER_SOURCE = 3
+
+
+def q_doc_sample(sf_dir: str):
+    """Deterministic hash sample — stateless map-only, SQL-parity hash."""
+    return relagg.hash_sample(
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "n_chars"]
+        ),
+        "doc_id",
+        DOC_SAMPLE_RATE,
+    )
+
+
+def q_topk_docs_per_source(sf_dir: str):
+    """Largest-k docs per source (combiner-pruned two-stage top-k)."""
+    return relagg.topk_per_group(
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["source", "doc_id", "n_chars"]
+        ),
+        group="source",
+        order="n_chars",
+        ident="doc_id",
+        k=TOPK_PER_SOURCE,
+    )
+
+
+def q_source_quantiles(sf_dir: str):
+    """Exact p50/p90 of doc length per source via mergeable histograms."""
+    return relagg.grouped_quantiles_disc(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "n_chars"]),
+        group="source",
+        value="n_chars",
+        qs={"p50": 0.5, "p90": 0.9},
+    )
+
+
+def q_daily_active_users(sf_dir: str):
+    """Exact COUNT(DISTINCT user) per day, batch-level pre-dedup."""
+    return relagg.daily_active_users(
+        ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "user_id"])
+    )
 
 
 def q_minhash_pairs(sf_dir: str):
@@ -708,6 +753,31 @@ _ANN_SQL = (
 )
 
 
+_DOC_SAMPLE_SQL = (
+    "SELECT doc_id, source, n_chars FROM documents WHERE "
+    + relagg.sample_hash_sql("doc_id", 0.1)
+)
+
+_TOPK_SOURCE_SQL = (
+    "SELECT source, doc_id, n_chars, rnk FROM ("
+    "SELECT source, doc_id, n_chars, CAST(ROW_NUMBER() OVER ("
+    "PARTITION BY source ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rnk "
+    "FROM documents) WHERE rnk <= 3"
+)
+
+_SOURCE_QUANTILES_SQL = (
+    "SELECT source, CAST(quantile_disc(n_chars, 0.5) AS BIGINT) AS p50, "
+    "CAST(quantile_disc(n_chars, 0.9) AS BIGINT) AS p90 "
+    "FROM documents GROUP BY source ORDER BY source"
+)
+
+_DAU_SQL = (
+    "SELECT strftime(ts, '%Y-%m-%d') AS day, "
+    "CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users "
+    "FROM events GROUP BY 1 ORDER BY day"
+)
+
+
 REGISTRY: dict[str, QueryDef] = {
     "shell_count": QueryDef(q_shell_count, _shell_sql()),
     "shell_count_shuffle": QueryDef(q_shell_count_shuffle, _shell_sql()),
@@ -739,6 +809,10 @@ REGISTRY: dict[str, QueryDef] = {
     "fingerprints": QueryDef(q_fingerprints, _FINGERPRINT_SQL),
     "simhash": QueryDef(q_simhash, _SIMHASH_SQL),
     "ngram_jaccard": QueryDef(q_ngram_jaccard, _NGRAM_JACCARD_SQL),
+    "doc_sample": QueryDef(q_doc_sample, _DOC_SAMPLE_SQL),
+    "topk_docs_per_source": QueryDef(q_topk_docs_per_source, _TOPK_SOURCE_SQL),
+    "source_quantiles": QueryDef(q_source_quantiles, _SOURCE_QUANTILES_SQL),
+    "daily_active_users": QueryDef(q_daily_active_users, _DAU_SQL),
     # genuinely non-SQL-expressible (approximate LSH candidates / stubbed
     # codec) — rows-only checks
     "minhash_pairs": QueryDef(q_minhash_pairs, None),

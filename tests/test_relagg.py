@@ -1,0 +1,134 @@
+"""Decomposable relational aggregates (pipelines.relagg) vs exact oracles."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray
+
+from spatialjoincountovershells_ray.pipelines import relagg
+
+
+def _docs_frame(n=2000, seed=3):
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "source": rng.choice(["a", "b", "c", "d"], n),
+            "n_chars": rng.integers(1, 500, n).astype(np.int64),
+        }
+    )
+
+
+def _many_blocks(df, nblocks=7):
+    """Force multi-batch execution so the combiner stage actually prunes."""
+    return ray.data.from_pandas([d for d in np.array_split(df, nblocks)])
+
+
+class TestHashSample:
+    def test_matches_sql_predicate(self):
+        df = _docs_frame()
+        out = (
+            relagg.hash_sample(_many_blocks(df), "doc_id", 0.25)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        sql = duckdb.sql(
+            f"SELECT * FROM df WHERE {relagg.sample_hash_sql('doc_id', 0.25)} ORDER BY doc_id"
+        ).df()
+        pd.testing.assert_frame_equal(out, sql)
+        # deterministic: second run identical
+        out2 = (
+            relagg.hash_sample(_many_blocks(df), "doc_id", 0.25)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(out, out2)
+
+    def test_overflow_guard(self):
+        df = pd.DataFrame({"doc_id": np.array([relagg._SAMPLE_MAX_KEY + 1], dtype=np.int64)})
+        with pytest.raises((ValueError, ray.exceptions.RayTaskError)):
+            relagg.hash_sample(ray.data.from_pandas(df), "doc_id", 0.5).take_all()
+
+
+class TestTopkPerGroup:
+    def test_matches_window_oracle(self):
+        df = _docs_frame()
+        out = (
+            relagg.topk_per_group(_many_blocks(df), "source", "n_chars", "doc_id", 3)
+            .to_pandas()
+            .sort_values(["source", "rnk"])
+            .reset_index(drop=True)
+        )
+        sql = duckdb.sql(
+            "SELECT source, doc_id, n_chars, rnk FROM ("
+            "SELECT source, doc_id, n_chars, CAST(ROW_NUMBER() OVER ("
+            "PARTITION BY source ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rnk FROM df) "
+            "WHERE rnk <= 3 ORDER BY source, rnk"
+        ).df()
+        pd.testing.assert_frame_equal(out, sql)
+
+    def test_ties_break_on_ident(self):
+        df = pd.DataFrame(
+            {
+                "source": ["a"] * 4,
+                "doc_id": np.array([9, 2, 5, 7], dtype=np.int64),
+                "n_chars": np.array([10, 10, 10, 1], dtype=np.int64),
+            }
+        )
+        out = (
+            relagg.topk_per_group(ray.data.from_pandas(df), "source", "n_chars", "doc_id", 2)
+            .to_pandas()
+            .sort_values("rnk")
+        )
+        assert out["doc_id"].tolist() == [2, 5]
+
+
+class TestGroupedQuantiles:
+    def test_matches_quantile_disc(self):
+        df = _docs_frame(n=3000, seed=11)
+        out = (
+            relagg.grouped_quantiles_disc(
+                _many_blocks(df), "source", "n_chars", {"p50": 0.5, "p90": 0.9}
+            )
+            .to_pandas()
+            .sort_values("source")
+            .reset_index(drop=True)
+        )
+        sql = duckdb.sql(
+            "SELECT source, CAST(quantile_disc(n_chars, 0.5) AS BIGINT) AS p50, "
+            "CAST(quantile_disc(n_chars, 0.9) AS BIGINT) AS p90 FROM df "
+            "GROUP BY source ORDER BY source"
+        ).df()
+        pd.testing.assert_frame_equal(out, sql)
+
+    def test_single_value_group(self):
+        df = pd.DataFrame({"source": ["z"], "n_chars": np.array([42], dtype=np.int64)})
+        out = relagg.grouped_quantiles_disc(
+            ray.data.from_pandas(df), "source", "n_chars", {"p50": 0.5}
+        ).to_pandas()
+        assert out["p50"].tolist() == [42]
+
+
+class TestDistinctCount:
+    def test_matches_nunique(self):
+        rng = np.random.default_rng(5)
+        df = pd.DataFrame(
+            {
+                "g": rng.choice(["x", "y", "z"], 5000),
+                "m": rng.integers(0, 200, 5000).astype(np.int64),
+            }
+        )
+        out = (
+            relagg.distinct_count_per_group(_many_blocks(df, 9), "g", "m")
+            .to_pandas()
+            .sort_values("g")
+            .reset_index(drop=True)
+        )
+        ref = (
+            df.groupby("g")["m"].nunique().astype(np.int64).reset_index(name="n_distinct")
+        )
+        pd.testing.assert_frame_equal(out, ref)
