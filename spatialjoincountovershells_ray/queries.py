@@ -364,6 +364,28 @@ def q_fingerprints(sf_dir: str):
     return textops.fingerprints(ray.data.read_parquet(f"{sf_dir}/documents.parquet"))
 
 
+def _orders_join(sf_dir: str, mode: str):
+    from spatialjoincountovershells_ray.pipelines.join import equi_join
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    return equi_join(orders, cust, "o_custkey", "c_custkey", mode=mode)
+
+
+def q_orders_join_bcast(sf_dir: str):
+    """Row-emitting broadcast hash join (small side object-store resident)."""
+    return _orders_join(sf_dir, "broadcast")
+
+
+def q_orders_join_shuffle(sf_dir: str):
+    """Row-emitting shuffle hash join (both sides bucket-exchanged)."""
+    return _orders_join(sf_dir, "shuffle")
+
+
 DOC_SAMPLE_RATE = 0.1
 TOPK_PER_SOURCE = 3
 
@@ -753,6 +775,11 @@ _ANN_SQL = (
 )
 
 
+_ORDERS_JOIN_SQL = (
+    "SELECT o_orderkey, o_custkey, c_mktsegment FROM orders "
+    "JOIN customer ON o_custkey = c_custkey"
+)
+
 _DOC_SAMPLE_SQL = (
     "SELECT doc_id, source, n_chars FROM documents WHERE "
     + relagg.sample_hash_sql("doc_id", 0.1)
@@ -809,6 +836,8 @@ REGISTRY: dict[str, QueryDef] = {
     "fingerprints": QueryDef(q_fingerprints, _FINGERPRINT_SQL),
     "simhash": QueryDef(q_simhash, _SIMHASH_SQL),
     "ngram_jaccard": QueryDef(q_ngram_jaccard, _NGRAM_JACCARD_SQL),
+    "orders_join_bcast": QueryDef(q_orders_join_bcast, _ORDERS_JOIN_SQL),
+    "orders_join_shuffle": QueryDef(q_orders_join_shuffle, _ORDERS_JOIN_SQL),
     "doc_sample": QueryDef(q_doc_sample, _DOC_SAMPLE_SQL),
     "topk_docs_per_source": QueryDef(q_topk_docs_per_source, _TOPK_SOURCE_SQL),
     "source_quantiles": QueryDef(q_source_quantiles, _SOURCE_QUANTILES_SQL),

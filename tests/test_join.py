@@ -1,0 +1,72 @@
+"""equi_join (pipelines.join): broadcast and shuffle plans vs pandas merge."""
+
+import numpy as np
+import pandas as pd
+import ray
+
+from spatialjoincountovershells_ray.pipelines.join import equi_join
+
+
+def _sides(nl=4000, nr=300, seed=2):
+    rng = np.random.default_rng(seed)
+    left = pd.DataFrame(
+        {
+            "lid": np.arange(nl, dtype=np.int64),
+            "k": rng.integers(0, nr + 50, nl).astype(np.int64),  # some unmatched
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k2": np.arange(nr, dtype=np.int64),
+            "tag": [f"t{i % 7}" for i in range(nr)],
+        }
+    )
+    return left, right
+
+
+def _expected(left, right):
+    m = left.merge(right, left_on="k", right_on="k2", how="inner")
+    return (
+        m[["lid", "k", "tag"]]
+        .sort_values(["lid"])
+        .reset_index(drop=True)
+    )
+
+
+def _blocks(df, n):
+    return ray.data.from_pandas([d for d in np.array_split(df, n)])
+
+
+class TestEquiJoin:
+    def test_broadcast_matches_merge(self):
+        left, right = _sides()
+        out = (
+            equi_join(_blocks(left, 5), _blocks(right, 3), "k", "k2", mode="broadcast")
+            .to_pandas()
+            .sort_values("lid")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(out, _expected(left, right))
+
+    def test_shuffle_matches_merge(self):
+        left, right = _sides(seed=9)
+        out = (
+            equi_join(
+                _blocks(left, 5), _blocks(right, 3), "k", "k2", mode="shuffle", nbuckets=4
+            )
+            .to_pandas()
+            .sort_values("lid")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(out, _expected(left, right))
+
+    def test_shuffle_empty_bucket_and_dup_keys(self):
+        # all keys land in one bucket; right has duplicate keys (1:N fan-out)
+        left = pd.DataFrame({"lid": np.array([1, 2], dtype=np.int64), "k": np.array([8, 8], dtype=np.int64)})
+        right = pd.DataFrame({"k2": np.array([8, 8], dtype=np.int64), "tag": ["x", "y"]})
+        out = equi_join(
+            ray.data.from_pandas(left), ray.data.from_pandas(right), "k", "k2",
+            mode="shuffle", nbuckets=4,
+        ).to_pandas()
+        assert len(out) == 4  # 2 left rows x 2 right dups
+        assert set(out["tag"]) == {"x", "y"}
