@@ -775,6 +775,73 @@ _ANN_SQL = (
 )
 
 
+# ---- media twins: the stub feature/frame derivations are deterministic
+# integer arithmetic (FNV-1a over the media_ref, splitmix64 rounds), so
+# they ARE SQL-expressible — 64-bit multiplies are decomposed into 32-bit
+# limbs because HUGEINT (int128) overflows at a 64x64-bit product.
+_M64 = "18446744073709551616::HUGEINT"
+_B32 = "4294967296::HUGEINT"
+
+
+def _mul64_sql(col: str, const: int) -> str:
+    """(col * const) mod 2^64 in HUGEINT via 32-bit limb decomposition."""
+    c0, c1 = const & 0xFFFFFFFF, const >> 32
+    return (
+        f"(({col} % {_B32}) * {c0}::HUGEINT + "
+        f"(({col} // {_B32}) * {c0}::HUGEINT + ({col} % {_B32}) * {c1}::HUGEINT) "
+        f"% {_B32} * {_B32}) % {_M64}"
+    )
+
+
+def _xorshift33_sql(col: str) -> str:
+    return f"xor({col}, {col} // 8589934592::HUGEINT)"
+
+
+# FNV-1a over media_ref (prime 2^40-ish: plain HUGEINT multiply fits)
+_MEDIA_BASE = (
+    "media AS (SELECT 'halo-' || CAST(halo_id AS VARCHAR) AS doc_id, "
+    "'s3://fixtures/halo-' || CAST(halo_id AS VARCHAR) || '/0.png' AS media_ref "
+    "FROM halos), "
+    "base AS (SELECT doc_id, media_ref, "
+    "list_reduce(list_prepend(14695981039346656037::HUGEINT, "
+    "list_transform(generate_series(1, length(media_ref)), i -> ord(media_ref[i])::HUGEINT)), "
+    f"(h, c) -> (xor(h, c) * 1099511628211::HUGEINT) % {_M64}) AS h0 FROM media)"
+)
+
+
+def _media_frames_sql(stride: int = 10) -> str:
+    return (
+        f"WITH {synthetic.HALOS_CTE}, {_MEDIA_BASE}, "
+        "frames AS (SELECT doc_id, media_ref, CAST(1 + h0 % 120 AS BIGINT) AS nframes FROM base) "
+        f"SELECT doc_id, media_ref, CAST(unnest(generate_series(0, nframes-1, {stride})) AS BIGINT) "
+        "AS frame_idx FROM frames ORDER BY doc_id, media_ref, frame_idx"
+    )
+
+
+def _media_features_sql() -> str:
+    from spatialjoincountovershells_ray.pipelines.multimodal import FEATURE_DIM
+
+    m1, m2 = 0xFF51AFD7ED558CCD, 0xC4CEB9FE1A85EC53
+    ctes, feats, prev = [], [], "h0"
+    for j in range(FEATURE_DIM):
+        a, b, c, d, h = f"a{j}", f"b{j}", f"c{j}", f"d{j}", f"h{j+1}"
+        src = "base" if j == 0 else f"s{j-1}e"
+        ctes.append(f"s{j}a AS (SELECT *, {_xorshift33_sql(prev)} AS {a} FROM {src})")
+        ctes.append(f"s{j}b AS (SELECT *, {_mul64_sql(a, m1)} AS {b} FROM s{j}a)")
+        ctes.append(f"s{j}c AS (SELECT *, {_xorshift33_sql(b)} AS {c} FROM s{j}b)")
+        ctes.append(f"s{j}d AS (SELECT *, {_mul64_sql(c, m2)} AS {d} FROM s{j}c)")
+        ctes.append(f"s{j}e AS (SELECT *, {_xorshift33_sql(d)} AS {h} FROM s{j}d)")
+        feats.append(
+            f"CAST(CAST(CAST(h{j+1} AS DOUBLE) / 18446744073709551616.0 AS FLOAT) AS DOUBLE) AS f{j}"
+        )
+        prev = h
+    return (
+        f"WITH {synthetic.HALOS_CTE}, {_MEDIA_BASE}, {', '.join(ctes)} "
+        f"SELECT doc_id, media_ref, {', '.join(feats)} FROM s{FEATURE_DIM-1}e "
+        "ORDER BY doc_id, media_ref"
+    )
+
+
 _ORDERS_JOIN_SQL = (
     "SELECT o_orderkey, o_custkey, c_mktsegment FROM orders "
     "JOIN customer ON o_custkey = c_custkey"
@@ -842,11 +909,13 @@ REGISTRY: dict[str, QueryDef] = {
     "topk_docs_per_source": QueryDef(q_topk_docs_per_source, _TOPK_SOURCE_SQL),
     "source_quantiles": QueryDef(q_source_quantiles, _SOURCE_QUANTILES_SQL),
     "daily_active_users": QueryDef(q_daily_active_users, _DAU_SQL),
-    # genuinely non-SQL-expressible (approximate LSH candidates / stubbed
-    # codec) — rows-only checks
+    # genuinely non-SQL-expressible (approximate LSH candidate sets) —
+    # rows-only checks, recall-tested in tests/test_ops.py
     "minhash_pairs": QueryDef(q_minhash_pairs, None),
     "ann_lsh": QueryDef(q_ann_lsh, None),
     "ann_ivf": QueryDef(q_ann_ivf, None),
-    "media_frames": QueryDef(q_media_frames, None),
-    "media_features": QueryDef(q_media_features, None),
+    # the media codec is stubbed but its stub arithmetic is deterministic,
+    # so these carry full value-hashed HUGEINT twins
+    "media_frames": QueryDef(q_media_frames, _media_frames_sql()),
+    "media_features": QueryDef(q_media_features, _media_features_sql()),
 }
