@@ -240,6 +240,12 @@ BENCH_QUERIES = [
     "lineitem_agg",
     "media_frames",
     "media_features",
+    "orders_join_bcast",
+    "orders_join_shuffle",
+    "doc_sample",
+    "topk_docs_per_source",
+    "source_quantiles",
+    "daily_active_users",
 ]
 
 
