@@ -16,9 +16,10 @@ result:
   co-partitioned parts. Neither side is ever driver-materialized; bucket
   count tracks cluster CPUs.
 
-Keys must be int64 (the bucket split hashes with ``% nbuckets``); string
-keys can be pre-hashed to int64 with functions.hashing.mix64 plus a
-collision-safe carry of the original column.
+Integer keys bucket directly (``% nbuckets``); string keys are
+pre-hashed per batch with the vectorized ``text_hash128`` into a hidden
+``__jk`` column used ONLY for co-location — the per-bucket join still
+matches on the real key, so hash collisions cannot produce wrong rows.
 """
 
 from __future__ import annotations
@@ -28,6 +29,18 @@ import ray
 
 from spatialjoincountovershells_ray.stages.exchange import split_by_key
 
+_JK = "__jk"
+
+
+def _with_string_key_hash(ds: "ray.data.Dataset", key: str) -> "ray.data.Dataset":
+    def add(batch: pa.Table) -> pa.Table:
+        from spatialjoincountovershells_ray.functions.text import text_hash128
+
+        h1, _ = text_hash128(batch.column(key))
+        return batch.append_column(_JK, pa.array(h1, pa.int64()))
+
+    return ds.map_batches(add, batch_format="pyarrow", zero_copy_batch=True)
+
 
 @ray.remote
 def _join_bucket(
@@ -36,7 +49,14 @@ def _join_bucket(
     """Join the co-partitioned left parts against the right parts."""
     left = pa.concat_tables(parts[:nleft], promote_options="none")
     right = pa.concat_tables(parts[nleft:], promote_options="none")
-    return left.join(right, keys=[left_key], right_keys=[right_key], join_type=join_type)
+    lkeys, rkeys = [left_key], [right_key]
+    if _JK in left.column_names:
+        # the hash rides as a second join key: equivalent predicate (it is
+        # a function of the key) and pyarrow drops right-side keys for us
+        lkeys.append(_JK)
+        rkeys.append(_JK)
+    out = left.join(right, keys=lkeys, right_keys=rkeys, join_type=join_type)
+    return out.drop_columns([_JK]) if _JK in out.column_names else out
 
 
 def equi_join(
@@ -81,12 +101,23 @@ def equi_join(
         raise ValueError(f"unknown join mode {mode!r}")
 
     nbuckets = nbuckets or max(8, int(ray.cluster_resources().get("CPU", 8)))
+    lsplit_key, rsplit_key = left_key, right_key
+    sch = left.schema()
+    ktype = dict(zip(sch.names, sch.types)).get(left_key)
+    if isinstance(ktype, pa.DataType):
+        is_string_key = pa.types.is_string(ktype) or pa.types.is_large_string(ktype)
+    else:  # pandas-block schema: a numpy dtype or a bare Python type
+        is_string_key = ktype in (object, str) or getattr(ktype, "kind", "") in ("O", "U")
+    if is_string_key:
+        left = _with_string_key_hash(left, left_key)
+        right = _with_string_key_hash(right, right_key)
+        lsplit_key = rsplit_key = _JK
     lsplits = [
-        split_by_key.options(num_returns=nbuckets).remote(b, left_key, nbuckets)
+        split_by_key.options(num_returns=nbuckets).remote(b, lsplit_key, nbuckets)
         for b in left.materialize().to_arrow_refs()
     ]
     rsplits = [
-        split_by_key.options(num_returns=nbuckets).remote(b, right_key, nbuckets)
+        split_by_key.options(num_returns=nbuckets).remote(b, rsplit_key, nbuckets)
         for b in right.materialize().to_arrow_refs()
     ]
     out = [

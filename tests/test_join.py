@@ -60,6 +60,31 @@ class TestEquiJoin:
         )
         pd.testing.assert_frame_equal(out, _expected(left, right))
 
+    def test_shuffle_string_keys(self):
+        rng = np.random.default_rng(4)
+        left = pd.DataFrame(
+            {
+                "lid": np.arange(1000, dtype=np.int64),
+                "kw": rng.choice([f"key-{i}" for i in range(40)], 1000),
+            }
+        )
+        right = pd.DataFrame(
+            {"kw2": [f"key-{i}" for i in range(0, 60, 2)], "val": np.arange(30, dtype=np.int64)}
+        )
+        out = (
+            equi_join(_blocks(left, 4), _blocks(right, 2), "kw", "kw2", mode="shuffle", nbuckets=4)
+            .to_pandas()
+            .sort_values(["lid"])
+            .reset_index(drop=True)
+        )
+        exp = (
+            left.merge(right, left_on="kw", right_on="kw2", how="inner")[["lid", "kw", "val"]]
+            .sort_values("lid")
+            .reset_index(drop=True)
+        )
+        assert "__jk" not in out.columns
+        pd.testing.assert_frame_equal(out, exp)
+
     def test_shuffle_empty_bucket_and_dup_keys(self):
         # all keys land in one bucket; right has duplicate keys (1:N fan-out)
         left = pd.DataFrame({"lid": np.array([1, 2], dtype=np.int64), "k": np.array([8, 8], dtype=np.int64)})
