@@ -242,6 +242,10 @@ BENCH_QUERIES = [
     "media_features",
     "orders_join_bcast",
     "orders_join_shuffle",
+    "customer_semi_join",
+    "orders_anti_join",
+    "rasterize",
+    "raster_to_vector",
     "doc_sample",
     "topk_docs_per_source",
     "source_quantiles",

@@ -1,0 +1,127 @@
+"""Raster <-> vector conversion operators.
+
+The engine's tile codec (pipelines/tiles.py) assigns vector points to
+raster tiles; these two operators complete the round trip the north
+rule names ("raster<->vector"):
+
+- :func:`rasterize_points` — vector -> raster: a point stream becomes a
+  2-D grid of per-cell counts. Each ``map_batches`` task pre-aggregates
+  its batch to at most one row per touched cell (np.unique combiner), so
+  the exchange carries O(cells) partials, never raw points — the same
+  partial-then-groupby shape as the shell-count histogram merge
+  (reference accumulates counts the same way across files,
+  src/astr_rcount/main.c:351-368).
+- :func:`raster_to_vector` — raster -> vector: cells at or above a
+  threshold are merged into maximal horizontal runs (one rectangle per
+  row-contiguous island), the classic run-length vectorization. The
+  default adaptive threshold ("mean") keeps cells whose count is >= the
+  raster's mean, evaluated in exact integer arithmetic
+  (cnt * ncells >= total) so the DuckDB twin matches bit-for-bit with
+  no float tolerance.
+
+Scale notes: the raster itself is bounded by the grid size (cells), not
+the input size, so the driver-side scalar aggregate in the adaptive
+threshold and the per-row ``map_groups`` both operate on grid-bounded
+data. Rasterizing 100 TB of points is the map-side combiner's job; what
+shuffles is one partial row per (task, cell).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+
+
+def rasterize_points(
+    points: "ray.data.Dataset",
+    L: float,
+    xcol: str = "x",
+    ycol: str = "y",
+) -> "ray.data.Dataset":
+    """-> (cell_row:int64, cell_col:int64, cnt:int64), one row per
+    non-empty cell of the L-sized grid over (xcol, ycol)."""
+    # single int64 groupby key: rows/cols are grid indices (small,
+    # non-negative for in-box data); 2^21 columns of headroom keeps the
+    # pack collision-free for any realistic grid while staying in int64
+    K = np.int64(1) << 21
+
+    def partial(batch: pa.Table) -> pa.Table:
+        r = np.floor(batch.column(xcol).to_numpy() / L).astype(np.int64)
+        c = np.floor(batch.column(ycol).to_numpy() / L).astype(np.int64)
+        key, cnt = np.unique(r * K + c, return_counts=True)
+        return pa.table({"cell": key, "cnt": cnt.astype(np.int64)})
+
+    merged = (
+        points.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("cell")
+        .sum("cnt")
+    )
+
+    def unpack(batch: pa.Table) -> pa.Table:
+        cell = batch.column("cell").to_numpy()
+        return pa.table(
+            {
+                "cell_row": cell // K,
+                "cell_col": cell % K,
+                "cnt": batch.column("sum(cnt)"),
+            }
+        )
+
+    return merged.map_batches(unpack, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _runs_in_row(batch: pa.Table) -> pa.Table:
+    """Vectorized gaps-and-islands over one cell_row group."""
+    rows = batch.column("cell_row").to_numpy()
+    cols = batch.column("cell_col").to_numpy()
+    cnts = batch.column("cnt").to_numpy()
+    order = np.argsort(cols)
+    cols, cnts = cols[order], cnts[order]
+    # a new run starts wherever the column index jumps by more than 1
+    starts = np.flatnonzero(np.concatenate(([True], np.diff(cols) > 1)))
+    ends = np.concatenate((starts[1:], [len(cols)]))
+    return pa.table(
+        {
+            "cell_row": np.full(len(starts), rows[0], dtype=np.int64),
+            "col_start": cols[starts],
+            "col_end": cols[ends - 1],
+            "ncells": (ends - starts).astype(np.int64),
+            "total_cnt": np.add.reduceat(cnts, starts).astype(np.int64),
+        }
+    )
+
+
+def raster_to_vector(
+    raster: "ray.data.Dataset",
+    threshold: "int | str" = "mean",
+) -> "ray.data.Dataset":
+    """Merge cells with cnt >= threshold into per-row rectangles.
+
+    -> (cell_row, col_start, col_end, ncells:int64, total_cnt:int64).
+
+    ``threshold='mean'`` keeps cells at or above the raster's mean count,
+    decided as ``cnt * ncells >= total`` in int64 (exact, scale-free:
+    roughly half the cells survive at any data volume). The two scalars
+    come from one tiny aggregate over the grid-bounded raster.
+    """
+    if threshold == "mean":
+        agg = raster.aggregate(
+            ray.data.aggregate.Count(), ray.data.aggregate.Sum("cnt")
+        )
+        ncells = np.int64(agg["count()"])
+        total = np.int64(agg["sum(cnt)"])
+
+        def keep(batch: pa.Table) -> pa.Table:
+            c = batch.column("cnt").to_numpy()
+            return batch.filter(pa.array(c * ncells >= total))
+
+    else:
+        thr = np.int64(threshold)
+
+        def keep(batch: pa.Table) -> pa.Table:
+            return batch.filter(pc.greater_equal(batch.column("cnt"), thr))
+
+    kept = raster.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+    return kept.groupby("cell_row").map_groups(_runs_in_row, batch_format="pyarrow")

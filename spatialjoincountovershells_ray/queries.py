@@ -29,9 +29,10 @@ from spatialjoincountovershells_ray.sources import synthetic
 from spatialjoincountovershells_ray.sources.documents import (
     halo_documents,
     particle_documents,
+    read_documents,
     write_documents,
 )
-from spatialjoincountovershells_ray.pipelines import ann, dedup, events, knn, range_join, relagg, relational
+from spatialjoincountovershells_ray.pipelines import ann, dedup, events, knn, range_join, raster, relagg, relational
 from spatialjoincountovershells_ray.pipelines import shell_count as sc
 from spatialjoincountovershells_ray.pipelines import textops, tiles
 
@@ -167,7 +168,7 @@ def q_shell_count_salted(sf_dir: str):
 def q_shell_count_docs(sf_dir: str):
     hpath, ppath = spatial_document_paths(sf_dir)
     return sc.shell_count_from_documents(
-        ray.data.read_parquet(hpath), ray.data.read_parquet(ppath), LADDER
+        read_documents(hpath), read_documents(ppath), LADDER
     )
 
 
@@ -384,6 +385,52 @@ def q_orders_join_bcast(sf_dir: str):
 def q_orders_join_shuffle(sf_dir: str):
     """Row-emitting shuffle hash join (both sides bucket-exchanged)."""
     return _orders_join(sf_dir, "shuffle")
+
+
+def q_customer_semi_join(sf_dir: str):
+    """Semi-join: customers with at least one order. Broadcast plan —
+    the key side rides the object store once, customers stream (at scale
+    pre-dedup the broadcast keys or switch to mode='shuffle')."""
+    from spatialjoincountovershells_ray.pipelines.join import equi_join
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+    return equi_join(cust, orders, "c_custkey", "o_custkey", join_type="left semi")
+
+
+def q_orders_anti_join(sf_dir: str):
+    """Anti-join: orders whose customer is NOT in the BUILDING segment.
+    Shuffle plan — both sides bucket-exchanged on the key, per-bucket
+    anti is exact because a key's rows from both sides land in the same
+    bucket. (The synthetic orders table references every customer, so the
+    exclusion side is a filtered subset to keep the result non-empty.)"""
+    from spatialjoincountovershells_ray.pipelines.join import equi_join
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    building = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).filter(expr="c_mktsegment == 'BUILDING'")
+    return equi_join(
+        orders, building, "o_custkey", "c_custkey", mode="shuffle", join_type="left anti"
+    )
+
+
+RASTER_L = 50.0  # 20x20 raster over the [0,1000]^2 box
+
+
+def q_rasterize(sf_dir: str):
+    """Vector -> raster: per-cell point counts, map-side combined."""
+    return raster.rasterize_points(synthetic.particles_dataset(sf_dir), RASTER_L)
+
+
+def q_raster_to_vector(sf_dir: str):
+    """Raster -> vector: above-mean cells merged into per-row run
+    rectangles (gaps-and-islands), exact int64 mean predicate."""
+    return raster.raster_to_vector(q_rasterize(sf_dir), threshold="mean")
 
 
 DOC_SAMPLE_RATE = 0.1
@@ -847,6 +894,41 @@ _ORDERS_JOIN_SQL = (
     "JOIN customer ON o_custkey = c_custkey"
 )
 
+_SEMI_JOIN_SQL = (
+    "SELECT c_custkey, c_mktsegment FROM customer c "
+    "WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)"
+)
+
+_ANTI_JOIN_SQL = (
+    "SELECT o_orderkey, o_custkey FROM orders o "
+    "WHERE NOT EXISTS (SELECT 1 FROM customer c "
+    "WHERE c.c_custkey = o.o_custkey AND c.c_mktsegment = 'BUILDING')"
+)
+
+# raster twins: floor(x/L) on both sides is the same single float64 op,
+# counts and the adaptive mean predicate are pure int64 — no tolerance
+_RASTER_CTE = (
+    f"raster AS (SELECT CAST(floor(x / {RASTER_L!r}) AS BIGINT) AS cell_row, "
+    f"CAST(floor(y / {RASTER_L!r}) AS BIGINT) AS cell_col, "
+    "CAST(count(*) AS BIGINT) AS cnt FROM particles GROUP BY 1, 2)"
+)
+
+_RASTERIZE_SQL = (
+    f"WITH {synthetic.PARTICLES_CTE}, {_RASTER_CTE} "
+    "SELECT cell_row, cell_col, cnt FROM raster ORDER BY cell_row, cell_col"
+)
+
+_RASTER_VEC_SQL = (
+    f"WITH {synthetic.PARTICLES_CTE}, {_RASTER_CTE}, "
+    "keep AS (SELECT * FROM raster WHERE cnt * (SELECT count(*) FROM raster) "
+    ">= (SELECT sum(cnt) FROM raster)), "
+    "isl AS (SELECT cell_row, cell_col, cnt, cell_col - row_number() OVER "
+    "(PARTITION BY cell_row ORDER BY cell_col) AS grp FROM keep) "
+    "SELECT cell_row, MIN(cell_col) AS col_start, MAX(cell_col) AS col_end, "
+    "CAST(count(*) AS BIGINT) AS ncells, CAST(SUM(cnt) AS BIGINT) AS total_cnt "
+    "FROM isl GROUP BY cell_row, grp ORDER BY cell_row, col_start"
+)
+
 _DOC_SAMPLE_SQL = (
     "SELECT doc_id, source, n_chars FROM documents WHERE "
     + relagg.sample_hash_sql("doc_id", 0.1)
@@ -905,6 +987,10 @@ REGISTRY: dict[str, QueryDef] = {
     "ngram_jaccard": QueryDef(q_ngram_jaccard, _NGRAM_JACCARD_SQL),
     "orders_join_bcast": QueryDef(q_orders_join_bcast, _ORDERS_JOIN_SQL),
     "orders_join_shuffle": QueryDef(q_orders_join_shuffle, _ORDERS_JOIN_SQL),
+    "customer_semi_join": QueryDef(q_customer_semi_join, _SEMI_JOIN_SQL),
+    "orders_anti_join": QueryDef(q_orders_anti_join, _ANTI_JOIN_SQL),
+    "rasterize": QueryDef(q_rasterize, _RASTERIZE_SQL),
+    "raster_to_vector": QueryDef(q_raster_to_vector, _RASTER_VEC_SQL),
     "doc_sample": QueryDef(q_doc_sample, _DOC_SAMPLE_SQL),
     "topk_docs_per_source": QueryDef(q_topk_docs_per_source, _TOPK_SOURCE_SQL),
     "source_quantiles": QueryDef(q_source_quantiles, _SOURCE_QUANTILES_SQL),

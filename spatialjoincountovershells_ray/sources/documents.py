@@ -101,3 +101,26 @@ def write_documents(table: pa.Table, path: str) -> str:
     os.makedirs(os.path.dirname(path), exist_ok=True)
     pq.write_table(table, path)
     return path
+
+
+def read_documents(path: str, **kwargs):
+    """Read an interleaved-document table as a Ray Dataset.
+
+    The production format is Lance (``.lance`` datasets via
+    ``ray.data.read_lance``, which requires the ``lance`` package); this
+    environment has no Lance, so parquet twins carry the identical schema
+    and every downstream stage is format-agnostic Arrow. Dispatch is by
+    extension so the same pipeline code runs unchanged where Lance is
+    installed."""
+    import ray
+
+    if path.endswith(".lance"):
+        try:
+            import lance  # noqa: F401
+        except ImportError as e:
+            raise NotImplementedError(
+                "Lance input requires the 'lance' package (unavailable in "
+                "this environment); use the parquet twin of the table"
+            ) from e
+        return ray.data.read_lance(path, **kwargs)
+    return ray.data.read_parquet(path, **kwargs)

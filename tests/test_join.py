@@ -95,3 +95,52 @@ class TestEquiJoin:
         ).to_pandas()
         assert len(out) == 4  # 2 left rows x 2 right dups
         assert set(out["tag"]) == {"x", "y"}
+
+
+class TestSemiAntiJoin:
+    def test_broadcast_semi(self):
+        left, right = _sides(seed=13)
+        out = (
+            equi_join(
+                _blocks(left, 4), _blocks(right, 2), "k", "k2",
+                mode="broadcast", join_type="left semi",
+            )
+            .to_pandas()
+            .sort_values("lid")
+            .reset_index(drop=True)
+        )
+        exp = (
+            left[left.k.isin(right.k2)]
+            .sort_values("lid")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(out, exp)
+
+    def test_shuffle_anti(self):
+        left, right = _sides(seed=21)
+        out = (
+            equi_join(
+                _blocks(left, 4), _blocks(right, 2), "k", "k2",
+                mode="shuffle", join_type="left anti", nbuckets=4,
+            )
+            .to_pandas()
+            .sort_values("lid")
+            .reset_index(drop=True)
+        )
+        exp = (
+            left[~left.k.isin(right.k2)]
+            .sort_values("lid")
+            .reset_index(drop=True)
+        )
+        assert len(exp) > 0
+        pd.testing.assert_frame_equal(out, exp)
+
+    def test_semi_dedups_multi_matches(self):
+        # a left row with N right matches must appear exactly once
+        left = pd.DataFrame({"lid": np.array([1], dtype=np.int64), "k": np.array([8], dtype=np.int64)})
+        right = pd.DataFrame({"k2": np.array([8, 8, 8], dtype=np.int64)})
+        out = equi_join(
+            ray.data.from_pandas(left), ray.data.from_pandas(right), "k", "k2",
+            join_type="left semi",
+        ).to_pandas()
+        assert len(out) == 1

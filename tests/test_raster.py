@@ -1,0 +1,118 @@
+"""rasterize_points / raster_to_vector vs a pandas oracle."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+from spatialjoincountovershells_ray.pipelines.raster import (
+    raster_to_vector,
+    rasterize_points,
+)
+
+L = 25.0
+
+
+def _points(n=20_000, seed=11):
+    rng = np.random.default_rng(seed)
+    df = pd.DataFrame(
+        {
+            "x": rng.uniform(0, 500, n),
+            "y": rng.uniform(0, 500, n),
+        }
+    )
+    return df
+
+
+def _raster_oracle(df):
+    g = (
+        df.assign(
+            cell_row=np.floor(df.x / L).astype(np.int64),
+            cell_col=np.floor(df.y / L).astype(np.int64),
+        )
+        .groupby(["cell_row", "cell_col"])
+        .size()
+        .rename("cnt")
+        .reset_index()
+    )
+    return g.sort_values(["cell_row", "cell_col"]).reset_index(drop=True)
+
+
+def _runs_oracle(raster):
+    ncells, total = len(raster), raster.cnt.sum()
+    keep = raster[raster.cnt * ncells >= total]
+    out = []
+    for row, grp in keep.groupby("cell_row"):
+        cols = grp.cell_col.to_numpy()
+        cnts = grp.cnt.to_numpy()
+        order = np.argsort(cols)
+        cols, cnts = cols[order], cnts[order]
+        start = 0
+        for i in range(1, len(cols) + 1):
+            if i == len(cols) or cols[i] != cols[i - 1] + 1:
+                out.append(
+                    (row, cols[start], cols[i - 1], i - start, cnts[start:i].sum())
+                )
+                start = i
+    return pd.DataFrame(
+        out, columns=["cell_row", "col_start", "col_end", "ncells", "total_cnt"]
+    ).astype(np.int64)
+
+
+class TestRaster:
+    def test_rasterize_matches_pandas(self):
+        df = _points()
+        ds = ray.data.from_pandas([d for d in np.array_split(df, 7)])
+        got = (
+            rasterize_points(ds, L)
+            .to_pandas()
+            .sort_values(["cell_row", "cell_col"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, _raster_oracle(df), check_dtype=False)
+
+    def test_raster_to_vector_mean_threshold(self):
+        df = _points(seed=5)
+        ds = ray.data.from_pandas([d for d in np.array_split(df, 5)])
+        rast = rasterize_points(ds, L)
+        got = (
+            raster_to_vector(rast, threshold="mean")
+            .to_pandas()
+            .sort_values(["cell_row", "col_start"])
+            .reset_index(drop=True)
+        )
+        exp = (
+            _runs_oracle(_raster_oracle(df))
+            .sort_values(["cell_row", "col_start"])
+            .reset_index(drop=True)
+        )
+        assert len(got) > 0
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+    def test_fixed_threshold_and_run_merging(self):
+        # hand-built raster: row 3 has runs [1..3] and [7..8]; row 5 has [2]
+        raster = ray.data.from_arrow(
+            pa.table(
+                {
+                    "cell_row": pa.array([3, 3, 3, 3, 3, 5, 5], pa.int64()),
+                    "cell_col": pa.array([1, 2, 3, 7, 8, 2, 9], pa.int64()),
+                    "cnt": pa.array([5, 6, 7, 9, 1, 4, 0], pa.int64()),
+                }
+            )
+        )
+        got = (
+            raster_to_vector(raster, threshold=4)
+            .to_pandas()
+            .sort_values(["cell_row", "col_start"])
+            .reset_index(drop=True)
+        )
+        exp = pd.DataFrame(
+            {
+                "cell_row": [3, 3, 5],
+                "col_start": [1, 7, 2],
+                "col_end": [3, 7, 2],
+                "ncells": [3, 1, 1],
+                "total_cnt": [18, 9, 4],
+            }
+        ).astype(np.int64)
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
