@@ -54,6 +54,11 @@ def _zeros_for(halos_tbl: pa.Table, nrads: int) -> pa.Table:
 
 
 @ray.remote
+def _build_index(hids, hxyz, rmax, grid, box) -> "HaloIndex":
+    return HaloIndex.build(hids, hxyz, rmax, grid, box)
+
+
+@ray.remote
 def _merge_hist_blocks(nrads: int, *tables: pa.Table) -> pa.Table:
     scols = [f"s{i}" for i in range(nrads)]
     t = pa.concat_tables([t for t in tables if t.num_rows], promote_options="none")
@@ -181,6 +186,8 @@ def shell_count(
             # probes many particle shards — reference A2 semantics)
             index = halo_index
             hids = index.halo_ids
+            index_ref = getattr(index, "_ref", None) or ray.put(index)
+            index._ref = index_ref
         else:
             halos_tbl = halos if isinstance(halos, pa.Table) else dataset_to_table(halos)
             hids = halos_tbl.column("halo_id").to_numpy()
@@ -188,9 +195,12 @@ def shell_count(
                 [halos_tbl.column(c).to_numpy().astype(ladder.dtype, copy=False) for c in "xyz"],
                 axis=1,
             )
-            index = HaloIndex.build(hids, hxyz, ladder.rmax, grid, box)
-        index_ref = getattr(index, "_ref", None) or ray.put(index)
-        index._ref = index_ref
+            # build on a worker, not the driver: the probe tasks block on
+            # this ref, so the build overlaps the particle read/extract
+            # stages instead of serializing in front of the whole pipeline
+            # (the reference overlaps index build with probing the same
+            # way via its backlog queue, src/astr_rcount/main.c:266-350)
+            index_ref = _build_index.remote(hids, hxyz, ladder.rmax, grid, box)
         if concurrency is None:
             # task mode: long-lived task workers + per-worker kernel cache
             # amortize index fetch and scratch like an actor pool would,

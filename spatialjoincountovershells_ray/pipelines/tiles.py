@@ -99,6 +99,9 @@ def point_in_rects(
         fn_kwargs={"cls": _RectJoin, "ref_list": [ref], "id_col": id_col},
         batch_format="pyarrow",
         zero_copy_batch=True,
+        # one batch per block: the dense N x R mask is vectorized, so
+        # fewer/larger invocations beat the default 1024-row batches
+        batch_size=None,
     )
     return out.sort([id_col, "poly_id"]) if sort else out
 
@@ -174,6 +177,7 @@ def point_in_polygons(
         fn_constructor_kwargs={"polys_ref": [ref], "id_col": id_col},
         batch_format="pyarrow",
         zero_copy_batch=True,
+        batch_size=None,
         concurrency=concurrency,
     )
     return out.sort([id_col, "poly_id"]) if sort else out
