@@ -181,3 +181,39 @@ class TestRenderer:
         qi = qlines.index("Total")
         # reference aliasing doubles halo 0's row into the total (main.c:400-437)
         assert qlines[qi + 1].endswith(": 4")
+
+
+class TestReadDocuments:
+    def test_parquet_fallback_roundtrip(self, tmp_path):
+        import numpy as np
+
+        from spatialjoincountovershells_ray.sources.documents import (
+            halo_documents,
+            read_documents,
+            write_documents,
+        )
+
+        tbl = halo_documents(
+            np.arange(5, dtype=np.int64),
+            np.arange(15, dtype=np.float64).reshape(5, 3),
+        )
+        p = str(tmp_path / "docs.parquet")
+        write_documents(tbl, p)
+        ds = read_documents(p)
+        got = ds.take_all()
+        assert len(got) == 5
+        assert got[0]["spans"][1]["kind"] == "halo_record"
+
+    def test_lance_requires_package(self):
+        import pytest
+
+        from spatialjoincountovershells_ray.sources.documents import read_documents
+
+        try:
+            import lance  # noqa: F401
+
+            pytest.skip("lance installed; dispatch goes to read_lance")
+        except ImportError:
+            pass
+        with pytest.raises(NotImplementedError):
+            read_documents("/tmp/nonexistent.lance")
