@@ -213,6 +213,7 @@ BENCH_QUERIES = [
     "range_join",
     "range_join_shuffle",
     "geo_range_join",
+    "geo_nearest_place",
     "embedding_near_dups",
     "knn",
     "knn_shuffle",

@@ -96,6 +96,74 @@ class _GeoJoinKernel:
         )
 
 
+class _GeoNearestKernel:
+    """Broadcast places; per-batch dense a-term argmin (nearest place)."""
+
+    def __init__(self, ref):
+        p = ray.get(ref[0]) if isinstance(ref, list) else ref
+        self.pids: np.ndarray = p["pids"]  # ascending place_id order
+        self.plat: np.ndarray = p["plat"]
+        self.plon: np.ndarray = p["plon"]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("point_id").to_numpy()
+        lat = batch.column("lat").to_numpy()
+        lon = batch.column("lon").to_numpy()
+        a = _a_term(
+            lat[:, None], lon[:, None], self.plat[None, :], self.plon[None, :]
+        )
+        # argmin returns the FIRST minimum; places are sorted by place_id,
+        # so ties break to the smallest id — the SQL twin's
+        # ORDER BY a, place_id exactly
+        best = np.argmin(a, axis=1)
+        return pa.table(
+            {
+                "point_id": pa.array(ids, pa.int64()),
+                "place_id": pa.array(self.pids[best], pa.int64()),
+            }
+        )
+
+
+def geo_nearest_place(
+    places: "ray.data.Dataset | pa.Table",
+    points: "ray.data.Dataset",
+    *,
+    batch_size: int | None = None,
+    sort: bool = False,
+) -> "ray.data.Dataset":
+    """-> point_id:int64, place_id:int64 — each point's nearest place on
+    the sphere (haversine, evaluated as the monotone-equivalent a-term;
+    ties to the smallest place_id).
+
+    Broadcast geo-kNN (k=1): the places side rides the object store once
+    and every point batch computes a dense vectorized a-term argmin —
+    the spherical analogue of the broadcast shell-count plan. The same
+    small-side contract applies; a huge places side would go through the
+    cap-cover + expanding-ring machinery instead.
+    """
+    from spatialjoincountovershells_ray.pipelines.shell_count import dataset_to_table
+
+    tbl = places if isinstance(places, pa.Table) else dataset_to_table(places)
+    pids = tbl.column("place_id").to_numpy()
+    order = np.argsort(pids, kind="stable")  # tie-break contract
+    ref = ray.put(
+        {
+            "pids": pids[order],
+            "plat": tbl.column("lat").to_numpy().astype(np.float64, copy=False)[order],
+            "plon": tbl.column("lon").to_numpy().astype(np.float64, copy=False)[order],
+        }
+    )
+    out = points.map_batches(
+        _GeoNearestKernel,
+        fn_constructor_kwargs={"ref": [ref]},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=(1, 8),
+    )
+    return out.sort("point_id") if sort else out
+
+
 def geo_range_join(
     places: "ray.data.Dataset | pa.Table",
     points: "ray.data.Dataset",

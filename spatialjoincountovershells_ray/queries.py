@@ -314,8 +314,8 @@ def _lon_sql(k: str) -> str:
     return f"CAST(({expr}) % {_GEO_MOD} AS DOUBLE)/1000000.0*360.0-180.0"
 
 
-def q_geo_range_join(sf_dir: str):
-    from spatialjoincountovershells_ray.pipelines.geo_join import geo_range_join
+def _geo_inputs(sf_dir: str):
+    """(places table, streaming points Dataset) shared by the geo queries."""
     import pyarrow.parquet as pq
 
     sup = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey"])
@@ -342,7 +342,22 @@ def q_geo_range_join(sf_dir: str):
     points = ray.data.read_parquet(
         f"{sf_dir}/customer.parquet", columns=["c_custkey"]
     ).map_batches(to_points, batch_format="pyarrow", zero_copy_batch=True)
+    return places, points
+
+
+def q_geo_range_join(sf_dir: str):
+    from spatialjoincountovershells_ray.pipelines.geo_join import geo_range_join
+
+    places, points = _geo_inputs(sf_dir)
     return geo_range_join(places, points, GEO_R_KM)
+
+
+def q_geo_nearest_place(sf_dir: str):
+    """Geo-kNN (k=1): each point's haversine-nearest place."""
+    from spatialjoincountovershells_ray.pipelines.geo_join import geo_nearest_place
+
+    places, points = _geo_inputs(sf_dir)
+    return geo_nearest_place(places, points)
 
 
 def q_token_count(sf_dir: str):
@@ -741,6 +756,25 @@ def _geo_sql() -> str:
     )
 
 
+def _geo_nearest_sql() -> str:
+    from spatialjoincountovershells_ray.pipelines.geo_join import RAD
+
+    return (
+        f"WITH places AS (SELECT s_suppkey AS place_id, {_lat_sql('s_suppkey')} AS lat, "
+        f"{_lon_sql('s_suppkey')} AS lon FROM supplier WHERE s_suppkey < {GEO_PLACE_MAX_KEY}), "
+        f"points AS (SELECT c_custkey AS point_id, {_lat_sql('c_custkey')} AS lat, "
+        f"{_lon_sql('c_custkey')} AS lon FROM customer), "
+        "t AS (SELECT q.point_id, p.place_id, "
+        f"SIN((p.lat*{RAD!r} - q.lat*{RAD!r})*0.5) AS sdlat, "
+        f"SIN((p.lon*{RAD!r} - q.lon*{RAD!r})*0.5) AS sdlon, "
+        f"COS(q.lat*{RAD!r}) AS c1, COS(p.lat*{RAD!r}) AS c2 "
+        "FROM points q CROSS JOIN places p), "
+        "r AS (SELECT point_id, place_id, row_number() OVER (PARTITION BY point_id "
+        "ORDER BY sdlat*sdlat + c1*c2*(sdlon*sdlon), place_id) AS rn FROM t) "
+        "SELECT point_id, place_id FROM r WHERE rn = 1 ORDER BY point_id"
+    )
+
+
 _NEAR_DUP_SQL = (
     "WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) "
     "SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b "
@@ -968,6 +1002,7 @@ REGISTRY: dict[str, QueryDef] = {
     "point_in_rects": QueryDef(q_point_in_rects, _RECTS_SQL),
     "point_in_polygons": QueryDef(q_point_in_polygons, _POLYS_SQL),
     "geo_range_join": QueryDef(q_geo_range_join, _geo_sql()),
+    "geo_nearest_place": QueryDef(q_geo_nearest_place, _geo_nearest_sql()),
     "token_count": QueryDef(q_token_count, _TOKEN_SQL),
     "quality_counts": QueryDef(q_quality_counts, _QUALITY_SQL),
     "lang_id": QueryDef(q_lang_id, _LANG_SQL),

@@ -84,3 +84,54 @@ class TestLatLonCells:
         # quarter circumference pole-to-equator
         d = geo.haversine_km(np.array([0.0]), np.array([0.0]), np.array([90.0]), np.array([0.0]))
         assert abs(d[0] - np.pi / 2 * geo.EARTH_RADIUS_KM) < 1.0
+
+
+class TestGeoNearest:
+    def test_nearest_matches_brute(self):
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+        import ray
+
+        from spatialjoincountovershells_ray.pipelines.geo_join import (
+            _a_term,
+            geo_nearest_place,
+        )
+
+        rng = np.random.default_rng(7)
+        npl, npt = 40, 3000
+        places = pa.table(
+            {
+                # shuffled ids: exercises the sort-by-id tie-break contract
+                "place_id": pa.array(rng.permutation(npl).astype(np.int64)),
+                "lat": rng.uniform(-85, 85, npl),
+                "lon": rng.uniform(-180, 180, npl),
+            }
+        )
+        pts = pd.DataFrame(
+            {
+                "point_id": np.arange(npt, dtype=np.int64),
+                "lat": rng.uniform(-90, 90, npt),
+                "lon": rng.uniform(-180, 180, npt),
+            }
+        )
+        got = (
+            geo_nearest_place(
+                places, ray.data.from_pandas([d for d in np.array_split(pts, 5)])
+            )
+            .to_pandas()
+            .sort_values("point_id")
+            .reset_index(drop=True)
+        )
+        pid = places.column("place_id").to_numpy()
+        order = np.argsort(pid)
+        plat = places.column("lat").to_numpy()[order]
+        plon = places.column("lon").to_numpy()[order]
+        a = _a_term(
+            pts.lat.to_numpy()[:, None],
+            pts.lon.to_numpy()[:, None],
+            plat[None, :],
+            plon[None, :],
+        )
+        exp = pid[order][np.argmin(a, axis=1)]
+        assert (got["place_id"].to_numpy() == exp).all()
