@@ -220,6 +220,7 @@ BENCH_QUERIES = [
     "tile_assign",
     "point_in_rects",
     "point_in_polygons",
+    "zonal_counts",
     "token_count",
     "quality_counts",
     "lang_id",

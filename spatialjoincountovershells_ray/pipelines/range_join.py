@@ -17,7 +17,6 @@ from spatialjoincountovershells_ray.config import BOX_SIZE, GridSpec, RadiusLadd
 from spatialjoincountovershells_ray.pipelines.shell_count import dataset_to_table
 from spatialjoincountovershells_ray.stages.join_kernels import (
     BroadcastRangeJoin,
-    HaloIndex,
     run_broadcast_kernel,
 )
 
@@ -34,9 +33,18 @@ def range_join(
     batch_size: int = 8192,
     concurrency=None,
     sort: bool = True,
+    auto_broadcast_bytes: float = 2 * 1024**3,
 ) -> "ray.data.Dataset":
     ladder = RadiusLadder(radii=np.array([radius]), dtype=np.dtype(dtype))
     grid = grid or GridSpec.for_radius(radius, box=box)
+
+    if mode == "auto":
+        # same cost model as shell_count(mode='auto'): broadcast iff the
+        # replicated halo index fits the per-worker budget
+        n = len(halos) if isinstance(halos, pa.Table) else halos.count()
+        cover = 0.6 * (2.0 * radius / grid.L + 1.0) ** 3
+        bytes_per_replica = 3 * np.dtype(dtype).itemsize + 16
+        mode = "broadcast" if n * cover * bytes_per_replica <= auto_broadcast_bytes else "shuffle"
 
     if mode == "shuffle":
         # no broadcastable-query-side assumption: both sides are tagged
@@ -60,8 +68,11 @@ def range_join(
     hxyz = np.stack(
         [halos_tbl.column(c).to_numpy().astype(dtype, copy=False) for c in "xyz"], axis=1
     )
-    index = HaloIndex.build(hids, hxyz, radius, grid, box)
-    index_ref = ray.put(index)
+    # remote build: probe tasks block on the ref, overlapping the build
+    # with the particle read/extract (same rationale as shell_count)
+    from spatialjoincountovershells_ray.pipelines.shell_count import _build_index
+
+    index_ref = _build_index.remote(hids, hxyz, radius, grid, box)
     if concurrency is None:
         # task mode + per-worker kernel cache (see run_broadcast_kernel)
         pairs = particles.map_batches(

@@ -246,6 +246,31 @@ def q_point_in_rects(sf_dir: str):
     return tiles.point_in_rects(synthetic.particles_dataset(sf_dir), keys, lo, hi)
 
 
+def q_zonal_counts(sf_dir: str):
+    """Zonal statistics: points-per-polygon. The containment join's pair
+    stream is pre-counted per batch (np.unique combiner) so the exchange
+    carries O(polygons) partials per task, then one tiny groupby sum."""
+    keys, lo, hi = _rect_arrays(sf_dir)
+    pairs = tiles.point_in_rects(synthetic.particles_dataset(sf_dir), keys, lo, hi)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        pid, cnt = np.unique(batch.column("poly_id").to_numpy(), return_counts=True)
+        return pa.table({"poly_id": pid, "cnt": cnt.astype(np.int64)})
+
+    merged = (
+        pairs.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("poly_id")
+        .sum("cnt")
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(
+            ["n_points" if n == "sum(cnt)" else n for n in batch.schema.names]
+        )
+
+    return merged.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)
+
+
 POLY_MAX_KEY = 120  # bounded broadcast polygon set
 POLY_NV = 6  # vertices per polygon
 
@@ -656,6 +681,19 @@ _RECTS_SQL = (
     "ORDER BY particle_id, poly_id"
 )
 
+_ZONAL_SQL = (
+    f"WITH {synthetic.PARTICLES_CTE}, "
+    "rects AS (SELECT s_suppkey AS poly_id, "
+    f"{derive_coord_sql('s_suppkey', 0)} AS cx, "
+    f"{derive_coord_sql('s_suppkey', 1)} AS cy, "
+    f"CAST((s_suppkey * 2654435761) % 150 + 50 AS DOUBLE) AS w FROM supplier WHERE s_suppkey < {RECT_MAX_KEY}) "
+    "SELECT r.poly_id, CAST(count(*) AS BIGINT) AS n_points "
+    "FROM particles p JOIN rects r "
+    "ON p.x >= r.cx - r.w AND p.x < r.cx + r.w "
+    "AND p.y >= r.cy - r.w AND p.y < r.cy + r.w "
+    "GROUP BY r.poly_id ORDER BY poly_id"
+)
+
 _TOKEN_SQL = (
     "SELECT doc_id, CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT) "
     "AS n_tokens FROM documents"
@@ -1000,6 +1038,7 @@ REGISTRY: dict[str, QueryDef] = {
     "knn_shuffle": QueryDef(q_knn_shuffle, _KNN_SQL),
     "tile_assign": QueryDef(q_tile_assign, _TILE_SQL),
     "point_in_rects": QueryDef(q_point_in_rects, _RECTS_SQL),
+    "zonal_counts": QueryDef(q_zonal_counts, _ZONAL_SQL),
     "point_in_polygons": QueryDef(q_point_in_polygons, _POLYS_SQL),
     "geo_range_join": QueryDef(q_geo_range_join, _geo_sql()),
     "geo_nearest_place": QueryDef(q_geo_nearest_place, _geo_nearest_sql()),

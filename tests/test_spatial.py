@@ -378,3 +378,30 @@ def test_grid_choice_does_not_change_result(ncells):
     np.testing.assert_array_equal(
         res[[f"s{i}" for i in range(4)]].to_numpy(), oracle.astype(np.int64)
     )
+
+
+def test_range_join_auto_picks_plan():
+    hxyz = uniform_coords(MT19937(1659533), 60)
+    pxyz = uniform_coords(MT19937(113), 1500)
+    want = range_join_oracle(
+        np.arange(60),
+        hxyz.astype(np.float64),
+        np.arange(1500),
+        pxyz.astype(np.float64),
+        60.0,
+    )
+    halos, parts = _tables(hxyz, pxyz, np.float64)
+    # small side fits the default budget -> broadcast plan
+    res = dataset_to_table(
+        rj_mod.range_join(halos, parts, 60.0, mode="auto", dtype=np.float64, sort=False)
+    ).to_pandas()
+    assert set(zip(res.halo_id, res.particle_id)) == want
+    # a 1-byte budget forces the shuffle plan; same logical result
+    halos2, parts2 = _tables(hxyz, pxyz, np.float64)
+    res2 = dataset_to_table(
+        rj_mod.range_join(
+            halos2, parts2, 60.0, mode="auto", dtype=np.float64,
+            sort=False, auto_broadcast_bytes=1.0,
+        )
+    ).to_pandas()
+    assert set(zip(res2.halo_id, res2.particle_id)) == want
