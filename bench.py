@@ -244,6 +244,7 @@ BENCH_QUERIES = [
     "media_features",
     "orders_join_bcast",
     "orders_join_shuffle",
+    "orders_join_salted",
     "customer_semi_join",
     "orders_anti_join",
     "rasterize",

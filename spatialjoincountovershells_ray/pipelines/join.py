@@ -43,6 +43,43 @@ def _with_string_key_hash(ds: "ray.data.Dataset", key: str) -> "ray.data.Dataset
 
 
 @ray.remote
+def _split_salted(
+    block: pa.Table, col: str, nbuckets: int, salt: int, replicate: bool
+) -> "list[pa.Table]":
+    """Skew-aware shuffle split into nbuckets*salt sub-buckets.
+
+    The probe side (``replicate=False``) spreads the rows of each key
+    bucket round-robin across its ``salt`` sub-buckets, so one hot key's
+    rows land on ``salt`` different join tasks instead of one. The build
+    side (``replicate=True``) is copied into every sub-bucket of its key
+    bucket, so each probe row still meets ALL rows of its key — inner,
+    semi and anti results are unchanged, only the hot key's work is
+    split. (The spatial plans salt hot cells the same way,
+    stages/salt.py.)"""
+    import numpy as np
+
+    ntot = nbuckets * salt
+    if block.num_rows == 0:
+        return [block.slice(0, 0)] * ntot
+    k = block.column(col).to_numpy()
+    if replicate:
+        reps = []
+        base = (k % nbuckets) * salt
+        for s in range(salt):
+            reps.append((block, base + s))
+        tbl = pa.concat_tables([b for b, _ in reps], promote_options="none")
+        bucket = np.concatenate([b for _, b in reps])
+    else:
+        tbl = block
+        bucket = (k % nbuckets) * salt + (np.arange(len(k), dtype=np.int64) % salt)
+    order = np.argsort(bucket, kind="stable")
+    sorted_tbl = tbl.take(pa.array(order, pa.int64()))
+    sb = bucket[order]
+    bounds = np.searchsorted(sb, np.arange(ntot + 1))
+    return [sorted_tbl.slice(bounds[i], bounds[i + 1] - bounds[i]) for i in range(ntot)]
+
+
+@ray.remote
 def _join_bucket(
     left_key: str, right_key: str, join_type: str, nleft: int, *parts: pa.Table
 ) -> pa.Table:
@@ -68,12 +105,18 @@ def equi_join(
     mode: str = "broadcast",
     join_type: str = "inner",
     nbuckets: int | None = None,
+    salt: int = 1,
 ) -> "ray.data.Dataset":
     """Row-emitting equi-join of two Datasets on int64 key columns.
 
     Output columns: all left columns then the right columns except its
     key (pyarrow join semantics). Row order is plan-dependent —
     consumers needing an order sort explicitly.
+
+    ``salt > 1`` (shuffle mode only) splits each key bucket into salt
+    sub-buckets: left rows round-robin across them, right rows replicated
+    into all of them — a hot left key's rows are joined by ``salt``
+    tasks instead of one. Result-identical for inner/semi/anti.
     """
     if mode == "broadcast":
         from spatialjoincountovershells_ray.pipelines.shell_count import dataset_to_table
@@ -112,14 +155,26 @@ def equi_join(
         left = _with_string_key_hash(left, left_key)
         right = _with_string_key_hash(right, right_key)
         lsplit_key = rsplit_key = _JK
-    lsplits = [
-        split_by_key.options(num_returns=nbuckets).remote(b, lsplit_key, nbuckets)
-        for b in left.materialize().to_arrow_refs()
-    ]
-    rsplits = [
-        split_by_key.options(num_returns=nbuckets).remote(b, rsplit_key, nbuckets)
-        for b in right.materialize().to_arrow_refs()
-    ]
+    salt = max(1, int(salt))
+    ntot = nbuckets * salt
+    if salt == 1:
+        lsplits = [
+            split_by_key.options(num_returns=nbuckets).remote(b, lsplit_key, nbuckets)
+            for b in left.materialize().to_arrow_refs()
+        ]
+        rsplits = [
+            split_by_key.options(num_returns=nbuckets).remote(b, rsplit_key, nbuckets)
+            for b in right.materialize().to_arrow_refs()
+        ]
+    else:
+        lsplits = [
+            _split_salted.options(num_returns=ntot).remote(b, lsplit_key, nbuckets, salt, False)
+            for b in left.materialize().to_arrow_refs()
+        ]
+        rsplits = [
+            _split_salted.options(num_returns=ntot).remote(b, rsplit_key, nbuckets, salt, True)
+            for b in right.materialize().to_arrow_refs()
+        ]
     out = [
         _join_bucket.remote(
             left_key,
@@ -129,6 +184,6 @@ def equi_join(
             *[s[bi] for s in lsplits],
             *[s[bi] for s in rsplits],
         )
-        for bi in range(nbuckets)
+        for bi in range(ntot)
     ]
     return ray.data.from_arrow_refs(out)

@@ -427,6 +427,20 @@ def q_orders_join_shuffle(sf_dir: str):
     return _orders_join(sf_dir, "shuffle")
 
 
+def q_orders_join_salted(sf_dir: str):
+    """Shuffle join with key salting (hot left keys split across salt
+    sub-buckets, right rows replicated into them) — same logical result."""
+    from spatialjoincountovershells_ray.pipelines.join import equi_join
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    return equi_join(orders, cust, "o_custkey", "c_custkey", mode="shuffle", salt=4)
+
+
 def q_customer_semi_join(sf_dir: str):
     """Semi-join: customers with at least one order. Broadcast plan —
     the key side rides the object store once, customers stream (at scale
@@ -1061,6 +1075,7 @@ REGISTRY: dict[str, QueryDef] = {
     "ngram_jaccard": QueryDef(q_ngram_jaccard, _NGRAM_JACCARD_SQL),
     "orders_join_bcast": QueryDef(q_orders_join_bcast, _ORDERS_JOIN_SQL),
     "orders_join_shuffle": QueryDef(q_orders_join_shuffle, _ORDERS_JOIN_SQL),
+    "orders_join_salted": QueryDef(q_orders_join_salted, _ORDERS_JOIN_SQL),
     "customer_semi_join": QueryDef(q_customer_semi_join, _SEMI_JOIN_SQL),
     "orders_anti_join": QueryDef(q_orders_anti_join, _ANTI_JOIN_SQL),
     "rasterize": QueryDef(q_rasterize, _RASTERIZE_SQL),

@@ -144,3 +144,42 @@ class TestSemiAntiJoin:
             join_type="left semi",
         ).to_pandas()
         assert len(out) == 1
+
+
+class TestSaltedJoin:
+    def test_salted_inner_matches_merge_on_skew(self):
+        # one hot key carries 90% of the left rows
+        rng = np.random.default_rng(3)
+        nl = 5000
+        k = np.where(rng.random(nl) < 0.9, 7, rng.integers(0, 50, nl)).astype(np.int64)
+        left = pd.DataFrame({"lid": np.arange(nl, dtype=np.int64), "k": k})
+        right = pd.DataFrame(
+            {"k2": np.arange(50, dtype=np.int64), "tag": [f"t{i%5}" for i in range(50)]}
+        )
+        out = (
+            equi_join(
+                _blocks(left, 6), _blocks(right, 2), "k", "k2",
+                mode="shuffle", nbuckets=4, salt=4,
+            )
+            .to_pandas()
+            .sort_values("lid")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(out, _expected(left, right))
+
+    def test_salted_semi_and_anti(self):
+        left = pd.DataFrame(
+            {"lid": np.arange(200, dtype=np.int64),
+             "k": np.repeat(np.int64(9), 200)}
+        )
+        right = pd.DataFrame({"k2": np.array([9, 9, 11], dtype=np.int64)})
+        semi = equi_join(
+            _blocks(left, 3), ray.data.from_pandas(right), "k", "k2",
+            mode="shuffle", nbuckets=2, salt=3, join_type="left semi",
+        ).to_pandas()
+        assert len(semi) == 200  # every hot-key row exactly once
+        anti = equi_join(
+            _blocks(left, 3), ray.data.from_pandas(right), "k", "k2",
+            mode="shuffle", nbuckets=2, salt=3, join_type="left anti",
+        ).to_pandas()
+        assert len(anti) == 0
