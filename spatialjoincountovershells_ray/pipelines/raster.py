@@ -72,6 +72,85 @@ def rasterize_points(
     return merged.map_batches(unpack, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def pyramid_counts(
+    points: "ray.data.Dataset",
+    finest_level: int,
+    nlevels: int,
+    xcol: str = "lon",
+    ycol: str = "lat",
+) -> "ray.data.Dataset":
+    """Multi-resolution cell-count pyramid over lon/lat points.
+
+    -> (level:int64, ix:int64, iy:int64, cnt:int64) for levels
+    ``finest_level .. finest_level-nlevels+1``. The input is scanned
+    ONCE: per-batch combiners count finest-level cells, one groupby
+    merges them, and every coarser level is an integer-halving rollup of
+    the previous level's (grid-bounded) raster — the tile-pyramid
+    aggregation a map-tile service runs, with no re-scan per zoom level.
+    Coarse indices derive from the finest by ``// 2`` (exact int64), so
+    the SQL twin can reproduce them bit-for-bit from the same finest
+    expression."""
+    n = np.float64(1 << finest_level)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ix = np.floor((batch.column(xcol).to_numpy() + 180.0) / 360.0 * n).astype(np.int64)
+        iy = np.floor((batch.column(ycol).to_numpy() + 90.0) / 180.0 * n).astype(np.int64)
+        key, cnt = np.unique(ix * np.int64(1 << 32) + iy, return_counts=True)
+        return pa.table({"cell": key, "cnt": cnt.astype(np.int64)})
+
+    # materialized per level: every level's raster is grid-bounded (tiny)
+    # and is consumed by BOTH the output union and the next rollup — the
+    # barrier guarantees the points are scanned exactly once
+    level_ds = (
+        points.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("cell")
+        .sum("cnt")
+        .materialize()
+    )
+
+    def unpack(batch: pa.Table, level: int) -> pa.Table:
+        cell = batch.column("cell").to_numpy()
+        cname = "sum(cnt)" if "sum(cnt)" in batch.schema.names else "cnt"
+        return pa.table(
+            {
+                "level": np.full(len(cell), level, dtype=np.int64),
+                "ix": cell >> 32,
+                "iy": cell & np.int64(0xFFFFFFFF),
+                "cnt": batch.column(cname),
+            }
+        )
+
+    def halve(batch: pa.Table) -> pa.Table:
+        cell = batch.column("cell").to_numpy()
+        cname = "sum(cnt)" if "sum(cnt)" in batch.schema.names else "cnt"
+        coarse = ((cell >> 32) // 2) * np.int64(1 << 32) + (cell & np.int64(0xFFFFFFFF)) // 2
+        return pa.table({"cell": coarse, "cnt": batch.column(cname)})
+
+    outs = [
+        level_ds.map_batches(
+            unpack, fn_kwargs={"level": finest_level},
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+    ]
+    for lv in range(finest_level - 1, finest_level - nlevels, -1):
+        level_ds = (
+            level_ds.map_batches(halve, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("cell")
+            .sum("cnt")
+            .materialize()
+        )
+        outs.append(
+            level_ds.map_batches(
+                unpack, fn_kwargs={"level": lv},
+                batch_format="pyarrow", zero_copy_batch=True,
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.union(o)
+    return out
+
+
 def _runs_in_row(batch: pa.Table) -> pa.Table:
     """Vectorized gaps-and-islands over one cell_row group."""
     rows = batch.column("cell_row").to_numpy()

@@ -487,6 +487,17 @@ def q_raster_to_vector(sf_dir: str):
     return raster.raster_to_vector(q_rasterize(sf_dir), threshold="mean")
 
 
+PYRAMID_FINEST = 6  # 64x64 finest grid
+PYRAMID_NLEVELS = 3
+
+
+def q_geo_pyramid(sf_dir: str):
+    """Tile-pyramid rollup: lon/lat point counts at three zoom levels,
+    one input scan, coarse levels derived by integer halving."""
+    _, points = _geo_inputs(sf_dir)
+    return raster.pyramid_counts(points, PYRAMID_FINEST, PYRAMID_NLEVELS)
+
+
 DOC_SAMPLE_RATE = 0.1
 TOPK_PER_SOURCE = 3
 
@@ -808,6 +819,31 @@ def _geo_sql() -> str:
     )
 
 
+def _geo_pyramid_sql() -> str:
+    n = float(1 << PYRAMID_FINEST)
+    f = (
+        f"f AS (SELECT CAST(floor((lon + 180.0) / 360.0 * {n!r}) AS BIGINT) AS ix, "
+        f"CAST(floor((lat + 90.0) / 180.0 * {n!r}) AS BIGINT) AS iy, "
+        "CAST(count(*) AS BIGINT) AS cnt FROM points GROUP BY 1, 2)"
+    )
+    parts = [f"SELECT {PYRAMID_FINEST} AS level, ix, iy, cnt FROM f"]
+    for d, lv in enumerate(
+        range(PYRAMID_FINEST - 1, PYRAMID_FINEST - PYRAMID_NLEVELS, -1), start=1
+    ):
+        # coarse indices derive from the SAME finest expression by integer
+        # halving (// floors toward -inf like the engine's int64 //)
+        parts.append(
+            f"SELECT {lv} AS level, ix // {1 << d} AS ix, iy // {1 << d} AS iy, "
+            f"CAST(SUM(cnt) AS BIGINT) AS cnt FROM f GROUP BY 2, 3"
+        )
+    return (
+        f"WITH points AS (SELECT c_custkey AS point_id, {_lat_sql('c_custkey')} AS lat, "
+        f"{_lon_sql('c_custkey')} AS lon FROM customer), {f} "
+        + " UNION ALL ".join(parts)
+        + " ORDER BY level, ix, iy"
+    )
+
+
 def _geo_nearest_sql() -> str:
     from spatialjoincountovershells_ray.pipelines.geo_join import RAD
 
@@ -1056,6 +1092,7 @@ REGISTRY: dict[str, QueryDef] = {
     "point_in_polygons": QueryDef(q_point_in_polygons, _POLYS_SQL),
     "geo_range_join": QueryDef(q_geo_range_join, _geo_sql()),
     "geo_nearest_place": QueryDef(q_geo_nearest_place, _geo_nearest_sql()),
+    "geo_pyramid": QueryDef(q_geo_pyramid, _geo_pyramid_sql()),
     "token_count": QueryDef(q_token_count, _TOKEN_SQL),
     "quality_counts": QueryDef(q_quality_counts, _QUALITY_SQL),
     "lang_id": QueryDef(q_lang_id, _LANG_SQL),

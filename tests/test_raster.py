@@ -116,3 +116,42 @@ class TestRaster:
             }
         ).astype(np.int64)
         pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+class TestPyramid:
+    def test_pyramid_matches_pandas_and_rolls_up(self):
+        from spatialjoincountovershells_ray.pipelines.raster import pyramid_counts
+
+        rng = np.random.default_rng(23)
+        npts = 30_000
+        df = pd.DataFrame(
+            {
+                "lon": rng.uniform(-180, 179.99, npts),
+                "lat": rng.uniform(-90, 89.99, npts),
+            }
+        )
+        ds = ray.data.from_pandas([d for d in np.array_split(df, 6)])
+        got = (
+            pyramid_counts(ds, 5, 3)
+            .to_pandas()
+            .sort_values(["level", "ix", "iy"])
+            .reset_index(drop=True)
+        )
+        # every level's counts sum to the point total
+        assert (got.groupby("level").cnt.sum() == npts).all()
+        # pandas oracle: finest from floor, coarse from integer halving
+        n = float(1 << 5)
+        fx = np.floor((df.lon.to_numpy() + 180.0) / 360.0 * n).astype(np.int64)
+        fy = np.floor((df.lat.to_numpy() + 90.0) / 180.0 * n).astype(np.int64)
+        for d, lv in enumerate([5, 4, 3]):
+            exp = (
+                pd.DataFrame({"ix": fx >> d, "iy": fy >> d})
+                .groupby(["ix", "iy"])
+                .size()
+                .rename("cnt")
+                .reset_index()
+                .sort_values(["ix", "iy"])
+                .reset_index(drop=True)
+            )
+            g = got[got.level == lv][["ix", "iy", "cnt"]].reset_index(drop=True)
+            pd.testing.assert_frame_equal(g, exp, check_dtype=False)
