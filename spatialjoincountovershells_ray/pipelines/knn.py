@@ -266,6 +266,13 @@ def knn(
     instead of all H x P pairs. ``method='brute'`` scans every pair
     (the oracle-ish fallback; no radius assumption).
     """
+    if method == "auto":
+        # same small-query-side cost model as shell_count/range_join
+        # 'auto': the ring plan broadcasts a pruned halo index per round,
+        # so its footprint bound is the plain index estimate at the
+        # density radius; beyond the budget, exchange both sides
+        n = len(halos) if isinstance(halos, pa.Table) else halos.count()
+        method = "ring" if n * 32 <= 2 * 1024**3 else "shuffle"
     if method == "ring":
         return _knn_ring(
             halos, particles, k, box=box, dtype=dtype, batch_size=batch_size,
