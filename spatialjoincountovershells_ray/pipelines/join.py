@@ -119,9 +119,15 @@ def equi_join(
     tasks instead of one. Result-identical for inner/semi/anti.
     """
     if mode == "broadcast":
-        from spatialjoincountovershells_ray.pipelines.shell_count import dataset_to_table
+        # concat the small side worker-side: the blocks never round-trip
+        # through the driver, and the join tasks block on this ref so the
+        # collect overlaps the left side's read
+        @ray.remote
+        def _concat(*parts: pa.Table) -> pa.Table:
+            ne = [p for p in parts if p.num_rows > 0]
+            return pa.concat_tables(ne, promote_options="none") if ne else parts[0]
 
-        rtbl_ref = ray.put(dataset_to_table(right))
+        rtbl_ref = _concat.remote(*right.materialize().to_arrow_refs())
 
         class Joiner:
             def __init__(self, ref):
