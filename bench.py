@@ -236,6 +236,8 @@ BENCH_QUERIES = [
     "event_type_counts",
     "event_lag",
     "user_sessions",
+    "sessionize",
+    "normalize_text",
     "event_window_agg",
     "event_rolling_max",
     "event_asof_join",

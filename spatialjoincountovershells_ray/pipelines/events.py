@@ -190,3 +190,33 @@ def event_rolling_max(sf_dir_or_ds, window: int = 3) -> "ray.data.Dataset":
         return pd.DataFrame({"event_id": g["event_id"], "roll_max": rm})
 
     return ds.groupby("user_id").map_groups(roll, batch_format="pandas")
+
+
+def sessionize(sf_dir_or_ds) -> "ray.data.Dataset":
+    """-> event_id, user_id, session_id:int64 — every event labeled with
+    its 1-based per-user session ordinal (same >30 min gap rule as
+    user_sessions). Keyed groupby + vectorized cumulative sum per group;
+    the exchange carries only (ts, user_id, event_id)."""
+    ds = (
+        ray.data.read_parquet(
+            f"{sf_dir_or_ds}/events.parquet", columns=["ts", "user_id", "event_id"]
+        )
+        if isinstance(sf_dir_or_ds, str)
+        else sf_dir_or_ds
+    )
+
+    def fn(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["ts", "event_id"], kind="mergesort")
+        us = g["ts"].astype("int64").to_numpy()
+        brk = np.zeros(len(us), dtype=np.int64)
+        if len(us) > 1:
+            brk[1:] = (np.diff(us) > GAP_US).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(),
+                "user_id": g["user_id"].to_numpy(),
+                "session_id": 1 + np.cumsum(brk),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(fn, batch_format="pandas")

@@ -64,3 +64,20 @@ def fingerprints(docs: "ray.data.Dataset") -> "ray.data.Dataset":
         )
 
     return docs.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def normalize_text(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """-> doc_id, norm_text:string — ASCII-whitespace runs collapsed to
+    one space, lowercased. The standard cleaning stage ahead of dedup /
+    shingling; both pyarrow and DuckDB run RE2, so the SQL twin
+    (lower(regexp_replace(text, '[ \\t\\n\\r\\x0b\\x0c]+', ' ', 'g')))
+    is byte-exact."""
+    import pyarrow.compute as pc
+
+    def fn(batch: pa.Table) -> pa.Table:
+        t = pc.replace_substring_regex(
+            batch.column("text"), r"[ \t\n\r\x0b\x0c]+", " "
+        )
+        return pa.table({"doc_id": batch.column("doc_id"), "norm_text": pc.utf8_lower(t)})
+
+    return docs.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

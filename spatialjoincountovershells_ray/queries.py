@@ -397,6 +397,10 @@ def q_lang_id(sf_dir: str):
     return textops.lang_id(ray.data.read_parquet(f"{sf_dir}/documents.parquet"))
 
 
+def q_normalize_text(sf_dir: str):
+    return textops.normalize_text(ray.data.read_parquet(f"{sf_dir}/documents.parquet"))
+
+
 def q_exact_dedup(sf_dir: str):
     return dedup.exact_dedup(ray.data.read_parquet(f"{sf_dir}/documents.parquet"))
 
@@ -742,6 +746,20 @@ _LANG_SQL = (
     "length(regexp_extract_all(lower(text), '\\b(der|die|und|das|ist|nicht)\\b')) AS cnt_de, "
     "length(regexp_extract_all(lower(text), '\\b(le|la|et|les|est|des)\\b')) AS cnt_fr "
     "FROM documents)"
+)
+
+_NORMALIZE_SQL = (
+    "SELECT doc_id, lower(regexp_replace(text, '[ \t\n\r\x0b\x0c]+', ' ', 'g')) "
+    "AS norm_text FROM documents"
+)
+
+_SESSIONIZE_SQL = (
+    "SELECT event_id, user_id, CAST(1 + SUM(CASE WHEN gap_us > 1800000000 "
+    "THEN 1 ELSE 0 END) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id "
+    "FROM (SELECT event_id, user_id, ts, date_diff('microsecond', "
+    "lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) AS gap_us "
+    "FROM events)"
 )
 
 _DEDUP_SQL = (
@@ -1102,6 +1120,8 @@ REGISTRY: dict[str, QueryDef] = {
     "event_type_counts": QueryDef(relational.event_type_counts, _EVENTS_SQL),
     "event_lag": QueryDef(events.event_lag, _EVENT_LAG_SQL),
     "user_sessions": QueryDef(events.user_sessions, _SESSIONS_SQL),
+    "sessionize": QueryDef(events.sessionize, _SESSIONIZE_SQL),
+    "normalize_text": QueryDef(q_normalize_text, _NORMALIZE_SQL),
     "event_window_agg": QueryDef(events.event_window_agg, _WINDOW_AGG_SQL),
     "event_rolling_max": QueryDef(events.event_rolling_max, _ROLLING_MAX_SQL),
     "event_asof_join": QueryDef(events.event_asof_join, _ASOF_SQL),
