@@ -189,8 +189,10 @@ def raster_to_vector(
         agg = raster.aggregate(
             ray.data.aggregate.Count(), ray.data.aggregate.Sum("cnt")
         )
-        ncells = np.int64(agg["count()"])
-        total = np.int64(agg["sum(cnt)"])
+        # empty raster: aggregate yields no/None fields; pass-through (the
+        # downstream map_groups over zero rows emits zero rows either way)
+        ncells = np.int64(agg.get("count()") or 0) if agg else np.int64(0)
+        total = np.int64(agg.get("sum(cnt)") or 0) if agg else np.int64(0)
 
         def keep(batch: pa.Table) -> pa.Table:
             c = batch.column("cnt").to_numpy()
