@@ -256,6 +256,7 @@ BENCH_QUERIES = [
     "topk_docs_per_source",
     "source_quantiles",
     "daily_active_users",
+    "top_event_type",
 ]
 
 

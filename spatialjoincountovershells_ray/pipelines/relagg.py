@@ -185,3 +185,47 @@ def daily_active_users(events: "ray.data.Dataset") -> "ray.data.Dataset":
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+
+
+def mode_per_group(
+    ds: "ray.data.Dataset", group: str, value: str, out_col: str = "top_value"
+) -> "ray.data.Dataset":
+    """-> group, out_col, n:int64 — the most frequent ``value`` per group
+    (ties to the smallest value), with its count.
+
+    Decomposable argmax aggregation: each batch pre-counts its own
+    (group, value) pairs (Arrow group_by combiner), so the exchange
+    carries O(groups x distinct values) partial triples, never raw rows;
+    the per-group reducer sums partials and takes the (count DESC,
+    value ASC) winner — the exact tie-break the SQL twin's row_number
+    ORDER BY uses."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = (
+            batch.select([group, value])
+            .group_by([group, value])
+            .aggregate([([], "count_all")])
+        )
+        # rename by NAME (pyarrow has moved key-column position across
+        # versions; a positional rename would silently relabel)
+        return t.rename_columns(
+            ["cnt" if n == "count_all" else n for n in t.column_names]
+        )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby(value, sort=False)["cnt"].sum()
+        s = s.sort_index(kind="mergesort")  # value ASC for the tie-break
+        best = s.idxmax()  # first max after the stable sort
+        return pd.DataFrame(
+            {
+                group: [g[group].iloc[0]],
+                out_col: [best],
+                "n": [np.int64(s.loc[best])],
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(group)
+        .map_groups(final, batch_format="pandas")
+    )

@@ -547,6 +547,17 @@ def q_daily_active_users(sf_dir: str):
     )
 
 
+def q_top_event_type(sf_dir: str):
+    """Mode per group: each user's most frequent event type (ties to the
+    lexicographically smallest type)."""
+    return relagg.mode_per_group(
+        ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]),
+        group="user_id",
+        value="event_type",
+        out_col="top_type",
+    )
+
+
 def q_minhash_pairs(sf_dir: str):
     return dedup.minhash_lsh_pairs(ray.data.read_parquet(f"{sf_dir}/documents.parquet"))
 
@@ -1087,6 +1098,13 @@ _SOURCE_QUANTILES_SQL = (
     "FROM documents GROUP BY source ORDER BY source"
 )
 
+_TOP_EVENT_SQL = (
+    "SELECT user_id, event_type AS top_type, CAST(n AS BIGINT) AS n FROM ("
+    "SELECT user_id, event_type, count(*) AS n, row_number() OVER ("
+    "PARTITION BY user_id ORDER BY count(*) DESC, event_type) AS rn "
+    "FROM events GROUP BY user_id, event_type) WHERE rn = 1"
+)
+
 _DAU_SQL = (
     "SELECT strftime(ts, '%Y-%m-%d') AS day, "
     "CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users "
@@ -1141,6 +1159,7 @@ REGISTRY: dict[str, QueryDef] = {
     "topk_docs_per_source": QueryDef(q_topk_docs_per_source, _TOPK_SOURCE_SQL),
     "source_quantiles": QueryDef(q_source_quantiles, _SOURCE_QUANTILES_SQL),
     "daily_active_users": QueryDef(q_daily_active_users, _DAU_SQL),
+    "top_event_type": QueryDef(q_top_event_type, _TOP_EVENT_SQL),
     # genuinely non-SQL-expressible (approximate LSH candidate sets) —
     # rows-only checks, recall-tested in tests/test_ops.py
     "minhash_pairs": QueryDef(q_minhash_pairs, None),

@@ -132,3 +132,39 @@ class TestDistinctCount:
             df.groupby("g")["m"].nunique().astype(np.int64).reset_index(name="n_distinct")
         )
         pd.testing.assert_frame_equal(out, ref)
+
+
+class TestModePerGroup:
+    def test_mode_matches_pandas_with_tiebreak(self):
+        import numpy as np
+        import pandas as pd
+        import ray
+
+        from spatialjoincountovershells_ray.pipelines.relagg import mode_per_group
+
+        rng = np.random.default_rng(31)
+        n = 8000
+        df = pd.DataFrame(
+            {
+                "g": rng.integers(0, 40, n).astype(np.int64),
+                "v": rng.choice(list("abcde"), n),
+            }
+        )
+        # force a known tie in one group: equal counts for 'a' and 'b'
+        tie = pd.DataFrame({"g": np.int64(99), "v": ["b", "a", "a", "b"]})
+        df = pd.concat([df, tie], ignore_index=True)
+        got = (
+            mode_per_group(
+                ray.data.from_pandas([d for d in np.array_split(df, 7)]), "g", "v"
+            )
+            .to_pandas()
+            .sort_values("g")
+            .reset_index(drop=True)
+        )
+        cnt = df.groupby(["g", "v"]).size().rename("n").reset_index()
+        cnt = cnt.sort_values(["g", "n", "v"], ascending=[True, False, True], kind="mergesort")
+        exp = cnt.groupby("g", sort=True).head(1).reset_index(drop=True)
+        assert (got["g"].to_numpy() == exp["g"].to_numpy()).all()
+        assert (got["top_value"].to_numpy() == exp["v"].to_numpy()).all()
+        assert (got["n"].to_numpy() == exp["n"].to_numpy()).all()
+        assert got.loc[got.g == 99, "top_value"].iloc[0] == "a"  # tie -> smallest
