@@ -106,6 +106,7 @@ def equi_join(
     join_type: str = "inner",
     nbuckets: int | None = None,
     salt: int = 1,
+    auto_broadcast_bytes: float = 2 * 1024**3,
 ) -> "ray.data.Dataset":
     """Row-emitting equi-join of two Datasets on int64 key columns.
 
@@ -117,7 +118,20 @@ def equi_join(
     sub-buckets: left rows round-robin across them, right rows replicated
     into all of them — a hot left key's rows are joined by ``salt``
     tasks instead of one. Result-identical for inner/semi/anti.
+
+    ``mode='auto'`` broadcasts iff the right side's (metadata-estimated)
+    bytes fit the per-worker budget — the same cost model as the spatial
+    plans' auto mode.
     """
+    if mode == "auto":
+        try:
+            sz = right.size_bytes()
+        except Exception:  # noqa: BLE001 — schema-only estimate unavailable
+            sz = None
+        if sz is None:
+            sz = right.count() * 64
+        mode = "broadcast" if sz <= auto_broadcast_bytes else "shuffle"
+
     if mode == "broadcast":
         # concat the small side worker-side: the blocks never round-trip
         # through the driver, and the join tasks block on this ref so the

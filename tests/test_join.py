@@ -183,3 +183,22 @@ class TestSaltedJoin:
             mode="shuffle", nbuckets=2, salt=3, join_type="left anti",
         ).to_pandas()
         assert len(anti) == 0
+
+
+def test_auto_mode_picks_plan():
+    left, right = _sides(seed=41)
+    exp = _expected(left, right)
+    out = (
+        equi_join(_blocks(left, 4), _blocks(right, 2), "k", "k2", mode="auto")
+        .to_pandas().sort_values("lid").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, exp)
+    # 1-byte budget forces shuffle; same logical result
+    out2 = (
+        equi_join(
+            _blocks(left, 4), _blocks(right, 2), "k", "k2",
+            mode="auto", auto_broadcast_bytes=1.0, nbuckets=4,
+        )
+        .to_pandas().sort_values("lid").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out2, exp)
