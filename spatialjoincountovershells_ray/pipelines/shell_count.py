@@ -152,6 +152,7 @@ def shell_count(
     halo_index: "HaloIndex | None" = None,
     exchange: str = "bucket",
     auto_broadcast_bytes: float = 2 * 1024**3,
+    remote_index_build: bool = False,
 ) -> "ray.data.Dataset":
     """Per-halo shell histograms: halo_id:int64, s0..s{nrads-1}:int64.
 
@@ -195,12 +196,19 @@ def shell_count(
                 [halos_tbl.column(c).to_numpy().astype(ladder.dtype, copy=False) for c in "xyz"],
                 axis=1,
             )
-            # build on a worker, not the driver: the probe tasks block on
-            # this ref, so the build overlaps the particle read/extract
-            # stages instead of serializing in front of the whole pipeline
-            # (the reference overlaps index build with probing the same
-            # way via its backlog queue, src/astr_rcount/main.c:266-350)
-            index_ref = _build_index.remote(hids, hxyz, ladder.rmax, grid, box)
+            if remote_index_build:
+                # build on a worker: the probe tasks block on this ref, so
+                # the build overlaps the particle read/extract stages (the
+                # reference overlaps build with probing the same way via
+                # its backlog queue, src/astr_rcount/main.c:266-350). The
+                # right default on a real cluster — but on THIS sandbox a
+                # cold worker's lazily-faulted heap makes the first big
+                # build 5-20x slower (BASELINE.md), so the warm driver is
+                # the reliable default here.
+                index_ref = _build_index.remote(hids, hxyz, ladder.rmax, grid, box)
+            else:
+                index = HaloIndex.build(hids, hxyz, ladder.rmax, grid, box)
+                index_ref = ray.put(index)
         if concurrency is None:
             # task mode: long-lived task workers + per-worker kernel cache
             # amortize index fetch and scratch like an actor pool would,
