@@ -240,6 +240,7 @@ BENCH_QUERIES = [
     "normalize_text",
     "event_window_agg",
     "event_rolling_max",
+    "event_sliding_counts",
     "event_asof_join",
     "orders_per_segment",
     "lineitem_agg",

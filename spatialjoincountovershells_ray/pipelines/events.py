@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import ray
 
 GAP_US = 1_800 * 1_000_000  # 30 min session gap, microseconds
@@ -220,3 +221,51 @@ def sessionize(sf_dir_or_ds) -> "ray.data.Dataset":
         )
 
     return ds.groupby("user_id").map_groups(fn, batch_format="pandas")
+
+
+SLIDE_STEP_US = 3_600 * 1_000_000  # 1-hour step; window width = 2 steps
+
+
+def event_sliding_counts(sf_dir_or_ds) -> "ray.data.Dataset":
+    """Sliding-window counts: -> user_id, win:int64, n_events:int64 for
+    2-hour windows stepping hourly (window ``w`` covers
+    ``[w*step, w*step + 2*step)``, so each event lands in windows
+    ``t//step`` and ``t//step - 1``).
+
+    The overlap is materialized map-side: each batch emits both window
+    keys and pre-counts (np.unique combiner), so the exchange carries
+    O(user x window) partials — the same decomposition as the tumbling
+    window, with a 2x fan-out instead of 1x."""
+    ds = (
+        ray.data.read_parquet(f"{sf_dir_or_ds}/events.parquet", columns=["ts", "user_id"])
+        if isinstance(sf_dir_or_ds, str)
+        else sf_dir_or_ds
+    )
+    K = np.int64(1) << 22  # windows-per-user packing headroom
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = batch.column("ts").cast(pa.int64()).to_numpy()
+        u = batch.column("user_id").to_numpy()
+        w = us // np.int64(SLIDE_STEP_US)
+        key = np.concatenate([u * K + w, u * K + (w - 1)])
+        kk, cnt = np.unique(key, return_counts=True)
+        return pa.table({"uw": kk, "n": cnt.astype(np.int64)})
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("uw")
+        .sum("n")
+    )
+
+    def unpack(batch: pa.Table) -> pa.Table:
+        uw = batch.column("uw").to_numpy()
+        cname = "sum(n)" if "sum(n)" in batch.schema.names else "n"
+        return pa.table(
+            {
+                "user_id": uw // K,
+                "win": uw % K,
+                "n_events": batch.column(cname),
+            }
+        )
+
+    return merged.map_batches(unpack, batch_format="pyarrow", zero_copy_batch=True)

@@ -824,6 +824,14 @@ _ASOF_SQL = (
     ") WHERE event_type = 'purchase'"
 )
 
+_SLIDING_SQL = (
+    "WITH e AS (SELECT user_id, epoch_us(ts) // 3600000000 AS w FROM events), "
+    "x AS (SELECT user_id, w AS win FROM e "
+    "UNION ALL SELECT user_id, w - 1 AS win FROM e) "
+    "SELECT user_id, CAST(win AS BIGINT) AS win, CAST(count(*) AS BIGINT) AS n_events "
+    "FROM x GROUP BY user_id, win"
+)
+
 _ROLLING_MAX_SQL = (
     "SELECT event_id, MAX(value) OVER (PARTITION BY user_id ORDER BY ts, event_id "
     "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS roll_max FROM events"
@@ -1142,6 +1150,7 @@ REGISTRY: dict[str, QueryDef] = {
     "normalize_text": QueryDef(q_normalize_text, _NORMALIZE_SQL),
     "event_window_agg": QueryDef(events.event_window_agg, _WINDOW_AGG_SQL),
     "event_rolling_max": QueryDef(events.event_rolling_max, _ROLLING_MAX_SQL),
+    "event_sliding_counts": QueryDef(events.event_sliding_counts, _SLIDING_SQL),
     "event_asof_join": QueryDef(events.event_asof_join, _ASOF_SQL),
     "ann_topk": QueryDef(q_ann_topk, _ANN_SQL),
     "embedding_near_dups": QueryDef(q_embedding_near_dups, _NEAR_DUP_SQL),
