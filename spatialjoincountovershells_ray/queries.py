@@ -469,9 +469,15 @@ def q_orders_anti_join(sf_dir: str):
     orders = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
     )
+    import pyarrow.compute as pc
+
+    # row filter pushed into the parquet read: only BUILDING rows leave
+    # storage (fragment/row-group pruning), nothing filtered post-read
     building = ray.data.read_parquet(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
-    ).filter(expr="c_mktsegment == 'BUILDING'")
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_mktsegment"],
+        filter=pc.field("c_mktsegment") == "BUILDING",
+    )
     return equi_join(
         orders, building, "o_custkey", "c_custkey", mode="shuffle", join_type="left anti"
     )
