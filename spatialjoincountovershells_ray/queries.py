@@ -386,27 +386,27 @@ def q_geo_nearest_place(sf_dir: str):
 
 
 def q_token_count(sf_dir: str):
-    return textops.token_counts(ray.data.read_parquet(f"{sf_dir}/documents.parquet"))
+    return textops.token_counts(ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]))
 
 
 def q_quality_counts(sf_dir: str):
-    return textops.quality_counts(ray.data.read_parquet(f"{sf_dir}/documents.parquet"))
+    return textops.quality_counts(ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]))
 
 
 def q_lang_id(sf_dir: str):
-    return textops.lang_id(ray.data.read_parquet(f"{sf_dir}/documents.parquet"))
+    return textops.lang_id(ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]))
 
 
 def q_normalize_text(sf_dir: str):
-    return textops.normalize_text(ray.data.read_parquet(f"{sf_dir}/documents.parquet"))
+    return textops.normalize_text(ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]))
 
 
 def q_exact_dedup(sf_dir: str):
-    return dedup.exact_dedup(ray.data.read_parquet(f"{sf_dir}/documents.parquet"))
+    return dedup.exact_dedup(ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]))
 
 
 def q_fingerprints(sf_dir: str):
-    return textops.fingerprints(ray.data.read_parquet(f"{sf_dir}/documents.parquet"))
+    return textops.fingerprints(ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]))
 
 
 def _orders_join(sf_dir: str, mode: str):
@@ -565,11 +565,11 @@ def q_top_event_type(sf_dir: str):
 
 
 def q_minhash_pairs(sf_dir: str):
-    return dedup.minhash_lsh_pairs(ray.data.read_parquet(f"{sf_dir}/documents.parquet"))
+    return dedup.minhash_lsh_pairs(ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]))
 
 
 def q_simhash(sf_dir: str):
-    return dedup.simhash64(ray.data.read_parquet(f"{sf_dir}/documents.parquet"))
+    return dedup.simhash64(ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]))
 
 
 NEAR_DUP_THRESHOLD = 0.35  # yields a few hundred true pairs at every sf
@@ -584,7 +584,7 @@ def q_embedding_near_dups(sf_dir: str):
 
 def q_ngram_jaccard(sf_dir: str):
     return dedup.ngram_jaccard_pairs(
-        ray.data.read_parquet(f"{sf_dir}/documents.parquet"), n=3, threshold=0.2
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]), n=3, threshold=0.2
     )
 
 
