@@ -244,9 +244,20 @@ def event_sliding_counts(sf_dir_or_ds) -> "ray.data.Dataset":
     K = np.int64(1) << 22  # windows-per-user packing headroom
 
     def partial(batch: pa.Table) -> pa.Table:
-        us = batch.column("ts").cast(pa.int64()).to_numpy()
+        # normalize resolution first: a pandas-origin block carries
+        # timestamp[ns], and a bare int64 cast would yield nanoseconds
+        # (silently wrong windows) instead of the epoch-us the math wants
+        us = batch.column("ts").cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
         u = batch.column("user_id").to_numpy()
         w = us // np.int64(SLIDE_STEP_US)
+        if us.size and int(w.min()) < 1:
+            # w-1 would underflow the pack (and DuckDB's // truncates
+            # toward zero for negatives while numpy floors, so the SQL
+            # twin itself diverges pre-epoch) — refuse loudly
+            raise ValueError(
+                "event_sliding_counts requires timestamps at least one "
+                "window step past the epoch (got an earlier/negative ts)"
+            )
         key = np.concatenate([u * K + w, u * K + (w - 1)])
         kk, cnt = np.unique(key, return_counts=True)
         return pa.table({"uw": kk, "n": cnt.astype(np.int64)})

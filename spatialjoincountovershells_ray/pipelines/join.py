@@ -141,7 +141,16 @@ def equi_join(
             ne = [p for p in parts if p.num_rows > 0]
             return pa.concat_tables(ne, promote_options="none") if ne else parts[0]
 
-        rtbl_ref = _concat.remote(*right.materialize().to_arrow_refs())
+        rrefs = right.materialize().to_arrow_refs()
+        if rrefs:
+            rtbl_ref = _concat.remote(*rrefs)
+        else:  # zero-block right side: join against an empty typed table
+            sch = getattr(right.schema(), "base_schema", None)
+            rtbl_ref = ray.put(
+                pa.table({f.name: pa.array([], f.type) for f in sch})
+                if sch is not None
+                else pa.table({})
+            )
 
         class Joiner:
             def __init__(self, ref):
@@ -162,6 +171,11 @@ def equi_join(
 
     if mode != "shuffle":
         raise ValueError(f"unknown join mode {mode!r}")
+
+    if salt > 1 and join_type not in ("inner", "left semi", "left anti"):
+        # build-side replication double-emits unmatched right rows under
+        # right/full outer joins — refuse rather than silently corrupt
+        raise ValueError(f"salt > 1 is only result-identical for inner/semi/anti, not {join_type!r}")
 
     nbuckets = nbuckets or max(8, int(ray.cluster_resources().get("CPU", 8)))
     lsplit_key, rsplit_key = left_key, right_key

@@ -186,6 +186,10 @@ def raster_to_vector(
     come from one tiny aggregate over the grid-bounded raster.
     """
     if threshold == "mean":
+        # grid-bounded, so materializing is cheap — and without it the
+        # aggregate below and the filter stage would each re-execute the
+        # entire upstream rasterize pipeline (double input scan)
+        raster = raster.materialize()
         agg = raster.aggregate(
             ray.data.aggregate.Count(), ray.data.aggregate.Sum("cnt")
         )

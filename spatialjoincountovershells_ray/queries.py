@@ -339,8 +339,26 @@ def _lon_sql(k: str) -> str:
     return f"CAST(({expr}) % {_GEO_MOD} AS DOUBLE)/1000000.0*360.0-180.0"
 
 
+def _geo_points(sf_dir: str) -> "ray.data.Dataset":
+    """Streaming lon/lat point table derived from customer keys."""
+
+    def to_points(batch: pa.Table) -> pa.Table:
+        k = batch.column("c_custkey").to_numpy()
+        return pa.table(
+            {
+                "point_id": pa.array(k, pa.int64()),
+                "lat": _derive_lat(k),
+                "lon": _derive_lon(k),
+            }
+        )
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"]
+    ).map_batches(to_points, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _geo_inputs(sf_dir: str):
-    """(places table, streaming points Dataset) shared by the geo queries."""
+    """(places table, streaming points Dataset) shared by the geo joins."""
     import pyarrow.parquet as pq
 
     sup = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey"])
@@ -353,21 +371,7 @@ def _geo_inputs(sf_dir: str):
             "lon": _derive_lon(keys),
         }
     )
-
-    def to_points(batch: pa.Table) -> pa.Table:
-        k = batch.column("c_custkey").to_numpy()
-        return pa.table(
-            {
-                "point_id": pa.array(k, pa.int64()),
-                "lat": _derive_lat(k),
-                "lon": _derive_lon(k),
-            }
-        )
-
-    points = ray.data.read_parquet(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey"]
-    ).map_batches(to_points, batch_format="pyarrow", zero_copy_batch=True)
-    return places, points
+    return places, _geo_points(sf_dir)
 
 
 def q_geo_range_join(sf_dir: str):
@@ -504,8 +508,7 @@ PYRAMID_NLEVELS = 3
 def q_geo_pyramid(sf_dir: str):
     """Tile-pyramid rollup: lon/lat point counts at three zoom levels,
     one input scan, coarse levels derived by integer halving."""
-    _, points = _geo_inputs(sf_dir)
-    return raster.pyramid_counts(points, PYRAMID_FINEST, PYRAMID_NLEVELS)
+    return raster.pyramid_counts(_geo_points(sf_dir), PYRAMID_FINEST, PYRAMID_NLEVELS)
 
 
 DOC_SAMPLE_RATE = 0.1

@@ -116,3 +116,21 @@ def test_user_sessions_gap_rule():
     # 10:10 -> 11:00:01 is 50:01 > 30 min: two sessions for user 1
     assert res.loc[1, "n_sessions"] == 2
     assert res.loc[2, "n_sessions"] == 1
+
+
+def test_sliding_counts_rejects_pre_epoch_timestamps():
+    import numpy as np
+    import pandas as pd
+    import pytest
+    import ray
+
+    from spatialjoincountovershells_ray.pipelines.events import event_sliding_counts
+
+    df = pd.DataFrame(
+        {
+            "ts": pd.to_datetime(["1970-01-01 00:10:00"]),  # w == 0
+            "user_id": np.array([1], dtype=np.int64),
+        }
+    )
+    with pytest.raises(Exception, match="window step past the epoch"):
+        event_sliding_counts(ray.data.from_pandas(df)).take_all()

@@ -202,3 +202,15 @@ def test_auto_mode_picks_plan():
         .to_pandas().sort_values("lid").reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(out2, exp)
+
+
+def test_salt_rejects_outer_joins():
+    import pytest
+
+    left = pd.DataFrame({"lid": np.array([1], dtype=np.int64), "k": np.array([1], dtype=np.int64)})
+    right = pd.DataFrame({"k2": np.array([2], dtype=np.int64)})
+    with pytest.raises(ValueError, match="salt"):
+        equi_join(
+            ray.data.from_pandas(left), ray.data.from_pandas(right), "k", "k2",
+            mode="shuffle", salt=2, join_type="full outer",
+        )
