@@ -226,16 +226,16 @@ def sessionize(sf_dir_or_ds) -> "ray.data.Dataset":
 SLIDE_STEP_US = 3_600 * 1_000_000  # 1-hour step; window width = 2 steps
 
 
-def event_sliding_counts(sf_dir_or_ds) -> "ray.data.Dataset":
+def event_sliding_counts(sf_dir_or_ds, width_steps: int = 2) -> "ray.data.Dataset":
     """Sliding-window counts: -> user_id, win:int64, n_events:int64 for
-    2-hour windows stepping hourly (window ``w`` covers
-    ``[w*step, w*step + 2*step)``, so each event lands in windows
-    ``t//step`` and ``t//step - 1``).
+    windows of ``width_steps`` hour-steps sliding hourly (window ``w``
+    covers ``[w*step, w*step + width_steps*step)``, so an event at ``t``
+    lands in windows ``t//step - s`` for s in 0..width_steps-1).
 
-    The overlap is materialized map-side: each batch emits both window
-    keys and pre-counts (np.unique combiner), so the exchange carries
-    O(user x window) partials — the same decomposition as the tumbling
-    window, with a 2x fan-out instead of 1x."""
+    The overlap is materialized map-side: each batch emits all its
+    window keys and pre-counts them (np.unique combiner), so the
+    exchange carries O(user x window) partials — the same decomposition
+    as the tumbling window, with a width_steps-x fan-out instead of 1x."""
     ds = (
         ray.data.read_parquet(f"{sf_dir_or_ds}/events.parquet", columns=["ts", "user_id"])
         if isinstance(sf_dir_or_ds, str)
@@ -250,15 +250,15 @@ def event_sliding_counts(sf_dir_or_ds) -> "ray.data.Dataset":
         us = batch.column("ts").cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
         u = batch.column("user_id").to_numpy()
         w = us // np.int64(SLIDE_STEP_US)
-        if us.size and int(w.min()) < 1:
-            # w-1 would underflow the pack (and DuckDB's // truncates
+        if us.size and int(w.min()) < width_steps - 1:
+            # w-s would underflow the pack (and DuckDB's // truncates
             # toward zero for negatives while numpy floors, so the SQL
             # twin itself diverges pre-epoch) — refuse loudly
             raise ValueError(
                 "event_sliding_counts requires timestamps at least one "
                 "window step past the epoch (got an earlier/negative ts)"
             )
-        key = np.concatenate([u * K + w, u * K + (w - 1)])
+        key = np.concatenate([u * K + (w - s) for s in range(width_steps)])
         kk, cnt = np.unique(key, return_counts=True)
         return pa.table({"uw": kk, "n": cnt.astype(np.int64)})
 

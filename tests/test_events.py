@@ -134,3 +134,46 @@ def test_sliding_counts_rejects_pre_epoch_timestamps():
     )
     with pytest.raises(Exception, match="window step past the epoch"):
         event_sliding_counts(ray.data.from_pandas(df)).take_all()
+
+
+def test_sliding_counts_width_generalizes():
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from spatialjoincountovershells_ray.pipelines.events import (
+        SLIDE_STEP_US,
+        event_sliding_counts,
+    )
+
+    rng = np.random.default_rng(17)
+    n = 5000
+    base = pd.Timestamp("2024-03-01").value // 1000  # epoch us
+    us = base + rng.integers(0, 50 * SLIDE_STEP_US, n)
+    df = pd.DataFrame(
+        {
+            "ts": pd.to_datetime(us, unit="us"),
+            "user_id": rng.integers(0, 20, n).astype(np.int64),
+        }
+    )
+    for width in (2, 3):
+        got = (
+            event_sliding_counts(ray.data.from_pandas(df), width_steps=width)
+            .to_pandas()
+            .sort_values(["user_id", "win"])
+            .reset_index(drop=True)
+        )
+        w = us // SLIDE_STEP_US
+        rows = []
+        for s in range(width):
+            rows.append(pd.DataFrame({"user_id": df.user_id, "win": w - s}))
+        exp = (
+            pd.concat(rows)
+            .groupby(["user_id", "win"])
+            .size()
+            .rename("n_events")
+            .reset_index()
+            .sort_values(["user_id", "win"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
