@@ -103,15 +103,33 @@ def write_documents(table: pa.Table, path: str) -> str:
     return path
 
 
+def write_documents_jsonl(table: pa.Table, path: str) -> str:
+    """Write the document table as JSON-lines (one doc per line, spans as
+    a JSON array) — the common interchange format for text corpora."""
+    import json
+
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        for row in table.to_pylist():
+            f.write(json.dumps(row, separators=(",", ":")) + "\n")
+    return path
+
+
+def _cast_doc_schema(batch: pa.Table) -> pa.Table:
+    """Normalize an inferred (JSON) schema to the canonical DOC_SCHEMA."""
+    return batch.select(["doc_id", "spans"]).cast(DOC_SCHEMA)
+
+
 def read_documents(path: str, **kwargs):
     """Read an interleaved-document table as a Ray Dataset.
 
     The production format is Lance (``.lance`` datasets via
     ``ray.data.read_lance``, which requires the ``lance`` package); this
     environment has no Lance, so parquet twins carry the identical schema
-    and every downstream stage is format-agnostic Arrow. Dispatch is by
-    extension so the same pipeline code runs unchanged where Lance is
-    installed."""
+    and every downstream stage is format-agnostic Arrow. ``.jsonl`` /
+    ``.json`` corpora are read with ray.data.read_json and cast to the
+    canonical span schema. Dispatch is by extension so the same pipeline
+    code runs unchanged across formats."""
     import ray
 
     if path.endswith(".lance"):
@@ -123,4 +141,8 @@ def read_documents(path: str, **kwargs):
                 "this environment); use the parquet twin of the table"
             ) from e
         return ray.data.read_lance(path, **kwargs)
+    if path.endswith((".jsonl", ".json")):
+        return ray.data.read_json(path, **kwargs).map_batches(
+            _cast_doc_schema, batch_format="pyarrow", zero_copy_batch=True
+        )
     return ray.data.read_parquet(path, **kwargs)

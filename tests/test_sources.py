@@ -217,3 +217,27 @@ class TestReadDocuments:
             pass
         with pytest.raises(NotImplementedError):
             read_documents("/tmp/nonexistent.lance")
+
+    def test_jsonl_roundtrip_and_extract(self, tmp_path):
+        import numpy as np
+
+        from spatialjoincountovershells_ray.sources.documents import (
+            halo_documents,
+            read_documents,
+            write_documents_jsonl,
+        )
+        from spatialjoincountovershells_ray.stages import extract
+
+        xyz = np.arange(18, dtype=np.float64).reshape(6, 3)
+        tbl = halo_documents(np.arange(6, dtype=np.int64), xyz)
+        p = str(tmp_path / "docs.jsonl")
+        write_documents_jsonl(tbl, p)
+        ds = read_documents(p)
+        # full parse path works on the JSONL-ingested table
+        out = ds.map_batches(
+            lambda b: extract.extract_halos(b), batch_format="pyarrow"
+        ).to_pandas()
+        assert len(out) == 6
+        np.testing.assert_allclose(
+            out.sort_values("halo_id")[["x", "y", "z"]].to_numpy(), xyz
+        )
