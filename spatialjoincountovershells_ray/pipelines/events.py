@@ -241,9 +241,11 @@ def event_sliding_counts(sf_dir_or_ds, width_steps: int = 2) -> "ray.data.Datase
         if isinstance(sf_dir_or_ds, str)
         else sf_dir_or_ds
     )
+    from spatialjoincountovershells_ray.functions.combine import packed_counts
+
     K = np.int64(1) << 22  # windows-per-user packing headroom
 
-    def partial(batch: pa.Table) -> pa.Table:
+    def pack(batch: pa.Table) -> np.ndarray:
         # normalize resolution first: a pandas-origin block carries
         # timestamp[ns], and a bare int64 cast would yield nanoseconds
         # (silently wrong windows) instead of the epoch-us the math wants
@@ -258,25 +260,9 @@ def event_sliding_counts(sf_dir_or_ds, width_steps: int = 2) -> "ray.data.Datase
                 "event_sliding_counts requires timestamps at least one "
                 "window step past the epoch (got an earlier/negative ts)"
             )
-        key = np.concatenate([u * K + (w - s) for s in range(width_steps)])
-        kk, cnt = np.unique(key, return_counts=True)
-        return pa.table({"uw": kk, "n": cnt.astype(np.int64)})
+        return np.concatenate([u * K + (w - s) for s in range(width_steps)])
 
-    merged = (
-        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("uw")
-        .sum("n")
-    )
+    def unpack(uw: np.ndarray, cnt) -> pa.Table:
+        return pa.table({"user_id": uw // K, "win": uw % K, "n_events": cnt})
 
-    def unpack(batch: pa.Table) -> pa.Table:
-        uw = batch.column("uw").to_numpy()
-        cname = "sum(n)" if "sum(n)" in batch.schema.names else "n"
-        return pa.table(
-            {
-                "user_id": uw // K,
-                "win": uw % K,
-                "n_events": batch.column(cname),
-            }
-        )
-
-    return merged.map_batches(unpack, batch_format="pyarrow", zero_copy_batch=True)
+    return packed_counts(ds, pack, unpack)

@@ -42,34 +42,22 @@ def rasterize_points(
 ) -> "ray.data.Dataset":
     """-> (cell_row:int64, cell_col:int64, cnt:int64), one row per
     non-empty cell of the L-sized grid over (xcol, ycol)."""
+    from spatialjoincountovershells_ray.functions.combine import packed_counts
+
     # single int64 groupby key: rows/cols are grid indices (small,
     # non-negative for in-box data); 2^21 columns of headroom keeps the
     # pack collision-free for any realistic grid while staying in int64
     K = np.int64(1) << 21
 
-    def partial(batch: pa.Table) -> pa.Table:
+    def pack(batch: pa.Table) -> np.ndarray:
         r = np.floor(batch.column(xcol).to_numpy() / L).astype(np.int64)
         c = np.floor(batch.column(ycol).to_numpy() / L).astype(np.int64)
-        key, cnt = np.unique(r * K + c, return_counts=True)
-        return pa.table({"cell": key, "cnt": cnt.astype(np.int64)})
+        return r * K + c
 
-    merged = (
-        points.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("cell")
-        .sum("cnt")
-    )
+    def unpack(cell: np.ndarray, cnt) -> pa.Table:
+        return pa.table({"cell_row": cell // K, "cell_col": cell % K, "cnt": cnt})
 
-    def unpack(batch: pa.Table) -> pa.Table:
-        cell = batch.column("cell").to_numpy()
-        return pa.table(
-            {
-                "cell_row": cell // K,
-                "cell_col": cell % K,
-                "cnt": batch.column("sum(cnt)"),
-            }
-        )
-
-    return merged.map_batches(unpack, batch_format="pyarrow", zero_copy_batch=True)
+    return packed_counts(points, pack, unpack)
 
 
 def pyramid_counts(
@@ -90,23 +78,21 @@ def pyramid_counts(
     Coarse indices derive from the finest by ``// 2`` (exact int64), so
     the SQL twin can reproduce them bit-for-bit from the same finest
     expression."""
+    from spatialjoincountovershells_ray.functions.combine import packed_counts
+
     n = np.float64(1 << finest_level)
 
-    def partial(batch: pa.Table) -> pa.Table:
+    def pack(batch: pa.Table) -> np.ndarray:
         ix = np.floor((batch.column(xcol).to_numpy() + 180.0) / 360.0 * n).astype(np.int64)
         iy = np.floor((batch.column(ycol).to_numpy() + 90.0) / 180.0 * n).astype(np.int64)
-        key, cnt = np.unique(ix * np.int64(1 << 32) + iy, return_counts=True)
-        return pa.table({"cell": key, "cnt": cnt.astype(np.int64)})
+        return ix * np.int64(1 << 32) + iy
 
     # materialized per level: every level's raster is grid-bounded (tiny)
     # and is consumed by BOTH the output union and the next rollup — the
     # barrier guarantees the points are scanned exactly once
-    level_ds = (
-        points.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("cell")
-        .sum("cnt")
-        .materialize()
-    )
+    level_ds = packed_counts(
+        points, pack, lambda k, c: pa.table({"cell": k, "cnt": c})
+    ).materialize()
 
     def unpack(batch: pa.Table, level: int) -> pa.Table:
         cell = batch.column("cell").to_numpy()

@@ -250,25 +250,15 @@ def q_zonal_counts(sf_dir: str):
     """Zonal statistics: points-per-polygon. The containment join's pair
     stream is pre-counted per batch (np.unique combiner) so the exchange
     carries O(polygons) partials per task, then one tiny groupby sum."""
+    from spatialjoincountovershells_ray.functions.combine import packed_counts
+
     keys, lo, hi = _rect_arrays(sf_dir)
     pairs = tiles.point_in_rects(synthetic.particles_dataset(sf_dir), keys, lo, hi)
-
-    def partial(batch: pa.Table) -> pa.Table:
-        pid, cnt = np.unique(batch.column("poly_id").to_numpy(), return_counts=True)
-        return pa.table({"poly_id": pid, "cnt": cnt.astype(np.int64)})
-
-    merged = (
-        pairs.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("poly_id")
-        .sum("cnt")
+    return packed_counts(
+        pairs,
+        lambda batch: batch.column("poly_id").to_numpy(),
+        lambda pid, cnt: pa.table({"poly_id": pid, "n_points": cnt}),
     )
-
-    def rename(batch: pa.Table) -> pa.Table:
-        return batch.rename_columns(
-            ["n_points" if n == "sum(cnt)" else n for n in batch.schema.names]
-        )
-
-    return merged.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)
 
 
 POLY_MAX_KEY = 120  # bounded broadcast polygon set
