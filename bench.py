@@ -258,6 +258,7 @@ BENCH_QUERIES = [
     "source_quantiles",
     "daily_active_users",
     "top_event_type",
+    "top_orders",
 ]
 
 

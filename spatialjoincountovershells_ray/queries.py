@@ -477,6 +477,78 @@ def q_orders_anti_join(sf_dir: str):
     )
 
 
+Q3_CUTOFF = "1995-03-15"
+
+
+def q_top_orders(sf_dir: str):
+    """TPC-H-Q3-style composite: pushdown-filtered three-table join ->
+    combiner groupby -> global top-10. Demonstrates the engine's
+    operators composing into a real analytical query: customer filter is
+    pushed into the read, the filtered orders are semi-joined broadcast,
+    lineitem streams through a broadcast join, quantities pre-aggregate
+    per batch, and the final rank is a 10-row sort-limit."""
+    import datetime
+
+    import pyarrow.compute as pc
+
+    from spatialjoincountovershells_ray.pipelines.join import equi_join
+
+    cutoff = datetime.datetime(1995, 3, 15)
+    building = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey"],
+        filter=pc.field("c_mktsegment") == "BUILDING",
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderpriority"],
+        filter=pc.field("o_orderdate") < cutoff,
+    )
+    osub = equi_join(orders, building, "o_custkey", "c_custkey", join_type="left semi")
+    items = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_quantity"],
+        filter=pc.field("l_shipdate") > cutoff,
+    )
+    joined = equi_join(
+        items,
+        osub.select_columns(["o_orderkey", "o_orderpriority"]),
+        "l_orderkey",
+        "o_orderkey",
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "l_orderkey": batch.column("l_orderkey"),
+                "o_orderpriority": batch.column("o_orderpriority"),
+                "qty": pa.compute.cast(batch.column("l_quantity"), pa.int64()),
+            }
+        )
+        g = t.group_by(["l_orderkey", "o_orderpriority"]).aggregate([("qty", "sum")])
+        return g.rename_columns(
+            ["sum_qty" if n == "qty_sum" else n for n in g.column_names]
+        )
+
+    import pandas as pd
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "l_orderkey": [g["l_orderkey"].iloc[0]],
+                "sum_qty": [np.int64(g["sum_qty"].sum())],
+                "o_orderpriority": [g["o_orderpriority"].iloc[0]],
+            }
+        )
+
+    agg = (
+        joined.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("l_orderkey")
+        .map_groups(final, batch_format="pandas")
+    )
+    return agg.sort(["sum_qty", "l_orderkey"], descending=[True, False]).limit(10)
+
+
 RASTER_L = 50.0  # 20x20 raster over the [0,1000]^2 box
 
 
@@ -1105,6 +1177,17 @@ _SOURCE_QUANTILES_SQL = (
     "FROM documents GROUP BY source ORDER BY source"
 )
 
+_TOP_ORDERS_SQL = (
+    "SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, "
+    "o_orderpriority "
+    "FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey "
+    "JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+    f"WHERE c.c_mktsegment = 'BUILDING' AND o.o_orderdate < DATE '{Q3_CUTOFF}' "
+    f"AND l.l_shipdate > DATE '{Q3_CUTOFF}' "
+    "GROUP BY l_orderkey, o_orderpriority "
+    "ORDER BY sum_qty DESC, l_orderkey LIMIT 10"
+)
+
 _TOP_EVENT_SQL = (
     "SELECT user_id, event_type AS top_type, CAST(n AS BIGINT) AS n FROM ("
     "SELECT user_id, event_type, count(*) AS n, row_number() OVER ("
@@ -1168,6 +1251,7 @@ REGISTRY: dict[str, QueryDef] = {
     "source_quantiles": QueryDef(q_source_quantiles, _SOURCE_QUANTILES_SQL),
     "daily_active_users": QueryDef(q_daily_active_users, _DAU_SQL),
     "top_event_type": QueryDef(q_top_event_type, _TOP_EVENT_SQL),
+    "top_orders": QueryDef(q_top_orders, _TOP_ORDERS_SQL),
     # genuinely non-SQL-expressible (approximate LSH candidate sets) —
     # rows-only checks, recall-tested in tests/test_ops.py
     "minhash_pairs": QueryDef(q_minhash_pairs, None),
