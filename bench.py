@@ -214,6 +214,7 @@ BENCH_QUERIES = [
     "range_join_shuffle",
     "geo_range_join",
     "geo_nearest_place",
+    "geo_topk_places",
     "geo_pyramid",
     "embedding_near_dups",
     "knn",

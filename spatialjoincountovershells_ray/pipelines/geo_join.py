@@ -97,13 +97,16 @@ class _GeoJoinKernel:
 
 
 class _GeoNearestKernel:
-    """Broadcast places; per-batch dense a-term argmin (nearest place)."""
+    """Broadcast places; per-batch dense a-term top-k (nearest places)."""
+
+    k: int = 1
 
     def __init__(self, ref):
         p = ray.get(ref[0]) if isinstance(ref, list) else ref
         self.pids: np.ndarray = p["pids"]  # ascending place_id order
         self.plat: np.ndarray = p["plat"]
         self.plon: np.ndarray = p["plon"]
+        self.k = int(p.get("k", 1))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column("point_id").to_numpy()
@@ -112,14 +115,26 @@ class _GeoNearestKernel:
         a = _a_term(
             lat[:, None], lon[:, None], self.plat[None, :], self.plon[None, :]
         )
-        # argmin returns the FIRST minimum; places are sorted by place_id,
-        # so ties break to the smallest id — the SQL twin's
-        # ORDER BY a, place_id exactly
-        best = np.argmin(a, axis=1)
+        k = min(self.k, a.shape[1])
+        if k == 1:
+            # argmin returns the FIRST minimum; places are sorted by
+            # place_id, so ties break to the smallest id — the SQL twin's
+            # ORDER BY a, place_id exactly
+            best = np.argmin(a, axis=1)
+            return pa.table(
+                {
+                    "point_id": pa.array(ids, pa.int64()),
+                    "place_id": pa.array(self.pids[best], pa.int64()),
+                }
+            )
+        # stable sort along places: ties resolve to the smaller column
+        # index = the smaller place_id, matching ORDER BY a, place_id
+        order = np.argsort(a, axis=1, kind="stable")[:, :k]
         return pa.table(
             {
-                "point_id": pa.array(ids, pa.int64()),
-                "place_id": pa.array(self.pids[best], pa.int64()),
+                "point_id": pa.array(np.repeat(ids, k), pa.int64()),
+                "place_id": pa.array(self.pids[order].ravel(), pa.int64()),
+                "rnk": pa.array(np.tile(np.arange(1, k + 1, dtype=np.int64), len(ids))),
             }
         )
 
@@ -128,15 +143,16 @@ def geo_nearest_place(
     places: "ray.data.Dataset | pa.Table",
     points: "ray.data.Dataset",
     *,
+    k: int = 1,
     batch_size: int | None = None,
     sort: bool = False,
 ) -> "ray.data.Dataset":
-    """-> point_id:int64, place_id:int64 — each point's nearest place on
-    the sphere (haversine, evaluated as the monotone-equivalent a-term;
-    ties to the smallest place_id).
+    """-> point_id:int64, place_id:int64 [, rnk:int64 when k > 1] — each
+    point's k nearest places on the sphere (haversine, evaluated as the
+    monotone-equivalent a-term; ties to the smallest place_id).
 
-    Broadcast geo-kNN (k=1): the places side rides the object store once
-    and every point batch computes a dense vectorized a-term argmin —
+    Broadcast geo-kNN: the places side rides the object store once and
+    every point batch computes a dense vectorized a-term argmin/top-k —
     the spherical analogue of the broadcast shell-count plan. The same
     small-side contract applies; a huge places side would go through the
     cap-cover + expanding-ring machinery instead.
@@ -151,6 +167,7 @@ def geo_nearest_place(
             "pids": pids[order],
             "plat": tbl.column("lat").to_numpy().astype(np.float64, copy=False)[order],
             "plon": tbl.column("lon").to_numpy().astype(np.float64, copy=False)[order],
+            "k": int(k),
         }
     )
     out = points.map_batches(

@@ -379,6 +379,17 @@ def q_geo_nearest_place(sf_dir: str):
     return geo_nearest_place(places, points)
 
 
+GEO_TOPK = 3
+
+
+def q_geo_topk_places(sf_dir: str):
+    """Geo-kNN (k=3): each point's three nearest places, ranked."""
+    from spatialjoincountovershells_ray.pipelines.geo_join import geo_nearest_place
+
+    places, points = _geo_inputs(sf_dir)
+    return geo_nearest_place(places, points, k=GEO_TOPK)
+
+
 def q_token_count(sf_dir: str):
     return textops.token_counts(ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]))
 
@@ -952,9 +963,15 @@ def _geo_pyramid_sql() -> str:
     )
 
 
-def _geo_nearest_sql() -> str:
+def _geo_nearest_sql(k: int = 1) -> str:
     from spatialjoincountovershells_ray.pipelines.geo_join import RAD
 
+    out = (
+        "SELECT point_id, place_id FROM r WHERE rn = 1 ORDER BY point_id"
+        if k == 1
+        else f"SELECT point_id, place_id, CAST(rn AS BIGINT) AS rnk FROM r "
+        f"WHERE rn <= {k} ORDER BY point_id, rnk"
+    )
     return (
         f"WITH places AS (SELECT s_suppkey AS place_id, {_lat_sql('s_suppkey')} AS lat, "
         f"{_lon_sql('s_suppkey')} AS lon FROM supplier WHERE s_suppkey < {GEO_PLACE_MAX_KEY}), "
@@ -966,8 +983,7 @@ def _geo_nearest_sql() -> str:
         f"COS(q.lat*{RAD!r}) AS c1, COS(p.lat*{RAD!r}) AS c2 "
         "FROM points q CROSS JOIN places p), "
         "r AS (SELECT point_id, place_id, row_number() OVER (PARTITION BY point_id "
-        "ORDER BY sdlat*sdlat + c1*c2*(sdlon*sdlon), place_id) AS rn FROM t) "
-        "SELECT point_id, place_id FROM r WHERE rn = 1 ORDER BY point_id"
+        "ORDER BY sdlat*sdlat + c1*c2*(sdlon*sdlon), place_id) AS rn FROM t) " + out
     )
 
 
@@ -1218,6 +1234,7 @@ REGISTRY: dict[str, QueryDef] = {
     "point_in_polygons": QueryDef(q_point_in_polygons, _POLYS_SQL),
     "geo_range_join": QueryDef(q_geo_range_join, _geo_sql()),
     "geo_nearest_place": QueryDef(q_geo_nearest_place, _geo_nearest_sql()),
+    "geo_topk_places": QueryDef(q_geo_topk_places, _geo_nearest_sql(GEO_TOPK)),
     "geo_pyramid": QueryDef(q_geo_pyramid, _geo_pyramid_sql()),
     "token_count": QueryDef(q_token_count, _TOKEN_SQL),
     "quality_counts": QueryDef(q_quality_counts, _QUALITY_SQL),
