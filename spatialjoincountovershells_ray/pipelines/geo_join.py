@@ -26,6 +26,7 @@ import pyarrow as pa
 import ray
 
 from spatialjoincountovershells_ray.functions import geo
+from spatialjoincountovershells_ray.stages.join_kernels import run_cached_bcast
 
 RAD = math.pi / 180.0  # literal shared with the SQL twin
 
@@ -170,13 +171,14 @@ def geo_nearest_place(
             "k": int(k),
         }
     )
+    # task mode + per-worker kernel cache: scales to every CPU without an
+    # actor-pool cap (stages/join_kernels.run_cached_bcast)
     out = points.map_batches(
-        _GeoNearestKernel,
-        fn_constructor_kwargs={"ref": [ref]},
+        run_cached_bcast,
+        fn_kwargs={"cls": _GeoNearestKernel, "ref_list": [ref]},
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=batch_size,
-        concurrency=(1, 8),
     )
     return out.sort("point_id") if sort else out
 
@@ -227,11 +229,10 @@ def geo_range_join(
         }
     )
     out = points.map_batches(
-        _GeoJoinKernel,
-        fn_constructor_kwargs={"cover_ref": [cover_ref]},
+        run_cached_bcast,
+        fn_kwargs={"cls": _GeoJoinKernel, "ref_list": [cover_ref]},
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=batch_size,
-        concurrency=(1, 8),
     )
     return out.sort(["point_id", "place_id"]) if sort else out

@@ -28,8 +28,69 @@ import pyarrow as pa
 import ray
 
 from spatialjoincountovershells_ray.stages.exchange import split_by_key
+from spatialjoincountovershells_ray.stages.join_kernels import run_cached_bcast
 
 _JK = "__jk"
+
+# Broadcast joins each left batch independently against the full right
+# table, so join types that preserve unmatched RIGHT rows (right/full
+# outer, right semi/anti) would emit them once per left batch — refuse
+# rather than silently duplicate (same contract as the salt>1 guard).
+_BCAST_SAFE_TYPES = frozenset({"inner", "left outer", "left semi", "left anti"})
+
+
+class _BcastJoiner:
+    """Per-worker cached broadcast-join kernel (driven by run_cached_bcast)."""
+
+    def __init__(self, ref, left_key: str, right_key: str, join_type: str):
+        self.rtbl: pa.Table = ray.get(ref[0])
+        self.left_key, self.right_key, self.join_type = left_key, right_key, join_type
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return batch.join(
+            self.rtbl,
+            keys=[self.left_key],
+            right_keys=[self.right_key],
+            join_type=self.join_type,
+        )
+
+
+def _arrow_schema(ds: "ray.data.Dataset") -> pa.Schema | None:
+    """The dataset's schema as a pyarrow schema (None when unknown).
+    Pandas-block datasets report a PandasBlockSchema of numpy dtypes —
+    map those to Arrow types (object dtype -> string)."""
+    try:
+        sch = getattr(ds.schema(fetch_if_missing=False), "base_schema", None)
+    except Exception:  # noqa: BLE001 — empty datasets may refuse schema()
+        return None
+    if isinstance(sch, pa.Schema):
+        return sch
+    names = getattr(sch, "names", None)
+    types = getattr(sch, "types", None)
+    if not names or types is None:
+        return None
+    fields = []
+    for n, t in zip(names, types):
+        if isinstance(t, pa.DataType):
+            fields.append((n, t))
+        else:
+            try:
+                fields.append((n, pa.from_numpy_dtype(t)))
+            except (pa.ArrowNotImplementedError, TypeError, ValueError):
+                fields.append((n, pa.string()))
+    return pa.schema(fields)
+
+
+def _typed_empty(ds: "ray.data.Dataset", key: str, key_type: pa.DataType) -> pa.Table:
+    """A zero-row Arrow table with the dataset's schema (for zero-block
+    sides: pa.concat_tables([]) raises, so shuffle buckets need at least
+    one typed empty part per side). A schema-less empty dataset (e.g.
+    ``ray.data.from_arrow([])``) falls back to just the key column, typed
+    like the other side's key, so the per-bucket join still resolves."""
+    sch = _arrow_schema(ds)
+    if sch is not None and sch.names:
+        return pa.table({f.name: pa.array([], f.type) for f in sch})
+    return pa.table({key: pa.array([], key_type)})
 
 
 def _with_string_key_hash(ds: "ray.data.Dataset", key: str) -> "ray.data.Dataset":
@@ -87,7 +148,7 @@ def _join_bucket(
     left = pa.concat_tables(parts[:nleft], promote_options="none")
     right = pa.concat_tables(parts[nleft:], promote_options="none")
     lkeys, rkeys = [left_key], [right_key]
-    if _JK in left.column_names:
+    if _JK in left.column_names and _JK in right.column_names:
         # the hash rides as a second join key: equivalent predicate (it is
         # a function of the key) and pyarrow drops right-side keys for us
         lkeys.append(_JK)
@@ -130,9 +191,19 @@ def equi_join(
             sz = None
         if sz is None:
             sz = right.count() * 64
-        mode = "broadcast" if sz <= auto_broadcast_bytes else "shuffle"
+        mode = (
+            "broadcast"
+            if sz <= auto_broadcast_bytes and join_type in _BCAST_SAFE_TYPES
+            else "shuffle"
+        )
 
     if mode == "broadcast":
+        if join_type not in _BCAST_SAFE_TYPES:
+            raise ValueError(
+                f"broadcast mode would duplicate unmatched right rows for "
+                f"join_type {join_type!r}; use mode='shuffle' "
+                f"(broadcast supports {sorted(_BCAST_SAFE_TYPES)})"
+            )
         # concat the small side worker-side: the blocks never round-trip
         # through the driver, and the join tasks block on this ref so the
         # collect overlaps the left side's read
@@ -152,21 +223,22 @@ def equi_join(
                 else pa.table({})
             )
 
-        class Joiner:
-            def __init__(self, ref):
-                self.rtbl = ray.get(ref[0])
-
-            def __call__(self, batch: pa.Table) -> pa.Table:
-                return batch.join(
-                    self.rtbl, keys=[left_key], right_keys=[right_key], join_type=join_type
-                )
-
+        # task mode + per-worker kernel cache: scales to every CPU (an
+        # actor pool capped at 8 workers lost ~3x to the shuffle plan at
+        # 32 CPUs — see stages/join_kernels.run_cached_bcast)
         return left.map_batches(
-            Joiner,
-            fn_constructor_kwargs={"ref": [rtbl_ref]},
+            run_cached_bcast,
+            fn_kwargs={
+                "cls": _BcastJoiner,
+                "ref_list": [rtbl_ref],
+                "ctor_kwargs": {
+                    "left_key": left_key,
+                    "right_key": right_key,
+                    "join_type": join_type,
+                },
+            },
             batch_format="pyarrow",
             zero_copy_batch=True,
-            concurrency=(1, 8),
         )
 
     if mode != "shuffle":
@@ -180,7 +252,15 @@ def equi_join(
     nbuckets = nbuckets or max(8, int(ray.cluster_resources().get("CPU", 8)))
     lsplit_key, rsplit_key = left_key, right_key
     sch = left.schema()
-    ktype = dict(zip(sch.names, sch.types)).get(left_key)
+    # a zero-block left side has no schema: fall back to the right side's
+    # (key types match by contract), defaulting to a non-string key
+    if sch is None:
+        sch = right.schema()
+    ktype = (
+        dict(zip(sch.names, sch.types)).get(right_key if left.schema() is None else left_key)
+        if sch is not None
+        else None
+    )
     if isinstance(ktype, pa.DataType):
         is_string_key = pa.types.is_string(ktype) or pa.types.is_large_string(ktype)
     else:  # pandas-block schema: a numpy dtype or a bare Python type
@@ -191,23 +271,40 @@ def equi_join(
         lsplit_key = rsplit_key = _JK
     salt = max(1, int(salt))
     ntot = nbuckets * salt
+    lmat, rmat = left.materialize(), right.materialize()
+    # zero-block sides get one typed empty block: every bucket task then
+    # sees a schema-bearing part on both sides (concat_tables([]) raises)
+    lrefs, rrefs = lmat.to_arrow_refs(), rmat.to_arrow_refs()
+    if not lrefs or not rrefs:
+
+        def _key_type(mat, k):
+            sch = _arrow_schema(mat)
+            if sch is not None and k in sch.names:
+                return sch.field(k).type
+            return None
+
+        kt = _key_type(lmat, left_key) or _key_type(rmat, right_key) or pa.int64()
+        if not lrefs:
+            lrefs = [ray.put(_typed_empty(lmat, left_key, kt))]
+        if not rrefs:
+            rrefs = [ray.put(_typed_empty(rmat, right_key, kt))]
     if salt == 1:
         lsplits = [
             split_by_key.options(num_returns=nbuckets).remote(b, lsplit_key, nbuckets)
-            for b in left.materialize().to_arrow_refs()
+            for b in lrefs
         ]
         rsplits = [
             split_by_key.options(num_returns=nbuckets).remote(b, rsplit_key, nbuckets)
-            for b in right.materialize().to_arrow_refs()
+            for b in rrefs
         ]
     else:
         lsplits = [
             _split_salted.options(num_returns=ntot).remote(b, lsplit_key, nbuckets, salt, False)
-            for b in left.materialize().to_arrow_refs()
+            for b in lrefs
         ]
         rsplits = [
             _split_salted.options(num_returns=ntot).remote(b, rsplit_key, nbuckets, salt, True)
-            for b in right.materialize().to_arrow_refs()
+            for b in rrefs
         ]
     out = [
         _join_bucket.remote(

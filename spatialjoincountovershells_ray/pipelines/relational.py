@@ -57,8 +57,34 @@ def lineitem_agg(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
+class _SegJoinCount:
+    """Per-worker cached lookup-join combiner (run via run_cached_bcast)."""
+
+    def __init__(self, ref):
+        p = ray.get(ref[0])
+        order = np.argsort(p["keys"])
+        self.keys = p["keys"][order]
+        self.seg = p["seg"][order]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ck = batch.column("o_custkey").to_numpy()
+        pos = np.searchsorted(self.keys, ck)
+        pos = np.minimum(pos, len(self.keys) - 1)
+        ok = self.keys[pos] == ck
+        segs = self.seg[pos[ok]]
+        uniq, cnt = np.unique(segs, return_counts=True)
+        return pa.table(
+            {
+                "c_mktsegment": pa.array(uniq.tolist(), pa.string()),
+                "n_orders": pa.array(cnt, pa.int64()),
+            }
+        )
+
+
 def orders_per_segment(sf_dir: str) -> "ray.data.Dataset":
     """Broadcast hash join orders->customer + groupby count per segment."""
+    from spatialjoincountovershells_ray.stages.join_kernels import run_cached_bcast
+
     cust = ray.data.read_parquet(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
     )
@@ -72,34 +98,12 @@ def orders_per_segment(sf_dir: str) -> "ray.data.Dataset":
         }
     )
 
-    class JoinCount:
-        def __init__(self, ref):
-            p = ray.get(ref[0])
-            order = np.argsort(p["keys"])
-            self.keys = p["keys"][order]
-            self.seg = p["seg"][order]
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            ck = batch.column("o_custkey").to_numpy()
-            pos = np.searchsorted(self.keys, ck)
-            pos = np.minimum(pos, len(self.keys) - 1)
-            ok = self.keys[pos] == ck
-            segs = self.seg[pos[ok]]
-            uniq, cnt = np.unique(segs, return_counts=True)
-            return pa.table(
-                {
-                    "c_mktsegment": pa.array(uniq.tolist(), pa.string()),
-                    "n_orders": pa.array(cnt, pa.int64()),
-                }
-            )
-
     orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
     partials = orders.map_batches(
-        JoinCount,
-        fn_constructor_kwargs={"ref": [lookup_ref]},
+        run_cached_bcast,
+        fn_kwargs={"cls": _SegJoinCount, "ref_list": [lookup_ref]},
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=(1, 4),
     )
     agg = partials.groupby("c_mktsegment").sum("n_orders")
 

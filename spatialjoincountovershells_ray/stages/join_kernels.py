@@ -666,6 +666,30 @@ def run_broadcast_kernel(batch: pa.Table, cls, ref_list, ladder: RadiusLadder) -
     return entry[1](batch)
 
 
+_BCAST_CACHE: dict[str, tuple[tuple, object]] = {}
+
+
+def run_cached_bcast(
+    batch: pa.Table, cls, ref_list, ctor_kwargs: dict | None = None
+) -> pa.Table:
+    """Task-mode driver for ANY broadcast kernel class (the
+    :func:`run_broadcast_kernel` rationale, generalized): construct
+    ``cls(ref_list, **ctor_kwargs)`` once per (worker process, broadcast
+    object) and reuse it across batches. A plain ``map_batches`` task
+    then scales to every CPU with actor-style amortized setup, no
+    actor-pool spawn cost, and no concurrency cap — the fix for the
+    measured ``(1, 8)`` broadcast-join bottleneck (broadcast plan 3x
+    slower than its own shuffle at 32 CPUs)."""
+    kw = ctor_kwargs or {}
+    key = f"{cls.__module__}.{cls.__qualname__}"
+    tag = (ref_list[0].hex(), tuple(sorted(kw.items())))
+    ent = _BCAST_CACHE.get(key)
+    if ent is None or ent[0] != tag:
+        ent = (tag, cls(ref_list, **kw))
+        _BCAST_CACHE[key] = ent
+    return ent[1](batch)
+
+
 _D2K_CACHE: dict[str, PairD2Kernel] = {}
 
 

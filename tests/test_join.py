@@ -214,3 +214,46 @@ def test_salt_rejects_outer_joins():
             ray.data.from_pandas(left), ray.data.from_pandas(right), "k", "k2",
             mode="shuffle", salt=2, join_type="full outer",
         )
+
+
+def test_broadcast_rejects_right_preserving_joins():
+    """Per-left-batch broadcast would emit unmatched right rows once per
+    batch — the plan must refuse, and auto must route around it."""
+    import pytest
+
+    left = pd.DataFrame({"lid": np.array([1, 2], dtype=np.int64), "k": np.array([1, 3], dtype=np.int64)})
+    right = pd.DataFrame({"k2": np.array([1, 9], dtype=np.int64), "tag": ["a", "b"]})
+    for jt in ("full outer", "right outer", "right semi", "right anti"):
+        with pytest.raises(ValueError, match="broadcast"):
+            equi_join(
+                _blocks(left, 2), ray.data.from_pandas(right), "k", "k2",
+                mode="broadcast", join_type=jt,
+            )
+    # auto must pick shuffle for these types even when the right side is tiny
+    out = (
+        equi_join(
+            _blocks(left, 2), ray.data.from_pandas(right), "k", "k2",
+            mode="auto", join_type="full outer", nbuckets=2,
+        )
+        .to_pandas()
+    )
+    # exactly one unmatched right row (k2=9), not one per left batch
+    assert int(out["lid"].isna().sum()) == 1
+    exp = left.merge(right, left_on="k", right_on="k2", how="outer")
+    assert len(out) == len(exp)
+
+
+def test_shuffle_zero_block_side():
+    """A zero-block side must yield a typed empty (or passthrough) result,
+    not a concat_tables crash."""
+    left = pd.DataFrame({"lid": np.array([1, 2], dtype=np.int64), "k": np.array([1, 3], dtype=np.int64)})
+    empty = ray.data.from_arrow([])  # zero blocks
+    out = equi_join(
+        ray.data.from_pandas(left), empty, "k", "k2", mode="shuffle", nbuckets=2
+    )
+    assert out.count() == 0
+    # zero-block LEFT side too
+    out2 = equi_join(
+        empty, ray.data.from_pandas(left), "k2", "k", mode="shuffle", nbuckets=2
+    )
+    assert out2.count() == 0
