@@ -19,6 +19,17 @@ import ray
 GAP_US = 1_800 * 1_000_000  # 30 min session gap, microseconds
 
 
+def _epoch_us(ts: "pd.Series") -> np.ndarray:
+    """Epoch-microsecond int64 regardless of the block's ts resolution.
+
+    A pandas-origin block (or an older pyarrow coercing to
+    datetime64[ns]) carries nanoseconds; a bare ``astype('int64')``
+    would then make every GAP_US/WINDOW_US comparison silently wrong
+    (sessions splitting at 1.8 ms gaps). Same normalization
+    event_sliding_counts applies on the Arrow side."""
+    return ts.to_numpy().astype("datetime64[us]").astype(np.int64)
+
+
 def event_lag(sf_dir_or_ds) -> "ray.data.Dataset":
     """-> event_id:int64, prev_event_id:int64|null — previous event of the
     same user in (ts, event_id) order."""
@@ -50,7 +61,7 @@ def user_sessions(sf_dir_or_ds) -> "ray.data.Dataset":
 
     def sess(group: pd.DataFrame) -> pd.DataFrame:
         g = group.sort_values(["ts", "event_id"], kind="mergesort")
-        us = g["ts"].astype("int64").to_numpy()  # microseconds since epoch
+        us = _epoch_us(g["ts"])  # microseconds since epoch, any block resolution
         gaps = int((np.diff(us) > GAP_US).sum()) if len(us) > 1 else 0
         return pd.DataFrame(
             {"user_id": [g["user_id"].iloc[0]], "n_sessions": [np.int64(1 + gaps)]}
@@ -84,7 +95,9 @@ def event_window_agg(sf_dir_or_ds) -> "ray.data.Dataset":
     )
 
     def partial(batch: pa.Table) -> pa.Table:
-        us = batch.column("ts").cast(pa.int64())
+        # normalize resolution before the int64 cast (ns blocks would
+        # otherwise land in nanosecond "hours" — silently wrong windows)
+        us = batch.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
         win = pc.floor(pc.divide(pc.cast(us, pa.float64()), float(WINDOW_US)))
         keys = pa.table(
             {
@@ -208,7 +221,7 @@ def sessionize(sf_dir_or_ds) -> "ray.data.Dataset":
 
     def fn(group: pd.DataFrame) -> pd.DataFrame:
         g = group.sort_values(["ts", "event_id"], kind="mergesort")
-        us = g["ts"].astype("int64").to_numpy()
+        us = _epoch_us(g["ts"])
         brk = np.zeros(len(us), dtype=np.int64)
         if len(us) > 1:
             brk[1:] = (np.diff(us) > GAP_US).astype(np.int64)

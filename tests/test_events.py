@@ -177,3 +177,36 @@ def test_sliding_counts_width_generalizes():
             .reset_index(drop=True)
         )
         pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_ns_resolution_blocks_match_us():
+    """pandas-origin blocks carry datetime64[ns]; every epoch-us op must
+    normalize resolution rather than treat ns as us (ADVICE r2)."""
+    tbl = _events_table()
+    df = tbl.to_pandas()
+    df["ts"] = df["ts"].astype("datetime64[ns]")
+    df["value"] = np.array([5.0, 1.0, 9.0, 2.0])
+    ds_ns = ray.data.from_pandas(df)
+
+    sess = dataset_to_table(events.user_sessions(ds_ns)).to_pandas().set_index("user_id")
+    assert sess.loc[1, "n_sessions"] == 2  # ns-as-us would see every gap > 30 min
+    assert sess.loc[2, "n_sessions"] == 1
+
+    sz = (
+        dataset_to_table(events.sessionize(ds_ns))
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert sz.session_id.tolist() == [1, 1, 2, 1]
+
+    win = (
+        dataset_to_table(events.event_window_agg(ds_ns))
+        .to_pandas()
+        .sort_values(["user_id", "win"])
+        .reset_index(drop=True)
+    )
+    # hour buckets: user 1 has events in two distinct hours, user 2 in one
+    assert win.groupby("user_id")["win"].count().tolist() == [2, 1]
+    hours = pd.to_datetime(df["ts"]).dt.floor("h").astype("datetime64[us]").astype("int64")
+    assert set(win["win"]) == set(hours // (3600 * 1_000_000))
