@@ -664,6 +664,18 @@ def q_ngram_jaccard(sf_dir: str):
     )
 
 
+def q_ngram_jaccard_lsh(sf_dir: str):
+    """The scale path of ngram_jaccard: MinHash LSH candidates + exact
+    word-n-gram verify via the distributed bucket exchange (corpus-wide,
+    not source-restricted — approximate recall, rows-only check)."""
+    return dedup.ngram_jaccard_pairs(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]),
+        n=3,
+        threshold=0.2,
+        mode="lsh",
+    )
+
+
 def _query_vectors(sf_dir: str):
     import pyarrow.parquet as pq
 
@@ -1272,6 +1284,7 @@ REGISTRY: dict[str, QueryDef] = {
     # genuinely non-SQL-expressible (approximate LSH candidate sets) —
     # rows-only checks, recall-tested in tests/test_ops.py
     "minhash_pairs": QueryDef(q_minhash_pairs, None),
+    "ngram_jaccard_lsh": QueryDef(q_ngram_jaccard_lsh, None),
     "ann_lsh": QueryDef(q_ann_lsh, None),
     "ann_ivf": QueryDef(q_ann_ivf, None),
     # the media codec is stubbed but its stub arithmetic is deterministic,

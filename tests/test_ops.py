@@ -162,6 +162,57 @@ class TestDedup:
             parent[find(int(a_))] = find(int(b_))
         assert len({find(i) for i in range(80)}) == 1
 
+    def test_ngram_exact_refuses_hot_group(self):
+        import pytest
+
+        texts = [f"shared boilerplate body with suffix {i}" for i in range(60)]
+        tbl = pa.table(
+            {
+                "doc_id": np.arange(60, dtype=np.int64),
+                "text": texts,
+                "source": ["hot"] * 60,
+            }
+        )
+        with pytest.raises(Exception, match="max_group"):
+            dataset_to_table(
+                dedup.ngram_jaccard_pairs(
+                    ray.data.from_arrow(tbl), n=3, threshold=0.5, max_group=32
+                )
+            )
+
+    def test_ngram_lsh_mode_stays_linear_on_hot_group(self):
+        # one hot source with 300 identical docs: exact mode would be
+        # 300*299/2 comparisons; lsh mode's capped buckets emit a linear
+        # chain of verified pairs that still connects the duplicate group
+        texts = ["identical boilerplate paragraph replicated across the corpus"] * 300
+        tbl = pa.table(
+            {
+                "doc_id": np.arange(300, dtype=np.int64),
+                "text": texts,
+                "source": ["hot"] * 300,
+            }
+        )
+        res = dataset_to_table(
+            dedup.ngram_jaccard_pairs(
+                ray.data.from_arrow(tbl), n=3, threshold=0.5,
+                mode="lsh", num_perm=16, bands=4, max_bucket=8,
+            )
+        ).to_pandas()
+        assert 0 < len(res) < 1200  # linear-ish, nowhere near 44850 pairs
+        assert (res.jaccard == 1.0).all()
+        # connectivity of the duplicate group survives the cap
+        parent = list(range(300))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a_, b_ in zip(res.id_a, res.id_b):
+            parent[find(int(a_))] = find(int(b_))
+        assert len({find(i) for i in range(300)}) == 1
+
     def test_embedding_near_dups(self):
         vecs = np.array(
             [[1.0, 0.0], [0.999, 0.01], [0.0, 1.0], [-1.0, 0.0]], dtype=np.float32
