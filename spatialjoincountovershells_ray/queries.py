@@ -658,6 +658,16 @@ def q_embedding_near_dups(sf_dir: str):
     )
 
 
+def q_embedding_near_dups_lsh(sf_dir: str):
+    """Hyperplane-LSH-blocked near-dup pairs: the 100-TB path (task count
+    linear in vectors, not O(B^2) block pairs). Approximate recall
+    (tested >= 0.95 vs the exact join); rows-only check."""
+    return dedup.embedding_near_dups_lsh(
+        ray.data.read_parquet(f"{sf_dir}/embeddings.parquet"),
+        threshold=NEAR_DUP_THRESHOLD,
+    )
+
+
 def q_ngram_jaccard(sf_dir: str):
     return dedup.ngram_jaccard_pairs(
         ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]), n=3, threshold=0.2
@@ -1285,6 +1295,7 @@ REGISTRY: dict[str, QueryDef] = {
     # rows-only checks, recall-tested in tests/test_ops.py
     "minhash_pairs": QueryDef(q_minhash_pairs, None),
     "ngram_jaccard_lsh": QueryDef(q_ngram_jaccard_lsh, None),
+    "embedding_near_dups_lsh": QueryDef(q_embedding_near_dups_lsh, None),
     "ann_lsh": QueryDef(q_ann_lsh, None),
     "ann_ivf": QueryDef(q_ann_ivf, None),
     # the media codec is stubbed but its stub arithmetic is deterministic,

@@ -228,6 +228,31 @@ class TestDedup:
         ).to_pandas()
         assert set(zip(res.vec_id_a, res.vec_id_b)) == {(0, 1)}
 
+    def test_embedding_near_dups_lsh_recall(self):
+        # clustered synthetic vectors: recall of the LSH-blocked operator
+        # vs the exact block-pair oracle must clear 0.95 at the default
+        # threshold; precision is exact (every emitted pair is verified)
+        rng = np.random.default_rng(11)
+        centers = rng.normal(size=(30, 32))
+        base = centers[rng.integers(0, 30, 600)]
+        vecs = (base + 0.55 * rng.normal(size=(600, 32))).astype(np.float32)
+        tbl = pa.table(
+            {
+                "vec_id": np.arange(600, dtype=np.int64),
+                "embedding": pa.array(list(vecs), pa.list_(pa.float32())),
+            }
+        )
+        ds = ray.data.from_arrow(tbl)
+        exact = dataset_to_table(dedup.embedding_near_dups(ds, threshold=0.35)).to_pandas()
+        approx = dataset_to_table(
+            dedup.embedding_near_dups_lsh(ds, threshold=0.35)
+        ).to_pandas()
+        pe = set(zip(exact.vec_id_a, exact.vec_id_b))
+        pl = set(zip(approx.vec_id_a, approx.vec_id_b))
+        assert len(pe) > 100
+        assert pl <= pe  # precision 1: every emitted pair passes the exact verify
+        assert len(pe & pl) / len(pe) >= 0.95
+
 
 class TestANN:
     def _emb(self, n=200, d=16, seed=3):
