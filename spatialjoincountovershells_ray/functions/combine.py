@@ -31,6 +31,14 @@ def packed_counts(
     def partial(batch: pa.Table) -> pa.Table:
         key = pack(batch)
         kk, cnt = np.unique(key, return_counts=True)
+        if kk.size and int(kk[0]) < 0:
+            # enforce the documented invariant instead of letting //,%
+            # unpacking silently misattribute counts to a wrong cell
+            # (e.g. a single out-of-box negative coordinate landing in a
+            # (row-1, K-1)-style bucket)
+            raise ValueError(
+                f"packed_counts keys must be non-negative (got min {int(kk[0])})"
+            )
         return pa.table({"k": kk, "n": cnt.astype(np.int64)})
 
     merged = (

@@ -89,3 +89,11 @@ def test_curation_end_to_end_and_resume(tmp_path):
     assert all(l["skipped"] for l in logs2 if "shard" in l or l.get("phase") == "dedup")
     done2 = [l for l in logs2 if l.get("done")][0]
     assert done2["curated_rows"] == done["curated_rows"]
+
+    # load_curated: broadcast and shuffle anti-join paths agree
+    sys.path.insert(0, REPO)
+    from jobs.corpus_curation_job import load_curated
+
+    bcast = sorted(load_curated(outdir).to_pandas()["doc_id"])
+    shuf = sorted(load_curated(outdir, max_broadcast_ids=0).to_pandas()["doc_id"])
+    assert bcast == shuf == sorted(exp["doc_id"])

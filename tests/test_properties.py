@@ -84,3 +84,19 @@ def test_packed_counts_conserves_totals(keys, nsplits):
     want = {int(k): int(c) for k, c in zip(*np.unique(arr, return_counts=True))}
     got = dict(zip(out.key.astype(int), out.cnt.astype(int)))
     assert got == want
+
+
+def test_packed_counts_rejects_negative_keys():
+    import pyarrow as pa
+    import pytest
+    import ray
+
+    from spatialjoincountovershells_ray.functions.combine import packed_counts
+
+    ds = ray.data.from_arrow(pa.table({"k": np.array([3, -1, 2], dtype=np.int64)}))
+    with pytest.raises(Exception, match="non-negative"):
+        packed_counts(
+            ds,
+            lambda batch: batch.column("k").to_numpy(),
+            lambda k, c: pa.table({"key": k, "cnt": c}),
+        ).materialize()
