@@ -83,8 +83,19 @@ def topk_per_group(
     exchange moves O(groups x k x batches) rows, not the table."""
 
     def partial(batch: pa.Table) -> pa.Table:
-        df = _topk_frame(batch.select([group, ident, order]).to_pandas(), group, order, ident, k)
-        return pa.Table.from_pandas(df, preserve_index=False)
+        # Arrow-native combiner: sort then keep the first k rows of each
+        # group run (no per-batch pandas round-trip on the map side)
+        t = batch.select([group, ident, order]).sort_by(
+            [(group, "ascending"), (order, "descending"), (ident, "ascending")]
+        )
+        g = t.column(group).to_numpy(zero_copy_only=False)
+        n = len(g)
+        if n == 0:
+            return t
+        starts = np.flatnonzero(np.concatenate(([True], g[1:] != g[:-1])))
+        sizes = np.diff(np.concatenate((starts, [n])))
+        rank = np.arange(n, dtype=np.int64) - np.repeat(starts, sizes)
+        return t.filter(pa.array(rank < k))
 
     def final(g: pd.DataFrame) -> pd.DataFrame:
         g = _topk_frame(g, group, order, ident, k)
@@ -114,10 +125,15 @@ def grouped_quantiles_disc(
     common case and stay exact.)"""
 
     def partial(batch: pa.Table) -> pa.Table:
-        df = batch.select([group, value]).to_pandas()
-        counts = df.groupby([group, value], sort=False).size().reset_index(name="n")
-        counts["n"] = counts["n"].astype(np.int64)
-        return pa.Table.from_pandas(counts, preserve_index=False)
+        # Arrow-native histogram combiner (rename count_all by NAME —
+        # pyarrow has moved key-column position across versions)
+        t = (
+            batch.select([group, value])
+            .group_by([group, value])
+            .aggregate([([], "count_all")])
+        )
+        t = t.rename_columns(["n" if c == "count_all" else c for c in t.column_names])
+        return t.select([group, value, "n"])
 
     def final(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(value, kind="mergesort")
