@@ -165,10 +165,56 @@ def q_shell_count_salted(sf_dir: str):
     )
 
 
+def halo_index_from_documents(hpath: str, ladder: RadiusLadder, grid: GridSpec | None = None):
+    """Driver-side cached halo index built FROM THE DOCUMENT TABLE (the
+    docs twin of :func:`halo_index_for` — same A2 production semantics:
+    parse the query docs and build the index once, probe every particle
+    shard against it). The parse itself is the distributed span-extract
+    pipeline; only the small parsed halo table lands driver-side."""
+    from spatialjoincountovershells_ray.stages import extract
+    from spatialjoincountovershells_ray.stages.join_kernels import HaloIndex
+
+    grid = grid or GridSpec.for_radius(ladder.rmax, target_cells_per_r=3.0)
+    key = ("docs", hpath, float(ladder.rmax), grid.ncells, ladder.dtype.str)
+    idx = _INDEX_CACHE.get(key)
+    if idx is None:
+        halos = (
+            read_documents(hpath)
+            .map_batches(
+                lambda b: extract.extract_halos(b, dtype=ladder.dtype),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+            .select_columns(["halo_id", "x", "y", "z"])
+        )
+        ht = sc.dataset_to_table(halos)
+        hids = ht.column("halo_id").to_numpy()
+        hxyz = np.stack(
+            [ht.column(c).to_numpy().astype(ladder.dtype, copy=False) for c in "xyz"],
+            axis=1,
+        )
+        if len(_INDEX_CACHE) >= 8:
+            _INDEX_CACHE.clear()
+        idx = HaloIndex.build(hids, hxyz, ladder.rmax, grid)
+        _INDEX_CACHE[key] = idx
+    return idx
+
+
 def q_shell_count_docs(sf_dir: str):
+    from spatialjoincountovershells_ray.stages import extract
+
     hpath, ppath = spatial_document_paths(sf_dir)
-    return sc.shell_count_from_documents(
-        read_documents(hpath), read_documents(ppath), LADDER
+    particles = (
+        read_documents(ppath)
+        .map_batches(
+            lambda b: extract.extract_particles(b, dtype=LADDER.dtype),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .select_columns(["particle_id", "x", "y", "z"])
+    )
+    return sc.shell_count(
+        None, particles, LADDER, halo_index=halo_index_from_documents(hpath, LADDER)
     )
 
 
