@@ -322,7 +322,17 @@ def verify_pairs_distributed(
                 "jaccard": pa.array([], pa.float64()),
             }
         )
-    nb = nbuckets or max(8, int(ray.cluster_resources().get("CPU", 8)))
+    # bucket count tracks the candidate workload, not the CPU count: the
+    # exchange costs O(nb^2) tiny objects (stage-1 re-splits), so a small
+    # candidate set on many cores would drown in scheduling overhead
+    # (measured: 32 buckets for a ~100-pair set cost ~6s of pure routing)
+    nb = nbuckets or max(
+        2,
+        min(
+            int(ray.cluster_resources().get("CPU", 8)),
+            cand_tbl.num_rows // 512 + 1,
+        ),
+    )
     cand_ids = np.unique(
         np.concatenate(
             [cand_tbl.column("id_a").to_numpy(), cand_tbl.column("id_b").to_numpy()]
@@ -483,6 +493,83 @@ def minhash_lsh_pairs(
     # near-dup pair sets are small relative to the corpus: final ordering
     # driver-side beats a Dataset-wide sort exchange
     return ray.data.from_arrow(out.sort_by([("id_a", "ascending"), ("id_b", "ascending")]))
+
+
+def assign_dup_clusters(
+    docs: "ray.data.Dataset", pairs: "ray.data.Dataset | pa.Table"
+) -> "ray.data.Dataset":
+    """-> doc_id, cluster_id — connected components of the near-dup pair
+    graph; every doc gets the component's MIN doc_id as its cluster id
+    (singletons label themselves).
+
+    The pair list is bounded by the capped LSH/verify emission (it is id
+    pairs, never text), so union-find runs driver-side over it; the
+    resulting node->cluster mapping (O(paired docs)) is broadcast once
+    and the doc table streams through a vectorized searchsorted assign.
+    For corpora whose duplicate-pair set itself exceeds driver memory the
+    assignment would move to iterative min-label propagation over the
+    bucket exchange — the mapping here IS the small side by construction.
+    """
+    if isinstance(pairs, pa.Table):
+        pt = pairs
+    else:
+        tbls = [t for t in ray.get(pairs.to_arrow_refs()) if t.num_rows]
+        pt = (
+            pa.concat_tables(tbls, promote_options="none")
+            if tbls
+            else pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())})
+        )
+    ia = pt.column("id_a").to_numpy()
+    ib = pt.column("id_b").to_numpy()
+    nodes = np.unique(np.concatenate([ia, ib])) if len(ia) else np.empty(0, np.int64)
+    parent = np.arange(len(nodes), dtype=np.int64)
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    ca = np.searchsorted(nodes, ia)
+    cb = np.searchsorted(nodes, ib)
+    for i in range(len(ca)):
+        ra, rb = find(int(ca[i])), find(int(cb[i]))
+        if ra != rb:
+            parent[rb] = ra
+    roots = np.array([find(int(i)) for i in range(len(nodes))], dtype=np.int64)
+    # component label = min doc_id in the component
+    labels = np.full(len(nodes), np.iinfo(np.int64).max, dtype=np.int64)
+    np.minimum.at(labels, roots, nodes)
+    cluster_of = labels[roots]
+    ref = ray.put({"nodes": nodes, "cluster": cluster_of})
+
+    def assign(batch: pa.Table, ref) -> pa.Table:
+        m = ray.get(ref[0]) if isinstance(ref, list) else ref
+        ids = batch.column("doc_id").to_numpy()
+        out = ids.copy()
+        if len(m["nodes"]):
+            pos = np.searchsorted(m["nodes"], ids)
+            pos = np.minimum(pos, len(m["nodes"]) - 1)
+            hit = m["nodes"][pos] == ids
+            out[hit] = m["cluster"][pos[hit]]
+        return pa.table({"doc_id": pa.array(ids, pa.int64()), "cluster_id": pa.array(out, pa.int64())})
+
+    return (
+        docs.select_columns(["doc_id"])
+        .map_batches(assign, fn_kwargs={"ref": [ref]}, batch_format="pyarrow", zero_copy_batch=True)
+        .sort("doc_id")
+    )
+
+
+def ngram_dup_clusters(
+    docs: "ray.data.Dataset", n: int = 3, threshold: float = 0.2
+) -> "ray.data.Dataset":
+    """Near-dup cluster assignment over the exact word-n-gram pair graph
+    (SQL-exact twin: recursive transitive closure in DuckDB)."""
+    pairs = ngram_jaccard_pairs(docs, n=n, threshold=threshold)
+    return assign_dup_clusters(docs, pairs)
 
 
 def simhash64(docs: "ray.data.Dataset") -> "ray.data.Dataset":
@@ -678,7 +765,14 @@ def verify_vec_pairs_distributed(
 
     if cand_tbl.num_rows == 0:
         return pa.table(_EMPTY_VEC_PAIRS)
-    nb = nbuckets or max(8, int(ray.cluster_resources().get("CPU", 8)))
+    # workload-scaled bucket count — same rationale as the text verify
+    nb = nbuckets or max(
+        2,
+        min(
+            int(ray.cluster_resources().get("CPU", 8)),
+            cand_tbl.num_rows // 512 + 1,
+        ),
+    )
     cand_ids = np.unique(
         np.concatenate(
             [cand_tbl.column("id_a").to_numpy(), cand_tbl.column("id_b").to_numpy()]
