@@ -720,6 +720,16 @@ def q_ngram_jaccard(sf_dir: str):
     )
 
 
+def q_ngram_dup_clusters(sf_dir: str):
+    """Near-dup cluster labels over the exact word-3-gram pair graph:
+    bounded pair list -> driver union-find -> broadcast assign."""
+    return dedup.ngram_dup_clusters(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]),
+        n=3,
+        threshold=0.2,
+    )
+
+
 def q_ngram_jaccard_lsh(sf_dir: str):
     """The scale path of ngram_jaccard: MinHash LSH candidates + exact
     word-n-gram verify via the distributed bucket exchange (corpus-wide,
@@ -1105,8 +1115,8 @@ _SIMHASH_SQL = (
 # contribute their whole joined text, matching functions.text.word_ngrams),
 # Jaccard over an equi-join on (source, gram), plus the jaccard(∅,∅)=1.0
 # convention for pairs of empty docs.
-_NGRAM_JACCARD_SQL = (
-    "WITH t AS (SELECT doc_id, source, " + _WS_SPLIT + " AS w FROM documents), "
+_NGRAM_CTES = (
+    "t AS (SELECT doc_id, source, " + _WS_SPLIT + " AS w FROM documents), "
     "g AS (SELECT doc_id, source, CASE WHEN len(w) = 0 THEN []::VARCHAR[] "
     "WHEN len(w) < 3 THEN [array_to_string(w, ' ')] "
     "ELSE list_distinct(list_transform(generate_series(1, len(w) - 2), "
@@ -1118,9 +1128,30 @@ _NGRAM_JACCARD_SQL = (
     "AND a.doc_id < b.doc_id GROUP BY 1, 2), "
     "empty_pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, 1.0 AS jaccard "
     "FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id "
-    "WHERE len(a.grams) = 0 AND len(b.grams) = 0) "
+    "WHERE len(a.grams) = 0 AND len(b.grams) = 0)"
+)
+
+_NGRAM_JACCARD_SQL = (
+    "WITH " + _NGRAM_CTES + " "
     "SELECT * FROM (SELECT * FROM pairs WHERE jaccard >= 0.2 "
     "UNION ALL SELECT * FROM empty_pairs) ORDER BY id_a, id_b"
+)
+
+# Exact twin of pipelines.dedup.ngram_dup_clusters: connected components
+# of the thresholded pair graph via a recursive transitive closure
+# (UNION set semantics guarantees termination); every doc labels itself
+# with the component's MIN doc_id, singletons with their own id.
+_NGRAM_CLUSTERS_SQL = (
+    "WITH RECURSIVE " + _NGRAM_CTES + ", "
+    "allp AS (SELECT id_a, id_b FROM pairs WHERE jaccard >= 0.2 "
+    "UNION ALL SELECT id_a, id_b FROM empty_pairs), "
+    "edges AS (SELECT id_a AS u, id_b AS v FROM allp "
+    "UNION SELECT id_b AS u, id_a AS v FROM allp), "
+    "reach(u, v) AS (SELECT u, v FROM edges "
+    "UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u), "
+    "lbl AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id FROM reach GROUP BY u) "
+    "SELECT d.doc_id, CAST(COALESCE(l.cluster_id, d.doc_id) AS BIGINT) AS cluster_id "
+    "FROM documents d LEFT JOIN lbl l ON d.doc_id = l.doc_id ORDER BY d.doc_id"
 )
 
 _ANN_SQL = (
@@ -1324,6 +1355,7 @@ REGISTRY: dict[str, QueryDef] = {
     "fingerprints": QueryDef(q_fingerprints, _FINGERPRINT_SQL),
     "simhash": QueryDef(q_simhash, _SIMHASH_SQL),
     "ngram_jaccard": QueryDef(q_ngram_jaccard, _NGRAM_JACCARD_SQL),
+    "ngram_dup_clusters": QueryDef(q_ngram_dup_clusters, _NGRAM_CLUSTERS_SQL),
     "orders_join_bcast": QueryDef(q_orders_join_bcast, _ORDERS_JOIN_SQL),
     "orders_join_shuffle": QueryDef(q_orders_join_shuffle, _ORDERS_JOIN_SQL),
     "orders_join_salted": QueryDef(q_orders_join_salted, _ORDERS_JOIN_SQL),

@@ -162,6 +162,25 @@ class TestDedup:
             parent[find(int(a_))] = find(int(b_))
         assert len({find(i) for i in range(80)}) == 1
 
+    def test_assign_dup_clusters_transitive(self):
+        # pairs (1,5),(5,9),(3,7): components {1,5,9}->1, {3,7}->3; doc 2
+        # is a singleton labelling itself
+        docs = ray.data.from_arrow(
+            pa.table({"doc_id": np.array([1, 2, 3, 5, 7, 9], dtype=np.int64)})
+        )
+        pairs = pa.table(
+            {
+                "id_a": np.array([1, 5, 3], dtype=np.int64),
+                "id_b": np.array([5, 9, 7], dtype=np.int64),
+            }
+        )
+        res = (
+            dataset_to_table(dedup.assign_dup_clusters(docs, pairs))
+            .to_pandas()
+            .set_index("doc_id")["cluster_id"]
+        )
+        assert res.to_dict() == {1: 1, 2: 2, 3: 3, 5: 1, 7: 3, 9: 1}
+
     def test_ngram_exact_refuses_hot_group(self):
         import pytest
 
