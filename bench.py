@@ -230,6 +230,9 @@ BENCH_QUERIES = [
     "minhash_pairs",
     "simhash",
     "ngram_jaccard",
+    "ngram_jaccard_lsh",
+    "ngram_dup_clusters",
+    "embedding_near_dups_lsh",
     "fingerprints",
     "ann_topk",
     "ann_lsh",
@@ -239,6 +242,7 @@ BENCH_QUERIES = [
     "user_sessions",
     "sessionize",
     "normalize_text",
+    "top_terms",
     "event_window_agg",
     "event_rolling_max",
     "event_sliding_counts",

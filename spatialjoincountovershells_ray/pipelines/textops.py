@@ -66,6 +66,58 @@ def fingerprints(docs: "ray.data.Dataset") -> "ray.data.Dataset":
     return docs.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def top_terms_per_source(docs: "ray.data.Dataset", k: int = 5) -> "ray.data.Dataset":
+    """-> source, term, n:int64, rnk:int64 — the k most frequent tokens of
+    each source (ties to the lexically smallest term).
+
+    Vocabulary-style corpus analysis done combiner-first: each batch
+    tokenizes vectorized (Arrow RE2 split + list_flatten/parent_indices,
+    the same byte classes as the SQL twin) and pre-counts its own
+    (source, term) pairs, so the exchange carries O(sources x batch
+    vocabulary) partials, never tokens; one groupby sums partials and a
+    per-source reducer ranks. Terms are whitespace tokens — empty strings
+    from leading/trailing separators are dropped on both sides."""
+    import pyarrow.compute as pc
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(batch.column("text"), r"[ \t\n\r\x0b\x0c]+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        keep = pc.not_equal(flat, "")
+        src = batch.column("source").take(pc.filter(parent, keep))
+        t = pa.table({"source": src, "term": pc.filter(flat, keep)})
+        g = t.group_by(["source", "term"]).aggregate([([], "count_all")])
+        g = g.rename_columns(["n" if c == "count_all" else c for c in g.column_names])
+        return g.select(["source", "term", "n"])
+
+    import pandas as pd
+
+    agg = (
+        docs.select_columns(["source", "text"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["source", "term"])
+        .sum("n")
+    )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.rename(columns={"sum(n)": "n"})
+        g = g.sort_values(["n", "term"], ascending=[False, True], kind="mergesort").head(k)
+        return pd.DataFrame(
+            {
+                "source": g["source"].to_numpy(),
+                "term": g["term"].to_numpy(),
+                "n": g["n"].astype(np.int64).to_numpy(),
+                "rnk": np.arange(1, len(g) + 1, dtype=np.int64),
+            }
+        )
+
+    return agg.groupby("source").map_groups(final, batch_format="pandas").sort(
+        ["source", "rnk"]
+    )
+
+
 def normalize_text(docs: "ray.data.Dataset") -> "ray.data.Dataset":
     """-> doc_id, norm_text:string — ASCII-whitespace runs collapsed to
     one space, lowercased. The standard cleaning stage ahead of dedup /

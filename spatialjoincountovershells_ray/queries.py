@@ -452,6 +452,12 @@ def q_normalize_text(sf_dir: str):
     return textops.normalize_text(ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]))
 
 
+def q_top_terms(sf_dir: str):
+    return textops.top_terms_per_source(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "text"]), k=5
+    )
+
+
 def q_exact_dedup(sf_dir: str):
     return dedup.exact_dedup(ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]))
 
@@ -1115,6 +1121,18 @@ _SIMHASH_SQL = (
 # contribute their whole joined text, matching functions.text.word_ngrams),
 # Jaccard over an equi-join on (source, gram), plus the jaccard(∅,∅)=1.0
 # convention for pairs of empty docs.
+# Exact twin of pipelines.textops.top_terms_per_source(k=5): same
+# ASCII-whitespace tokenizer, count per (source, term), rank by
+# (n DESC, term ASC).
+_TOP_TERMS_SQL = (
+    "WITH t AS (SELECT source, unnest(" + _WS_SPLIT + ") AS term FROM documents), "
+    "c AS (SELECT source, term, count(*) AS n FROM t GROUP BY source, term), "
+    "r AS (SELECT source, term, n, row_number() OVER (PARTITION BY source "
+    "ORDER BY n DESC, term) AS rnk FROM c) "
+    "SELECT source, term, CAST(n AS BIGINT) AS n, CAST(rnk AS BIGINT) AS rnk "
+    "FROM r WHERE rnk <= 5 ORDER BY source, rnk"
+)
+
 _NGRAM_CTES = (
     "t AS (SELECT doc_id, source, " + _WS_SPLIT + " AS w FROM documents), "
     "g AS (SELECT doc_id, source, CASE WHEN len(w) = 0 THEN []::VARCHAR[] "
@@ -1346,6 +1364,7 @@ REGISTRY: dict[str, QueryDef] = {
     "user_sessions": QueryDef(events.user_sessions, _SESSIONS_SQL),
     "sessionize": QueryDef(events.sessionize, _SESSIONIZE_SQL),
     "normalize_text": QueryDef(q_normalize_text, _NORMALIZE_SQL),
+    "top_terms": QueryDef(q_top_terms, _TOP_TERMS_SQL),
     "event_window_agg": QueryDef(events.event_window_agg, _WINDOW_AGG_SQL),
     "event_rolling_max": QueryDef(events.event_rolling_max, _ROLLING_MAX_SQL),
     "event_sliding_counts": QueryDef(events.event_sliding_counts, _SLIDING_SQL),
