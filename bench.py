@@ -213,6 +213,7 @@ BENCH_QUERIES = [
     "range_join",
     "range_join_shuffle",
     "geo_range_join",
+    "geo_range_join_shuffle",
     "geo_nearest_place",
     "geo_topk_places",
     "geo_pyramid",

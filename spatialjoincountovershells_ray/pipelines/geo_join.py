@@ -56,6 +56,44 @@ def a_threshold(radius_km: float) -> float:
     return s * s
 
 
+def _cover_lookup_verify(
+    ids: np.ndarray,
+    lat: np.ndarray,
+    lon: np.ndarray,
+    point_cell: np.ndarray,
+    cover_cells: np.ndarray,  # SORTED cover cell ids
+    place_of: np.ndarray,  # aligned place row index per cover cell
+    plat: np.ndarray,
+    plon: np.ndarray,
+    pids: np.ndarray,
+    thr: float,
+) -> pa.Table:
+    """Candidate lookup (searchsorted over the sorted cover) + exact
+    a-term verify — the per-batch core shared by the broadcast kernel and
+    the shuffle plan's bucket reducer."""
+    lo = np.searchsorted(cover_cells, point_cell, side="left")
+    hi = np.searchsorted(cover_cells, point_cell, side="right")
+    cnt = hi - lo
+    total = int(cnt.sum())
+    if total == 0:
+        return pa.table(
+            {"point_id": pa.array([], pa.int64()), "place_id": pa.array([], pa.int64())}
+        )
+    rows = np.repeat(np.arange(len(ids), dtype=np.int64), cnt)
+    bounds = np.zeros(len(ids) + 1, dtype=np.int64)
+    np.cumsum(cnt, out=bounds[1:])
+    within = np.arange(total, dtype=np.int64) - np.repeat(bounds[:-1], cnt)
+    cand = place_of[lo[rows] + within]
+    a = _a_term(lat[rows], lon[rows], plat[cand], plon[cand])
+    keep = a <= thr
+    return pa.table(
+        {
+            "point_id": pa.array(ids[rows[keep]], pa.int64()),
+            "place_id": pa.array(pids[cand[keep]], pa.int64()),
+        }
+    )
+
+
 class _GeoJoinKernel:
     """Broadcast cover CSR + per-batch candidate lookup and verify."""
 
@@ -74,26 +112,9 @@ class _GeoJoinKernel:
         lat = batch.column("lat").to_numpy()
         lon = batch.column("lon").to_numpy()
         cell = geo.latlon_cell(lat, lon, self.level)
-        lo = np.searchsorted(self.cells, cell, side="left")
-        hi = np.searchsorted(self.cells, cell, side="right")
-        cnt = hi - lo
-        total = int(cnt.sum())
-        if total == 0:
-            return pa.table(
-                {"point_id": pa.array([], pa.int64()), "place_id": pa.array([], pa.int64())}
-            )
-        rows = np.repeat(np.arange(len(ids), dtype=np.int64), cnt)
-        bounds = np.zeros(len(ids) + 1, dtype=np.int64)
-        np.cumsum(cnt, out=bounds[1:])
-        within = np.arange(total, dtype=np.int64) - np.repeat(bounds[:-1], cnt)
-        cand = self.place_of[lo[rows] + within]
-        a = _a_term(lat[rows], lon[rows], self.plat[cand], self.plon[cand])
-        keep = a <= self.thr
-        return pa.table(
-            {
-                "point_id": pa.array(ids[rows[keep]], pa.int64()),
-                "place_id": pa.array(self.pids[cand[keep]], pa.int64()),
-            }
+        return _cover_lookup_verify(
+            ids, lat, lon, cell, self.cells, self.place_of,
+            self.plat, self.plon, self.pids, self.thr,
         )
 
 
@@ -183,6 +204,115 @@ def geo_nearest_place(
     return out.sort("point_id") if sort else out
 
 
+@ray.remote
+def _geo_bucket_join(thr: float, npt: int, *parts: pa.Table) -> pa.Table:
+    """Per-bucket reducer of the shuffle plan: points and place-cover
+    replicas co-located by cell hash; sort the covers, lookup + verify."""
+    pts = [p for p in parts[:npt] if p.num_rows]
+    pls = [p for p in parts[npt:] if p.num_rows]
+    if not pts or not pls:
+        return pa.table(
+            {"point_id": pa.array([], pa.int64()), "place_id": pa.array([], pa.int64())}
+        )
+    pt = pa.concat_tables(pts, promote_options="none")
+    pl = pa.concat_tables(pls, promote_options="none")
+    cells = pl.column("cell").to_numpy()
+    order = np.argsort(cells, kind="stable")
+    return _cover_lookup_verify(
+        pt.column("point_id").to_numpy(),
+        pt.column("lat").to_numpy(),
+        pt.column("lon").to_numpy(),
+        pt.column("cell").to_numpy(),
+        cells[order],
+        np.arange(len(order), dtype=np.int64),  # each cover row is its own replica
+        pl.column("lat").to_numpy()[order],
+        pl.column("lon").to_numpy()[order],
+        pl.column("place_id").to_numpy()[order],
+        thr,
+    )
+
+
+def geo_range_join_shuffle(
+    places: "ray.data.Dataset | pa.Table",
+    points: "ray.data.Dataset",
+    radius_km: float,
+    *,
+    level: int | None = None,
+    nbuckets: int | None = None,
+    sort: bool = False,
+) -> "ray.data.Dataset":
+    """Shuffle-plan geo range join: NO broadcastable-places assumption.
+
+    Both sides stream through cell tagging (places flat-mapped to their
+    cap-cover cells, points keyed by their own cell), are hash-bucketed
+    by cell with the shared explicit exchange, and each bucket task
+    verifies its candidates exactly — the spherical twin of the 3D
+    bucket-exchange range join (stages/exchange.bucketed_pair_join).
+    The per-place cap-cover loop runs inside map_batches over the places
+    stream, so no single process ever holds the full cover."""
+    from spatialjoincountovershells_ray.stages.exchange import split_by_key
+
+    level = auto_level(radius_km) if level is None else level
+    thr = a_threshold(radius_km)
+    if isinstance(places, pa.Table):
+        places = ray.data.from_arrow(places)
+
+    def tag_places(batch: pa.Table) -> pa.Table:
+        pids = batch.column("place_id").to_numpy()
+        plat = batch.column("lat").to_numpy().astype(np.float64, copy=False)
+        plon = batch.column("lon").to_numpy().astype(np.float64, copy=False)
+        cover_cells, cover_rows = [], []
+        for i in range(len(pids)):  # bounded per batch; covers are ragged
+            cells = geo.cap_cover(float(plat[i]), float(plon[i]), radius_km, level)
+            cover_cells.append(cells)
+            cover_rows.append(np.full(len(cells), i, dtype=np.int64))
+        cells = np.concatenate(cover_cells) if cover_cells else np.empty(0, np.int64)
+        rows = np.concatenate(cover_rows) if cover_rows else np.empty(0, np.int64)
+        return pa.table(
+            {
+                "cell": pa.array(cells, pa.int64()),
+                "place_id": pa.array(pids[rows], pa.int64()),
+                "lat": pa.array(plat[rows], pa.float64()),
+                "lon": pa.array(plon[rows], pa.float64()),
+            }
+        )
+
+    def tag_points(batch: pa.Table) -> pa.Table:
+        lat = batch.column("lat").to_numpy().astype(np.float64, copy=False)
+        lon = batch.column("lon").to_numpy().astype(np.float64, copy=False)
+        return pa.table(
+            {
+                "cell": pa.array(geo.latlon_cell(lat, lon, level), pa.int64()),
+                "point_id": batch.column("point_id"),
+                "lat": pa.array(lat, pa.float64()),
+                "lon": pa.array(lon, pa.float64()),
+            }
+        )
+
+    nbuckets = nbuckets or max(8, int(ray.cluster_resources().get("CPU", 8)))
+    pts = points.map_batches(tag_points, batch_format="pyarrow", zero_copy_batch=True)
+    pls = places.map_batches(tag_places, batch_format="pyarrow", zero_copy_batch=True)
+    psplits = [
+        split_by_key.options(num_returns=nbuckets).remote(b, "cell", nbuckets)
+        for b in pts.materialize().to_arrow_refs()
+    ]
+    csplits = [
+        split_by_key.options(num_returns=nbuckets).remote(b, "cell", nbuckets)
+        for b in pls.materialize().to_arrow_refs()
+    ]
+    refs = [
+        _geo_bucket_join.remote(
+            thr,
+            len(psplits),
+            *[s[b] for s in psplits],
+            *[s[b] for s in csplits],
+        )
+        for b in range(nbuckets)
+    ]
+    out = ray.data.from_arrow_refs(refs)
+    return out.sort(["point_id", "place_id"]) if sort else out
+
+
 def geo_range_join(
     places: "ray.data.Dataset | pa.Table",
     points: "ray.data.Dataset",
@@ -196,8 +326,8 @@ def geo_range_join(
 
     Broadcast plan: precondition is that the places side (plus its cap
     covers) fits the object store — the same small-query-side contract
-    as the broadcast shell count; a huge places side would use the
-    bucket-exchange plan on cell keys instead.
+    as the broadcast shell count; :func:`geo_range_join_shuffle` is the
+    bucket-exchange plan when it does not.
     """
     from spatialjoincountovershells_ray.pipelines.shell_count import dataset_to_table
 

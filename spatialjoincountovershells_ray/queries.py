@@ -417,6 +417,15 @@ def q_geo_range_join(sf_dir: str):
     return geo_range_join(places, points, GEO_R_KM)
 
 
+def q_geo_range_join_shuffle(sf_dir: str):
+    """Bucket-exchange geo range join (no broadcastable-places
+    assumption) — same logical result and SQL twin as geo_range_join."""
+    from spatialjoincountovershells_ray.pipelines.geo_join import geo_range_join_shuffle
+
+    places, points = _geo_inputs(sf_dir)
+    return geo_range_join_shuffle(places, points, GEO_R_KM)
+
+
 def q_geo_nearest_place(sf_dir: str):
     """Geo-kNN (k=1): each point's haversine-nearest place."""
     from spatialjoincountovershells_ray.pipelines.geo_join import geo_nearest_place
@@ -1350,6 +1359,7 @@ REGISTRY: dict[str, QueryDef] = {
     "zonal_counts": QueryDef(q_zonal_counts, _ZONAL_SQL),
     "point_in_polygons": QueryDef(q_point_in_polygons, _POLYS_SQL),
     "geo_range_join": QueryDef(q_geo_range_join, _geo_sql()),
+    "geo_range_join_shuffle": QueryDef(q_geo_range_join_shuffle, _geo_sql()),
     "geo_nearest_place": QueryDef(q_geo_nearest_place, _geo_nearest_sql()),
     "geo_topk_places": QueryDef(q_geo_topk_places, _geo_nearest_sql(GEO_TOPK)),
     "geo_pyramid": QueryDef(q_geo_pyramid, _geo_pyramid_sql()),

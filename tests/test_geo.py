@@ -80,6 +80,41 @@ class TestLatLonCells:
         assert got == set(zip(qi.tolist(), pi.tolist()))
         assert len(got) > 0
 
+    def test_geo_range_join_shuffle_matches_brute_force(self):
+        import pyarrow as pa
+        import ray
+
+        from spatialjoincountovershells_ray.pipelines.geo_join import (
+            _a_term,
+            a_threshold,
+            geo_range_join_shuffle,
+        )
+        from spatialjoincountovershells_ray.pipelines.shell_count import dataset_to_table
+
+        rng = np.random.default_rng(23)
+        n_pts, n_pl = 3000, 25
+        plat = rng.uniform(-88, 88, n_pl)
+        plon = rng.uniform(-180, 180, n_pl)
+        qlat = rng.uniform(-90, 90, n_pts)
+        qlon = rng.uniform(-180, 180, n_pts)
+        R = 700.0
+        places = pa.table(
+            {"place_id": np.arange(n_pl, dtype=np.int64), "lat": plat, "lon": plon}
+        )
+        points = ray.data.from_arrow(
+            pa.table(
+                {"point_id": np.arange(n_pts, dtype=np.int64), "lat": qlat, "lon": qlon}
+            )
+        )
+        res = dataset_to_table(
+            geo_range_join_shuffle(places, points, R, nbuckets=8)
+        ).to_pandas()
+        got = set(zip(res.point_id, res.place_id))
+        a = _a_term(qlat[:, None], qlon[:, None], plat[None, :], plon[None, :])
+        qi, pi = np.nonzero(a <= a_threshold(R))
+        assert got == set(zip(qi.tolist(), pi.tolist()))
+        assert len(got) > 0
+
     def test_haversine_sanity(self):
         # quarter circumference pole-to-equator
         d = geo.haversine_km(np.array([0.0]), np.array([0.0]), np.array([90.0]), np.array([0.0]))
