@@ -41,7 +41,18 @@ def tile_assign(
 
 
 class _RectJoin:
-    """Actor kernel: points x broadcast rectangles containment join."""
+    """Broadcast-rectangle containment kernel with a 2D bin index.
+
+    A dense N x R mask is O(N*R) comparisons regardless of selectivity
+    (measured ~5-7 s for 600 k x 100 at sf0.1); binning the rectangles
+    into a GxG grid once per worker and probing each point's bin cuts the
+    candidate count to the rects actually near the point — the same
+    sorted-cover searchsorted/repeat shape as the spatial and geo
+    kernels. Out-of-box coordinates clip to edge bins on BOTH sides, so
+    overlap relationships survive clipping."""
+
+    G = 32
+    SPAN = 1000.0  # [0, 1000]^2 box shared with the rect fixtures
 
     def __init__(self, rects_ref, id_col: str):
         r = ray.get(rects_ref[0]) if isinstance(rects_ref, list) else rects_ref
@@ -49,20 +60,56 @@ class _RectJoin:
         self.lo: np.ndarray = r["lo"]  # [R, 2]
         self.hi: np.ndarray = r["hi"]
         self.id_col = id_col
+        G = self.G
+        self.binw = self.SPAN / G
+        bx0 = np.clip(np.floor(self.lo[:, 0] / self.binw).astype(np.int64), 0, G - 1)
+        by0 = np.clip(np.floor(self.lo[:, 1] / self.binw).astype(np.int64), 0, G - 1)
+        # hi is an exclusive bound: a rect ending exactly on a bin edge
+        # does not reach the next bin
+        bx1 = np.clip(np.ceil(self.hi[:, 0] / self.binw).astype(np.int64) - 1, 0, G - 1)
+        by1 = np.clip(np.ceil(self.hi[:, 1] / self.binw).astype(np.int64) - 1, 0, G - 1)
+        bins, rects = [], []
+        for i in range(len(self.poly_ids)):  # R is small by contract
+            xs = np.arange(bx0[i], bx1[i] + 1, dtype=np.int64)
+            ys = np.arange(by0[i], by1[i] + 1, dtype=np.int64)
+            bid = (xs[:, None] * G + ys[None, :]).ravel()
+            bins.append(bid)
+            rects.append(np.full(len(bid), i, dtype=np.int64))
+        allb = np.concatenate(bins) if bins else np.empty(0, np.int64)
+        allr = np.concatenate(rects) if rects else np.empty(0, np.int64)
+        order = np.argsort(allb, kind="stable")
+        self.rect_of = allr[order]
+        self.offsets = np.searchsorted(allb[order], np.arange(G * G + 1, dtype=np.int64))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column(self.id_col).to_numpy()
         x = batch.column("x").to_numpy()
         y = batch.column("y").to_numpy()
-        inside = (
-            (x[:, None] >= self.lo[None, :, 0])
-            & (x[:, None] < self.hi[None, :, 0])
-            & (y[:, None] >= self.lo[None, :, 1])
-            & (y[:, None] < self.hi[None, :, 1])
+        G = self.G
+        bx = np.clip(np.floor(x / self.binw).astype(np.int64), 0, G - 1)
+        by = np.clip(np.floor(y / self.binw).astype(np.int64), 0, G - 1)
+        bid = bx * G + by
+        lo_i = self.offsets[bid]
+        cnt = self.offsets[bid + 1] - lo_i
+        total = int(cnt.sum())
+        if total == 0:
+            return pa.table(
+                {self.id_col: pa.array([], pa.int64()), "poly_id": pa.array([], pa.int64())}
+            )
+        rows = np.repeat(np.arange(len(ids), dtype=np.int64), cnt)
+        bounds = np.zeros(len(ids) + 1, dtype=np.int64)
+        np.cumsum(cnt, out=bounds[1:])
+        within = np.arange(total, dtype=np.int64) - np.repeat(bounds[:-1], cnt)
+        cand = self.rect_of[lo_i[rows] + within]
+        px, py = x[rows], y[rows]
+        keep = (
+            (px >= self.lo[cand, 0])
+            & (px < self.hi[cand, 0])
+            & (py >= self.lo[cand, 1])
+            & (py < self.hi[cand, 1])
         )
-        pi, ri = np.nonzero(inside)
         return pa.table(
-            {self.id_col: ids[pi], "poly_id": self.poly_ids[ri]}
+            {self.id_col: ids[rows[keep]], "poly_id": self.poly_ids[cand[keep]]}
         )
 
 
