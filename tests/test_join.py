@@ -243,6 +243,27 @@ def test_broadcast_rejects_right_preserving_joins():
     assert len(out) == len(exp)
 
 
+def test_run_cached_bcast_rekeys_on_new_broadcast():
+    """The per-worker kernel cache is keyed by the broadcast ref: a second
+    call with a DIFFERENT right table must not reuse the stale kernel."""
+    import pyarrow as pa
+
+    from spatialjoincountovershells_ray.pipelines.join import _BcastJoiner
+    from spatialjoincountovershells_ray.stages.join_kernels import run_cached_bcast
+
+    batch = pa.table({"k": np.array([1, 2], dtype=np.int64)})
+    r1 = ray.put(pa.table({"k2": np.array([1], dtype=np.int64), "tag": ["a"]}))
+    r2 = ray.put(pa.table({"k2": np.array([2], dtype=np.int64), "tag": ["b"]}))
+    kw = {"left_key": "k", "right_key": "k2", "join_type": "inner"}
+    out1 = run_cached_bcast(batch, _BcastJoiner, [r1], kw)
+    out2 = run_cached_bcast(batch, _BcastJoiner, [r2], kw)
+    assert out1.column("tag").to_pylist() == ["a"]
+    assert out2.column("tag").to_pylist() == ["b"]
+    # same ref again: cache hit must still be correct
+    out3 = run_cached_bcast(batch, _BcastJoiner, [r1], kw)
+    assert out3.column("tag").to_pylist() == ["a"]
+
+
 def test_shuffle_zero_block_side():
     """A zero-block side must yield a typed empty (or passthrough) result,
     not a concat_tables crash."""
