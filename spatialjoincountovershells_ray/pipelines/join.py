@@ -216,12 +216,13 @@ def equi_join(
         if rrefs:
             rtbl_ref = _concat.remote(*rrefs)
         else:  # zero-block right side: join against an empty typed table
-            sch = getattr(right.schema(), "base_schema", None)
-            rtbl_ref = ray.put(
-                pa.table({f.name: pa.array([], f.type) for f in sch})
-                if sch is not None
-                else pa.table({})
+            lsch = _arrow_schema(left)
+            kt = (
+                lsch.field(left_key).type
+                if lsch is not None and left_key in lsch.names
+                else pa.int64()
             )
+            rtbl_ref = ray.put(_typed_empty(right, right_key, kt))
 
         # task mode + per-worker kernel cache: scales to every CPU (an
         # actor pool capped at 8 workers lost ~3x to the shuffle plan at

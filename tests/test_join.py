@@ -278,3 +278,8 @@ def test_shuffle_zero_block_side():
         empty, ray.data.from_pandas(left), "k2", "k", mode="shuffle", nbuckets=2
     )
     assert out2.count() == 0
+    # broadcast mode with a zero-block pandas-schema right side
+    out3 = equi_join(
+        ray.data.from_pandas(left), empty, "k", "k2", mode="broadcast"
+    )
+    assert out3.count() == 0
