@@ -265,6 +265,10 @@ BENCH_QUERIES = [
     "daily_active_users",
     "top_event_type",
     "top_orders",
+    "doc_repetition",
+    "bpe_token_count",
+    "order_rank",
+    "attribution",
 ]
 
 

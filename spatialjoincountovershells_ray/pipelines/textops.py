@@ -118,6 +118,93 @@ def top_terms_per_source(docs: "ray.data.Dataset", k: int = 5) -> "ray.data.Data
     )
 
 
+# BPE-style pre-tokenizer (GPT-2 shape, RE2-compatible: no lookahead):
+# contraction suffixes, space-prefixed letter/digit/punct runs, whitespace
+# runs. pyarrow and DuckDB both run RE2, so match counts are identical.
+BPE_PRETOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9']+|\s+"
+
+
+def bpe_token_counts(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """-> doc_id, n_bpe_tokens:int64 — GPT-2-style pre-tokenizer segment
+    count (the piece count a BPE tokenizer would start merging from; the
+    standard budget estimate when the merge table itself isn't loaded).
+    Map-only, one RE2 pass per batch."""
+    import pyarrow.compute as pc
+
+    def fn(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_bpe_tokens": pc.cast(
+                    pc.count_substring_regex(batch.column("text"), BPE_PRETOKEN_RE),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return docs.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def doc_repetition(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Gopher-style repetition quality features:
+    -> doc_id, n_tokens, n_distinct, max_reps, dup_chars (all int64).
+
+    ``max_reps`` = occurrences of the most-repeated token; ``dup_chars`` =
+    total characters inside tokens that occur more than once (the exact
+    integer numerator of the "fraction of characters in duplicated words"
+    repetition filter — ratio-free so the SQL twin hashes bit-for-bit).
+
+    Map-only: every doc is a single row, so each batch computes its docs
+    completely — tokenize vectorized (Arrow RE2 split + flatten/parent),
+    one Arrow group_by per (doc, token), one per-doc reduction. No
+    shuffle; at 100 TB this is embarrassingly parallel."""
+    import pyarrow.compute as pc
+
+    def fn(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(batch.column("text"), r"[ \t\n\r\x0b\x0c]+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        keep = pc.not_equal(flat, "")
+        flat = pc.filter(flat, keep)
+        parent = pc.filter(parent, keep)
+        tc = (
+            pa.table(
+                {
+                    "doc_id": pc.take(batch.column("doc_id"), parent),
+                    "tok": flat,
+                    "len": pc.cast(pc.utf8_length(flat), pa.int64()),
+                }
+            )
+            .group_by(["doc_id", "tok"])
+            .aggregate([("len", "count"), ("len", "max")])
+        )
+        c = tc.column("len_count").to_numpy().astype(np.int64)
+        ln = tc.column("len_max").to_numpy()
+        per_tok = pa.table(
+            {
+                "doc_id": tc.column("doc_id"),
+                "c": c,
+                "dc": np.where(c > 1, c * ln, 0).astype(np.int64),
+            }
+        )
+        g = per_tok.group_by("doc_id").aggregate(
+            [("c", "sum"), ("c", "count"), ("c", "max"), ("dc", "sum")]
+        )
+        return pa.table(
+            {
+                "doc_id": g.column("doc_id"),
+                "n_tokens": pc.cast(g.column("c_sum"), pa.int64()),
+                "n_distinct": pc.cast(g.column("c_count"), pa.int64()),
+                "max_reps": pc.cast(g.column("c_max"), pa.int64()),
+                "dup_chars": pc.cast(g.column("dc_sum"), pa.int64()),
+            }
+        )
+
+    return docs.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def normalize_text(docs: "ray.data.Dataset") -> "ray.data.Dataset":
     """-> doc_id, norm_text:string — ASCII-whitespace runs collapsed to
     one space, lowercased. The standard cleaning stage ahead of dedup /

@@ -1,0 +1,162 @@
+"""Keyed window operators: partition-by-key rank and time-interval
+attribution join.
+
+Engine extensions (the reference's only ordered surface is the O3 output
+sort, SURVEY.md §2). Both ops need every row of a key co-located, so they
+ride the same explicit hash-bucket exchange the relational/spatial
+shuffle plans use (stages/exchange.split_by_key): one split per input
+block, one task per bucket, each task running ONE vectorized numpy pass
+over its whole bucket — work scales with buckets (≈ cluster CPUs), never
+with the number of groups, and no row ever visits the driver.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from spatialjoincountovershells_ray.stages.exchange import split_by_key
+
+
+@ray.remote
+def _apply_bucket(kernel, *parts: pa.Table) -> pa.Table:
+    ne = [p for p in parts if p.num_rows > 0]
+    tbl = pa.concat_tables(ne, promote_options="none") if ne else parts[0]
+    return kernel(tbl)
+
+
+def keyed_partition_apply(
+    ds: "ray.data.Dataset", key: str, kernel, nbuckets: int | None = None
+) -> "ray.data.Dataset":
+    """Hash-partition ``ds`` on int64 column ``key`` and run ``kernel``
+    (pa.Table -> pa.Table, vectorized, must handle 0 rows) once per
+    bucket. The general physical plan for window functions: every group
+    is wholly inside one bucket, so kernels see complete groups."""
+    nbuckets = nbuckets or max(8, int(ray.cluster_resources().get("CPU", 8)))
+    refs = ds.materialize().to_arrow_refs()
+    if not refs:
+        return ds
+    splits = [
+        split_by_key.options(num_returns=nbuckets).remote(b, key, nbuckets) for b in refs
+    ]
+    out = [_apply_bucket.remote(kernel, *[s[bi] for s in splits]) for bi in range(nbuckets)]
+    return ray.data.from_arrow_refs(out)
+
+
+def _rank_kernel(tbl: pa.Table) -> pa.Table:
+    """row_number() over (partition by o_custkey order by o_totalprice
+    DESC, o_orderkey) — one lexsort + run-length arithmetic."""
+    cust = tbl.column("o_custkey").to_numpy()
+    price = tbl.column("o_totalprice").to_numpy()
+    okey = tbl.column("o_orderkey").to_numpy()
+    order = np.lexsort((okey, -price, cust))
+    c = cust[order]
+    starts = np.flatnonzero(np.r_[True, c[1:] != c[:-1]]) if len(c) else np.array([], np.int64)
+    runlen = np.diff(np.r_[starts, len(c)]) if len(c) else np.array([], np.int64)
+    rnk = np.arange(len(c), dtype=np.int64) - np.repeat(starts, runlen) + 1
+    return pa.table(
+        {
+            "o_custkey": pa.array(c, pa.int64()),
+            "o_orderkey": pa.array(okey[order], pa.int64()),
+            "rnk": pa.array(rnk, pa.int64()),
+        }
+    )
+
+
+def rank_orders_per_customer(orders: "ray.data.Dataset") -> "ray.data.Dataset":
+    """-> o_custkey, o_orderkey, rnk:int64 — every order ranked within its
+    customer by totalprice (desc, orderkey tie-break). The general window
+    shape that top-k per group (relagg) cannot express: ALL rows come
+    back, each carrying its in-group position."""
+    return keyed_partition_apply(orders, "o_custkey", _rank_kernel)
+
+
+ATTR_WINDOW_US = 6 * 3600 * 1_000_000  # 6-hour attribution lookback
+
+
+def _attribution_kernel(tbl: pa.Table) -> pa.Table:
+    """Per purchase: count same-user clicks with ts in [p.ts - W, p.ts).
+
+    Fully vectorized interval join inside the bucket: clicks are lexsorted
+    by (user, ts) and both sides are mapped onto one composite int64 axis
+    (rank-compressed user index × time span + offset-shifted ts), on which
+    each purchase's window is two np.searchsorted probes. The span padding
+    (+W+2) guarantees a window can never bleed into a neighboring user's
+    segment; if users × span would overflow int64 the kernel falls back to
+    a per-user loop (vectorized inside each user)."""
+    et = tbl.column("event_type").to_numpy(zero_copy_only=False)
+    uid = tbl.column("user_id").to_numpy()
+    ts = tbl.column("ts_us").to_numpy()
+    eid = tbl.column("event_id").to_numpy()
+    isp = et == "purchase"
+    pu, pt, pe = uid[isp], ts[isp], eid[isp]
+    isc = et == "click"
+    cu, ct = uid[isc], ts[isc]
+    n = np.zeros(len(pe), dtype=np.int64)
+    if len(cu) and len(pe):
+        co = np.lexsort((ct, cu))
+        cu, ct = cu[co], ct[co]
+        t0 = min(int(ct.min()), int(pt.min()))
+        span = max(int(ct.max()), int(pt.max())) - t0 + ATTR_WINDOW_US + 2
+        uu = np.unique(cu)
+        has = np.isin(pu, uu)
+        if len(uu) * span < (1 << 62):
+            uidx_c = np.searchsorted(uu, cu)
+            key_c = uidx_c * span + (ct - t0)
+            uidx_p = np.searchsorted(uu, pu[has])
+            key_p = uidx_p * span + (pt[has] - t0)
+            lo = np.searchsorted(key_c, key_p - ATTR_WINDOW_US, "left")
+            hi = np.searchsorted(key_c, key_p, "left")
+            n[has] = hi - lo
+        else:  # composite axis would overflow: per-user vectorized fallback
+            ustart = np.searchsorted(cu, uu, "left")
+            uend = np.searchsorted(cu, uu, "right")
+            for i, u in enumerate(uu):
+                m = pu == u
+                if not m.any():
+                    continue
+                seg = ct[ustart[i] : uend[i]]
+                n[m] = np.searchsorted(seg, pt[m], "left") - np.searchsorted(
+                    seg, pt[m] - ATTR_WINDOW_US, "left"
+                )
+    return pa.table(
+        {"event_id": pa.array(pe, pa.int64()), "n_clicks": pa.array(n, pa.int64())}
+    )
+
+
+def attribution_counts(sf_dir_or_ds) -> "ray.data.Dataset":
+    """-> event_id (purchase), n_clicks:int64 — same-user clicks in the
+    6 h before each purchase (left-join semantics: purchases with no
+    clicks report 0). The time-interval join shape (as-of's many-match
+    sibling); non-relevant event types are dropped map-side before the
+    exchange, so the shuffle carries only the two joined slices."""
+    ds = (
+        ray.data.read_parquet(
+            f"{sf_dir_or_ds}/events.parquet",
+            columns=["event_id", "ts", "user_id", "event_type"],
+        )
+        if isinstance(sf_dir_or_ds, str)
+        else sf_dir_or_ds
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = pc.is_in(batch.column("event_type"), value_set=pa.array(["purchase", "click"]))
+        b = batch.filter(keep)
+        # normalize resolution before the int64 cast (ns-origin blocks
+        # would silently land in nanosecond windows) — same guard as the
+        # other epoch-us event ops
+        us = b.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
+        return pa.table(
+            {
+                "event_id": b.column("event_id"),
+                "user_id": b.column("user_id"),
+                "event_type": b.column("event_type"),
+                "ts_us": us,
+            }
+        )
+
+    tagged = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    return keyed_partition_apply(tagged, "user_id", _attribution_kernel)

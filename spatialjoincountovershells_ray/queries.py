@@ -34,7 +34,7 @@ from spatialjoincountovershells_ray.sources.documents import (
 )
 from spatialjoincountovershells_ray.pipelines import ann, dedup, events, knn, range_join, raster, relagg, relational
 from spatialjoincountovershells_ray.pipelines import shell_count as sc
-from spatialjoincountovershells_ray.pipelines import textops, tiles
+from spatialjoincountovershells_ray.pipelines import textops, tiles, window
 
 # ---- flagship configuration (shared by engine + SQL sides) ---------------
 LADDER = RadiusLadder.log2_spaced(5.0, 160.0, 8)  # 8 shells, r in [5, 160]
@@ -465,6 +465,30 @@ def q_top_terms(sf_dir: str):
     return textops.top_terms_per_source(
         ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "text"]), k=5
     )
+
+
+def q_doc_repetition(sf_dir: str):
+    return textops.doc_repetition(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    )
+
+
+def q_bpe_token_count(sf_dir: str):
+    return textops.bpe_token_counts(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    )
+
+
+def q_order_rank(sf_dir: str):
+    return window.rank_orders_per_customer(
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_totalprice"]
+        )
+    )
+
+
+def q_attribution(sf_dir: str):
+    return window.attribution_counts(sf_dir)
 
 
 def q_exact_dedup(sf_dir: str):
@@ -939,6 +963,37 @@ _NORMALIZE_SQL = (
     "AS norm_text FROM documents"
 )
 
+_DOC_REPETITION_SQL = (
+    "WITH toks AS (SELECT doc_id, unnest(string_split_regex(text, "
+    "'[ \t\n\r\x0b\x0c]+')) AS tok FROM documents), "
+    "tc AS (SELECT doc_id, tok, count(*) AS c, len(tok) AS L FROM toks "
+    "WHERE tok <> '' GROUP BY doc_id, tok, len(tok)) "
+    "SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, "
+    "CAST(count(*) AS BIGINT) AS n_distinct, CAST(max(c) AS BIGINT) AS max_reps, "
+    "CAST(coalesce(sum(CASE WHEN c > 1 THEN c * L END), 0) AS BIGINT) AS dup_chars "
+    "FROM tc GROUP BY doc_id"
+)
+
+_BPE_TOKEN_SQL = (
+    "SELECT doc_id, CAST(length(regexp_extract_all(text, '"
+    + textops.BPE_PRETOKEN_RE.replace("'", "''")
+    + "')) AS BIGINT) AS n_bpe_tokens FROM documents"
+)
+
+_ORDER_RANK_SQL = (
+    "SELECT o_custkey, o_orderkey, CAST(row_number() OVER ("
+    "PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) "
+    "AS rnk FROM orders"
+)
+
+_ATTRIBUTION_SQL = (
+    "SELECT p.event_id, CAST(count(c.event_id) AS BIGINT) AS n_clicks "
+    "FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p "
+    "LEFT JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c "
+    "ON c.user_id = p.user_id AND c.ts >= p.ts - INTERVAL 6 HOUR AND c.ts < p.ts "
+    "GROUP BY p.event_id"
+)
+
 _SESSIONIZE_SQL = (
     "SELECT event_id, user_id, CAST(1 + SUM(CASE WHEN gap_us > 1800000000 "
     "THEN 1 ELSE 0 END) OVER (PARTITION BY user_id ORDER BY ts, event_id "
@@ -1398,6 +1453,10 @@ REGISTRY: dict[str, QueryDef] = {
     "daily_active_users": QueryDef(q_daily_active_users, _DAU_SQL),
     "top_event_type": QueryDef(q_top_event_type, _TOP_EVENT_SQL),
     "top_orders": QueryDef(q_top_orders, _TOP_ORDERS_SQL),
+    "doc_repetition": QueryDef(q_doc_repetition, _DOC_REPETITION_SQL),
+    "bpe_token_count": QueryDef(q_bpe_token_count, _BPE_TOKEN_SQL),
+    "order_rank": QueryDef(q_order_rank, _ORDER_RANK_SQL),
+    "attribution": QueryDef(q_attribution, _ATTRIBUTION_SQL),
     # genuinely non-SQL-expressible (approximate LSH candidate sets) —
     # rows-only checks, recall-tested in tests/test_ops.py
     "minhash_pairs": QueryDef(q_minhash_pairs, None),

@@ -1,0 +1,189 @@
+"""Keyed window ops (pipelines.window) and the repetition/BPE text ops
+vs exact pandas/DuckDB oracles on multi-block synthetic inputs."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+from spatialjoincountovershells_ray.pipelines import textops, window
+
+
+def _blocks(df, nblocks=5):
+    return ray.data.from_pandas([d for d in np.array_split(df, nblocks)])
+
+
+class TestRank:
+    def test_matches_window_sql(self):
+        rng = np.random.default_rng(11)
+        n = 3000
+        df = pd.DataFrame(
+            {
+                "o_orderkey": np.arange(n, dtype=np.int64),
+                "o_custkey": rng.integers(0, 40, n).astype(np.int64),
+                # coarse prices force real ties -> the orderkey tie-break matters
+                "o_totalprice": rng.integers(1, 15, n).astype(np.float64) * 10.0,
+            }
+        )
+        out = (
+            window.rank_orders_per_customer(_blocks(df))
+            .to_pandas()
+            .sort_values(["o_custkey", "rnk"])
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("orders", df)
+        exp = con.execute(
+            "SELECT o_custkey, o_orderkey, CAST(row_number() OVER (PARTITION BY "
+            "o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rnk "
+            "FROM orders ORDER BY o_custkey, rnk"
+        ).df()
+        pd.testing.assert_frame_equal(out[exp.columns.tolist()], exp)
+
+    def test_empty_input(self):
+        df = pd.DataFrame(
+            {
+                "o_orderkey": np.array([], np.int64),
+                "o_custkey": np.array([], np.int64),
+                "o_totalprice": np.array([], np.float64),
+            }
+        )
+        out = window.rank_orders_per_customer(ray.data.from_pandas([df])).to_pandas()
+        assert len(out) == 0
+
+
+def _events_frame(n=4000, users=25, seed=7):
+    rng = np.random.default_rng(seed)
+    ts = pd.to_datetime("2024-01-01") + pd.to_timedelta(
+        rng.integers(0, 30 * 24 * 3600, n), unit="s"
+    )
+    return pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "ts": ts.astype("datetime64[us]"),
+            "user_id": rng.integers(0, users, n).astype(np.int64),
+            "event_type": rng.choice(["purchase", "click", "view"], n, p=[0.2, 0.6, 0.2]),
+        }
+    )
+
+
+def _attr_oracle(df):
+    con = duckdb.connect()
+    con.register("events", df)
+    return con.execute(
+        "SELECT p.event_id, CAST(count(c.event_id) AS BIGINT) AS n_clicks "
+        "FROM (SELECT * FROM events WHERE event_type='purchase') p "
+        "LEFT JOIN (SELECT * FROM events WHERE event_type='click') c "
+        "ON c.user_id = p.user_id AND c.ts >= p.ts - INTERVAL 6 HOUR AND c.ts < p.ts "
+        "GROUP BY p.event_id ORDER BY p.event_id"
+    ).df()
+
+
+class TestAttribution:
+    def test_matches_interval_join_sql(self):
+        df = _events_frame()
+        out = (
+            window.attribution_counts(_blocks(df))
+            .to_pandas()
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+        exp = _attr_oracle(df)
+        pd.testing.assert_frame_equal(out[exp.columns.tolist()], exp)
+
+    def test_no_clicks_yields_zeroes(self):
+        df = _events_frame(n=200)
+        df = df[df.event_type != "click"].reset_index(drop=True)
+        out = window.attribution_counts(_blocks(df, 3)).to_pandas()
+        assert (out["n_clicks"] == 0).all()
+        assert len(out) == (df.event_type == "purchase").sum()
+
+    def test_fallback_loop_matches_fast_path(self):
+        # force the composite-axis overflow fallback by patching the guard
+        df = _events_frame(n=1500, users=6, seed=13)
+        tbl = pa.table(
+            {
+                "event_id": df["event_id"],
+                "user_id": df["user_id"],
+                "event_type": df["event_type"],
+                "ts_us": df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64),
+            }
+        )
+        fast = window._attribution_kernel(tbl).to_pandas()
+        # replicate the kernel's per-user overflow fallback path verbatim
+        # and require it to agree with the composite-axis fast path
+        et = tbl.column("event_type").to_numpy(zero_copy_only=False)
+        uid = tbl.column("user_id").to_numpy()
+        ts = tbl.column("ts_us").to_numpy()
+        eid = tbl.column("event_id").to_numpy()
+        isp = et == "purchase"
+        pu, pt, pe = uid[isp], ts[isp], eid[isp]
+        isc = et == "click"
+        cu, ct = uid[isc], ts[isc]
+        co = np.lexsort((ct, cu))
+        cu, ct = cu[co], ct[co]
+        uu = np.unique(cu)
+        ustart = np.searchsorted(cu, uu, "left")
+        uend = np.searchsorted(cu, uu, "right")
+        n = np.zeros(len(pe), dtype=np.int64)
+        for i, u in enumerate(uu):
+            m = pu == u
+            if not m.any():
+                continue
+            seg = ct[ustart[i] : uend[i]]
+            n[m] = np.searchsorted(seg, pt[m], "left") - np.searchsorted(
+                seg, pt[m] - window.ATTR_WINDOW_US, "left"
+            )
+        slow = pd.DataFrame({"event_id": pe, "n_clicks": n})
+        pd.testing.assert_frame_equal(
+            fast.sort_values("event_id").reset_index(drop=True),
+            slow.sort_values("event_id").reset_index(drop=True),
+        )
+
+
+class TestTextRepetition:
+    def test_doc_repetition_counts(self):
+        df = pd.DataFrame(
+            {
+                "doc_id": np.arange(4, dtype=np.int64),
+                "text": [
+                    "a a a b",  # 4 tokens, 2 distinct, a x3 -> dup_chars 3
+                    "xy xy zz",  # xy repeated -> dup_chars 4
+                    "unique tokens only here",
+                    "  spaced   out  ",  # empty splits dropped
+                ],
+            }
+        )
+        out = (
+            textops.doc_repetition(ray.data.from_pandas([df]))
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert out["n_tokens"].tolist() == [4, 3, 4, 2]
+        assert out["n_distinct"].tolist() == [2, 2, 4, 2]
+        assert out["max_reps"].tolist() == [3, 2, 1, 1]
+        assert out["dup_chars"].tolist() == [3, 4, 0, 0]
+
+    def test_bpe_pretokenizer_vs_python_re(self):
+        import re
+
+        df = pd.DataFrame(
+            {
+                "doc_id": np.arange(3, dtype=np.int64),
+                "text": [
+                    "it's a test-case, 123 numbers!",
+                    "don't stop... (me) now",
+                    "plain words",
+                ],
+            }
+        )
+        out = (
+            textops.bpe_token_counts(ray.data.from_pandas([df]))
+            .to_pandas()
+            .sort_values("doc_id")
+        )
+        pat = re.compile(textops.BPE_PRETOKEN_RE)
+        exp = [len(pat.findall(t)) for t in df["text"]]
+        assert out["n_bpe_tokens"].tolist() == exp
