@@ -269,6 +269,8 @@ BENCH_QUERIES = [
     "bpe_token_count",
     "order_rank",
     "attribution",
+    "source_quantiles_cont",
+    "tfidf_top_term",
 ]
 
 

@@ -154,6 +154,57 @@ def grouped_quantiles_disc(
     )
 
 
+def grouped_quantiles_cont(
+    ds: "ray.data.Dataset", group: str, value: str, qs: dict[str, float]
+) -> "ray.data.Dataset":
+    """-> group, <name>:float64 per entry of ``qs`` — continuous
+    (linearly interpolated) quantiles with DuckDB ``quantile_cont``
+    semantics: h = q*(n-1), v[floor(h)] + frac(h)*(v[floor(h)+1]-v[floor(h)]).
+
+    Same decomposable histogram plan as :func:`grouped_quantiles_disc`
+    (exchange carries groups x distinct values, never raw rows); only the
+    final read-off differs — two cumulative-count probes + one float64
+    interpolation, which is bit-identical to DuckDB's because both sides
+    run the same IEEE ops in the same order on exact integer inputs."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = (
+            batch.select([group, value])
+            .group_by([group, value])
+            .aggregate([([], "count_all")])
+        )
+        t = t.rename_columns(["n" if c == "count_all" else c for c in t.column_names])
+        return t.select([group, value, "n"])
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(value, kind="mergesort")
+        vals = g[value].to_numpy()
+        cum = g["n"].to_numpy().cumsum()
+        total = int(cum[-1])
+        out = {group: [g[group].iloc[0]]}
+        for name, q in qs.items():
+            h = np.float64(q) * np.float64(total - 1)
+            lo = int(np.floor(h))
+            hi = min(lo + 1, total - 1)
+            vlo = np.float64(vals[np.searchsorted(cum, lo + 1)])
+            vhi = np.float64(vals[np.searchsorted(cum, hi + 1)])
+            # DuckDB's exact op order: lo*(1-d) + hi*d (NOT lo+d*(hi-lo) —
+            # the two differ by 1 ulp on ~5% of inputs and the driver
+            # hashes raw float bits). Keep q literals short in the SQL
+            # twin: DuckDB casts DECIMAL q to double as mantissa/10^scale,
+            # which diverges from the parsed double past 2^53.
+            frac = h - np.float64(lo)
+            out[name] = [vlo * (np.float64(1.0) - frac) + vhi * frac]
+        return pd.DataFrame(out)
+
+    return (
+        ds.select_columns([group, value])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(group)
+        .map_groups(final, batch_format="pandas")
+    )
+
+
 def distinct_count_per_group(
     ds: "ray.data.Dataset", group: str, member: str
 ) -> "ray.data.Dataset":

@@ -205,6 +205,103 @@ def doc_repetition(docs: "ray.data.Dataset") -> "ray.data.Dataset":
     return docs.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def tfidf_top_term(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """-> doc_id, term, tf, df:int64, score:float64 — each document's
+    highest-TF-IDF term (score = tf * n_docs / df as float64; ties to the
+    lexically smallest term).
+
+    Three composed stages, each already 100-TB-shaped:
+    1. map-side TF: every doc is one row, so per-batch Arrow group_by
+       yields exact (doc, term, tf) — no shuffle;
+    2. DF: per-batch partials -> one small groupby over the vocabulary,
+       then a broadcast equi-join back onto the TF rows (the df table is
+       O(vocab), the classic broadcast-side);
+    3. per-doc argmax through the keyed bucket exchange (one vectorized
+       sort + drop-duplicates pass per bucket).
+    The score double is exact both sides: tf*n_docs is an exact int64
+    that both numpy and the SQL twin divide by df in one IEEE float64 op.
+    """
+    import pyarrow.compute as pc
+
+    from spatialjoincountovershells_ray.pipelines.join import equi_join
+    from spatialjoincountovershells_ray.pipelines.window import keyed_partition_apply
+
+    n_docs = docs.count()
+
+    def tf_partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(batch.column("text"), r"[ \t\n\r\x0b\x0c]+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        keep = pc.not_equal(flat, "")
+        t = (
+            pa.table(
+                {
+                    "doc_id": pc.take(batch.column("doc_id"), pc.filter(parent, keep)),
+                    "term": pc.filter(flat, keep),
+                }
+            )
+            .group_by(["doc_id", "term"])
+            .aggregate([([], "count_all")])
+        )
+        t = t.rename_columns(["tf" if c == "count_all" else c for c in t.column_names])
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "term": t.column("term"),
+                "tf": pc.cast(t.column("tf"), pa.int64()),
+            }
+        )
+
+    tf = docs.map_batches(tf_partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        t = batch.select(["term"]).group_by("term").aggregate([([], "count_all")])
+        return t.rename_columns(["df" if c == "count_all" else c for c in t.column_names])
+
+    df_tbl = (
+        tf.map_batches(df_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("term")
+        .sum("df")
+        .map_batches(
+            lambda b: pa.table(
+                {"term": b.column("term"), "df": pc.cast(b.column("sum(df)"), pa.int64())}
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    )
+
+    joined = equi_join(tf, df_tbl, "term", "term", mode="broadcast")
+
+    def argmax_kernel(tbl: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        g = tbl.to_pandas()
+        score = (g["tf"].to_numpy() * np.int64(n_docs)).astype(np.float64) / g[
+            "df"
+        ].to_numpy()
+        g = g.assign(score=score).sort_values(
+            ["doc_id", "score", "term"], ascending=[True, False, True], kind="mergesort"
+        )
+        g = g.drop_duplicates("doc_id", keep="first")
+        return pa.Table.from_pandas(
+            pd.DataFrame(
+                {
+                    "doc_id": g["doc_id"].to_numpy(),
+                    "term": g["term"].to_numpy(),
+                    "tf": g["tf"].to_numpy().astype(np.int64),
+                    "df": g["df"].to_numpy().astype(np.int64),
+                    "score": g["score"].to_numpy(),
+                }
+            ),
+            preserve_index=False,
+        )
+
+    return keyed_partition_apply(joined, "doc_id", argmax_kernel)
+
+
 def normalize_text(docs: "ray.data.Dataset") -> "ray.data.Dataset":
     """-> doc_id, norm_text:string — ASCII-whitespace runs collapsed to
     one space, lowercased. The standard cleaning stage ahead of dedup /

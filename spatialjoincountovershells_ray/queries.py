@@ -491,6 +491,21 @@ def q_attribution(sf_dir: str):
     return window.attribution_counts(sf_dir)
 
 
+def q_source_quantiles_cont(sf_dir: str):
+    return relagg.grouped_quantiles_cont(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "n_chars"]),
+        "source",
+        "n_chars",
+        {"p25": 0.25, "p50": 0.5, "p90": 0.9},
+    )
+
+
+def q_tfidf_top_term(sf_dir: str):
+    return textops.tfidf_top_term(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    )
+
+
 def q_exact_dedup(sf_dir: str):
     return dedup.exact_dedup(ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]))
 
@@ -994,6 +1009,25 @@ _ATTRIBUTION_SQL = (
     "GROUP BY p.event_id"
 )
 
+_SOURCE_QUANTILES_CONT_SQL = (
+    "SELECT source, quantile_cont(n_chars, 0.25) AS p25, "
+    "quantile_cont(n_chars, 0.5) AS p50, quantile_cont(n_chars, 0.9) AS p90 "
+    "FROM documents GROUP BY source"
+)
+
+_TFIDF_SQL = (
+    "WITH toks AS (SELECT doc_id, unnest(string_split_regex(text, "
+    "'[ \t\n\r\x0b\x0c]+')) AS term FROM documents), "
+    "tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks "
+    "WHERE term <> '' GROUP BY doc_id, term), "
+    "df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term), "
+    "nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents), "
+    "scored AS (SELECT tf.doc_id, tf.term, tf.tf, df.df, "
+    "(tf.tf * nd.n) / df.df AS score FROM tf JOIN df USING (term) CROSS JOIN nd) "
+    "SELECT doc_id, term, tf, df, score FROM (SELECT *, row_number() OVER ("
+    "PARTITION BY doc_id ORDER BY score DESC, term) AS rn FROM scored) WHERE rn = 1"
+)
+
 _SESSIONIZE_SQL = (
     "SELECT event_id, user_id, CAST(1 + SUM(CASE WHEN gap_us > 1800000000 "
     "THEN 1 ELSE 0 END) OVER (PARTITION BY user_id ORDER BY ts, event_id "
@@ -1457,6 +1491,8 @@ REGISTRY: dict[str, QueryDef] = {
     "bpe_token_count": QueryDef(q_bpe_token_count, _BPE_TOKEN_SQL),
     "order_rank": QueryDef(q_order_rank, _ORDER_RANK_SQL),
     "attribution": QueryDef(q_attribution, _ATTRIBUTION_SQL),
+    "source_quantiles_cont": QueryDef(q_source_quantiles_cont, _SOURCE_QUANTILES_CONT_SQL),
+    "tfidf_top_term": QueryDef(q_tfidf_top_term, _TFIDF_SQL),
     # genuinely non-SQL-expressible (approximate LSH candidate sets) —
     # rows-only checks, recall-tested in tests/test_ops.py
     "minhash_pairs": QueryDef(q_minhash_pairs, None),

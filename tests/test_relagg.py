@@ -112,6 +112,31 @@ class TestGroupedQuantiles:
         ).to_pandas()
         assert out["p50"].tolist() == [42]
 
+    def test_matches_quantile_cont_bitexact(self):
+        df = _docs_frame(n=3000, seed=17)
+        out = (
+            relagg.grouped_quantiles_cont(
+                _many_blocks(df), "source", "n_chars", {"p25": 0.25, "p50": 0.5, "p90": 0.9}
+            )
+            .to_pandas()
+            .sort_values("source")
+            .reset_index(drop=True)
+        )
+        sql = duckdb.sql(
+            "SELECT source, quantile_cont(n_chars, 0.25) AS p25, "
+            "quantile_cont(n_chars, 0.5) AS p50, quantile_cont(n_chars, 0.9) AS p90 "
+            "FROM df GROUP BY source ORDER BY source"
+        ).df()
+        # bit-exact float comparison on purpose: the driver hashes raw bits
+        pd.testing.assert_frame_equal(out, sql, check_exact=True)
+
+    def test_cont_single_value_group(self):
+        df = pd.DataFrame({"source": ["z"], "n_chars": np.array([42], dtype=np.int64)})
+        out = relagg.grouped_quantiles_cont(
+            ray.data.from_pandas(df), "source", "n_chars", {"p50": 0.5}
+        ).to_pandas()
+        assert out["p50"].tolist() == [42.0]
+
 
 class TestDistinctCount:
     def test_matches_nunique(self):

@@ -166,6 +166,42 @@ class TestTextRepetition:
         assert out["max_reps"].tolist() == [3, 2, 1, 1]
         assert out["dup_chars"].tolist() == [3, 4, 0, 0]
 
+    def test_tfidf_top_term(self):
+        df = pd.DataFrame(
+            {
+                "doc_id": np.arange(4, dtype=np.int64),
+                "text": [
+                    "apple apple banana",  # apple tf=2, rare -> wins
+                    "banana common common",
+                    "common cherry cherry cherry",
+                    "common banana",
+                ],
+            }
+        )
+        out = (
+            textops.tfidf_top_term(ray.data.from_pandas([df]))
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("documents", df)
+        exp = con.execute(
+            "WITH toks AS (SELECT doc_id, unnest(string_split_regex(text, ' ')) AS term "
+            "FROM documents), "
+            "tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks "
+            "WHERE term <> '' GROUP BY doc_id, term), "
+            "df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term), "
+            "nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents), "
+            "scored AS (SELECT tf.doc_id, tf.term, tf.tf, df.df, (tf.tf * nd.n) / df.df "
+            "AS score FROM tf JOIN df USING (term) CROSS JOIN nd) "
+            "SELECT doc_id, term, tf, df, score FROM (SELECT *, row_number() OVER ("
+            "PARTITION BY doc_id ORDER BY score DESC, term) AS rn FROM scored) "
+            "WHERE rn = 1 ORDER BY doc_id"
+        ).df()
+        pd.testing.assert_frame_equal(out[exp.columns.tolist()], exp, check_exact=True)
+        assert out.loc[0, "term"] == "apple"
+
     def test_bpe_pretokenizer_vs_python_re(self):
         import re
 
