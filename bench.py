@@ -271,6 +271,8 @@ BENCH_QUERIES = [
     "attribution",
     "source_quantiles_cont",
     "tfidf_top_term",
+    "global_event_rank",
+    "quantile_filter",
 ]
 
 

@@ -205,6 +205,35 @@ def grouped_quantiles_cont(
     )
 
 
+def filter_above_group_quantile(
+    ds: "ray.data.Dataset",
+    group: str,
+    value: str,
+    q: float,
+    keep_cols: list[str],
+) -> "ray.data.Dataset":
+    """Keep rows whose ``value`` exceeds their group's q-th discrete
+    quantile — the two-pass percentile curation filter (e.g. "only docs
+    longer than their source's p90").
+
+    Pass 1 computes per-group thresholds with the decomposable histogram
+    plan (O(groups) rows out); pass 2 broadcast-joins the tiny threshold
+    table onto the streaming rows and filters map-side. Composes two
+    existing operators; no new exchange machinery."""
+    import pyarrow.compute as pc
+
+    from spatialjoincountovershells_ray.pipelines.join import equi_join
+
+    th = grouped_quantiles_disc(ds.select_columns([group, value]), group, value, {"__th": q})
+    joined = equi_join(ds, th, group, group, mode="broadcast")
+
+    def filt(batch: pa.Table) -> pa.Table:
+        keep = pc.greater(batch.column(value), batch.column("__th"))
+        return batch.filter(keep).select(keep_cols)
+
+    return joined.map_batches(filt, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def distinct_count_per_group(
     ds: "ray.data.Dataset", group: str, member: str
 ) -> "ray.data.Dataset":

@@ -125,6 +125,53 @@ def _attribution_kernel(tbl: pa.Table) -> pa.Table:
     )
 
 
+@ray.remote
+def _block_nrows(tbl: pa.Table) -> int:
+    return tbl.num_rows
+
+
+@ray.remote
+def _stamp_rank(tbl: pa.Table, offset: int, id_col: str) -> pa.Table:
+    rn = np.arange(offset + 1, offset + tbl.num_rows + 1, dtype=np.int64)
+    return pa.table({id_col: tbl.column(id_col), "rn": pa.array(rn, pa.int64())})
+
+
+def global_event_rank(sf_dir_or_ds) -> "ray.data.Dataset":
+    """-> event_id, rn:int64 — the global row_number() over
+    (ORDER BY ts, event_id) across the whole events table.
+
+    Physical plan: one distributed range-partitioned sort (Ray Data's
+    all-to-all sort keeps blocks globally ordered), then per-block row
+    counts prefix-summed on the driver (O(blocks) ints — never rows) and
+    one stamp task per block adding its offset. The only driver state is
+    the offsets vector, so the plan holds at any scale the sort holds."""
+    ds = (
+        ray.data.read_parquet(f"{sf_dir_or_ds}/events.parquet", columns=["event_id", "ts"])
+        if isinstance(sf_dir_or_ds, str)
+        else sf_dir_or_ds
+    )
+
+    def norm(batch: pa.Table) -> pa.Table:
+        # epoch-us int64 sort key: deterministic total order (ts, event_id)
+        us = batch.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
+        return pa.table({"event_id": batch.column("event_id"), "ts_us": us})
+
+    sorted_ds = (
+        ds.map_batches(norm, batch_format="pyarrow", zero_copy_batch=True)
+        .sort(["ts_us", "event_id"])
+        .materialize()
+    )
+    refs = sorted_ds.to_arrow_refs()
+    if not refs:
+        return sorted_ds
+    counts = ray.get([_block_nrows.remote(r) for r in refs])
+    offsets = np.concatenate([[0], np.cumsum(counts[:-1], dtype=np.int64)])
+    out = [
+        _stamp_rank.remote(r, int(off), "event_id") for r, off in zip(refs, offsets)
+    ]
+    return ray.data.from_arrow_refs(out)
+
+
 def attribution_counts(sf_dir_or_ds) -> "ray.data.Dataset":
     """-> event_id (purchase), n_clicks:int64 — same-user clicks in the
     6 h before each purchase (left-join semantics: purchases with no

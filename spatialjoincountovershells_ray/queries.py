@@ -506,6 +506,22 @@ def q_tfidf_top_term(sf_dir: str):
     )
 
 
+def q_global_event_rank(sf_dir: str):
+    return window.global_event_rank(sf_dir)
+
+
+def q_quantile_filter(sf_dir: str):
+    return relagg.filter_above_group_quantile(
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "n_chars"]
+        ),
+        "source",
+        "n_chars",
+        0.9,
+        keep_cols=["doc_id", "source", "n_chars"],
+    )
+
+
 def q_exact_dedup(sf_dir: str):
     return dedup.exact_dedup(ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]))
 
@@ -1028,6 +1044,18 @@ _TFIDF_SQL = (
     "PARTITION BY doc_id ORDER BY score DESC, term) AS rn FROM scored) WHERE rn = 1"
 )
 
+_GLOBAL_RANK_SQL = (
+    "SELECT event_id, CAST(row_number() OVER (ORDER BY ts, event_id) AS BIGINT) "
+    "AS rn FROM events"
+)
+
+_QUANTILE_FILTER_SQL = (
+    "WITH th AS (SELECT source, CAST(quantile_disc(n_chars, 0.9) AS BIGINT) AS p90 "
+    "FROM documents GROUP BY source) "
+    "SELECT d.doc_id, d.source, d.n_chars FROM documents d JOIN th USING (source) "
+    "WHERE d.n_chars > th.p90"
+)
+
 _SESSIONIZE_SQL = (
     "SELECT event_id, user_id, CAST(1 + SUM(CASE WHEN gap_us > 1800000000 "
     "THEN 1 ELSE 0 END) OVER (PARTITION BY user_id ORDER BY ts, event_id "
@@ -1493,6 +1521,8 @@ REGISTRY: dict[str, QueryDef] = {
     "attribution": QueryDef(q_attribution, _ATTRIBUTION_SQL),
     "source_quantiles_cont": QueryDef(q_source_quantiles_cont, _SOURCE_QUANTILES_CONT_SQL),
     "tfidf_top_term": QueryDef(q_tfidf_top_term, _TFIDF_SQL),
+    "global_event_rank": QueryDef(q_global_event_rank, _GLOBAL_RANK_SQL),
+    "quantile_filter": QueryDef(q_quantile_filter, _QUANTILE_FILTER_SQL),
     # genuinely non-SQL-expressible (approximate LSH candidate sets) —
     # rows-only checks, recall-tested in tests/test_ops.py
     "minhash_pairs": QueryDef(q_minhash_pairs, None),

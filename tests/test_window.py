@@ -142,6 +142,55 @@ class TestAttribution:
         )
 
 
+class TestGlobalRank:
+    def test_matches_global_row_number(self):
+        df = _events_frame(n=2500, users=20, seed=21)
+        out = (
+            window.global_event_rank(_blocks(df[["event_id", "ts"]], 6))
+            .to_pandas()
+            .sort_values("rn")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("events", df)
+        exp = con.execute(
+            "SELECT event_id, CAST(row_number() OVER (ORDER BY ts, event_id) AS BIGINT) "
+            "AS rn FROM events ORDER BY rn"
+        ).df()
+        pd.testing.assert_frame_equal(out[exp.columns.tolist()], exp)
+        assert out["rn"].iloc[0] == 1 and out["rn"].iloc[-1] == len(df)
+
+
+class TestQuantileFilter:
+    def test_matches_sql_twin(self):
+        from spatialjoincountovershells_ray.pipelines import relagg
+
+        rng = np.random.default_rng(9)
+        df = pd.DataFrame(
+            {
+                "doc_id": np.arange(900, dtype=np.int64),
+                "source": rng.choice(["a", "b", "c"], 900),
+                "n_chars": rng.integers(1, 800, 900).astype(np.int64),
+            }
+        )
+        out = (
+            relagg.filter_above_group_quantile(
+                _blocks(df, 4), "source", "n_chars", 0.9, ["doc_id", "source", "n_chars"]
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("documents", df)
+        exp = con.execute(
+            "WITH th AS (SELECT source, CAST(quantile_disc(n_chars, 0.9) AS BIGINT) AS p "
+            "FROM documents GROUP BY source) SELECT d.doc_id, d.source, d.n_chars "
+            "FROM documents d JOIN th USING (source) WHERE d.n_chars > th.p ORDER BY doc_id"
+        ).df()
+        pd.testing.assert_frame_equal(out[exp.columns.tolist()], exp)
+
+
 class TestTextRepetition:
     def test_doc_repetition_counts(self):
         df = pd.DataFrame(
