@@ -85,13 +85,12 @@ def _attribution_kernel(tbl: pa.Table) -> pa.Table:
     (+W+2) guarantees a window can never bleed into a neighboring user's
     segment; if users × span would overflow int64 the kernel falls back to
     a per-user loop (vectorized inside each user)."""
-    et = tbl.column("event_type").to_numpy(zero_copy_only=False)
+    isp = tbl.column("is_purchase").to_numpy(zero_copy_only=False).astype(bool)
     uid = tbl.column("user_id").to_numpy()
     ts = tbl.column("ts_us").to_numpy()
     eid = tbl.column("event_id").to_numpy()
-    isp = et == "purchase"
     pu, pt, pe = uid[isp], ts[isp], eid[isp]
-    isc = et == "click"
+    isc = ~isp  # prep kept only the two joined types
     cu, ct = uid[isc], ts[isc]
     n = np.zeros(len(pe), dtype=np.int64)
     if len(cu) and len(pe):
@@ -194,13 +193,14 @@ def attribution_counts(sf_dir_or_ds) -> "ray.data.Dataset":
         b = batch.filter(keep)
         # normalize resolution before the int64 cast (ns-origin blocks
         # would silently land in nanosecond windows) — same guard as the
-        # other epoch-us event ops
+        # other epoch-us event ops. The type column collapses to one bool
+        # map-side so the exchange never carries strings.
         us = b.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
         return pa.table(
             {
                 "event_id": b.column("event_id"),
                 "user_id": b.column("user_id"),
-                "event_type": b.column("event_type"),
+                "is_purchase": pc.equal(b.column("event_type"), "purchase"),
                 "ts_us": us,
             }
         )

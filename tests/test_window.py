@@ -102,24 +102,24 @@ class TestAttribution:
     def test_fallback_loop_matches_fast_path(self):
         # force the composite-axis overflow fallback by patching the guard
         df = _events_frame(n=1500, users=6, seed=13)
+        df = df[df.event_type.isin(["purchase", "click"])].reset_index(drop=True)
         tbl = pa.table(
             {
                 "event_id": df["event_id"],
                 "user_id": df["user_id"],
-                "event_type": df["event_type"],
+                "is_purchase": (df["event_type"] == "purchase").to_numpy(),
                 "ts_us": df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64),
             }
         )
         fast = window._attribution_kernel(tbl).to_pandas()
         # replicate the kernel's per-user overflow fallback path verbatim
         # and require it to agree with the composite-axis fast path
-        et = tbl.column("event_type").to_numpy(zero_copy_only=False)
+        isp = tbl.column("is_purchase").to_numpy(zero_copy_only=False).astype(bool)
         uid = tbl.column("user_id").to_numpy()
         ts = tbl.column("ts_us").to_numpy()
         eid = tbl.column("event_id").to_numpy()
-        isp = et == "purchase"
         pu, pt, pe = uid[isp], ts[isp], eid[isp]
-        isc = et == "click"
+        isc = ~isp
         cu, ct = uid[isc], ts[isc]
         co = np.lexsort((ct, cu))
         cu, ct = cu[co], ct[co]
