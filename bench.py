@@ -273,6 +273,11 @@ BENCH_QUERIES = [
     "tfidf_top_term",
     "global_event_rank",
     "quantile_filter",
+    "decontaminate",
+    "scrub_blocklist",
+    "hash_split",
+    "pack_sequences",
+    "user_event_variety",
 ]
 
 

@@ -171,29 +171,22 @@ def text_hash128(col: "pa.ChunkedArray | pa.Array") -> tuple[np.ndarray, np.ndar
     return h1.view(np.int64), h2.view(np.int64)
 
 
-def segmented_token_hashes(
-    col: "pa.ChunkedArray | pa.Array",
-) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """FNV-1a hash of every ASCII-whitespace token of every row.
+def token_boundaries(
+    data: np.ndarray, off: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """ASCII-whitespace token spans of every row of a byte-CSR column.
 
-    Returns ``(hashes, row_of, tok_counts)``: one uint64 per token (same
-    value as ``hash_bytes_rows`` on the token's utf-8 bytes), the owning
-    row index per token (non-decreasing), and the per-row token count.
-    Tokenization splits on ASCII whitespace at the byte level — identical
-    to ``str.split()`` for ASCII-whitespace text (UTF-8 continuation
-    bytes can never alias the space bytes). No per-row Python: token
-    spans come from one boundary mask over the concatenated byte buffer,
-    hashing is Horner over byte positions with the tokens length-sorted
-    so each pass is a contiguous slice.
+    Returns ``(tok_start, tlen, row_of, tok_counts)``: byte start and
+    length per token, the owning row index per token (non-decreasing),
+    and the per-row token count. Byte-level split identical to
+    ``str.split()`` for ASCII-whitespace text (UTF-8 continuation bytes
+    can never alias the space bytes); one boundary mask over the
+    concatenated buffer, no per-row Python.
     """
-    data, off = string_bytes(col)
     n = len(off) - 1
     if len(data) == 0:
-        return (
-            np.empty(0, np.uint64),
-            np.empty(0, np.int64),
-            np.zeros(n, np.int64),
-        )
+        e = np.empty(0, np.int64)
+        return e, e, e, np.zeros(n, np.int64)
     is_sp = (
         (data == 0x20) | (data == 0x09) | (data == 0x0A)
         | (data == 0x0D) | (data == 0x0B) | (data == 0x0C)
@@ -215,14 +208,22 @@ def segmented_token_hashes(
     tlen = tok_end - tok_start + 1
     row_of = np.searchsorted(off, tok_start, side="right") - 1
     tok_counts = np.bincount(row_of, minlength=n).astype(np.int64)
-    t = len(tok_start)
+    return tok_start, tlen, row_of, tok_counts
+
+
+def hash_byte_spans(data: np.ndarray, starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """FNV-1a of each (start, len) span of ``data`` — vectorized Horner.
+
+    Length-desc sort makes the spans still active at byte position j a
+    contiguous prefix, so each of the maxlen passes is one fancy-index
+    slice. Same value as ``hash_bytes_rows`` on the span's bytes.
+    """
+    t = len(starts)
     if t == 0:
-        return np.empty(0, np.uint64), row_of, tok_counts
-    # FNV-1a, Horner over byte position; length-desc sort makes the rows
-    # still active at position j a contiguous prefix
-    order = np.argsort(-tlen, kind="stable")
-    slens = tlen[order]
-    soff = tok_start[order]
+        return np.empty(0, np.uint64)
+    order = np.argsort(-lens, kind="stable")
+    slens = lens[order]
+    soff = starts[order]
     h = np.full(t, np.uint64(0xCBF29CE484222325))
     maxlen = int(slens[0])
     counts = np.searchsorted(-slens, -np.arange(1, maxlen + 1), side="right")
@@ -232,7 +233,50 @@ def segmented_token_hashes(
             h[:c] = (h[:c] ^ data[soff[:c] + j]) * _FNV_BASE
     out = np.empty(t, dtype=np.uint64)
     out[order] = h
-    return out, row_of, tok_counts
+    return out
+
+
+def segmented_token_hashes(
+    col: "pa.ChunkedArray | pa.Array",
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """FNV-1a hash of every ASCII-whitespace token of every row.
+
+    Returns ``(hashes, row_of, tok_counts)``: one uint64 per token (same
+    value as ``hash_bytes_rows`` on the token's utf-8 bytes), the owning
+    row index per token (non-decreasing), and the per-row token count.
+    Composition of :func:`token_boundaries` + :func:`hash_byte_spans` —
+    no per-row Python anywhere.
+    """
+    data, off = string_bytes(col)
+    tok_start, tlen, row_of, tok_counts = token_boundaries(data, off)
+    return hash_byte_spans(data, tok_start, tlen), row_of, tok_counts
+
+
+_GRAM_STEP = np.uint64(0x9E3779B97F4A7C15)  # odd → each Horner step is a bijection
+_GRAM_STEP2 = np.uint64(0xC2B2AE3D27D4EB4F)  # independent second family
+
+
+def gram_hashes(
+    tok_hashes: np.ndarray, row_of: np.ndarray, n: int, step: np.uint64 = _GRAM_STEP
+) -> tuple[np.ndarray, np.ndarray]:
+    """uint64 hash of every word n-gram (n consecutive same-row tokens).
+
+    Returns ``(gh, gfirst)``: the combined hash and the index (into the
+    token arrays) of the gram's first token. Combination is Horner over
+    the n token hashes with an odd multiplier (wrapping uint64) — order
+    sensitive, so 'a b c' and 'c b a' differ. One vectorized pass per
+    gram position; grams never cross a row boundary.
+    """
+    t = len(tok_hashes)
+    if t < n or n < 1:
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+    valid = row_of[: t - n + 1] == row_of[n - 1 :]
+    gfirst = np.flatnonzero(valid)
+    gh = tok_hashes[gfirst].copy()
+    with np.errstate(over="ignore"):
+        for j in range(1, n):
+            gh = gh * step + tok_hashes[gfirst + j]
+    return gh, gfirst
 
 
 _M61 = np.uint64((1 << 61) - 1)

@@ -32,7 +32,7 @@ from spatialjoincountovershells_ray.sources.documents import (
     read_documents,
     write_documents,
 )
-from spatialjoincountovershells_ray.pipelines import ann, dedup, events, knn, range_join, raster, relagg, relational
+from spatialjoincountovershells_ray.pipelines import ann, curation, dedup, events, knn, range_join, raster, relagg, relational
 from spatialjoincountovershells_ray.pipelines import shell_count as sc
 from spatialjoincountovershells_ray.pipelines import textops, tiles, window
 
@@ -519,6 +519,69 @@ def q_quantile_filter(sf_dir: str):
         "n_chars",
         0.9,
         keep_cols=["doc_id", "source", "n_chars"],
+    )
+
+
+DECONTAM_N = 3  # word-gram width; production decontamination uses 13
+DECONTAM_MOD = 53  # docs with doc_id % 53 == 0 act as the benchmark suite
+BLOCKLIST = ["spark", "hash", "join"]
+VAL_RATE = 0.2
+PACK_BUDGET = 512
+
+
+def _docs_split(sf_dir: str, bench: bool) -> "ray.data.Dataset":
+    """Training / benchmark halves of the documents table (deterministic
+    doc_id modulus — the benchmark stands in for a small eval suite)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        m = ids % DECONTAM_MOD == 0
+        return batch.filter(pa.array(m if bench else ~m))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_decontaminate(sf_dir: str):
+    """Test-set decontamination: training docs sharing any word n-gram
+    with the (broadcast) benchmark suite, with distinct-gram hit counts."""
+    return curation.decontaminate(
+        _docs_split(sf_dir, bench=False), _docs_split(sf_dir, bench=True), n=DECONTAM_N
+    )
+
+
+def q_scrub_blocklist(sf_dir: str):
+    return curation.scrub_blocklist(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]),
+        BLOCKLIST,
+    )
+
+
+def q_hash_split(sf_dir: str):
+    return curation.hash_split(
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+        ),
+        "doc_id",
+        VAL_RATE,
+        keep_cols=["doc_id", "source"],
+    )
+
+
+def q_pack_sequences(sf_dir: str):
+    return curation.pack_sequences(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]),
+        PACK_BUDGET,
+    )
+
+
+def q_user_event_variety(sf_dir: str):
+    """Exact COUNT(DISTINCT event_type) per user — batch-level pre-dedup
+    so the exchange carries at most one row per (user, type) per batch."""
+    return relagg.distinct_count_per_group(
+        ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]),
+        group="user_id",
+        member="event_type",
     )
 
 
@@ -1009,6 +1072,46 @@ _BPE_TOKEN_SQL = (
     "SELECT doc_id, CAST(length(regexp_extract_all(text, '"
     + textops.BPE_PRETOKEN_RE.replace("'", "''")
     + "')) AS BIGINT) AS n_bpe_tokens FROM documents"
+)
+
+# decontamination twin: word n-grams by string equality (the engine's
+# hash screen is string-verified, so the two are exactly interchangeable)
+_DECONTAM_SQL = (
+    "WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM documents), "
+    f"grams AS (SELECT doc_id, array_to_string(t[i:i+{DECONTAM_N - 1}], ' ') AS g "
+    f"FROM (SELECT doc_id, t, unnest(range(1, len(t)-{DECONTAM_N}+2)) AS i FROM toks "
+    f"WHERE len(t) >= {DECONTAM_N})), "
+    f"bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % {DECONTAM_MOD} = 0) "
+    "SELECT g.doc_id, CAST(count(DISTINCT g.g) AS BIGINT) AS n_hits "
+    f"FROM grams g JOIN bench b USING (g) WHERE g.doc_id % {DECONTAM_MOD} <> 0 "
+    "GROUP BY g.doc_id"
+)
+
+_SCRUB_PAT = curation.blocklist_pattern(BLOCKLIST)  # RE2 both sides
+_SCRUB_SQL = (
+    f"SELECT doc_id, regexp_replace(text, '{_SCRUB_PAT}', '<SCRUBBED>', 'g') AS clean_text, "
+    f"CAST(length(regexp_extract_all(text, '{_SCRUB_PAT}')) AS BIGINT) AS n_scrubbed "
+    "FROM documents"
+)
+
+_HASH_SPLIT_SQL = (
+    "SELECT doc_id, source, CASE WHEN "
+    + relagg.sample_hash_sql("doc_id", VAL_RATE)
+    + " THEN 'val' ELSE 'train' END AS split FROM documents"
+)
+
+_USER_VARIETY_SQL = (
+    "SELECT user_id, CAST(count(DISTINCT event_type) AS BIGINT) AS n_distinct "
+    "FROM events GROUP BY user_id"
+)
+
+_PACK_SQL = (
+    "WITH t AS (SELECT doc_id, CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT) "
+    "AS n_tokens FROM documents), "
+    "c AS (SELECT doc_id, n_tokens, COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb FROM t) "
+    f"SELECT doc_id, n_tokens, CAST(cb // {PACK_BUDGET} AS BIGINT) AS pack_id, "
+    f"CAST(cb % {PACK_BUDGET} AS BIGINT) AS pack_offset FROM c"
 )
 
 _ORDER_RANK_SQL = (
@@ -1523,6 +1626,11 @@ REGISTRY: dict[str, QueryDef] = {
     "tfidf_top_term": QueryDef(q_tfidf_top_term, _TFIDF_SQL),
     "global_event_rank": QueryDef(q_global_event_rank, _GLOBAL_RANK_SQL),
     "quantile_filter": QueryDef(q_quantile_filter, _QUANTILE_FILTER_SQL),
+    "decontaminate": QueryDef(q_decontaminate, _DECONTAM_SQL),
+    "scrub_blocklist": QueryDef(q_scrub_blocklist, _SCRUB_SQL),
+    "hash_split": QueryDef(q_hash_split, _HASH_SPLIT_SQL),
+    "pack_sequences": QueryDef(q_pack_sequences, _PACK_SQL),
+    "user_event_variety": QueryDef(q_user_event_variety, _USER_VARIETY_SQL),
     # genuinely non-SQL-expressible (approximate LSH candidate sets) —
     # rows-only checks, recall-tested in tests/test_ops.py
     "minhash_pairs": QueryDef(q_minhash_pairs, None),

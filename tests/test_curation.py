@@ -1,0 +1,153 @@
+"""Curation operators (pipelines.curation) vs exact DuckDB/pandas
+oracles on multi-block synthetic inputs: decontamination (string-equal
+n-gram overlap), blocklist scrubbing, hash split, sequence packing."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+from spatialjoincountovershells_ray.functions import text as T
+from spatialjoincountovershells_ray.pipelines import curation
+
+
+def _blocks(df, nblocks=5):
+    return ray.data.from_pandas([d for d in np.array_split(df, nblocks)])
+
+
+def _word_docs(seed, n, vocab=40, lo=3, hi=30):
+    rng = np.random.default_rng(seed)
+    words = [f"w{i}" for i in range(vocab)]
+    texts = [
+        " ".join(rng.choice(words, size=rng.integers(lo, hi)))
+        for _ in range(n)
+    ]
+    return pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64), "text": texts})
+
+
+class TestGramKernels:
+    def test_gram_hashes_respect_row_boundaries(self):
+        col = pa.array(["a b c", "c a", "x"])
+        th, row_of, _ = T.segmented_token_hashes(col)
+        gh, gfirst = T.gram_hashes(th, row_of, 2)
+        # row 0 contributes 'a b','b c'; row 1 'c a'; row 2 nothing
+        assert len(gh) == 3
+        assert row_of[gfirst].tolist() == [0, 0, 1]
+        # order sensitivity: 'a b' != 'b a'
+        th2, row2, _ = T.segmented_token_hashes(pa.array(["b a"]))
+        gh2, _ = T.gram_hashes(th2, row2, 2)
+        assert gh2[0] != gh[0]
+
+    def test_gram_hash_deterministic_across_layouts(self):
+        one = pa.array(["k1 k2 k3 k4"])
+        two = pa.array(["pad pad", "k1 k2 k3 k4"])
+        g1, _ = T.gram_hashes(*T.segmented_token_hashes(one)[:2], 3)
+        g2, _ = T.gram_hashes(*T.segmented_token_hashes(two)[:2], 3)
+        assert set(g1.tolist()) <= set(g2.tolist())
+
+
+class TestDecontaminate:
+    def test_matches_string_equality_sql(self):
+        df = _word_docs(5, 400, vocab=12, lo=3, hi=12)  # tiny vocab -> real overlap
+        bench = df[df.doc_id % 7 == 0]
+        train = df[df.doc_id % 7 != 0]
+        out = (
+            curation.decontaminate(_blocks(train), _blocks(bench, 2), n=3)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert len(out) > 0, "fixture must produce real contamination"
+        con = duckdb.connect()
+        con.register("documents", df)
+        exp = con.execute(
+            "WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM documents), "
+            "grams AS (SELECT doc_id, array_to_string(t[i:i+2], ' ') AS g "
+            "FROM (SELECT doc_id, t, unnest(range(1, len(t)-1)) AS i FROM toks WHERE len(t) >= 3)), "
+            "bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 7 = 0) "
+            "SELECT g.doc_id, CAST(count(DISTINCT g.g) AS BIGINT) AS n_hits "
+            "FROM grams g JOIN bench b USING (g) WHERE g.doc_id % 7 <> 0 "
+            "GROUP BY g.doc_id ORDER BY g.doc_id"
+        ).df()
+        pd.testing.assert_frame_equal(out[exp.columns.tolist()], exp)
+
+    def test_no_benchmark_grams(self):
+        train = _word_docs(6, 50)
+        bench = pd.DataFrame({"doc_id": np.array([9], np.int64), "text": ["zz"]})
+        out = curation.decontaminate(_blocks(train, 2), _blocks(bench, 1), n=3).to_pandas()
+        assert len(out) == 0
+
+
+class TestScrub:
+    def test_matches_regexp_replace(self):
+        df = _word_docs(7, 300, vocab=8)
+        out = (
+            curation.scrub_blocklist(_blocks(df), ["w1", "w3"], "<X>")
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("documents", df)
+        exp = con.execute(
+            "SELECT doc_id, regexp_replace(text, '\\b(w1|w3)\\b', '<X>', 'g') AS clean_text, "
+            "CAST(length(regexp_extract_all(text, '\\b(w1|w3)\\b')) AS BIGINT) AS n_scrubbed "
+            "FROM documents ORDER BY doc_id"
+        ).df()
+        assert exp.n_scrubbed.sum() > 0
+        pd.testing.assert_frame_equal(out[exp.columns.tolist()], exp)
+
+    def test_word_boundary_not_substring(self):
+        df = pd.DataFrame({"doc_id": np.array([0], np.int64), "text": ["w1 w11 xw1"]})
+        out = curation.scrub_blocklist(_blocks(df, 1), ["w1"], "<X>").to_pandas()
+        assert out.clean_text[0] == "<X> w11 xw1"
+        assert out.n_scrubbed[0] == 1
+
+
+class TestHashSplit:
+    def test_deterministic_and_rate(self):
+        df = pd.DataFrame(
+            {
+                "doc_id": np.arange(5000, dtype=np.int64),
+                "source": np.repeat(["a", "b"], 2500),
+            }
+        )
+        out = curation.hash_split(_blocks(df), "doc_id", 0.2, ["doc_id", "source"]).to_pandas()
+        out2 = curation.hash_split(_blocks(df, 3), "doc_id", 0.2, ["doc_id", "source"]).to_pandas()
+        m1 = out.sort_values("doc_id").reset_index(drop=True)
+        m2 = out2.sort_values("doc_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(m1, m2)  # block layout can't change the split
+        rate = (m1.split == "val").mean()
+        assert 0.15 < rate < 0.25
+        # stratified in expectation: both sources sampled
+        assert set(m1[m1.split == "val"].source) == {"a", "b"}
+
+
+class TestPackSequences:
+    def test_matches_window_sql(self):
+        df = _word_docs(8, 700)
+        # shuffle the row order across blocks: packing must be keyed on
+        # doc_id order, not arrival order
+        shuf = df.sample(frac=1.0, random_state=3).reset_index(drop=True)
+        out = (
+            curation.pack_sequences(_blocks(shuf), 64)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("documents", df)
+        exp = con.execute(
+            "WITH t AS (SELECT doc_id, CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT) "
+            "AS n_tokens FROM documents), "
+            "c AS (SELECT doc_id, n_tokens, COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb FROM t) "
+            "SELECT doc_id, n_tokens, CAST(cb // 64 AS BIGINT) AS pack_id, "
+            "CAST(cb % 64 AS BIGINT) AS pack_offset FROM c ORDER BY doc_id"
+        ).df()
+        pd.testing.assert_frame_equal(out[exp.columns.tolist()], exp)
+        # packing invariant: pack ids are a non-decreasing cover of 0..max
+        pids = out.sort_values("doc_id").pack_id.to_numpy()
+        assert (np.diff(pids) >= 0).all()
+        assert set(range(int(pids.max()) + 1)) == set(pids.tolist())
