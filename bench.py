@@ -278,6 +278,7 @@ BENCH_QUERIES = [
     "hash_split",
     "pack_sequences",
     "user_event_variety",
+    "hll_users",
 ]
 
 

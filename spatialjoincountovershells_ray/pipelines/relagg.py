@@ -325,3 +325,75 @@ def mode_per_group(
         .groupby(group)
         .map_groups(final, batch_format="pandas")
     )
+
+
+def hll_registers(ds: "ray.data.Dataset", key: str, p: int = 8) -> "ray.data.Dataset":
+    """-> bucket:int64, rho_max:int64 — the HyperLogLog register table
+    over ``key`` (bucket = low p bits of mix64(key), rho = leading-zero
+    rank of the remaining 64-p bits; only hit buckets emitted).
+
+    This is THE scale path for distinct counts: the exchange carries at
+    most 2^p rows per batch and the result is 2^p rows total, vs the
+    per-key shuffle an exact COUNT(DISTINCT) needs. The register table —
+    not the float estimate — is the query output, so the correctness
+    gate stays bit-exact (mix64 has a HUGEINT SQL twin and DuckDB's
+    bin() gives exact bit lengths); the estimator lives in the caller
+    (see tests/test_curation.py for the alpha_m / linear-counting
+    variant) where float summation order is under its control.
+    """
+    from spatialjoincountovershells_ray.functions.hashing import mix64
+
+    m = 1 << p
+
+    def partial(batch: pa.Table) -> pa.Table:
+        k = batch.column(key).to_numpy()
+        h = mix64(k.astype(np.uint64))
+        bucket = (h & np.uint64(m - 1)).astype(np.int64)
+        r = h >> np.uint64(p)
+        # exact vectorized bit_length (no float round-trip: 2^53+ values
+        # would round across a power of two and mis-rank)
+        blen = np.zeros(len(r), np.uint64)
+        v = r.copy()
+        for s in (32, 16, 8, 4, 2, 1):
+            big = v >= (np.uint64(1) << np.uint64(s))
+            blen[big] += np.uint64(s)
+            v[big] >>= np.uint64(s)
+        blen += (v > 0).astype(np.uint64)
+        rho = np.int64(64 - p + 1) - blen.astype(np.int64)
+        regs = np.zeros(m, np.int64)
+        np.maximum.at(regs, bucket, rho)
+        hit = np.flatnonzero(regs)
+        return pa.table(
+            {"bucket": pa.array(hit, pa.int64()), "rho": pa.array(regs[hit], pa.int64())}
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .max("rho")
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "bucket": batch.column("bucket"),
+                "rho_max": batch.column("max(rho)").cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def hll_estimate(registers: "pd.DataFrame", p: int = 8) -> float:
+    """Standard HLL estimate from a (bucket, rho_max) register table:
+    alpha_m * m^2 / sum(2^-M_j) with the small-range linear-counting
+    correction. Registers summed in bucket order — deterministic."""
+    m = 1 << p
+    regs = np.zeros(m, np.float64)
+    regs[registers["bucket"].to_numpy()] = registers["rho_max"].to_numpy()
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.power(2.0, -regs))
+    zeros = int((regs == 0).sum())
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)
+    return float(est)

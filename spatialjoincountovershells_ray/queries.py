@@ -1481,6 +1481,37 @@ def _media_features_sql() -> str:
     )
 
 
+def _hll_sql(key: str = "user_id", table: str = "events", p: int = 8) -> str:
+    """HLL register-table twin: the full splitmix64 mix in HUGEINT limb
+    arithmetic (same machinery as the media twins), bucket = low p bits,
+    rho via DuckDB bin()'s exact bit length."""
+    m = 1 << p
+    m1, m2 = 0xFF51AFD7ED558CCD, 0xC4CEB9FE1A85EC53
+    return (
+        f"WITH x0 AS (SELECT {key}::HUGEINT AS x FROM {table}), "
+        f"x1 AS (SELECT {_xorshift33_sql('x')} AS x FROM x0), "
+        f"x2 AS (SELECT {_mul64_sql('x', m1)} AS x FROM x1), "
+        f"x3 AS (SELECT {_xorshift33_sql('x')} AS x FROM x2), "
+        f"x4 AS (SELECT {_mul64_sql('x', m2)} AS x FROM x3), "
+        f"x5 AS (SELECT {_xorshift33_sql('x')} AS x FROM x4), "
+        f"b AS (SELECT CAST(x % {m} AS BIGINT) AS bucket, "
+        f"CAST(x // {m} AS BIGINT) AS r FROM x5) "
+        f"SELECT bucket, CAST(MAX({64 - p + 1} - "
+        "CASE WHEN r = 0 THEN 0 ELSE length(bin(r)) END) AS BIGINT) AS rho_max "
+        "FROM b GROUP BY bucket"
+    )
+
+
+def q_hll_users(sf_dir: str):
+    """HyperLogLog register table (p=8) over event user ids — the O(2^p)
+    sketch alternative to daily_active_users' exact distinct shuffle."""
+    return relagg.hll_registers(
+        ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"]),
+        "user_id",
+        p=8,
+    )
+
+
 _ORDERS_JOIN_SQL = (
     "SELECT o_orderkey, o_custkey, c_mktsegment FROM orders "
     "JOIN customer ON o_custkey = c_custkey"
@@ -1631,6 +1662,7 @@ REGISTRY: dict[str, QueryDef] = {
     "hash_split": QueryDef(q_hash_split, _HASH_SPLIT_SQL),
     "pack_sequences": QueryDef(q_pack_sequences, _PACK_SQL),
     "user_event_variety": QueryDef(q_user_event_variety, _USER_VARIETY_SQL),
+    "hll_users": QueryDef(q_hll_users, _hll_sql()),
     # genuinely non-SQL-expressible (approximate LSH candidate sets) —
     # rows-only checks, recall-tested in tests/test_ops.py
     "minhash_pairs": QueryDef(q_minhash_pairs, None),

@@ -151,3 +151,43 @@ class TestPackSequences:
         pids = out.sort_values("doc_id").pack_id.to_numpy()
         assert (np.diff(pids) >= 0).all()
         assert set(range(int(pids.max()) + 1)) == set(pids.tolist())
+
+
+class TestHLL:
+    def test_registers_match_hugeint_sql_twin(self):
+        rng = np.random.default_rng(13)
+        keys = rng.integers(0, 1 << 40, 20000).astype(np.int64)
+        df = pd.DataFrame({"user_id": keys})
+        from spatialjoincountovershells_ray.pipelines import relagg
+        from spatialjoincountovershells_ray.queries import _hll_sql
+
+        out = (
+            relagg.hll_registers(_blocks(df, 7), "user_id", p=8)
+            .to_pandas()
+            .sort_values("bucket")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("events", df)
+        exp = con.execute(_hll_sql() + " ORDER BY bucket").df()
+        pd.testing.assert_frame_equal(out[exp.columns.tolist()], exp)
+
+    def test_estimate_accuracy(self):
+        rng = np.random.default_rng(14)
+        true_n = 5000
+        keys = np.unique(rng.integers(1, 1 << 50, true_n * 2).astype(np.int64))[:true_n]
+        assert len(keys) == true_n  # 2^50 key space: collisions ~0
+        df = pd.DataFrame({"user_id": np.repeat(keys, 3)})  # dups must not matter
+        from spatialjoincountovershells_ray.pipelines import relagg
+
+        regs = relagg.hll_registers(_blocks(df, 5), "user_id", p=8).to_pandas()
+        est = relagg.hll_estimate(regs, p=8)
+        assert abs(est - true_n) / true_n < 0.15  # ~6.5% sigma at m=256
+
+    def test_block_layout_invariance(self):
+        df = pd.DataFrame({"user_id": np.arange(3000, dtype=np.int64)})
+        from spatialjoincountovershells_ray.pipelines import relagg
+
+        a = relagg.hll_registers(_blocks(df, 2), "user_id").to_pandas().sort_values("bucket")
+        b = relagg.hll_registers(_blocks(df, 9), "user_id").to_pandas().sort_values("bucket")
+        pd.testing.assert_frame_equal(a.reset_index(drop=True), b.reset_index(drop=True))
