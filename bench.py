@@ -279,6 +279,10 @@ BENCH_QUERIES = [
     "pack_sequences",
     "user_event_variety",
     "hll_users",
+    "cms_events",
+    "stratified_sample",
+    "event_rollup",
+    "lineitem_bloom_semi",
 ]
 
 

@@ -103,3 +103,27 @@ def minhash_params(num_perm: int, seed: int = 1) -> tuple[np.ndarray, np.ndarray
     a = base[:num_perm] | np.uint64(1)  # odd
     b = base[num_perm:]
     return a, b
+
+
+# Bloom-filter hash family: the CMS salts' sibling — j-th position is
+# mix64((key + BLOOM_SALTS[j]) mod 2^64) % nbits. Fixed constants so the
+# build and probe sides (different processes) always agree.
+BLOOM_SALTS = (
+    0x2545F4914F6CDD1D,
+    0x9E3779B97F4A7C15,
+    0xD6E8FEB86659FD93,
+    0xA24BAED4963EE407,
+    0x8CB92BA72F3D8DD7,
+    0xCA9B0C7EBA1DD2F1,
+)
+
+
+def bloom_positions(keys: "np.ndarray", nbits: int, nhashes: int) -> "np.ndarray":
+    """(n, nhashes) int64 bit positions for int64/uint64 ``keys``."""
+    if nhashes > len(BLOOM_SALTS):
+        raise ValueError(f"nhashes <= {len(BLOOM_SALTS)}")
+    salts = np.array(BLOOM_SALTS[:nhashes], np.uint64)
+    k = np.asarray(keys).astype(np.uint64)
+    with np.errstate(over="ignore"):
+        h = mix64((k[:, None] + salts[None, :]).ravel())
+    return (h % np.uint64(nbits)).astype(np.int64).reshape(k.size, nhashes)

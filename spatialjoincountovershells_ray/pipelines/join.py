@@ -47,6 +47,11 @@ class _BcastJoiner:
         self.left_key, self.right_key, self.join_type = left_key, right_key, join_type
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if pa.types.is_null(self.rtbl.column(self.right_key).type):
+            # zero-row pandas-origin broadcast side arrives null-typed
+            self.rtbl = _fix_null_key(
+                self.rtbl, self.right_key, batch.column(self.left_key).type
+            )
         return batch.join(
             self.rtbl,
             keys=[self.left_key],
@@ -140,6 +145,16 @@ def _split_salted(
     return [sorted_tbl.slice(bounds[i], bounds[i + 1] - bounds[i]) for i in range(ntot)]
 
 
+def _fix_null_key(tbl: pa.Table, key: str, want: pa.DataType) -> pa.Table:
+    """Re-type a null-typed key column on an EMPTY table (Ray converts a
+    zero-row pandas block to Arrow with null-typed columns, which
+    pyarrow's hash join refuses as a key)."""
+    idx = tbl.schema.get_field_index(key)
+    if idx >= 0 and tbl.num_rows == 0 and pa.types.is_null(tbl.column(idx).type):
+        return tbl.set_column(idx, key, pa.array([], want))
+    return tbl
+
+
 @ray.remote
 def _join_bucket(
     left_key: str, right_key: str, join_type: str, nleft: int, *parts: pa.Table
@@ -147,6 +162,11 @@ def _join_bucket(
     """Join the co-partitioned left parts against the right parts."""
     left = pa.concat_tables(parts[:nleft], promote_options="none")
     right = pa.concat_tables(parts[nleft:], promote_options="none")
+    lt, rt = left.column(left_key).type, right.column(right_key).type
+    if pa.types.is_null(lt):
+        left = _fix_null_key(left, left_key, rt if not pa.types.is_null(rt) else pa.int64())
+    if pa.types.is_null(rt):
+        right = _fix_null_key(right, right_key, lt if not pa.types.is_null(lt) else pa.int64())
     lkeys, rkeys = [left_key], [right_key]
     if _JK in left.column_names and _JK in right.column_names:
         # the hash rides as a second join key: equivalent predicate (it is
@@ -319,3 +339,116 @@ def equi_join(
         for bi in range(ntot)
     ]
     return ray.data.from_arrow_refs(out)
+
+
+@ray.remote
+def _bloom_partial(block: pa.Table, key: str, nbits: int, nhashes: int):
+    """Packed bitmap (uint8[nbits/8]) of one build-side block's keys."""
+    import numpy as np
+
+    from spatialjoincountovershells_ray.functions.hashing import bloom_positions
+
+    bits = np.zeros(nbits // 8, np.uint8)
+    if block.num_rows:
+        pos = bloom_positions(block.column(key).to_numpy(), nbits, nhashes).ravel()
+        np.bitwise_or.at(bits, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
+    return bits
+
+
+@ray.remote
+def _or_bitmaps(*parts):
+    import numpy as np
+
+    out = parts[0].copy()
+    for p in parts[1:]:
+        np.bitwise_or(out, p, out=out)
+    return out
+
+
+class _BloomProbe:
+    """Per-worker cached bloom probe (driven by run_cached_bcast): keeps
+    a left row iff ALL nhashes bits of its key are set."""
+
+    def __init__(self, ref, key: str, nbits: int, nhashes: int):
+        self.bits = ray.get(ref[0])
+        self.key, self.nbits, self.nhashes = key, nbits, nhashes
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        from spatialjoincountovershells_ray.functions.hashing import bloom_positions
+
+        if batch.num_rows == 0:
+            return batch
+        pos = bloom_positions(batch.column(self.key).to_numpy(), self.nbits, self.nhashes)
+        hit = (self.bits[pos >> 3] & (np.uint8(1) << (pos & 7).astype(np.uint8))) != 0
+        return batch.filter(pa.array(hit.all(axis=1)))
+
+
+def bloom_semi_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    left_key: str,
+    right_key: str,
+    *,
+    nbits: int = 1 << 23,
+    nhashes: int = 4,
+    verify: bool = True,
+    nbuckets: int | None = None,
+) -> "ray.data.Dataset":
+    """Bloom-prefiltered semi join on int64 keys: result-identical to
+    ``equi_join(..., join_type='left semi')`` (the SQL EXISTS), planned
+    for the case where LEFT is enormous and mostly non-matching.
+
+    Physical plan: (1) each build-side block folds its keys into a packed
+    bitmap (one remote task per block, O(nbits/8) output — 1 MiB at the
+    2^23 default), tree-ORed 16 refs at a time; (2) the bitmap is
+    broadcast once and every left batch drops rows whose key misses any
+    of the ``nhashes`` bits — Bloom filters have NO false negatives, so
+    no matching row is lost; (3) the bounded survivor set goes through
+    the exact shuffle semi join, which removes the false positives.
+
+    At 100 TB the exchange therefore carries ``|matches| + eps*|left|``
+    rows instead of ``|left|`` (eps ~ (1-e^{-kn/m})^k; ~0.2% at the
+    defaults for 1e6 build keys) — the bitmap is the only broadcast
+    state and its size is independent of either side's row count.
+    ``verify=False`` skips step 3 for callers that tolerate the
+    documented false-positive rate (e.g. a pre-screen feeding an exact
+    downstream join anyway).
+    """
+    from spatialjoincountovershells_ray.stages.join_kernels import run_cached_bcast
+
+    rmat = right.materialize()
+    rrefs = rmat.to_arrow_refs()
+    partials = [_bloom_partial.remote(b, right_key, nbits, nhashes) for b in rrefs]
+    while len(partials) > 1:  # 16-ary OR-reduce tree
+        partials = [
+            _or_bitmaps.remote(*partials[i : i + 16]) for i in range(0, len(partials), 16)
+        ]
+    if not partials:  # zero-block build side: nothing can match
+        import numpy as np
+
+        partials = [ray.put(np.zeros(nbits // 8, np.uint8))]
+    bits_ref = partials[0]
+
+    survivors = left.map_batches(
+        run_cached_bcast,
+        fn_kwargs={
+            "cls": _BloomProbe,
+            "ref_list": [bits_ref],
+            "ctor_kwargs": {"key": left_key, "nbits": nbits, "nhashes": nhashes},
+        },
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    if not verify:
+        return survivors
+    return equi_join(
+        survivors,
+        rmat.select_columns([right_key]),
+        left_key,
+        right_key,
+        mode="shuffle",
+        join_type="left semi",
+        nbuckets=nbuckets,
+    )

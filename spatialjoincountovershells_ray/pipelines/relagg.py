@@ -397,3 +397,170 @@ def hll_estimate(registers: "pd.DataFrame", p: int = 8) -> float:
     if est <= 2.5 * m and zeros:
         est = m * np.log(m / zeros)
     return float(est)
+
+
+# Count-Min sketch: depth independent hash rows derived from one mix64
+# avalanche of (key + salt_j) mod 2^64. Salts are arbitrary fixed odd
+# constants; they only need to be distinct (and reproducible in the
+# HUGEINT SQL twin, which mirrors the addition and the mix chain).
+CMS_SALTS = (0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9, 0x27D4EB2F165667C5)
+
+
+def cms_counters(
+    ds: "ray.data.Dataset", key: str, depth: int = 4, width: int = 512
+) -> "ray.data.Dataset":
+    """-> depth:int64, bucket:int64, cnt:int64 — the Count-Min sketch
+    counter table over ``key`` (bucket_j = mix64(key + salt_j) % width).
+
+    The frequency sibling of :func:`hll_registers`: point-frequency
+    estimates (heavy hitters, skew detection for salting decisions) in
+    O(depth * width) state instead of a per-key exact-count shuffle. The
+    combiner pre-reduces each batch into the dense depth x width grid,
+    so the exchange carries at most depth*width partial rows per task
+    regardless of row count, and the merged output is <= depth*width
+    rows total. As with HLL, the gated query output is the counter
+    TABLE (bit-exact vs a HUGEINT splitmix64 SQL twin); the min-over-
+    depths estimator lives in :func:`cms_estimate` where callers control
+    it (overestimate-only property tested in tests/test_relagg.py)."""
+    from spatialjoincountovershells_ray.functions.combine import packed_counts
+    from spatialjoincountovershells_ray.functions.hashing import mix64
+
+    if depth > len(CMS_SALTS):
+        raise ValueError(f"depth <= {len(CMS_SALTS)} (one salt per hash row)")
+    salts = np.array(CMS_SALTS[:depth], np.uint64)
+    w = np.uint64(width)
+
+    def pack(batch: pa.Table) -> np.ndarray:
+        k = batch.column(key).to_numpy().astype(np.uint64)
+        with np.errstate(over="ignore"):
+            # (n, depth) buckets; pack as depth*width + bucket (>= 0)
+            h = mix64((k[:, None] + salts[None, :]).ravel())
+        bucket = h % w
+        j = np.tile(np.arange(depth, dtype=np.int64), k.size)
+        return j * np.int64(width) + bucket.astype(np.int64)
+
+    def unpack(keys: np.ndarray, counts: "pa.ChunkedArray") -> pa.Table:
+        return pa.table(
+            {
+                "depth": pa.array(keys // np.int64(width), pa.int64()),
+                "bucket": pa.array(keys % np.int64(width), pa.int64()),
+                "cnt": counts.cast(pa.int64()),
+            }
+        )
+
+    return packed_counts(ds, pack, unpack)
+
+
+def cms_estimate(counters: "pd.DataFrame", keys: np.ndarray, depth: int = 4, width: int = 512) -> np.ndarray:
+    """Point-frequency estimates (min over depth rows) for int64 ``keys``
+    from a :func:`cms_counters` table. Never underestimates."""
+    from spatialjoincountovershells_ray.functions.hashing import mix64
+
+    grid = np.zeros((depth, width), np.int64)
+    grid[counters["depth"].to_numpy(), counters["bucket"].to_numpy()] = counters[
+        "cnt"
+    ].to_numpy()
+    salts = np.array(CMS_SALTS[:depth], np.uint64)
+    k = np.asarray(keys, np.uint64)
+    with np.errstate(over="ignore"):
+        h = mix64((k[:, None] + salts[None, :]).ravel()).reshape(k.size, depth)
+    bucket = (h % np.uint64(width)).astype(np.int64)
+    ests = grid[np.arange(depth)[None, :], bucket]
+    return ests.min(axis=1)
+
+
+def stratified_sample(
+    ds: "ray.data.Dataset", group: str, ident: str, k: int, columns: list[str] | None = None
+) -> "ray.data.Dataset":
+    """Deterministic fixed-size sample: the ``k`` rows per ``group`` with
+    the smallest mix64(``ident``) — every group is represented by exactly
+    min(k, |group|) rows regardless of group skew (the property a
+    train/eval split curator needs that :func:`hash_sample`'s fixed RATE
+    cannot give). Same decomposable two-stage shape as
+    :func:`topk_per_group`: min-by-hash is a combiner, so each batch
+    forwards at most k rows per group and the exchange never carries the
+    table. Deterministic across re-runs, retries and incremental loads;
+    hash order (uint64 ascending) is mirrored bit-exact by the HUGEINT
+    splitmix64 SQL twin."""
+    from spatialjoincountovershells_ray.functions.hashing import mix64
+
+    if columns is not None:
+        ds = ds.select_columns(columns)
+    h = "__h"
+
+    def partial(batch: pa.Table) -> pa.Table:
+        hv = mix64(batch.column(ident).to_numpy().astype(np.uint64))
+        t = batch.append_column(h, pa.array(hv, pa.uint64())).sort_by(
+            [(group, "ascending"), (h, "ascending")]
+        )
+        g = t.column(group).to_numpy(zero_copy_only=False)
+        n = len(g)
+        if n == 0:
+            return t
+        starts = np.flatnonzero(np.concatenate(([True], g[1:] != g[:-1])))
+        sizes = np.diff(np.concatenate((starts, [n])))
+        rank = np.arange(n, dtype=np.int64) - np.repeat(starts, sizes)
+        return t.filter(pa.array(rank < k))
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(h, kind="mergesort").head(k)
+        g = g.assign(rnk=np.arange(1, len(g) + 1, dtype=np.int64))
+        return g.drop(columns=[h])
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(group)
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+def rollup_counts(
+    ds: "ray.data.Dataset", cols: list[str], sentinel: str = "(all)"
+) -> "ray.data.Dataset":
+    """GROUP BY ROLLUP(``cols``) row counts over string columns: one row
+    per finest group plus every prefix level, rolled columns replaced by
+    ``sentinel`` (the COALESCE'd shape of SQL's ROLLUP — exact as long as
+    the data itself never contains the sentinel).
+
+    Plan: the finest level is an ordinary decomposable count (per-batch
+    Arrow group_by, composite \\x1f-packed key, one groupby-sum exchange
+    of O(distinct keys) partials); the coarser levels are then derived
+    from that ALREADY-AGGREGATED table, which is O(product of
+    cardinalities) rows — tiny by the time a rollup is meaningful — so a
+    single repartition(1) expansion task is the right plan even at
+    100 TB of input rows (the input never re-flows; only the aggregate
+    does)."""
+    sep = "\x1f"
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.select(cols).group_by(cols).aggregate([([], "count_all")])
+        key = pc.binary_join_element_wise(*[t.column(c).cast(pa.string()) for c in cols], sep)
+        return pa.table({"k": key, "n": t.column("count_all").cast(pa.int64())})
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("k")
+        .sum("n")
+    )
+
+    def expand(df: pd.DataFrame) -> pd.DataFrame:
+        ncol = "sum(n)" if "sum(n)" in df.columns else "n"
+        parts = df["k"].str.split(sep, expand=True)
+        parts.columns = cols
+        base = parts.assign(n=df[ncol].to_numpy(np.int64))
+        levels = [base]
+        for lvl in range(len(cols) - 1, -1, -1):
+            keep = cols[:lvl]
+            g = (
+                base.groupby(keep, sort=False, as_index=False)["n"].sum()
+                if keep
+                else pd.DataFrame({"n": [int(base["n"].sum())]})
+            )
+            for c in cols[lvl:]:
+                g[c] = sentinel
+            levels.append(g[cols + ["n"]])
+        return pd.concat(levels, ignore_index=True)
+
+    return merged.repartition(1).map_batches(
+        expand, batch_format="pandas", batch_size=None, zero_copy_batch=True
+    )

@@ -629,6 +629,35 @@ def q_orders_join_salted(sf_dir: str):
     return equi_join(orders, cust, "o_custkey", "c_custkey", mode="shuffle", salt=4)
 
 
+def q_lineitem_bloom_semi(sf_dir: str):
+    """Bloom-prefiltered semi join: lineitem rows whose order is URGENT.
+    The build side folds into a 1 MiB bitmap broadcast once; the big
+    probe side is cut map-side (no false negatives) before the exact
+    shuffle semi join removes the bloom's false positives — the 100-TB
+    plan for a huge, mostly-non-matching probe side."""
+    import pyarrow.compute as pc
+
+    from spatialjoincountovershells_ray.pipelines.join import bloom_semi_join
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_quantity"],
+    )
+    urgent = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey"],
+        filter=pc.field("o_orderpriority") == "1-URGENT",
+    )
+    return bloom_semi_join(li, urgent, "l_orderkey", "o_orderkey")
+
+
+_BLOOM_SEMI_SQL = (
+    "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem l "
+    "WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey "
+    "AND o.o_orderpriority = '1-URGENT')"
+)
+
+
 def q_customer_semi_join(sf_dir: str):
     """Semi-join: customers with at least one order. Broadcast plan —
     the key side rides the object store once, customers stream (at scale
@@ -1512,6 +1541,109 @@ def q_hll_users(sf_dir: str):
     )
 
 
+def _cms_sql(key: str = "user_id", table: str = "events", depth: int = 4, width: int = 512) -> str:
+    """Count-Min counter-table twin: per depth row j, the splitmix64 mix
+    of (key + salt_j) mod 2^64 in HUGEINT limbs, bucket = h % width,
+    then a plain GROUP BY count — bit-exact vs relagg.cms_counters."""
+    m1, m2 = 0xFF51AFD7ED558CCD, 0xC4CEB9FE1A85EC53
+    ctes = [f"x0 AS (SELECT {key}::HUGEINT AS x FROM {table})"]
+    arms = []
+    for j, salt in enumerate(relagg.CMS_SALTS[:depth]):
+        ctes.append(f"d{j}a AS (SELECT (x + {salt}::HUGEINT) % {_M64} AS x FROM x0)")
+        ctes.append(f"d{j}b AS (SELECT {_xorshift33_sql('x')} AS x FROM d{j}a)")
+        ctes.append(f"d{j}c AS (SELECT {_mul64_sql('x', m1)} AS x FROM d{j}b)")
+        ctes.append(f"d{j}d AS (SELECT {_xorshift33_sql('x')} AS x FROM d{j}c)")
+        ctes.append(f"d{j}e AS (SELECT {_mul64_sql('x', m2)} AS x FROM d{j}d)")
+        ctes.append(f"d{j}f AS (SELECT {_xorshift33_sql('x')} AS x FROM d{j}e)")
+        arms.append(
+            f"SELECT CAST({j} AS BIGINT) AS depth, CAST(x % {width} AS BIGINT) AS bucket FROM d{j}f"
+        )
+    return (
+        f"WITH {', '.join(ctes)}, u AS ({' UNION ALL '.join(arms)}) "
+        "SELECT depth, bucket, CAST(count(*) AS BIGINT) AS cnt "
+        "FROM u GROUP BY depth, bucket"
+    )
+
+
+STRAT_K = 20
+
+
+def _stratified_sql(k: int = STRAT_K) -> str:
+    """Stratified-sample twin: row_number per source ordered by the
+    HUGEINT splitmix64 of doc_id (uint64 ascending — matches the
+    engine's numpy uint64 sort bit-for-bit; mix64 is a bijection so no
+    ties exist)."""
+    m1, m2 = 0xFF51AFD7ED558CCD, 0xC4CEB9FE1A85EC53
+    cols = "doc_id, source, n_chars"
+    steps = [
+        f"b0 AS (SELECT {cols}, doc_id::HUGEINT AS x FROM documents)",
+        f"b1 AS (SELECT {cols}, {_xorshift33_sql('x')} AS x FROM b0)",
+        f"b2 AS (SELECT {cols}, {_mul64_sql('x', m1)} AS x FROM b1)",
+        f"b3 AS (SELECT {cols}, {_xorshift33_sql('x')} AS x FROM b2)",
+        f"b4 AS (SELECT {cols}, {_mul64_sql('x', m2)} AS x FROM b3)",
+        f"b5 AS (SELECT {cols}, {_xorshift33_sql('x')} AS x FROM b4)",
+        f"r AS (SELECT {cols}, row_number() OVER (PARTITION BY source ORDER BY x) AS rn FROM b5)",
+    ]
+    return (
+        f"WITH {', '.join(steps)} "
+        f"SELECT {cols}, CAST(rn AS BIGINT) AS rnk FROM r WHERE rn <= {k}"
+    )
+
+
+def q_stratified_sample(sf_dir: str):
+    """Fixed-k-per-source deterministic document sample (min-by-hash
+    combiner — every source represented regardless of skew, exchange
+    carries <= k rows per source per batch)."""
+    return relagg.stratified_sample(
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "n_chars"]
+        ),
+        group="source",
+        ident="doc_id",
+        k=STRAT_K,
+    )
+
+
+def q_event_rollup(sf_dir: str):
+    """GROUP BY ROLLUP(event_type, day) counts: finest level is one
+    decomposable combiner exchange; coarser levels derive from the
+    already-aggregated (tiny) table, never from the input rows."""
+    import pyarrow.compute as pc
+
+    def to_cols(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "day": pc.strftime(batch.column("ts"), format="%Y-%m-%d"),
+            }
+        )
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts"]
+    ).map_batches(to_cols, batch_format="pyarrow", zero_copy_batch=True)
+    return relagg.rollup_counts(ev, ["event_type", "day"])
+
+
+_ROLLUP_SQL = (
+    "WITH e AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day FROM events) "
+    "SELECT COALESCE(event_type, '(all)') AS event_type, "
+    "COALESCE(day, '(all)') AS day, CAST(count(*) AS BIGINT) AS n "
+    "FROM e GROUP BY ROLLUP(event_type, day)"
+)
+
+
+def q_cms_events(sf_dir: str):
+    """Count-Min sketch counter table (4x512) over event user ids — the
+    point-frequency sibling of hll_users: heavy-hitter / skew detection
+    in O(depth*width) state instead of an exact per-key count shuffle."""
+    return relagg.cms_counters(
+        ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"]),
+        "user_id",
+        depth=4,
+        width=512,
+    )
+
+
 _ORDERS_JOIN_SQL = (
     "SELECT o_orderkey, o_custkey, c_mktsegment FROM orders "
     "JOIN customer ON o_custkey = c_custkey"
@@ -1641,6 +1773,7 @@ REGISTRY: dict[str, QueryDef] = {
     "orders_join_salted": QueryDef(q_orders_join_salted, _ORDERS_JOIN_SQL),
     "customer_semi_join": QueryDef(q_customer_semi_join, _SEMI_JOIN_SQL),
     "orders_anti_join": QueryDef(q_orders_anti_join, _ANTI_JOIN_SQL),
+    "lineitem_bloom_semi": QueryDef(q_lineitem_bloom_semi, _BLOOM_SEMI_SQL),
     "rasterize": QueryDef(q_rasterize, _RASTERIZE_SQL),
     "raster_to_vector": QueryDef(q_raster_to_vector, _RASTER_VEC_SQL),
     "doc_sample": QueryDef(q_doc_sample, _DOC_SAMPLE_SQL),
@@ -1663,6 +1796,9 @@ REGISTRY: dict[str, QueryDef] = {
     "pack_sequences": QueryDef(q_pack_sequences, _PACK_SQL),
     "user_event_variety": QueryDef(q_user_event_variety, _USER_VARIETY_SQL),
     "hll_users": QueryDef(q_hll_users, _hll_sql()),
+    "cms_events": QueryDef(q_cms_events, _cms_sql()),
+    "stratified_sample": QueryDef(q_stratified_sample, _stratified_sql()),
+    "event_rollup": QueryDef(q_event_rollup, _ROLLUP_SQL),
     # genuinely non-SQL-expressible (approximate LSH candidate sets) —
     # rows-only checks, recall-tested in tests/test_ops.py
     "minhash_pairs": QueryDef(q_minhash_pairs, None),

@@ -283,3 +283,47 @@ def test_shuffle_zero_block_side():
         ray.data.from_pandas(left), empty, "k", "k2", mode="broadcast"
     )
     assert out3.count() == 0
+
+
+class TestBloomSemiJoin:
+    def test_exact_matches_semi_join(self):
+        from spatialjoincountovershells_ray.pipelines.join import bloom_semi_join
+
+        left, right = _sides()
+        got = (
+            bloom_semi_join(_blocks(left, 7), _blocks(right, 3), "k", "k2")
+            .to_pandas()
+            .sort_values("lid")
+            .reset_index(drop=True)
+        )
+        want = (
+            left[left["k"].isin(set(right["k2"]))]
+            .sort_values("lid")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want)
+
+    def test_prefilter_has_no_false_negatives(self):
+        # tiny bitmap -> false positives certain; matches must all survive
+        from spatialjoincountovershells_ray.pipelines.join import bloom_semi_join
+
+        left, right = _sides()
+        pre = bloom_semi_join(
+            _blocks(left, 5), _blocks(right, 2), "k", "k2", nbits=256, nhashes=2,
+            verify=False,
+        ).to_pandas()
+        matches = set(left[left["k"].isin(set(right["k2"]))]["lid"])
+        assert matches <= set(pre["lid"])
+        # and the verified plan removes the false positives even then
+        exact = bloom_semi_join(
+            _blocks(left, 5), _blocks(right, 2), "k", "k2", nbits=256, nhashes=2
+        ).to_pandas()
+        assert set(exact["lid"]) == matches
+
+    def test_zero_block_build_side(self):
+        from spatialjoincountovershells_ray.pipelines.join import bloom_semi_join
+
+        left, _ = _sides()
+        empty = ray.data.from_pandas(pd.DataFrame({"k2": np.array([], np.int64)}))
+        out = bloom_semi_join(_blocks(left, 3), empty, "k", "k2").to_pandas()
+        assert len(out) == 0

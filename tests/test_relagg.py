@@ -193,3 +193,95 @@ class TestModePerGroup:
         assert (got["top_value"].to_numpy() == exp["v"].to_numpy()).all()
         assert (got["n"].to_numpy() == exp["n"].to_numpy()).all()
         assert got.loc[got.g == 99, "top_value"].iloc[0] == "a"  # tie -> smallest
+
+
+class TestCms:
+    def test_counter_table_and_overestimate(self):
+        rng = np.random.default_rng(11)
+        keys = rng.integers(0, 300, 5000).astype(np.int64)
+        ds = _many_blocks(pd.DataFrame({"user_id": keys}))
+        counters = relagg.cms_counters(ds, "user_id", depth=4, width=1024).to_pandas()
+        # total mass per depth row == row count (every key lands once per row)
+        per_depth = counters.groupby("depth")["cnt"].sum()
+        assert (per_depth == len(keys)).all() and len(per_depth) == 4
+        # point estimates never underestimate, and mostly match exactly
+        uniq, exact = np.unique(keys, return_counts=True)
+        est = relagg.cms_estimate(counters, uniq, depth=4, width=1024)
+        assert (est >= exact).all()
+        assert (est == exact).mean() > 0.9
+
+    def test_matches_single_process_grid(self):
+        keys = np.arange(1000, dtype=np.int64) % 37
+        ds = _many_blocks(pd.DataFrame({"user_id": keys}), nblocks=5)
+        counters = relagg.cms_counters(ds, "user_id", depth=2, width=64).to_pandas()
+        from spatialjoincountovershells_ray.functions.hashing import mix64
+
+        grid = np.zeros((2, 64), np.int64)
+        for j, salt in enumerate(relagg.CMS_SALTS[:2]):
+            with np.errstate(over="ignore"):
+                b = mix64(keys.astype(np.uint64) + np.uint64(salt)) % np.uint64(64)
+            np.add.at(grid[j], b.astype(np.int64), 1)
+        got = np.zeros_like(grid)
+        got[counters["depth"], counters["bucket"]] = counters["cnt"]
+        assert (got == grid).all()
+
+
+class TestStratifiedSample:
+    def test_fixed_k_per_group_deterministic(self):
+        df = _docs_frame(n=3000)
+        out = relagg.stratified_sample(
+            _many_blocks(df), group="source", ident="doc_id", k=25
+        ).to_pandas()
+        sizes = out.groupby("source").size()
+        assert (sizes == 25).all()
+        assert set(out.columns) == {"doc_id", "source", "n_chars", "rnk"}
+        # rnk is 1..k per group and the selection is the k smallest hashes
+        from spatialjoincountovershells_ray.functions.hashing import mix64
+
+        df2 = df.assign(h=mix64(df["doc_id"].to_numpy().astype(np.uint64)))
+        want = df2.sort_values("h").groupby("source").head(25)
+        assert set(out["doc_id"]) == set(want["doc_id"])
+        # independent of blocking
+        out2 = relagg.stratified_sample(
+            _many_blocks(df, nblocks=13), group="source", ident="doc_id", k=25
+        ).to_pandas()
+        pd.testing.assert_frame_equal(
+            out.sort_values(["source", "rnk"]).reset_index(drop=True),
+            out2.sort_values(["source", "rnk"]).reset_index(drop=True),
+        )
+
+    def test_small_group_returns_whole_group(self):
+        df = pd.DataFrame(
+            {"doc_id": np.arange(8, dtype=np.int64), "source": ["x"] * 3 + ["y"] * 5}
+        )
+        out = relagg.stratified_sample(
+            ray.data.from_pandas(df), group="source", ident="doc_id", k=4
+        ).to_pandas()
+        assert out.groupby("source").size().to_dict() == {"x": 3, "y": 4}
+
+
+class TestRollup:
+    def test_matches_duckdb_rollup(self):
+        rng = np.random.default_rng(5)
+        df = pd.DataFrame(
+            {
+                "a": rng.choice(["p", "q", "r"], 4000),
+                "b": rng.choice(["u", "v"], 4000),
+            }
+        )
+        out = (
+            relagg.rollup_counts(_many_blocks(df), ["a", "b"])
+            .to_pandas()
+            .sort_values(["a", "b"])
+            .reset_index(drop=True)
+        )
+        sql = (
+            duckdb.sql(
+                "SELECT COALESCE(a, '(all)') AS a, COALESCE(b, '(all)') AS b, "
+                "CAST(count(*) AS BIGINT) AS n FROM df GROUP BY ROLLUP(a, b) "
+                "ORDER BY a, b"
+            )
+            .df()
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(out, sql)
