@@ -279,10 +279,14 @@ BENCH_QUERIES = [
     "pack_sequences",
     "user_event_variety",
     "hll_users",
+    "simhash_near_dups",
+    "event_transitions",
     "cms_events",
     "stratified_sample",
     "event_rollup",
     "lineitem_bloom_semi",
+    "hll_daily_users",
+    "build_postings",
 ]
 
 

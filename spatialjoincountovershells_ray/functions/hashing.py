@@ -127,3 +127,15 @@ def bloom_positions(keys: "np.ndarray", nbits: int, nhashes: int) -> "np.ndarray
     with np.errstate(over="ignore"):
         h = mix64((k[:, None] + salts[None, :]).ravel())
     return (h % np.uint64(nbits)).astype(np.int64).reshape(k.size, nhashes)
+
+
+def popcount64(x: "np.ndarray") -> "np.ndarray":
+    """Vectorized 64-bit popcount (SWAR; numpy<2 has no bitwise_count)."""
+    x = np.asarray(x, np.uint64)
+    with np.errstate(over="ignore"):
+        x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+        x = (x & np.uint64(0x3333333333333333)) + (
+            (x >> np.uint64(2)) & np.uint64(0x3333333333333333)
+        )
+        x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+        return ((x * np.uint64(0x0101010101010101)) >> np.uint64(56)).astype(np.int64)

@@ -14,6 +14,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 
 GAP_US = 1_800 * 1_000_000  # 30 min session gap, microseconds
@@ -279,3 +280,68 @@ def event_sliding_counts(sf_dir_or_ds, width_steps: int = 2) -> "ray.data.Datase
         return pa.table({"user_id": uw // K, "win": uw % K, "n_events": cnt})
 
     return packed_counts(ds, pack, unpack)
+
+
+_TRANS_SEP = "\x1f"
+
+
+def _transition_kernel(tbl: pa.Table) -> pa.Table:
+    """Per-bucket Markov-transition combiner: order each user's events by
+    (ts, event_id), pair every event with its successor, pre-count the
+    (src, dst) pairs — the exchange carries one row per distinct
+    transition per bucket, never per event."""
+    empty = pa.table({"k": pa.array([], pa.string()), "n": pa.array([], pa.int64())})
+    if tbl.num_rows == 0:
+        return empty
+    u = tbl.column("user_id").to_numpy()
+    ts = tbl.column("ts").to_numpy().view(np.int64)  # ordering only: resolution-agnostic
+    eid = tbl.column("event_id").to_numpy()
+    order = np.lexsort((eid, ts, u))
+    et = tbl.column("event_type").take(pa.array(order, pa.int64()))
+    us = u[order]
+    same = us[1:] == us[:-1]
+    if not same.any():
+        return empty
+    idx = np.flatnonzero(same)
+    src = et.take(pa.array(idx, pa.int64()))
+    dst = et.take(pa.array(idx + 1, pa.int64()))
+    if isinstance(src, pa.ChunkedArray):
+        src, dst = src.combine_chunks(), dst.combine_chunks()
+    vc = pc.binary_join_element_wise(src, dst, _TRANS_SEP).value_counts()
+    return pa.table({"k": vc.field("values"), "n": vc.field("counts").cast(pa.int64())})
+
+
+def event_transition_counts(sf_dir_or_ds) -> "ray.data.Dataset":
+    """-> src, dst, n:int64 — counts of consecutive event-type
+    transitions within each user's (ts, event_id)-ordered stream (the
+    empirical Markov transition matrix; lead()-then-GROUP-BY in SQL).
+
+    Sequence shape, aggregate output: the keyed bucket exchange
+    co-locates whole users, the kernel pre-counts transitions, and the
+    final groupby moves O(distinct transitions x buckets) rows — at
+    100 TB the exchange is the type-pair matrix, not the event log."""
+    from spatialjoincountovershells_ray.pipelines.window import keyed_partition_apply
+
+    ds = (
+        ray.data.read_parquet(
+            f"{sf_dir_or_ds}/events.parquet",
+            columns=["user_id", "ts", "event_id", "event_type"],
+        )
+        if isinstance(sf_dir_or_ds, str)
+        else sf_dir_or_ds
+    )
+    part = keyed_partition_apply(ds, "user_id", _transition_kernel)
+    merged = part.groupby("k").sum("n")
+
+    def unpack(batch: pa.Table) -> pa.Table:
+        ncol = "sum(n)" if "sum(n)" in batch.schema.names else "n"
+        parts = pc.split_pattern(batch.column("k"), _TRANS_SEP)
+        return pa.table(
+            {
+                "src": pc.list_element(parts, 0),
+                "dst": pc.list_element(parts, 1),
+                "n": batch.column(ncol).cast(pa.int64()),
+            }
+        )
+
+    return merged.map_batches(unpack, batch_format="pyarrow", zero_copy_batch=True)

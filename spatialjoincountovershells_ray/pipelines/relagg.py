@@ -327,6 +327,28 @@ def mode_per_group(
     )
 
 
+def _hll_bucket_rho(k: np.ndarray, p: int) -> tuple[np.ndarray, np.ndarray]:
+    """(bucket, rho) per key: bucket = low p bits of mix64(key), rho =
+    leading-zero rank of the remaining 64-p bits, via an exact vectorized
+    bit_length (no float round-trip: 2^53+ values would round across a
+    power of two and mis-rank)."""
+    from spatialjoincountovershells_ray.functions.hashing import mix64
+
+    m = 1 << p
+    h = mix64(k.astype(np.uint64))
+    bucket = (h & np.uint64(m - 1)).astype(np.int64)
+    r = h >> np.uint64(p)
+    blen = np.zeros(len(r), np.uint64)
+    v = r.copy()
+    for s in (32, 16, 8, 4, 2, 1):
+        big = v >= (np.uint64(1) << np.uint64(s))
+        blen[big] += np.uint64(s)
+        v[big] >>= np.uint64(s)
+    blen += (v > 0).astype(np.uint64)
+    rho = np.int64(64 - p + 1) - blen.astype(np.int64)
+    return bucket, rho
+
+
 def hll_registers(ds: "ray.data.Dataset", key: str, p: int = 8) -> "ray.data.Dataset":
     """-> bucket:int64, rho_max:int64 — the HyperLogLog register table
     over ``key`` (bucket = low p bits of mix64(key), rho = leading-zero
@@ -346,20 +368,7 @@ def hll_registers(ds: "ray.data.Dataset", key: str, p: int = 8) -> "ray.data.Dat
     m = 1 << p
 
     def partial(batch: pa.Table) -> pa.Table:
-        k = batch.column(key).to_numpy()
-        h = mix64(k.astype(np.uint64))
-        bucket = (h & np.uint64(m - 1)).astype(np.int64)
-        r = h >> np.uint64(p)
-        # exact vectorized bit_length (no float round-trip: 2^53+ values
-        # would round across a power of two and mis-rank)
-        blen = np.zeros(len(r), np.uint64)
-        v = r.copy()
-        for s in (32, 16, 8, 4, 2, 1):
-            big = v >= (np.uint64(1) << np.uint64(s))
-            blen[big] += np.uint64(s)
-            v[big] >>= np.uint64(s)
-        blen += (v > 0).astype(np.uint64)
-        rho = np.int64(64 - p + 1) - blen.astype(np.int64)
+        bucket, rho = _hll_bucket_rho(batch.column(key).to_numpy(), p)
         regs = np.zeros(m, np.int64)
         np.maximum.at(regs, bucket, rho)
         hit = np.flatnonzero(regs)
@@ -564,3 +573,44 @@ def rollup_counts(
     return merged.repartition(1).map_batches(
         expand, batch_format="pandas", batch_size=None, zero_copy_batch=True
     )
+
+
+def hll_registers_grouped(
+    ds: "ray.data.Dataset", key: str, group: str, p: int = 8
+) -> "ray.data.Dataset":
+    """-> group, bucket:int64, rho_max:int64 — one HLL register table PER
+    GROUP (the sketched COUNT(DISTINCT key) GROUP BY group: at 100 TB the
+    exact per-(group,key) shuffle that daily_active_users does is the
+    bottleneck; this exchange carries at most groups x 2^p register rows
+    per batch instead). Same bit-exact contract as :func:`hll_registers`:
+    the register table is the gated output; feed each group's rows to
+    :func:`hll_estimate` for the float estimate."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        bucket, rho = _hll_bucket_rho(batch.column(key).to_numpy(), p)
+        t = pa.table(
+            {
+                group: batch.column(group),
+                "bucket": pa.array(bucket, pa.int64()),
+                "rho": pa.array(rho, pa.int64()),
+            }
+        )
+        part = t.group_by([group, "bucket"]).aggregate([("rho", "max")])
+        return part.rename_columns([group, "bucket", "rho"])
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby([group, "bucket"])
+        .max("rho")
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                group: batch.column(group),
+                "bucket": batch.column("bucket").cast(pa.int64()),
+                "rho_max": batch.column("max(rho)").cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)

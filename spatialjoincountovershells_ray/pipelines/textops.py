@@ -317,3 +317,60 @@ def normalize_text(docs: "ray.data.Dataset") -> "ray.data.Dataset":
         return pa.table({"doc_id": batch.column("doc_id"), "norm_text": pc.utf8_lower(t)})
 
     return docs.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def build_postings(
+    docs: "ray.data.Dataset", df_lo: int = 2, df_hi: int = 100
+) -> "ray.data.Dataset":
+    """-> term, doc_id:int64, df:int64 — the inverted-index posting pairs
+    of every term whose document frequency lies in [df_lo, df_hi] (the
+    mid-frequency band an index builder keeps: df < lo is noise, df > hi
+    is a stopword whose posting list would dominate the output).
+
+    Plan: each batch tokenizes vectorized and emits its DISTINCT
+    (term, doc_id) pairs (a document lives in exactly one batch, so
+    per-batch dedup IS per-document dedup); one groupby on term brings
+    each term's complete posting list to one task, which emits it only
+    when the df band holds — the df filter runs where the list already
+    lives, no second pass over the corpus."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(batch.column("text"), r"[ \t\n\r\x0b\x0c]+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        keep = pc.not_equal(flat, "")
+        doc = batch.column("doc_id").take(pc.filter(parent, keep))
+        t = pa.table({"term": pc.filter(flat, keep), "doc_id": doc})
+        return t.group_by(["term", "doc_id"]).aggregate([])
+
+    def final(g: pa.Table) -> pa.Table:
+        # Arrow in, Arrow out: a rejected term yields a TYPED empty table
+        # (an empty pandas frame would round-trip as null-typed columns)
+        df = g.num_rows
+        if df < df_lo or df > df_hi:
+            return pa.table(
+                {
+                    "term": pa.array([], pa.string()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "df": pa.array([], pa.int64()),
+                }
+            )
+        g = g.sort_by("doc_id")
+        return pa.table(
+            {
+                "term": g.column("term").cast(pa.string()),
+                "doc_id": g.column("doc_id").cast(pa.int64()),
+                "df": pa.array(np.full(df, df, dtype=np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        docs.select_columns(["doc_id", "text"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("term")
+        .map_groups(final, batch_format="pyarrow")
+    )

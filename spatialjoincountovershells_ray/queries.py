@@ -1238,6 +1238,15 @@ _WINDOW_AGG_SQL = (
     "MAX(value) AS max_value FROM events GROUP BY 1, 2 ORDER BY user_id, win"
 )
 
+# Exact twin of events.event_transition_counts: lead() within each
+# user's (ts, event_id) order, then a plain transition GROUP BY.
+_TRANSITIONS_SQL = (
+    "WITH o AS (SELECT user_id, event_type, lead(event_type) OVER "
+    "(PARTITION BY user_id ORDER BY ts, event_id) AS nxt FROM events) "
+    "SELECT event_type AS src, nxt AS dst, CAST(count(*) AS BIGINT) AS n "
+    "FROM o WHERE nxt IS NOT NULL GROUP BY 1, 2 ORDER BY 1, 2"
+)
+
 _ASOF_SQL = (
     "SELECT event_id, prev_click_id FROM ("
     "SELECT event_id, event_type, "
@@ -1358,8 +1367,8 @@ _WS_SPLIT = r"list_filter(regexp_split_to_array(text, '[ \t\n\r\x0b\x0c]+'), x -
 # (h = (h XOR byte) * 0x100000001b3 mod 2^64, HUGEINT arithmetic), then a
 # per-bit majority vote over all (non-distinct) token hashes; empty docs
 # hash to 0; the uint64 result is wrapped to the engine's int64 view.
-_SIMHASH_SQL = (
-    "WITH tok0 AS (SELECT doc_id, unnest(" + _WS_SPLIT + ") AS tok FROM documents), "
+_SIMHASH_CTES = (
+    "tok0 AS (SELECT doc_id, unnest(" + _WS_SPLIT + ") AS tok FROM documents), "
     "tok AS (SELECT doc_id, list_reduce(list_prepend(14695981039346656037::HUGEINT, "
     "list_transform(generate_series(1, length(tok)), i -> ord(tok[i])::HUGEINT)), "
     "(h, c) -> (xor(h, c) * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT) AS h "
@@ -1368,11 +1377,44 @@ _SIMHASH_SQL = (
     "count(*) FILTER (((h >> b.b) & 1) = 1) AS ones, count(*) AS cnt "
     "FROM tok, (SELECT unnest(generate_series(0, 63)) AS b) b GROUP BY doc_id, b.b), "
     "sims AS (SELECT doc_id, sum(CASE WHEN 2 * ones > cnt "
-    "THEN (1::HUGEINT << b) ELSE 0::HUGEINT END) AS s FROM votes GROUP BY doc_id) "
+    "THEN (1::HUGEINT << b) ELSE 0::HUGEINT END) AS s FROM votes GROUP BY doc_id)"
+)
+
+_SIMHASH_FINAL = (
     "SELECT d.doc_id, CAST(coalesce(s.s, 0) - CASE WHEN coalesce(s.s, 0) >= (1::HUGEINT << 63) "
     "THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END AS BIGINT) AS simhash "
-    "FROM documents d LEFT JOIN sims s USING (doc_id) ORDER BY d.doc_id"
+    "FROM documents d LEFT JOIN sims s USING (doc_id)"
 )
+
+_SIMHASH_SQL = f"WITH {_SIMHASH_CTES} {_SIMHASH_FINAL} ORDER BY d.doc_id"
+
+
+def _simhash_neardup_sql(hamming_max: int = 3, nbands: int = 4) -> str:
+    """Exact twin of dedup.simhash_near_dups: the same simhash CTE stack,
+    band equality join (lossless for hamming_max < nbands by pigeonhole),
+    DISTINCT pairs, two's-complement bit_count(xor) Hamming filter —
+    arithmetic >> plus & masks band bits identically for negative
+    BIGINTs."""
+    width = 64 // nbands
+    return (
+        f"WITH {_SIMHASH_CTES}, sh AS ({_SIMHASH_FINAL}), "
+        f"b AS (SELECT doc_id, simhash, j, (simhash >> (j * {width})) & {(1 << width) - 1} AS bv "
+        f"FROM sh, (SELECT unnest(generate_series(0, {nbands - 1})) AS j) jj), "
+        "p AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b, "
+        "bit_count(xor(a.simhash, c.simhash)) AS hamming "
+        "FROM b a JOIN b c ON a.j = c.j AND a.bv = c.bv AND a.doc_id < c.doc_id) "
+        "SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming FROM p "
+        f"WHERE hamming <= {hamming_max} ORDER BY id_a, id_b"
+    )
+
+
+def q_simhash_near_dups(sf_dir: str):
+    """Exact SimHash near-dup pairs (Hamming <= 3 over 4 lossless
+    16-bit bands) — completes the dedup taxonomy next to exact_dedup,
+    minhash_pairs and embedding_near_dups."""
+    return dedup.simhash_near_dups(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    )
 
 # Exact DuckDB twin of pipelines.dedup.ngram_jaccard_pairs(n=3,
 # threshold=0.2): distinct word-3-gram sets (docs with < 3 tokens
@@ -1510,24 +1552,34 @@ def _media_features_sql() -> str:
     )
 
 
-def _hll_sql(key: str = "user_id", table: str = "events", p: int = 8) -> str:
+def _hll_sql(
+    key: str = "user_id",
+    table: str = "events",
+    p: int = 8,
+    group_expr: str | None = None,
+    group_name: str = "day",
+) -> str:
     """HLL register-table twin: the full splitmix64 mix in HUGEINT limb
     arithmetic (same machinery as the media twins), bucket = low p bits,
-    rho via DuckDB bin()'s exact bit length."""
+    rho via DuckDB bin()'s exact bit length. With ``group_expr`` the
+    registers are per group (the hll_registers_grouped twin)."""
     m = 1 << p
     m1, m2 = 0xFF51AFD7ED558CCD, 0xC4CEB9FE1A85EC53
+    g = f"{group_expr} AS {group_name}, " if group_expr else ""
+    gcol = f"{group_name}, " if group_expr else ""
+    gby = f"{group_name}, bucket" if group_expr else "bucket"
     return (
-        f"WITH x0 AS (SELECT {key}::HUGEINT AS x FROM {table}), "
-        f"x1 AS (SELECT {_xorshift33_sql('x')} AS x FROM x0), "
-        f"x2 AS (SELECT {_mul64_sql('x', m1)} AS x FROM x1), "
-        f"x3 AS (SELECT {_xorshift33_sql('x')} AS x FROM x2), "
-        f"x4 AS (SELECT {_mul64_sql('x', m2)} AS x FROM x3), "
-        f"x5 AS (SELECT {_xorshift33_sql('x')} AS x FROM x4), "
-        f"b AS (SELECT CAST(x % {m} AS BIGINT) AS bucket, "
+        f"WITH x0 AS (SELECT {g}{key}::HUGEINT AS x FROM {table}), "
+        f"x1 AS (SELECT {gcol}{_xorshift33_sql('x')} AS x FROM x0), "
+        f"x2 AS (SELECT {gcol}{_mul64_sql('x', m1)} AS x FROM x1), "
+        f"x3 AS (SELECT {gcol}{_xorshift33_sql('x')} AS x FROM x2), "
+        f"x4 AS (SELECT {gcol}{_mul64_sql('x', m2)} AS x FROM x3), "
+        f"x5 AS (SELECT {gcol}{_xorshift33_sql('x')} AS x FROM x4), "
+        f"b AS (SELECT {gcol}CAST(x % {m} AS BIGINT) AS bucket, "
         f"CAST(x // {m} AS BIGINT) AS r FROM x5) "
-        f"SELECT bucket, CAST(MAX({64 - p + 1} - "
+        f"SELECT {gcol}bucket, CAST(MAX({64 - p + 1} - "
         "CASE WHEN r = 0 THEN 0 ELSE length(bin(r)) END) AS BIGINT) AS rho_max "
-        "FROM b GROUP BY bucket"
+        f"FROM b GROUP BY {gby}"
     )
 
 
@@ -1539,6 +1591,50 @@ def q_hll_users(sf_dir: str):
         "user_id",
         p=8,
     )
+
+
+POSTINGS_DF_LO, POSTINGS_DF_HI = 2, 100
+
+
+def q_build_postings(sf_dir: str):
+    """Inverted-index posting pairs for the mid-frequency vocabulary band
+    (2 <= df <= 100): batch-distinct (term, doc_id) combiner, one term
+    groupby, df filter where the list already lives."""
+    return textops.build_postings(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]),
+        df_lo=POSTINGS_DF_LO,
+        df_hi=POSTINGS_DF_HI,
+    )
+
+
+_POSTINGS_SQL = (
+    "WITH t AS (SELECT DISTINCT term, doc_id FROM "
+    "(SELECT doc_id, unnest(" + _WS_SPLIT + ") AS term FROM documents)), "
+    "d AS (SELECT term, count(*) AS df FROM t GROUP BY term) "
+    "SELECT t.term, t.doc_id, CAST(d.df AS BIGINT) AS df FROM t JOIN d USING (term) "
+    f"WHERE d.df BETWEEN {POSTINGS_DF_LO} AND {POSTINGS_DF_HI} ORDER BY term, doc_id"
+)
+
+
+def q_hll_daily_users(sf_dir: str):
+    """Per-day HLL register tables (p=8) over event user ids — the
+    sketched GROUP BY alternative to daily_active_users' exact
+    per-(day,user) distinct shuffle: the exchange carries at most
+    days x 2^p register rows per batch."""
+    import pyarrow.compute as pc
+
+    def to_day(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "day": pc.strftime(batch.column("ts"), format="%Y-%m-%d"),
+                "user_id": batch.column("user_id"),
+            }
+        )
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "user_id"]
+    ).map_batches(to_day, batch_format="pyarrow", zero_copy_batch=True)
+    return relagg.hll_registers_grouped(ev, "user_id", "day", p=8)
 
 
 def _cms_sql(key: str = "user_id", table: str = "events", depth: int = 4, width: int = 512) -> str:
@@ -1762,10 +1858,12 @@ REGISTRY: dict[str, QueryDef] = {
     "event_rolling_max": QueryDef(events.event_rolling_max, _ROLLING_MAX_SQL),
     "event_sliding_counts": QueryDef(events.event_sliding_counts, _SLIDING_SQL),
     "event_asof_join": QueryDef(events.event_asof_join, _ASOF_SQL),
+    "event_transitions": QueryDef(events.event_transition_counts, _TRANSITIONS_SQL),
     "ann_topk": QueryDef(q_ann_topk, _ANN_SQL),
     "embedding_near_dups": QueryDef(q_embedding_near_dups, _NEAR_DUP_SQL),
     "fingerprints": QueryDef(q_fingerprints, _FINGERPRINT_SQL),
     "simhash": QueryDef(q_simhash, _SIMHASH_SQL),
+    "simhash_near_dups": QueryDef(q_simhash_near_dups, _simhash_neardup_sql()),
     "ngram_jaccard": QueryDef(q_ngram_jaccard, _NGRAM_JACCARD_SQL),
     "ngram_dup_clusters": QueryDef(q_ngram_dup_clusters, _NGRAM_CLUSTERS_SQL),
     "orders_join_bcast": QueryDef(q_orders_join_bcast, _ORDERS_JOIN_SQL),
@@ -1797,6 +1895,11 @@ REGISTRY: dict[str, QueryDef] = {
     "user_event_variety": QueryDef(q_user_event_variety, _USER_VARIETY_SQL),
     "hll_users": QueryDef(q_hll_users, _hll_sql()),
     "cms_events": QueryDef(q_cms_events, _cms_sql()),
+    "hll_daily_users": QueryDef(
+        q_hll_daily_users,
+        _hll_sql(group_expr="strftime(ts, '%Y-%m-%d')", group_name="day"),
+    ),
+    "build_postings": QueryDef(q_build_postings, _POSTINGS_SQL),
     "stratified_sample": QueryDef(q_stratified_sample, _stratified_sql()),
     "event_rollup": QueryDef(q_event_rollup, _ROLLUP_SQL),
     # genuinely non-SQL-expressible (approximate LSH candidate sets) —

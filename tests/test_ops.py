@@ -494,3 +494,84 @@ class TestVectorizedTextKernels:
         ds = ray.data.from_items([{"doc_id": 0, "text": ""}, {"doc_id": 1, "text": "  "}])
         res = dataset_to_table(dedup.simhash64(ds)).to_pandas()
         assert res.simhash.tolist() == [0, 0]
+
+
+class TestSimhashNearDups:
+    def _brute(self, ds, t):
+        """All pairs with Hamming <= t by brute force over simhash64."""
+        res = dataset_to_table(dedup.simhash64(ds)).to_pandas()
+        ids = res.doc_id.to_numpy()
+        h = res.simhash.to_numpy().view(np.uint64)
+        want = {}
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                ham = bin(int(h[i] ^ h[j])).count("1")
+                if ham <= t:
+                    a, b = sorted((int(ids[i]), int(ids[j])))
+                    want[(a, b)] = ham
+        return want
+
+    def test_matches_bruteforce_exactly(self):
+        ds = ray.data.from_arrow(_docs_table())
+        got = dataset_to_table(dedup.simhash_near_dups(ds, hamming_max=3)).to_pandas()
+        got_pairs = {
+            (int(a), int(b)): int(hm)
+            for a, b, hm in zip(got.id_a, got.id_b, got.hamming)
+        }
+        assert got_pairs == self._brute(ds, 3)
+        assert (got.id_a < got.id_b).all()
+        # exact dup pair (docs 0 and 5 share text) must appear at distance 0
+        assert got_pairs.get((0, 5)) == 0
+
+    def test_wider_bands_match_bruteforce(self):
+        ds = ray.data.from_arrow(_docs_table())
+        got = dataset_to_table(
+            dedup.simhash_near_dups(ds, hamming_max=7, nbands=8)
+        ).to_pandas()
+        got_pairs = {
+            (int(a), int(b)): int(hm)
+            for a, b, hm in zip(got.id_a, got.id_b, got.hamming)
+        }
+        assert got_pairs == self._brute(ds, 7)
+
+    def test_rejects_lossy_banding(self):
+        ds = ray.data.from_arrow(_docs_table())
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="lossless"):
+            dedup.simhash_near_dups(ds, hamming_max=4, nbands=4)
+
+
+class TestBuildPostings:
+    def test_matches_pandas_oracle(self):
+        from spatialjoincountovershells_ray.pipelines import textops
+
+        rng = np.random.default_rng(3)
+        vocab = [f"w{i}" for i in range(50)]
+        texts = [
+            " ".join(rng.choice(vocab, rng.integers(3, 30)))
+            for _ in range(400)
+        ]
+        tbl = pa.table({"doc_id": np.arange(400, dtype=np.int64), "text": texts})
+        ds = ray.data.from_arrow(tbl).repartition(7)
+        got = (
+            dataset_to_table(textops.build_postings(ds, df_lo=3, df_hi=40))
+            .to_pandas()
+            .sort_values(["term", "doc_id"])
+            .reset_index(drop=True)
+        )
+        import pandas as pd
+
+        rows = [
+            (t, i)
+            for i, txt in enumerate(texts)
+            for t in sorted(set(txt.split()))
+        ]
+        df = pd.DataFrame(rows, columns=["term", "doc_id"])
+        dfreq = df.groupby("term")["doc_id"].nunique()
+        keep = dfreq[(dfreq >= 3) & (dfreq <= 40)]
+        want = df[df["term"].isin(keep.index)].copy()
+        want["df"] = want["term"].map(dfreq).astype(np.int64)
+        want["doc_id"] = want["doc_id"].astype(np.int64)
+        want = want.sort_values(["term", "doc_id"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want)

@@ -285,3 +285,27 @@ class TestRollup:
             .reset_index(drop=True)
         )
         pd.testing.assert_frame_equal(out, sql)
+
+
+class TestGroupedHll:
+    def test_registers_match_per_group_singleprocess(self):
+        rng = np.random.default_rng(23)
+        df = pd.DataFrame(
+            {
+                "day": rng.choice(["d1", "d2", "d3"], 6000),
+                "user_id": rng.integers(0, 2000, 6000).astype(np.int64),
+            }
+        )
+        got = relagg.hll_registers_grouped(_many_blocks(df), "user_id", "day", p=6).to_pandas()
+        for day, sub in df.groupby("day"):
+            bucket, rho = relagg._hll_bucket_rho(sub["user_id"].to_numpy(), 6)
+            regs = np.zeros(64, np.int64)
+            np.maximum.at(regs, bucket, rho)
+            g = got[got["day"] == day]
+            regs2 = np.zeros(64, np.int64)
+            regs2[g["bucket"].to_numpy()] = g["rho_max"].to_numpy()
+            assert (regs == regs2).all()
+            # per-group estimate lands near the exact distinct count
+            est = relagg.hll_estimate(g.rename(columns={"rho_max": "rho_max"}), p=6)
+            exact = sub["user_id"].nunique()
+            assert abs(est - exact) / exact < 0.35

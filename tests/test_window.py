@@ -272,3 +272,53 @@ class TestTextRepetition:
         pat = re.compile(textops.BPE_PRETOKEN_RE)
         exp = [len(pat.findall(t)) for t in df["text"]]
         assert out["n_bpe_tokens"].tolist() == exp
+
+
+class TestTransitions:
+    def test_matches_lead_sql(self):
+        from spatialjoincountovershells_ray.pipelines import events as ev
+
+        rng = np.random.default_rng(17)
+        n = 5000
+        df = pd.DataFrame(
+            {
+                "event_id": np.arange(n, dtype=np.int64),
+                "user_id": rng.integers(0, 80, n).astype(np.int64),
+                "ts": pd.to_datetime(
+                    rng.integers(0, 10**6, n), unit="s"
+                ).astype("datetime64[us]"),
+                "event_type": rng.choice(["a", "b", "c", "d"], n),
+            }
+        )
+        got = (
+            ev.event_transition_counts(_blocks(df, 7))
+            .to_pandas()
+            .sort_values(["src", "dst"])
+            .reset_index(drop=True)
+        )
+        want = (
+            duckdb.sql(
+                "WITH o AS (SELECT user_id, event_type, lead(event_type) OVER "
+                "(PARTITION BY user_id ORDER BY ts, event_id) AS nxt FROM df) "
+                "SELECT event_type AS src, nxt AS dst, CAST(count(*) AS BIGINT) AS n "
+                "FROM o WHERE nxt IS NOT NULL GROUP BY 1, 2 ORDER BY 1, 2"
+            )
+            .df()
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want)
+        assert got["n"].sum() == n - df.groupby("user_id").ngroups
+
+    def test_single_event_users_emit_nothing(self):
+        from spatialjoincountovershells_ray.pipelines import events as ev
+
+        df = pd.DataFrame(
+            {
+                "event_id": np.arange(3, dtype=np.int64),
+                "user_id": np.array([1, 2, 3], np.int64),
+                "ts": pd.to_datetime([1, 2, 3], unit="s").astype("datetime64[us]"),
+                "event_type": ["a", "b", "c"],
+            }
+        )
+        out = ev.event_transition_counts(_blocks(df, 2)).to_pandas()
+        assert len(out) == 0
