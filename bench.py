@@ -287,6 +287,7 @@ BENCH_QUERIES = [
     "lineitem_bloom_semi",
     "hll_daily_users",
     "build_postings",
+    "shuffle_shards",
 ]
 
 

@@ -300,3 +300,57 @@ def pack_sequences(docs: "ray.data.Dataset", budget: int) -> "ray.data.Dataset":
     offsets = np.concatenate([[0], np.cumsum(sums[:-1], dtype=np.int64)])
     out = [_stamp_pack.remote(r, int(off), int(budget)) for r, off in zip(refs, offsets)]
     return ray.data.from_arrow_refs(out)
+
+
+@ray.remote
+def _shard_nrows(tbl: pa.Table) -> int:
+    return tbl.num_rows
+
+
+@ray.remote
+def _stamp_shard(tbl: pa.Table, offset: int, nshards: int) -> pa.Table:
+    pos = np.arange(offset, offset + tbl.num_rows, dtype=np.int64)
+    return pa.table(
+        {
+            "doc_id": tbl.column("doc_id"),
+            "shard": pa.array(pos % np.int64(nshards), pa.int64()),
+            "pos": pa.array(pos, pa.int64()),
+        }
+    )
+
+
+def shuffle_shards(docs: "ray.data.Dataset", nshards: int = 8) -> "ray.data.Dataset":
+    """-> doc_id, shard:int64, pos:int64 — deterministic global shuffle +
+    round-robin sharding for training-data serving: documents take the
+    total order of mix64(doc_id) (a bijection, so no ties and re-runs /
+    retries / incremental loads land every doc at the same position),
+    ``pos`` is the global rank in that order, ``shard = pos % nshards``
+    (shard sizes equal to within one row, and each shard is itself a
+    hash-shuffled subsequence).
+
+    Physical plan is the global_event_rank one: a distributed
+    range-partitioned sort on the hash, per-block counts prefix-summed on
+    the driver (O(blocks) ints — never rows), one stamp task per block.
+    The downstream writer can emit one partition per shard for resumable
+    output."""
+    from spatialjoincountovershells_ray.functions.hashing import mix64
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        h = mix64(batch.column("doc_id").to_numpy().astype(np.uint64))
+        return pa.table(
+            {"doc_id": batch.column("doc_id"), "h": pa.array(h, pa.uint64())}
+        )
+
+    sorted_ds = (
+        docs.select_columns(["doc_id"])
+        .map_batches(add_hash, batch_format="pyarrow", zero_copy_batch=True)
+        .sort("h")
+        .materialize()
+    )
+    refs = sorted_ds.to_arrow_refs()
+    if not refs:
+        return sorted_ds
+    counts = ray.get([_shard_nrows.remote(r) for r in refs])
+    offsets = np.concatenate([[0], np.cumsum(counts[:-1], dtype=np.int64)])
+    out = [_stamp_shard.remote(r, int(off), nshards) for r, off in zip(refs, offsets)]
+    return ray.data.from_arrow_refs(out)

@@ -1593,6 +1593,39 @@ def q_hll_users(sf_dir: str):
     )
 
 
+SHUFFLE_NSHARDS = 8
+
+
+def q_shuffle_shards(sf_dir: str):
+    """Deterministic global shuffle + round-robin sharding of the
+    document table (hash-ordered distributed sort, O(blocks) driver
+    prefix sums, one stamp task per block)."""
+    return curation.shuffle_shards(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"]),
+        nshards=SHUFFLE_NSHARDS,
+    )
+
+
+def _shuffle_shards_sql(nshards: int = SHUFFLE_NSHARDS) -> str:
+    """row_number over the HUGEINT splitmix64 order (uint64 asc — matches
+    the engine's Arrow uint64 sort; mix64 is a bijection so no ties)."""
+    m1, m2 = 0xFF51AFD7ED558CCD, 0xC4CEB9FE1A85EC53
+    steps = [
+        "b0 AS (SELECT doc_id, doc_id::HUGEINT AS x FROM documents)",
+        f"b1 AS (SELECT doc_id, {_xorshift33_sql('x')} AS x FROM b0)",
+        f"b2 AS (SELECT doc_id, {_mul64_sql('x', m1)} AS x FROM b1)",
+        f"b3 AS (SELECT doc_id, {_xorshift33_sql('x')} AS x FROM b2)",
+        f"b4 AS (SELECT doc_id, {_mul64_sql('x', m2)} AS x FROM b3)",
+        f"b5 AS (SELECT doc_id, {_xorshift33_sql('x')} AS x FROM b4)",
+        "r AS (SELECT doc_id, row_number() OVER (ORDER BY x) - 1 AS pos FROM b5)",
+    ]
+    return (
+        f"WITH {', '.join(steps)} "
+        f"SELECT doc_id, CAST(pos % {nshards} AS BIGINT) AS shard, "
+        "CAST(pos AS BIGINT) AS pos FROM r ORDER BY pos"
+    )
+
+
 POSTINGS_DF_LO, POSTINGS_DF_HI = 2, 100
 
 
@@ -1900,6 +1933,7 @@ REGISTRY: dict[str, QueryDef] = {
         _hll_sql(group_expr="strftime(ts, '%Y-%m-%d')", group_name="day"),
     ),
     "build_postings": QueryDef(q_build_postings, _POSTINGS_SQL),
+    "shuffle_shards": QueryDef(q_shuffle_shards, _shuffle_shards_sql()),
     "stratified_sample": QueryDef(q_stratified_sample, _stratified_sql()),
     "event_rollup": QueryDef(q_event_rollup, _ROLLUP_SQL),
     # genuinely non-SQL-expressible (approximate LSH candidate sets) —

@@ -191,3 +191,33 @@ class TestHLL:
         a = relagg.hll_registers(_blocks(df, 2), "user_id").to_pandas().sort_values("bucket")
         b = relagg.hll_registers(_blocks(df, 9), "user_id").to_pandas().sort_values("bucket")
         pd.testing.assert_frame_equal(a.reset_index(drop=True), b.reset_index(drop=True))
+
+
+class TestShuffleShards:
+    def test_global_hash_order_and_balance(self):
+        import pandas as pd
+
+        from spatialjoincountovershells_ray.functions.hashing import mix64
+        from spatialjoincountovershells_ray.pipelines import curation
+
+        n = 4003
+        df = pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64)})
+        ds = ray.data.from_pandas([d for d in np.array_split(df, 9)])
+        out = curation.shuffle_shards(ds, nshards=8).to_pandas()
+        assert len(out) == n
+        # pos is the rank in mix64 order
+        h = mix64(df["doc_id"].to_numpy().astype(np.uint64))
+        want_order = df["doc_id"].to_numpy()[np.argsort(h)]
+        got = out.sort_values("pos")
+        assert (got["doc_id"].to_numpy() == want_order).all()
+        assert (got["shard"].to_numpy() == got["pos"].to_numpy() % 8).all()
+        # shard sizes equal to within one row
+        sizes = out.groupby("shard").size()
+        assert sizes.max() - sizes.min() <= 1
+        # deterministic across a different blocking
+        ds2 = ray.data.from_pandas([d for d in np.array_split(df, 4)])
+        out2 = curation.shuffle_shards(ds2, nshards=8).to_pandas()
+        pd.testing.assert_frame_equal(
+            out.sort_values("pos").reset_index(drop=True),
+            out2.sort_values("pos").reset_index(drop=True),
+        )
