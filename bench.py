@@ -288,6 +288,7 @@ BENCH_QUERIES = [
     "hll_daily_users",
     "build_postings",
     "shuffle_shards",
+    "lineitem_corr",
 ]
 
 

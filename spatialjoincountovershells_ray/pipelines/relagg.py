@@ -614,3 +614,68 @@ def hll_registers_grouped(
         )
 
     return agg.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def pearson_corr_scaled(
+    ds: "ray.data.Dataset", x: str, y: str, x_scale: int, y_scale: int
+) -> "ray.data.Dataset":
+    """-> n:int64, sx:int64, sy:int64, sxy:int64, sxx:int64, syy:int64,
+    corr:float64 — exact distributed Pearson correlation of two
+    FIXED-POINT columns (x*x_scale and y*y_scale must be integral, e.g.
+    prices in cents, discounts in percent).
+
+    The five moments are decomposable INTEGER sums: each batch reduces to
+    one 6-int row, a log-free single groupby-free tree (Dataset.sum)
+    merges them, and the final float expression
+    (n*sxy - sx*sy) / (sqrt(n*sxx - sx^2) * sqrt(n*syy - sy^2))
+    runs once on exact integers — so the result is bit-identical to any
+    oracle that evaluates the same expression on the same integer totals,
+    with no float-summation-order dependence anywhere. The caller owns
+    the no-overflow contract: |x*scale| * |y*scale| * rows must fit
+    int64 (asserted per batch)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        xv = np.rint(batch.column(x).to_numpy() * x_scale).astype(np.int64)
+        yv = np.rint(batch.column(y).to_numpy() * y_scale).astype(np.int64)
+        mx, my = int(np.abs(xv).max(initial=0)), int(np.abs(yv).max(initial=0))
+        # per-batch headroom guard (the merged totals are the caller's
+        # documented contract; this catches the egregious case loudly)
+        if mx and my and mx * my > (1 << 62) // max(1, len(xv)):
+            raise ValueError("x*y products too large for exact int64 moments")
+        return pa.table(
+            {
+                "n": pa.array([len(xv)], pa.int64()),
+                "sx": pa.array([int(xv.sum())], pa.int64()),
+                "sy": pa.array([int(yv.sum())], pa.int64()),
+                "sxy": pa.array([int((xv * yv).sum())], pa.int64()),
+                "sxx": pa.array([int((xv * xv).sum())], pa.int64()),
+                "syy": pa.array([int((yv * yv).sum())], pa.int64()),
+            }
+        )
+
+    parts = ds.select_columns([x, y]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    # six scalars per batch: the driver-side fold is O(batches) ints
+    tot = parts.to_pandas().sum()
+    n, sx, sy = int(tot["n"]), int(tot["sx"]), int(tot["sy"])
+    sxy, sxx, syy = int(tot["sxy"]), int(tot["sxx"]), int(tot["syy"])
+    corr = (float(n) * float(sxy) - float(sx) * float(sy)) / (
+        np.sqrt(float(n) * float(sxx) - float(sx) * float(sx))
+        * np.sqrt(float(n) * float(syy) - float(sy) * float(sy))
+    )
+    import pandas as pd
+
+    return ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "n": [np.int64(n)],
+                "sx": [np.int64(sx)],
+                "sy": [np.int64(sy)],
+                "sxy": [np.int64(sxy)],
+                "sxx": [np.int64(sxx)],
+                "syy": [np.int64(syy)],
+                "corr": [np.float64(corr)],
+            }
+        )
+    )

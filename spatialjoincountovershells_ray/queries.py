@@ -1593,6 +1593,37 @@ def q_hll_users(sf_dir: str):
     )
 
 
+def q_lineitem_corr(sf_dir: str):
+    """Exact Pearson correlation of (l_quantity, l_discount) via
+    decomposable INTEGER moments — one 6-int row per batch, no
+    float-summation-order dependence anywhere; the single final float
+    expression is mirrored verbatim in the SQL twin."""
+    return relagg.pearson_corr_scaled(
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet", columns=["l_quantity", "l_discount"]
+        ),
+        "l_quantity",
+        "l_discount",
+        x_scale=1,
+        y_scale=100,
+    )
+
+
+_CORR_SQL = (
+    "WITH q AS (SELECT CAST(round(l_quantity * 1) AS BIGINT) AS xv, "
+    "CAST(round(l_discount * 100) AS BIGINT) AS yv FROM lineitem), "
+    "m AS (SELECT CAST(count(*) AS BIGINT) AS n, "
+    "CAST(SUM(xv) AS BIGINT) AS sx, CAST(SUM(yv) AS BIGINT) AS sy, "
+    "CAST(SUM(xv * yv) AS BIGINT) AS sxy, CAST(SUM(xv * xv) AS BIGINT) AS sxx, "
+    "CAST(SUM(yv * yv) AS BIGINT) AS syy FROM q) "
+    "SELECT n, sx, sy, sxy, sxx, syy, "
+    "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / "
+    "(sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * "
+    "sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) "
+    "AS corr FROM m"
+)
+
+
 SHUFFLE_NSHARDS = 8
 
 
@@ -1934,6 +1965,7 @@ REGISTRY: dict[str, QueryDef] = {
     ),
     "build_postings": QueryDef(q_build_postings, _POSTINGS_SQL),
     "shuffle_shards": QueryDef(q_shuffle_shards, _shuffle_shards_sql()),
+    "lineitem_corr": QueryDef(q_lineitem_corr, _CORR_SQL),
     "stratified_sample": QueryDef(q_stratified_sample, _stratified_sql()),
     "event_rollup": QueryDef(q_event_rollup, _ROLLUP_SQL),
     # genuinely non-SQL-expressible (approximate LSH candidate sets) —

@@ -309,3 +309,30 @@ class TestGroupedHll:
             est = relagg.hll_estimate(g.rename(columns={"rho_max": "rho_max"}), p=6)
             exact = sub["user_id"].nunique()
             assert abs(est - exact) / exact < 0.35
+
+
+class TestPearsonCorr:
+    def test_exact_moments_and_corr(self):
+        rng = np.random.default_rng(7)
+        n = 5000
+        x = rng.integers(1, 51, n).astype(np.float64)
+        y = np.round(rng.random(n) * x / 50.0, 2)  # correlated, 2 decimals
+        df = pd.DataFrame({"x": x, "y": y})
+        out = relagg.pearson_corr_scaled(
+            _many_blocks(df, 9), "x", "y", x_scale=1, y_scale=100
+        ).to_pandas()
+        assert len(out) == 1
+        xi = x.astype(np.int64)
+        yi = np.rint(y * 100).astype(np.int64)
+        assert out["n"][0] == n
+        assert out["sx"][0] == xi.sum() and out["sy"][0] == yi.sum()
+        assert out["sxy"][0] == (xi * yi).sum()
+        assert out["sxx"][0] == (xi * xi).sum() and out["syy"][0] == (yi * yi).sum()
+        # matches numpy's corrcoef on the scaled ints to float tolerance
+        want = np.corrcoef(xi, yi)[0, 1]
+        assert abs(out["corr"][0] - want) < 1e-12
+        # blocking-independent: integer moments are order-free
+        out2 = relagg.pearson_corr_scaled(
+            _many_blocks(df, 3), "x", "y", x_scale=1, y_scale=100
+        ).to_pandas()
+        assert out["corr"][0] == out2["corr"][0]
