@@ -289,6 +289,12 @@ BENCH_QUERIES = [
     "build_postings",
     "shuffle_shards",
     "lineitem_corr",
+    "heavy_hitters",
+    "event_funnel",
+    "value_outliers",
+    "price_histogram",
+    "cumulative_spend",
+    "revenue_by_nation",
 ]
 
 

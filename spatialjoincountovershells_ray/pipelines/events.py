@@ -345,3 +345,61 @@ def event_transition_counts(sf_dir_or_ds) -> "ray.data.Dataset":
         )
 
     return merged.map_batches(unpack, batch_format="pyarrow", zero_copy_batch=True)
+
+
+FUNNEL_WINDOW_US = 48 * 3600 * 1_000_000  # 48 h per-step window
+
+
+def event_funnel(
+    ds: "ray.data.Dataset",
+    steps: "tuple[str, ...]" = ("signup", "view", "purchase"),
+    window_us: int = FUNNEL_WINDOW_US,
+) -> "ray.data.Dataset":
+    """-> step:int64, step_name:string, users:int64 — the classic ordered
+    funnel: users counted at step i completed steps 1..i in order, each
+    step strictly after the previous step's completion time and within
+    window_us of it. Step i's completion time is the EARLIEST qualifying
+    occurrence (min ts of the step's events in the window), matching the
+    nested min-ts SQL formulation.
+
+    Plan: groupby(user_id) co-locates each user's events; the per-group
+    kernel reduces a user to ONE int (deepest step reached), so the
+    final exchange is O(users) single-int rows and the step table is a
+    len(steps)-row cumulative count — the event log never moves past
+    phase 1."""
+
+    def reach(group: pd.DataFrame) -> pd.DataFrame:
+        ts = _epoch_us(group["ts"])
+        types = group["event_type"].to_numpy()
+        reached = 0
+        t_prev = None
+        for i, s in enumerate(steps):
+            m = types == s
+            if t_prev is not None:
+                m &= (ts > t_prev) & (ts <= t_prev + window_us)
+            if not m.any():
+                break
+            t_prev = int(ts[m].min())
+            reached = i + 1
+        return pd.DataFrame({"reached": [np.int64(reached)]})
+
+    per_user = (
+        ds.select_columns(["user_id", "ts", "event_type"])
+        .groupby("user_id")
+        .map_groups(reach, batch_format="pandas")
+    )
+    counts = per_user.groupby("reached").count().to_pandas()  # <= len(steps)+1 rows
+    by_depth = np.zeros(len(steps) + 1, dtype=np.int64)
+    for d, c in zip(counts["reached"].to_numpy(), counts["count()"].to_numpy()):
+        by_depth[int(d)] = c
+    # users at step i = users whose deepest reach is >= i
+    users = np.cumsum(by_depth[::-1])[::-1][1:]
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "step": pa.array(np.arange(1, len(steps) + 1, dtype=np.int64)),
+                "step_name": pa.array(list(steps), pa.string()),
+                "users": pa.array(users, pa.int64()),
+            }
+        )
+    )

@@ -679,3 +679,129 @@ def pearson_corr_scaled(
             }
         )
     )
+
+
+def _int_moments(ds: "ray.data.Dataset", col: str, scale: int) -> "tuple[int, int, int]":
+    """(n, sum, sum-of-squares) of round(col*scale) as EXACT int64 — one
+    streaming pass, one 3-int row per batch, driver folds O(batches)
+    scalars. Shared by the z-score filter (and any two-pass moment op)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c = np.rint(batch.column(col).to_numpy() * scale).astype(np.int64)
+        if len(c) and int(np.abs(c).max()) ** 2 > (1 << 62) // max(1, len(c)):
+            raise ValueError("col*scale too large for exact int64 moments")
+        return pa.table(
+            {
+                "n": pa.array([len(c)], pa.int64()),
+                "s": pa.array([int(c.sum())], pa.int64()),
+                "ss": pa.array([int((c * c).sum())], pa.int64()),
+            }
+        )
+
+    tot = (
+        ds.select_columns([col])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+        .sum()
+    )
+    return int(tot["n"]), int(tot["s"]), int(tot["ss"])
+
+
+def zscore_outliers(
+    ds: "ray.data.Dataset", key: str, col: str, scale: int, z: float = 3.0
+) -> "ray.data.Dataset":
+    """-> key, col — the rows whose fixed-point value deviates from the
+    global mean by more than z standard deviations (population sd).
+
+    Two streaming passes: pass 1 reduces to three exact int64 moments
+    (no float-summation-order dependence — see _int_moments); the
+    mean/threshold doubles derive from those exact integers with the
+    same elementary IEEE expressions the SQL twin spells out
+    ((c-mu)^2 > z^2*(ss/n - mu^2)), so the filter decisions are
+    bit-identical. Pass 2 is an ordinary vectorized filter — nothing is
+    broadcast but three scalars in the closure."""
+    n, s, ss = _int_moments(ds, col, scale)
+    mu = float(s) / float(n)
+    thr = (z * z) * (float(ss) / float(n) - mu * mu)
+
+    def flt(batch: pa.Table) -> pa.Table:
+        v = batch.column(col).to_numpy()
+        c = np.rint(v * scale)  # float64, same rounding the moment pass used
+        d = c - mu
+        keep = d * d > thr
+        return pa.table(
+            {key: batch.column(key).filter(pa.array(keep)), col: pa.array(v[keep], pa.float64())}
+        )
+
+    return (
+        ds.select_columns([key, col])
+        .map_batches(flt, batch_format="pyarrow", zero_copy_batch=True)
+        .sort(key)
+    )
+
+
+def histogram_fixed(ds: "ray.data.Dataset", col: str, width: float) -> "ray.data.Dataset":
+    """-> bin:int64, lo:double, n:int64 — fixed-width histogram of col
+    (bin = floor(col/width); lo = bin*width, both the same IEEE double
+    ops the SQL twin runs). Per-batch combiner first: the exchange
+    carries O(occupied bins) per batch, never rows."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch.column(col).to_numpy()
+        b = np.floor(v / width).astype(np.int64)
+        bins, counts = np.unique(b, return_counts=True)
+        return pa.table(
+            {"bin": pa.array(bins, pa.int64()), "n": pa.array(counts, pa.int64())}
+        )
+
+    agg = (
+        ds.select_columns([col])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bin")
+        .sum("n")
+    )
+
+    def final(batch: pa.Table) -> pa.Table:
+        b = batch.column("bin").to_numpy()
+        return pa.table(
+            {
+                "bin": pa.array(b, pa.int64()),
+                "lo": pa.array(b.astype(np.float64) * width, pa.float64()),
+                "n": batch.column("sum(n)").cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(final, batch_format="pyarrow", zero_copy_batch=True).sort("bin")
+
+
+def running_total_cents(
+    ds: "ray.data.Dataset", key: str, order_cols: "list[str]", val: str
+) -> "ray.data.Dataset":
+    """-> key, order_cols[-1], total_cents:int64 — per-key running total
+    of round(val*100) in order_cols order (the classic cumulative-spend
+    window). Fixed-point int64 cumsum: exact and independent of how the
+    oracle's window aggregator trees its additions — a double running
+    sum would only match an oracle that adds strictly left-to-right.
+
+    groupby(key) co-locates each key's rows; one vectorized mergesort +
+    cumsum per group; output carries the key and the (unique) last
+    order column so rows are globally identifiable."""
+    last = order_cols[-1]
+
+    def cum(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(order_cols, kind="mergesort")
+        c = np.rint(g[val].to_numpy() * 100).astype(np.int64)
+        return pd.DataFrame(
+            {
+                key: g[key].to_numpy(),
+                last: g[last].to_numpy(),
+                "total_cents": np.cumsum(c),
+            }
+        )
+
+    return (
+        ds.select_columns(list(dict.fromkeys([key, *order_cols, val])))
+        .groupby(key)
+        .map_groups(cum, batch_format="pandas")
+        .sort([key, last])
+    )

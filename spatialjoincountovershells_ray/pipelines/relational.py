@@ -143,3 +143,71 @@ def event_type_counts(sf_dir: str) -> "ray.data.Dataset":
     return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True).sort(
         "event_type"
     )
+
+
+def revenue_by_nation(sf_dir: str) -> "ray.data.Dataset":
+    """TPC-H Q5-style star join: revenue per customer nation, over the
+    lineitem -> orders -> customer -> nation chain.
+
+    -> n_name:string, revenue_e4:int64 (revenue in 1e-4 currency units:
+    round(extprice*100) * (100 - round(discount*100)) — integral, so the
+    grand sum is accumulation-order-free and hash-exact vs SQL).
+
+    The physical plan picks a join strategy per edge by table size:
+    nation (25 rows) broadcasts onto the customer scan; customer->orders
+    and orders->lineitem are hash-shuffle equi-joins; and lineitem — the
+    fact table and only 100-TB-scale input — is pre-aggregated per batch
+    to (orderkey, revenue) partials BEFORE its join, so the wide
+    exchange carries at most one row per (batch, orderkey), never raw
+    line items. The final groupby is O(nations)."""
+    from spatialjoincountovershells_ray.pipelines.join import equi_join
+
+    nation = ray.data.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).map_batches(
+        lambda b: pa.table(
+            {"n_nationkey": b.column("n_nationkey").cast(pa.int64()), "n_name": b.column("n_name")}
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    customer = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).map_batches(
+        lambda b: pa.table(
+            {"c_custkey": b.column("c_custkey"), "c_nationkey": b.column("c_nationkey").cast(pa.int64())}
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    cust_nat = equi_join(
+        customer, nation, "c_nationkey", "n_nationkey", mode="broadcast"
+    ).select_columns(["c_custkey", "n_name"])
+
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+    ord_nat = equi_join(orders, cust_nat, "o_custkey", "c_custkey", mode="shuffle").select_columns(
+        ["o_orderkey", "n_name"]
+    )
+
+    def rev_partial(batch: pa.Table) -> pa.Table:
+        ep = np.rint(batch.column("l_extendedprice").to_numpy() * 100).astype(np.int64)
+        dc = np.rint(batch.column("l_discount").to_numpy() * 100).astype(np.int64)
+        t = pa.table(
+            {"l_orderkey": batch.column("l_orderkey"), "rev": pa.array(ep * (100 - dc), pa.int64())}
+        )
+        g = t.group_by("l_orderkey").aggregate([("rev", "sum")])
+        return g.rename_columns(["l_orderkey", "rev"])
+
+    rev = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_extendedprice", "l_discount"]
+    ).map_batches(rev_partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    joined = equi_join(rev, ord_nat, "l_orderkey", "o_orderkey", mode="shuffle")
+    agg = joined.groupby("n_name").sum("rev")
+
+    def final(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"n_name": batch.column("n_name"), "revenue_e4": batch.column("sum(rev)").cast(pa.int64())}
+        )
+
+    return agg.map_batches(final, batch_format="pyarrow", zero_copy_batch=True).sort("n_name")

@@ -374,3 +374,96 @@ def build_postings(
         .groupby("term")
         .map_groups(final, batch_format="pyarrow")
     )
+
+
+def _ws_term_table(batch: pa.Table) -> pa.Table:
+    """-> term (one row per non-empty whitespace token of the batch)."""
+    import pyarrow.compute as pc
+
+    toks = pc.split_pattern_regex(batch.column("text"), r"[ \t\n\r\x0b\x0c]+")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = pc.list_flatten(toks)
+    return pa.table({"term": pc.filter(flat, pc.not_equal(flat, ""))})
+
+
+def heavy_hitter_terms(
+    docs: "ray.data.Dataset", phi: float = 0.01, k: int | None = None
+) -> "ray.data.Dataset":
+    """-> term, n:int64 — the EXACT set of terms whose global count is
+    >= phi * (total tokens), via the two-pass Misra-Gries pattern.
+
+    Pass 1 (candidate generation): each batch tokenizes vectorized,
+    counts its own vocabulary exactly, then compresses to a Misra-Gries
+    summary of at most k counters (subtract the (k+1)-th largest count
+    from every counter, keep the positives). MG summaries are mergeable
+    (Agarwal et al., "Mergeable Summaries", PODS'12): every decrement of
+    d removes >= (k+1)*d token-counts, so across all batches the total
+    undercount of any term is <= N/(k+1). With k >= ceil(2/phi) - 1 the
+    undercount is <= (phi/2)*N, so every true phi-heavy term survives
+    the merged-summary filter mg_n >= (phi/2)*N — and because mg_n never
+    overcounts, at most 2/phi candidates survive. The exchange carries
+    <= k counter rows per batch, never the corpus vocabulary.
+
+    Pass 2 (exact verify): the bounded candidate list broadcasts in the
+    task closure; one more streaming pass counts ONLY candidate terms
+    (pc.is_in) with per-batch pre-aggregation, and the final filter
+    n >= phi*N is exact — the result is identical to the full
+    GROUP-BY-HAVING, at the cost of two bounded-exchange passes instead
+    of one vocabulary-wide shuffle."""
+    import pyarrow.compute as pc
+
+    if k is None:
+        k = max(1, int(np.ceil(2.0 / phi)) - 1)
+
+    def mg_partial(batch: pa.Table) -> pa.Table:
+        t = _ws_term_table(batch)
+        g = t.group_by("term").aggregate([([], "count_all")])
+        terms = g.column("term").to_numpy(zero_copy_only=False)
+        n = g.column("count_all").to_numpy()
+        total = int(n.sum())
+        if len(n) > k:
+            d = np.partition(n, len(n) - k - 1)[len(n) - k - 1]
+            keep = n > d
+            terms, n = terms[keep], n[keep] - d
+        # the sentinel "" (impossible as a token: empties are filtered)
+        # carries the batch's exact token total to the same exchange
+        return pa.table(
+            {
+                "term": pa.array(np.concatenate([terms, [""]])),
+                "n": pa.array(np.concatenate([n, [total]]), pa.int64()),
+            }
+        )
+
+    merged = (
+        docs.select_columns(["text"])
+        .map_batches(mg_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("term")
+        .sum("n")
+        .to_pandas()  # <= batches * (k+1) counter rows, never the corpus
+    )
+    total = int(merged.loc[merged["term"] == "", "sum(n)"].sum())
+    cand = merged[(merged["term"] != "") & (merged["sum(n)"] >= 0.5 * phi * total)]
+    cand_terms = pa.array(sorted(cand["term"].tolist()), pa.string())
+
+    def count_candidates(batch: pa.Table) -> pa.Table:
+        t = _ws_term_table(batch)
+        hits = t.filter(pc.is_in(t.column("term"), value_set=cand_terms))
+        g = hits.group_by("term").aggregate([([], "count_all")])
+        return pa.table({"term": g.column("term"), "n": g.column("count_all").cast(pa.int64())})
+
+    exact = (
+        docs.select_columns(["text"])
+        .map_batches(count_candidates, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("term")
+        .sum("n")
+    )
+
+    def final(batch: pa.Table) -> pa.Table:
+        n = batch.column("sum(n)").to_numpy()
+        keep = n >= phi * total  # same double product the SQL HAVING computes
+        return pa.table(
+            {"term": batch.column("term").filter(pa.array(keep)), "n": pa.array(n[keep], pa.int64())}
+        )
+
+    return exact.map_batches(final, batch_format="pyarrow", zero_copy_batch=True).sort("term")

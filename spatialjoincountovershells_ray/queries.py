@@ -1624,6 +1624,139 @@ _CORR_SQL = (
 )
 
 
+HH_PHI = 0.01
+
+
+def q_heavy_hitters(sf_dir: str):
+    """Exact phi-frequent terms via two-pass Misra-Gries: bounded
+    candidate summary (<= k counters per batch) + exact verify pass over
+    candidates only — identical result to the vocabulary-wide
+    GROUP BY ... HAVING, without ever shuffling the vocabulary."""
+    return textops.heavy_hitter_terms(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"]), phi=HH_PHI
+    )
+
+
+_HEAVY_HITTERS_SQL = (
+    "WITH t AS (SELECT unnest(" + _WS_SPLIT + ") AS term FROM documents), "
+    "tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM t) "
+    "SELECT term, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY term "
+    f"HAVING count(*) >= {HH_PHI!r} * (SELECT n FROM tot) ORDER BY term"
+)
+
+
+FUNNEL_STEPS = ("signup", "view", "purchase")
+
+
+def q_event_funnel(sf_dir: str):
+    """Ordered 3-step funnel with a 48 h per-step window; each user
+    reduces to one int before the exchange."""
+    return events.event_funnel(
+        ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]),
+        steps=FUNNEL_STEPS,
+    )
+
+
+def _funnel_sql() -> str:
+    from spatialjoincountovershells_ray.pipelines.events import FUNNEL_WINDOW_US
+
+    w = FUNNEL_WINDOW_US
+    s1, s2, s3 = FUNNEL_STEPS
+    return (
+        f"WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = '{s1}' GROUP BY user_id), "
+        f"s2 AS (SELECT e.user_id, min(ts) AS t2 FROM events e JOIN s1 USING (user_id) "
+        f"WHERE event_type = '{s2}' AND ts > t1 AND epoch_us(ts) - epoch_us(t1) <= {w} GROUP BY e.user_id), "
+        f"s3 AS (SELECT e.user_id, min(ts) AS t3 FROM events e JOIN s2 USING (user_id) "
+        f"WHERE event_type = '{s3}' AND ts > t2 AND epoch_us(ts) - epoch_us(t2) <= {w} GROUP BY e.user_id) "
+        f"SELECT * FROM (SELECT CAST(1 AS BIGINT) AS step, '{s1}' AS step_name, (SELECT CAST(count(*) AS BIGINT) FROM s1) AS users "
+        f"UNION ALL SELECT 2, '{s2}', (SELECT count(*) FROM s2) "
+        f"UNION ALL SELECT 3, '{s3}', (SELECT count(*) FROM s3)) ORDER BY step"
+    )
+
+
+def q_value_outliers(sf_dir: str):
+    """Two-pass global z-score filter over event values: exact integer
+    moments, then a streaming filter with three broadcast scalars."""
+    return relagg.zscore_outliers(
+        ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "value"]),
+        key="event_id",
+        col="value",
+        scale=100,
+        z=3.0,
+    )
+
+
+_VALUE_OUTLIERS_SQL = (
+    "WITH q AS (SELECT event_id, value, CAST(round(value * 100) AS BIGINT) AS c FROM events), "
+    "m AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(SUM(c) AS BIGINT) AS s, "
+    "CAST(SUM(c * c) AS BIGINT) AS ss FROM q), "
+    "m2 AS (SELECT CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mu, "
+    "CAST(ss AS DOUBLE) / CAST(n AS DOUBLE) AS msq FROM m), "
+    "m3 AS (SELECT mu, 9.0 * (msq - mu * mu) AS thr FROM m2) "
+    "SELECT event_id, value FROM q, m3 "
+    "WHERE (CAST(c AS DOUBLE) - mu) * (CAST(c AS DOUBLE) - mu) > thr ORDER BY event_id"
+)
+
+
+HIST_WIDTH = 50000.0
+
+
+def q_price_histogram(sf_dir: str):
+    """Fixed-width histogram of order totals — per-batch bin combiner,
+    exchange carries occupied bins only."""
+    return relagg.histogram_fixed(
+        ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_totalprice"]),
+        "o_totalprice",
+        width=HIST_WIDTH,
+    )
+
+
+_PRICE_HIST_SQL = (
+    f"WITH b AS (SELECT CAST(floor(o_totalprice / {HIST_WIDTH!r}) AS BIGINT) AS bin FROM orders) "
+    f"SELECT bin, CAST(bin AS DOUBLE) * {HIST_WIDTH!r} AS lo, CAST(count(*) AS BIGINT) AS n "
+    "FROM b GROUP BY bin ORDER BY bin"
+)
+
+
+def q_cumulative_spend(sf_dir: str):
+    """Per-customer running order total in (orderdate, orderkey) order —
+    int64 cents cumsum, exact under any window-aggregator tree shape."""
+    return relagg.running_total_cents(
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"]
+        ),
+        key="o_custkey",
+        order_cols=["o_orderdate", "o_orderkey"],
+        val="o_totalprice",
+    )
+
+
+_CUM_SPEND_SQL = (
+    "SELECT o_custkey, o_orderkey, "
+    "SUM(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (PARTITION BY o_custkey "
+    "ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+    "AS total_cents FROM orders ORDER BY o_custkey, o_orderkey"
+)
+
+
+def q_revenue_by_nation(sf_dir: str):
+    """TPC-H Q5-style star join (lineitem->orders->customer->nation) with
+    per-edge join strategy and map-side fact pre-aggregation."""
+    from spatialjoincountovershells_ray.pipelines.relational import revenue_by_nation
+
+    return revenue_by_nation(sf_dir)
+
+
+_REVENUE_SQL = (
+    "SELECT n_name, CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT) "
+    "* (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_e4 "
+    "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+    "JOIN customer ON o_custkey = c_custkey "
+    "JOIN nation ON c_nationkey = n_nationkey "
+    "GROUP BY n_name ORDER BY n_name"
+)
+
+
 SHUFFLE_NSHARDS = 8
 
 
@@ -1966,6 +2099,12 @@ REGISTRY: dict[str, QueryDef] = {
     "build_postings": QueryDef(q_build_postings, _POSTINGS_SQL),
     "shuffle_shards": QueryDef(q_shuffle_shards, _shuffle_shards_sql()),
     "lineitem_corr": QueryDef(q_lineitem_corr, _CORR_SQL),
+    "heavy_hitters": QueryDef(q_heavy_hitters, _HEAVY_HITTERS_SQL),
+    "event_funnel": QueryDef(q_event_funnel, _funnel_sql()),
+    "value_outliers": QueryDef(q_value_outliers, _VALUE_OUTLIERS_SQL),
+    "price_histogram": QueryDef(q_price_histogram, _PRICE_HIST_SQL),
+    "cumulative_spend": QueryDef(q_cumulative_spend, _CUM_SPEND_SQL),
+    "revenue_by_nation": QueryDef(q_revenue_by_nation, _REVENUE_SQL),
     "stratified_sample": QueryDef(q_stratified_sample, _stratified_sql()),
     "event_rollup": QueryDef(q_event_rollup, _ROLLUP_SQL),
     # genuinely non-SQL-expressible (approximate LSH candidate sets) —

@@ -210,3 +210,33 @@ def test_ns_resolution_blocks_match_us():
     assert win.groupby("user_id")["win"].count().tolist() == [2, 1]
     hours = pd.to_datetime(df["ts"]).dt.floor("h").astype("datetime64[us]").astype("int64")
     assert set(win["win"]) == set(hours // (3600 * 1_000_000))
+
+
+def test_event_funnel_window_and_order():
+    import pandas as pd
+    import numpy as np
+    import ray
+    from spatialjoincountovershells_ray.pipelines import events as E
+
+    t0 = pd.Timestamp("2024-01-01")
+    h = pd.Timedelta(hours=1)
+    rows = []
+    # user 0: completes all three inside the window
+    rows += [(0, t0, "signup"), (0, t0 + h, "view"), (0, t0 + 2 * h, "purchase")]
+    # user 1: view arrives BEFORE signup -> stops at step 1
+    rows += [(1, t0, "view"), (1, t0 + h, "signup"), (1, t0 + 2 * h, "purchase")]
+    # user 2: purchase outside the 48h window after the view -> stops at 2
+    rows += [(2, t0, "signup"), (2, t0 + h, "view"), (2, t0 + h + pd.Timedelta(hours=49), "purchase")]
+    # user 3: no signup at all -> depth 0
+    rows += [(3, t0, "view"), (3, t0 + h, "purchase")]
+    # user 4: signup then view at the EXACT window bound (inclusive)
+    rows += [(4, t0, "signup"), (4, t0 + pd.Timedelta(hours=48), "view")]
+    df = pd.DataFrame(rows, columns=["user_id", "ts", "event_type"])
+    df["user_id"] = df["user_id"].astype(np.int64)
+    out = E.event_funnel(ray.data.from_pandas(df)).to_pandas()
+    assert out["step"].tolist() == [1, 2, 3]
+    assert out["step_name"].tolist() == ["signup", "view", "purchase"]
+    # signup: users 0,1,2,4; view-after-signup in window: 0,2,4; purchase: 0
+    # user 1's purchase is after its (late) signup but there is no view
+    # after the signup, so it stops at depth 1
+    assert out["users"].tolist() == [4, 3, 1]

@@ -327,3 +327,25 @@ class TestBloomSemiJoin:
         empty = ray.data.from_pandas(pd.DataFrame({"k2": np.array([], np.int64)}))
         out = bloom_semi_join(_blocks(left, 3), empty, "k", "k2").to_pandas()
         assert len(out) == 0
+
+
+class TestRevenueByNation:
+    def test_matches_duckdb_star_join(self):
+        import duckdb
+
+        from spatialjoincountovershells_ray.pipelines.relational import revenue_by_nation
+
+        sf = "/root/testdata/sf0.001"
+        out = revenue_by_nation(sf).to_pandas()
+        con = duckdb.connect()
+        for t in ["lineitem", "orders", "customer", "nation"]:
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+        want = con.execute(
+            "SELECT n_name, CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT) * "
+            "(100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT) AS revenue_e4 "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey "
+            "GROUP BY n_name ORDER BY n_name"
+        ).df()
+        assert out["n_name"].tolist() == want["n_name"].tolist()
+        assert out["revenue_e4"].tolist() == want["revenue_e4"].tolist()

@@ -575,3 +575,38 @@ class TestBuildPostings:
         want["doc_id"] = want["doc_id"].astype(np.int64)
         want = want.sort_values(["term", "doc_id"]).reset_index(drop=True)
         pd.testing.assert_frame_equal(got, want)
+
+
+class TestHeavyHitters:
+    def test_exact_with_forced_mg_decrement(self):
+        """Small k forces the Misra-Gries decrement path; the result must
+        still be the exact HAVING-count set (the candidate superset is
+        lossy-compressed, the verify pass is not)."""
+        import numpy as np
+        import pandas as pd
+        import ray
+        from spatialjoincountovershells_ray.pipelines import textops
+
+        rng = np.random.default_rng(13)
+        vocab = [f"w{i}" for i in range(400)]
+        # Zipf-ish: a few frequent words, a long tail
+        weights = 1.0 / np.arange(1, len(vocab) + 1) ** 1.2
+        weights /= weights.sum()
+        docs = [
+            " ".join(rng.choice(vocab, size=60, p=weights)) for _ in range(300)
+        ]
+        df = pd.DataFrame({"text": docs})
+        ds = ray.data.from_pandas([d for d in np.array_split(df, 9)])
+        phi = 0.02
+        out = textops.heavy_hitter_terms(ds, phi=phi, k=int(np.ceil(2 / phi)) - 1).to_pandas()
+        # brute-force oracle
+        from collections import Counter
+
+        c = Counter()
+        for t in docs:
+            c.update(t.split())
+        total = sum(c.values())
+        want = sorted([(t, n) for t, n in c.items() if n >= phi * total])
+        assert list(zip(out["term"], out["n"])) == want
+        assert len(want) > 0  # non-vacuous
+        assert len(want) < len(c)  # something was excluded

@@ -336,3 +336,65 @@ class TestPearsonCorr:
             _many_blocks(df, 3), "x", "y", x_scale=1, y_scale=100
         ).to_pandas()
         assert out["corr"][0] == out2["corr"][0]
+
+
+class TestZscoreOutliers:
+    def test_matches_two_pass_numpy(self):
+        rng = np.random.default_rng(11)
+        n = 4000
+        v = np.round(rng.normal(50, 10, n), 2)
+        v[rng.choice(n, 25, replace=False)] += 120.0  # planted outliers
+        df = pd.DataFrame({"event_id": np.arange(n, dtype=np.int64), "value": v})
+        out = relagg.zscore_outliers(
+            _many_blocks(df, 8), key="event_id", col="value", scale=100, z=3.0
+        ).to_pandas()
+        c = np.rint(v * 100).astype(np.int64)
+        mu = float(c.sum()) / n
+        thr = 9.0 * (float((c * c).sum()) / n - mu * mu)
+        want = np.where((c - mu) ** 2 > thr)[0]
+        assert out["event_id"].tolist() == sorted(want.tolist())
+        assert len(out) >= 25  # the planted ones are found
+
+    def test_overflow_guard(self):
+        df = pd.DataFrame({"k": [1], "v": [4e9]})
+        with pytest.raises(Exception):
+            relagg.zscore_outliers(
+                ray.data.from_pandas(df), key="k", col="v", scale=10**9, z=3.0
+            ).to_pandas()
+
+
+class TestHistogramFixed:
+    def test_matches_numpy_bincount(self):
+        rng = np.random.default_rng(5)
+        v = np.round(rng.random(3000) * 500000, 2)
+        df = pd.DataFrame({"o_totalprice": v})
+        out = relagg.histogram_fixed(_many_blocks(df, 6), "o_totalprice", 50000.0).to_pandas()
+        b = np.floor(v / 50000.0).astype(np.int64)
+        bins, counts = np.unique(b, return_counts=True)
+        assert out["bin"].tolist() == bins.tolist()
+        assert out["n"].tolist() == counts.tolist()
+        assert (out["lo"].to_numpy() == bins.astype(np.float64) * 50000.0).all()
+
+
+class TestRunningTotal:
+    def test_matches_pandas_cumsum(self):
+        rng = np.random.default_rng(9)
+        n = 3000
+        df = pd.DataFrame(
+            {
+                "o_custkey": rng.integers(0, 50, n).astype(np.int64),
+                "o_orderdate": pd.to_datetime("2024-01-01")
+                + pd.to_timedelta(rng.integers(0, 10, n), unit="D"),
+                "o_orderkey": np.arange(n, dtype=np.int64),
+                "o_totalprice": np.round(rng.random(n) * 1000, 2),
+            }
+        )
+        out = relagg.running_total_cents(
+            _many_blocks(df, 7), key="o_custkey", order_cols=["o_orderdate", "o_orderkey"], val="o_totalprice"
+        ).to_pandas()
+        g = df.sort_values(["o_custkey", "o_orderdate", "o_orderkey"], kind="mergesort").copy()
+        g["c"] = np.rint(g["o_totalprice"].to_numpy() * 100).astype(np.int64)
+        g["want"] = g.groupby("o_custkey")["c"].cumsum()
+        want = g.sort_values(["o_custkey", "o_orderkey"], kind="mergesort")
+        assert out["o_orderkey"].tolist() == want["o_orderkey"].tolist()
+        assert out["total_cents"].tolist() == want["want"].tolist()
