@@ -295,6 +295,10 @@ BENCH_QUERIES = [
     "price_histogram",
     "cumulative_spend",
     "revenue_by_nation",
+    "bigram_hitters",
+    "props_agg",
+    "spend_deciles",
+    "orders_pivot",
 ]
 
 

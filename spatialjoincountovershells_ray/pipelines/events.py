@@ -403,3 +403,46 @@ def event_funnel(
             }
         )
     )
+
+
+def props_key_agg(ds: "ray.data.Dataset", pattern: str = r'"k":\s*(?P<v>-?\d+)') -> "ray.data.Dataset":
+    """-> event_type, n:int64, sum_k:int64, min_k:int64, max_k:int64 —
+    grouped stats of an integer field pulled out of the semi-structured
+    props string (the JSON-ish payload extraction stage every log
+    pipeline has). Extraction is one vectorized RE2 pass
+    (pc.extract_regex — the same RE2 semantics the DuckDB twin's
+    regexp_extract uses); rows whose props don't match are dropped,
+    mirroring the twin's regexp_matches filter. Per-batch combiner
+    first: the exchange carries one 5-field row per (batch, type)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = pc.extract_regex(batch.column("props"), pattern)
+        ok = m.is_valid()
+        v = pc.struct_field(m, "v").cast(pa.int64())
+        t = pa.table(
+            {"event_type": batch.column("event_type").filter(ok), "v": v.filter(ok)}
+        )
+        g = t.group_by("event_type").aggregate(
+            [([], "count_all"), ("v", "sum"), ("v", "min"), ("v", "max")]
+        )
+        # pyarrow puts keys first, aggregates in declaration order
+        return g.rename_columns(["event_type", "n", "sum_k", "min_k", "max_k"])
+
+    def final(g: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": g.column("event_type").slice(0, 1),
+                "n": pa.array([int(pc.sum(g.column("n")).as_py())], pa.int64()),
+                "sum_k": pa.array([int(pc.sum(g.column("sum_k")).as_py())], pa.int64()),
+                "min_k": pa.array([int(pc.min(g.column("min_k")).as_py())], pa.int64()),
+                "max_k": pa.array([int(pc.max(g.column("max_k")).as_py())], pa.int64()),
+            }
+        )
+
+    return (
+        ds.select_columns(["event_type", "props"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("event_type")
+        .map_groups(final, batch_format="pyarrow")
+        .sort("event_type")
+    )

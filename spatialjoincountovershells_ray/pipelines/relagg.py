@@ -805,3 +805,41 @@ def running_total_cents(
         .map_groups(cum, batch_format="pandas")
         .sort([key, last])
     )
+
+
+def pivot_counts(
+    ds: "ray.data.Dataset", key: str, col: str, values: "list[str]"
+) -> "ray.data.Dataset":
+    """-> key, n_<v1>, ..., n_<vk>, n_total (all int64) — the PIVOT /
+    conditional-aggregation table: per key, one count column per
+    enumerated value of col (values outside the list land only in
+    n_total). Each batch folds to one row per (batch, key) with the
+    pivot already applied, so the exchange is O(keys x batches) narrow
+    int rows and the value strings never leave their batch."""
+    names = [f"n_{v.lower()}" for v in values]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        kv = batch.column(key)
+        cv = batch.column(col)
+        cols = {key: kv}
+        for v, name in zip(values, names):
+            cols[name] = pc.equal(cv, v).cast(pa.int64())
+        cols["n_total"] = pa.array(np.ones(batch.num_rows, np.int64))
+        t = pa.table(cols)
+        g = t.group_by(key).aggregate([(n, "sum") for n in [*names, "n_total"]])
+        return g.rename_columns([key, *names, "n_total"])
+
+    agg = (
+        ds.select_columns([key, col])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(key)
+        .sum([*names, "n_total"])
+    )
+
+    def final(batch: pa.Table) -> pa.Table:
+        cols = {key: batch.column(key)}
+        for n in [*names, "n_total"]:
+            cols[n] = batch.column(f"sum({n})").cast(pa.int64())
+        return pa.table(cols)
+
+    return agg.map_batches(final, batch_format="pyarrow", zero_copy_batch=True).sort(key)

@@ -387,8 +387,39 @@ def _ws_term_table(batch: pa.Table) -> pa.Table:
     return pa.table({"term": pc.filter(flat, pc.not_equal(flat, ""))})
 
 
+def _ws_bigram_table(batch: pa.Table) -> pa.Table:
+    """-> term (one row per ADJACENT token pair "a b", empties filtered
+    BEFORE pairing — the same adjacency list_filter-then-zip SQL sees)."""
+    import pyarrow.compute as pc
+
+    toks = pc.split_pattern_regex(batch.column("text"), r"[ \t\n\r\x0b\x0c]+")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = pc.list_flatten(toks)
+    parent = pc.list_parent_indices(toks)
+    keep = pc.not_equal(flat, "")
+    flat = pc.filter(flat, keep)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    parent = pc.filter(parent, keep)
+    if isinstance(parent, pa.ChunkedArray):
+        parent = parent.combine_chunks()
+    n = len(flat)
+    if n < 2:
+        return pa.table({"term": pa.array([], pa.string())})
+    a, b = flat.slice(0, n - 1), flat.slice(1, n - 1)
+    same_doc = pc.equal(parent.slice(0, n - 1), parent.slice(1, n - 1))
+    return pa.table(
+        {
+            "term": pc.binary_join_element_wise(
+                pc.filter(a, same_doc), pc.filter(b, same_doc), " "
+            )
+        }
+    )
+
+
 def heavy_hitter_terms(
-    docs: "ray.data.Dataset", phi: float = 0.01, k: int | None = None
+    docs: "ray.data.Dataset", phi: float = 0.01, k: int | None = None, *, terms_of=None
 ) -> "ray.data.Dataset":
     """-> term, n:int64 — the EXACT set of terms whose global count is
     >= phi * (total tokens), via the two-pass Misra-Gries pattern.
@@ -415,9 +446,10 @@ def heavy_hitter_terms(
 
     if k is None:
         k = max(1, int(np.ceil(2.0 / phi)) - 1)
+    tf = terms_of or _ws_term_table
 
     def mg_partial(batch: pa.Table) -> pa.Table:
-        t = _ws_term_table(batch)
+        t = tf(batch)
         g = t.group_by("term").aggregate([([], "count_all")])
         terms = g.column("term").to_numpy(zero_copy_only=False)
         n = g.column("count_all").to_numpy()
@@ -447,7 +479,7 @@ def heavy_hitter_terms(
     cand_terms = pa.array(sorted(cand["term"].tolist()), pa.string())
 
     def count_candidates(batch: pa.Table) -> pa.Table:
-        t = _ws_term_table(batch)
+        t = tf(batch)
         hits = t.filter(pc.is_in(t.column("term"), value_set=cand_terms))
         g = hits.group_by("term").aggregate([([], "count_all")])
         return pa.table({"term": g.column("term"), "n": g.column("count_all").cast(pa.int64())})
@@ -467,3 +499,16 @@ def heavy_hitter_terms(
         )
 
     return exact.map_batches(final, batch_format="pyarrow", zero_copy_batch=True).sort("term")
+
+
+def heavy_hitter_bigrams(
+    docs: "ray.data.Dataset", phi: float = 0.001, k: int | None = None
+) -> "ray.data.Dataset":
+    """-> term ("a b"), n:int64 — EXACT phi-frequent ADJACENT token
+    pairs: the bigram language-model count table, thresholded so the
+    output is bounded (<= 1/phi rows) no matter how large the pair
+    vocabulary grows. Same two-pass Misra-Gries plan as
+    heavy_hitter_terms — the O(vocab^2) bigram space is exactly where
+    the bounded-summary pattern earns its keep, since a vocabulary-wide
+    GROUP BY on pairs is quadratically worse than on terms."""
+    return heavy_hitter_terms(docs, phi=phi, k=k, terms_of=_ws_bigram_table)

@@ -207,3 +207,61 @@ def attribution_counts(sf_dir_or_ds) -> "ray.data.Dataset":
 
     tagged = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
     return keyed_partition_apply(tagged, "user_id", _attribution_kernel)
+
+
+@ray.remote
+def _bucket_partial(
+    tbl: pa.Table, offset: int, total: int, k: int, val_col: str
+) -> pa.Table:
+    """One sorted block -> its (bucket, n, cents) partial rows. The exact
+    SQL ntile(k) split: with rem = total % k and q = total // k, the
+    first rem buckets hold q+1 rows. The rank column itself never
+    materializes — each block folds straight to <= k partial rows."""
+    r = np.arange(offset, offset + tbl.num_rows, dtype=np.int64)
+    q, rem = divmod(total, k)
+    boundary = rem * (q + 1)
+    lo = r // (q + 1)
+    bucket = np.where(r < boundary, lo, rem + (r - boundary) // max(q, 1)) + 1
+    cents = np.rint(tbl.column(val_col).to_numpy() * 100).astype(np.int64)
+    t = pa.table(
+        {"bucket": pa.array(bucket, pa.int64()), "one": pa.array(np.ones(len(r), np.int64)), "cents": pa.array(cents, pa.int64())}
+    )
+    g = t.group_by("bucket").aggregate([("one", "sum"), ("cents", "sum")])
+    return g.rename_columns(["bucket", "n", "cents"])
+
+
+def value_ntile_stats(
+    ds: "ray.data.Dataset", val_col: str, id_col: str, k: int = 10
+) -> "ray.data.Dataset":
+    """-> bucket:int64, n:int64, cents:int64 — rows split into k
+    SQL-ntile buckets by (val, id) order, with per-bucket row counts and
+    exact fixed-point value sums (the decile table an analyst asks for).
+
+    Same physical plan as global_event_rank — one distributed
+    range-partitioned sort, O(blocks) driver prefix sums — but each
+    block then folds DIRECTLY to <= k (bucket, n, cents) partials, so no
+    rank column and no per-row output ever exist; the final exchange is
+    O(blocks * k)."""
+    sorted_ds = ds.select_columns([val_col, id_col]).sort([val_col, id_col]).materialize()
+    refs = sorted_ds.to_arrow_refs()
+    if not refs:
+        return sorted_ds
+    counts = ray.get([_block_nrows.remote(r) for r in refs])
+    total = int(np.sum(counts))
+    offsets = np.concatenate([[0], np.cumsum(counts[:-1], dtype=np.int64)])
+    parts = [
+        _bucket_partial.remote(r, int(off), total, k, val_col)
+        for r, off in zip(refs, offsets)
+    ]
+    agg = ray.data.from_arrow_refs(parts).groupby("bucket").sum(["n", "cents"])
+
+    def final(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "bucket": batch.column("bucket"),
+                "n": batch.column("sum(n)").cast(pa.int64()),
+                "cents": batch.column("sum(cents)").cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(final, batch_format="pyarrow", zero_copy_batch=True).sort("bucket")

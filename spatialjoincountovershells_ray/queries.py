@@ -1739,6 +1739,90 @@ _CUM_SPEND_SQL = (
 )
 
 
+BIGRAM_PHI = 0.001
+
+
+def q_bigram_hitters(sf_dir: str):
+    """Exact phi-frequent adjacent token pairs — the bigram LM count
+    table, bounded to <= 1/phi rows by the same two-pass Misra-Gries
+    plan as heavy_hitters (the O(vocab^2) pair space is where the
+    bounded summary matters most)."""
+    return textops.heavy_hitter_bigrams(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"]), phi=BIGRAM_PHI
+    )
+
+
+_BIGRAM_SQL = (
+    "WITH w AS (SELECT " + _WS_SPLIT + " AS w FROM documents), "
+    "b AS (SELECT unnest(list_transform(generate_series(1, len(w) - 1), "
+    "i -> w[i] || ' ' || w[i+1])) AS term FROM w WHERE len(w) >= 2), "
+    "tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM b) "
+    "SELECT term, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY term "
+    f"HAVING count(*) >= {BIGRAM_PHI!r} * (SELECT n FROM tot) ORDER BY term"
+)
+
+
+def q_props_agg(sf_dir: str):
+    """Semi-structured payload extraction: one vectorized RE2 pass pulls
+    the integer field out of the props JSON string, then a per-batch
+    combiner groups stats by event type."""
+    return events.props_key_agg(
+        ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "props"])
+    )
+
+
+_PROPS_AGG_SQL = (
+    "WITH q AS (SELECT event_type, "
+    "CAST(regexp_extract(props, '\"k\":\\s*(-?\\d+)', 1) AS BIGINT) AS v "
+    "FROM events WHERE regexp_matches(props, '\"k\":\\s*(-?\\d+)')) "
+    "SELECT event_type, CAST(count(*) AS BIGINT) AS n, "
+    "CAST(sum(v) AS BIGINT) AS sum_k, CAST(min(v) AS BIGINT) AS min_k, "
+    "CAST(max(v) AS BIGINT) AS max_k FROM q GROUP BY event_type ORDER BY event_type"
+)
+
+
+def q_spend_deciles(sf_dir: str):
+    """Exact SQL-ntile decile table over order totals: distributed sort,
+    O(blocks) driver prefix sums, each block folds straight to <= 10
+    partial rows — no rank column ever materializes."""
+    return window.value_ntile_stats(
+        ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_totalprice", "o_orderkey"]),
+        val_col="o_totalprice",
+        id_col="o_orderkey",
+        k=10,
+    )
+
+
+_SPEND_DECILES_SQL = (
+    "WITH r AS (SELECT ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket, "
+    "CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders) "
+    "SELECT CAST(bucket AS BIGINT) AS bucket, CAST(count(*) AS BIGINT) AS n, "
+    "CAST(sum(c) AS BIGINT) AS cents FROM r GROUP BY bucket ORDER BY bucket"
+)
+
+
+def q_orders_pivot(sf_dir: str):
+    """PIVOT / conditional aggregation: per order priority, one count
+    column per order status — pivot applied map-side, the exchange
+    carries narrow int rows only."""
+    return relagg.pivot_counts(
+        ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderpriority", "o_orderstatus"]),
+        key="o_orderpriority",
+        col="o_orderstatus",
+        values=["F", "P", "O"],
+    )
+
+
+_ORDERS_PIVOT_SQL = (
+    "SELECT o_orderpriority, "
+    "CAST(count(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS n_f, "
+    "CAST(count(*) FILTER (o_orderstatus = 'P') AS BIGINT) AS n_p, "
+    "CAST(count(*) FILTER (o_orderstatus = 'O') AS BIGINT) AS n_o, "
+    "CAST(count(*) AS BIGINT) AS n_total "
+    "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"
+)
+
+
 def q_revenue_by_nation(sf_dir: str):
     """TPC-H Q5-style star join (lineitem->orders->customer->nation) with
     per-edge join strategy and map-side fact pre-aggregation."""
@@ -2105,6 +2189,10 @@ REGISTRY: dict[str, QueryDef] = {
     "price_histogram": QueryDef(q_price_histogram, _PRICE_HIST_SQL),
     "cumulative_spend": QueryDef(q_cumulative_spend, _CUM_SPEND_SQL),
     "revenue_by_nation": QueryDef(q_revenue_by_nation, _REVENUE_SQL),
+    "bigram_hitters": QueryDef(q_bigram_hitters, _BIGRAM_SQL),
+    "props_agg": QueryDef(q_props_agg, _PROPS_AGG_SQL),
+    "spend_deciles": QueryDef(q_spend_deciles, _SPEND_DECILES_SQL),
+    "orders_pivot": QueryDef(q_orders_pivot, _ORDERS_PIVOT_SQL),
     "stratified_sample": QueryDef(q_stratified_sample, _stratified_sql()),
     "event_rollup": QueryDef(q_event_rollup, _ROLLUP_SQL),
     # genuinely non-SQL-expressible (approximate LSH candidate sets) —

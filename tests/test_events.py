@@ -240,3 +240,32 @@ def test_event_funnel_window_and_order():
     # user 1's purchase is after its (late) signup but there is no view
     # after the signup, so it stops at depth 1
     assert out["users"].tolist() == [4, 3, 1]
+
+
+def test_props_key_agg_matches_pandas():
+    import json
+
+    import numpy as np
+    import pandas as pd
+    import ray
+    from spatialjoincountovershells_ray.pipelines import events as E
+
+    rng = np.random.default_rng(23)
+    n = 1000
+    types = rng.choice(["a", "b", "c"], n)
+    k = rng.integers(-50, 200, n)
+    props = [json.dumps({"k": int(v)}) for v in k]
+    props[5] = "not json"  # unmatched rows must be dropped, not crash
+    df = pd.DataFrame({"event_type": types, "props": props})
+    out = E.props_key_agg(ray.data.from_pandas([d for d in np.array_split(df, 6)])).to_pandas()
+    df2 = df.drop(index=5).copy()
+    df2["v"] = [json.loads(p)["k"] for p in df2["props"]]
+    want = (
+        df2.groupby("event_type")["v"]
+        .agg(n="count", sum_k="sum", min_k="min", max_k="max")
+        .reset_index()
+        .sort_values("event_type")
+    )
+    assert out["event_type"].tolist() == want["event_type"].tolist()
+    for c in ["n", "sum_k", "min_k", "max_k"]:
+        assert out[c].tolist() == want[c].tolist()

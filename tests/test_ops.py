@@ -610,3 +610,29 @@ class TestHeavyHitters:
         assert list(zip(out["term"], out["n"])) == want
         assert len(want) > 0  # non-vacuous
         assert len(want) < len(c)  # something was excluded
+
+
+class TestBigramHitters:
+    def test_exact_vs_brute_force(self):
+        import numpy as np
+        import pandas as pd
+        import ray
+        from collections import Counter
+        from spatialjoincountovershells_ray.pipelines import textops
+
+        rng = np.random.default_rng(17)
+        vocab = [f"w{i}" for i in range(30)]
+        docs = [" ".join(rng.choice(vocab, size=rng.integers(1, 40))) for _ in range(200)]
+        docs += ["", "solo", "  pad   ded  "]  # adjacency edge cases
+        df = pd.DataFrame({"text": docs})
+        ds = ray.data.from_pandas([d for d in np.array_split(df, 7)])
+        phi = 0.002
+        out = textops.heavy_hitter_bigrams(ds, phi=phi).to_pandas()
+        c = Counter()
+        for t in docs:
+            w = t.split()
+            c.update(f"{a} {b}" for a, b in zip(w, w[1:]))
+        total = sum(c.values())
+        want = sorted([(t, n) for t, n in c.items() if n >= phi * total])
+        assert list(zip(out["term"], out["n"])) == want
+        assert 0 < len(want) < len(c)

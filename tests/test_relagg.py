@@ -398,3 +398,23 @@ class TestRunningTotal:
         want = g.sort_values(["o_custkey", "o_orderkey"], kind="mergesort")
         assert out["o_orderkey"].tolist() == want["o_orderkey"].tolist()
         assert out["total_cents"].tolist() == want["want"].tolist()
+
+
+class TestPivotCounts:
+    def test_matches_pandas_crosstab(self):
+        rng = np.random.default_rng(41)
+        n = 2000
+        df = pd.DataFrame(
+            {
+                "prio": rng.choice(["1-URGENT", "2-HIGH", "3-LOW"], n),
+                "status": rng.choice(["F", "P", "O", "X"], n),  # X outside the pivot list
+            }
+        )
+        out = relagg.pivot_counts(
+            _many_blocks(df, 6), key="prio", col="status", values=["F", "P", "O"]
+        ).to_pandas()
+        ct = pd.crosstab(df["prio"], df["status"])
+        assert out["prio"].tolist() == sorted(df["prio"].unique())
+        for v, c in [("F", "n_f"), ("P", "n_p"), ("O", "n_o")]:
+            assert out[c].tolist() == ct[v].loc[out["prio"]].tolist()
+        assert out["n_total"].tolist() == df.groupby("prio").size().loc[out["prio"]].tolist()

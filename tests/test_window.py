@@ -322,3 +322,55 @@ class TestTransitions:
         )
         out = ev.event_transition_counts(_blocks(df, 2)).to_pandas()
         assert len(out) == 0
+
+
+class TestNtileStats:
+    def test_matches_sql_ntile_uneven_split(self):
+        import duckdb
+        import numpy as np
+        import pandas as pd
+        import ray
+
+        from spatialjoincountovershells_ray.pipelines import window as W
+
+        rng = np.random.default_rng(31)
+        n = 2503  # deliberately not divisible by 10
+        df = pd.DataFrame(
+            {
+                "o_totalprice": np.round(rng.random(n) * 1000, 2),
+                "o_orderkey": np.arange(n, dtype=np.int64),
+            }
+        )
+        out = W.value_ntile_stats(
+            ray.data.from_pandas([d for d in np.array_split(df, 8)]),
+            val_col="o_totalprice",
+            id_col="o_orderkey",
+            k=10,
+        ).to_pandas()
+        con = duckdb.connect()
+        con.register("orders", df)
+        want = con.execute(
+            "WITH r AS (SELECT ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket, "
+            "CAST(round(o_totalprice*100) AS BIGINT) AS c FROM orders) "
+            "SELECT CAST(bucket AS BIGINT) bucket, CAST(count(*) AS BIGINT) n, "
+            "CAST(sum(c) AS BIGINT) cents FROM r GROUP BY 1 ORDER BY 1"
+        ).df()
+        assert out["bucket"].tolist() == want["bucket"].tolist()
+        assert out["n"].tolist() == want["n"].tolist()
+        assert out["cents"].tolist() == want["cents"].tolist()
+
+    def test_fewer_rows_than_buckets(self):
+        import numpy as np
+        import pandas as pd
+        import ray
+
+        from spatialjoincountovershells_ray.pipelines import window as W
+
+        df = pd.DataFrame({"o_totalprice": [3.0, 1.0, 2.0], "o_orderkey": [10, 11, 12]})
+        out = W.value_ntile_stats(
+            ray.data.from_pandas(df), val_col="o_totalprice", id_col="o_orderkey", k=10
+        ).to_pandas()
+        # ntile with n < k: each row its own bucket 1..n
+        assert out["bucket"].tolist() == [1, 2, 3]
+        assert out["n"].tolist() == [1, 1, 1]
+        assert out["cents"].tolist() == [100, 200, 300]
