@@ -299,6 +299,8 @@ BENCH_QUERIES = [
     "props_agg",
     "spend_deciles",
     "orders_pivot",
+    "dau_retention",
+    "source_vocab",
 ]
 
 

@@ -446,3 +446,50 @@ def props_key_agg(ds: "ray.data.Dataset", pattern: str = r'"k":\s*(?P<v>-?\d+)')
         .map_groups(final, batch_format="pyarrow")
         .sort("event_type")
     )
+
+
+def dau_retention(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """-> day:int64 (epoch days), n_active:int64, n_retained:int64 —
+    per day, the distinct active users and how many of them were also
+    active the NEXT day (classic day-over-day retention).
+
+    Plan: each batch first dedups to its (user, day) pairs (2-int rows),
+    one user-keyed exchange co-locates each user's day set, a vectorized
+    diff marks days whose successor is present, and a final O(days)
+    groupby sums flags — the event log never crosses an exchange, and
+    the self-join the SQL twin spells out never materializes (a user's
+    own sorted day vector answers it)."""
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        day = (
+            batch.column("ts").cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
+            // 86_400_000_000
+        )
+        t = pa.table({"user_id": batch.column("user_id"), "day": pa.array(day, pa.int64())})
+        return t.group_by(["user_id", "day"]).aggregate([])
+
+    def per_user(group: pd.DataFrame) -> pd.DataFrame:
+        d = np.unique(group["day"].to_numpy())
+        ret = np.zeros(len(d), dtype=np.int64)
+        ret[:-1] = (np.diff(d) == 1).astype(np.int64)
+        return pd.DataFrame({"day": d, "one": np.ones(len(d), np.int64), "ret": ret})
+
+    agg = (
+        ds.select_columns(["user_id", "ts"])
+        .map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("user_id")
+        .map_groups(per_user, batch_format="pandas")
+        .groupby("day")
+        .sum(["one", "ret"])
+    )
+
+    def final(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "day": batch.column("day"),
+                "n_active": batch.column("sum(one)").cast(pa.int64()),
+                "n_retained": batch.column("sum(ret)").cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(final, batch_format="pyarrow", zero_copy_batch=True).sort("day")

@@ -512,3 +512,48 @@ def heavy_hitter_bigrams(
     the bounded-summary pattern earns its keep, since a vocabulary-wide
     GROUP BY on pairs is quadratically worse than on terms."""
     return heavy_hitter_terms(docs, phi=phi, k=k, terms_of=_ws_bigram_table)
+
+
+def source_vocab(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """-> source, n_terms:int64 — exact distinct-token count per source
+    (vocabulary richness). Two-level distinct: each batch dedups its own
+    (source, term) pairs, one groupby finishes the global dedup, and a
+    per-batch combiner counts pairs per source so the final exchange is
+    O(sources x batches) — the standard exact COUNT(DISTINCT) GROUP BY
+    decomposition (hll_registers_grouped is the sketched sibling)."""
+    import pyarrow.compute as pc
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(batch.column("text"), r"[ \t\n\r\x0b\x0c]+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        keep = pc.not_equal(flat, "")
+        src = batch.column("source").take(pc.filter(parent, keep))
+        t = pa.table({"source": src, "term": pc.filter(flat, keep)})
+        return t.group_by(["source", "term"]).aggregate([])
+
+    distinct = (
+        docs.select_columns(["source", "text"])
+        .map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["source", "term"])
+        .count()
+    )
+
+    def partial_count(batch: pa.Table) -> pa.Table:
+        g = batch.select(["source"]).group_by("source").aggregate([([], "count_all")])
+        return g.rename_columns(["source", "n"])
+
+    agg = (
+        distinct.map_batches(partial_count, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("source")
+        .sum("n")
+    )
+
+    def final(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"source": batch.column("source"), "n_terms": batch.column("sum(n)").cast(pa.int64())}
+        )
+
+    return agg.map_batches(final, batch_format="pyarrow", zero_copy_batch=True).sort("source")

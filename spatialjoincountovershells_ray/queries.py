@@ -1823,6 +1823,41 @@ _ORDERS_PIVOT_SQL = (
 )
 
 
+def q_dau_retention(sf_dir: str):
+    """Day-over-day retention: distinct-active and retained-next-day per
+    epoch day; each user's sorted day vector answers the self-join."""
+    return events.dau_retention(
+        ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    )
+
+
+_DAU_RETENTION_SQL = (
+    "WITH ud AS (SELECT DISTINCT user_id, "
+    "CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day FROM events), "
+    "r AS (SELECT a.user_id, a.day, "
+    "CASE WHEN b.user_id IS NOT NULL THEN 1 ELSE 0 END AS ret "
+    "FROM ud a LEFT JOIN ud b ON a.user_id = b.user_id AND b.day = a.day + 1) "
+    "SELECT day, CAST(count(*) AS BIGINT) AS n_active, "
+    "CAST(sum(ret) AS BIGINT) AS n_retained FROM r GROUP BY day ORDER BY day"
+)
+
+
+def q_source_vocab(sf_dir: str):
+    """Exact COUNT(DISTINCT token) per source via two-level distinct
+    (per-batch dedup, one global dedup groupby, per-batch count
+    combiner)."""
+    return textops.source_vocab(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "text"])
+    )
+
+
+_SOURCE_VOCAB_SQL = (
+    "WITH t AS (SELECT source, unnest(" + _WS_SPLIT + ") AS term FROM documents) "
+    "SELECT source, CAST(count(DISTINCT term) AS BIGINT) AS n_terms "
+    "FROM t GROUP BY source ORDER BY source"
+)
+
+
 def q_revenue_by_nation(sf_dir: str):
     """TPC-H Q5-style star join (lineitem->orders->customer->nation) with
     per-edge join strategy and map-side fact pre-aggregation."""
@@ -2193,6 +2228,8 @@ REGISTRY: dict[str, QueryDef] = {
     "props_agg": QueryDef(q_props_agg, _PROPS_AGG_SQL),
     "spend_deciles": QueryDef(q_spend_deciles, _SPEND_DECILES_SQL),
     "orders_pivot": QueryDef(q_orders_pivot, _ORDERS_PIVOT_SQL),
+    "dau_retention": QueryDef(q_dau_retention, _DAU_RETENTION_SQL),
+    "source_vocab": QueryDef(q_source_vocab, _SOURCE_VOCAB_SQL),
     "stratified_sample": QueryDef(q_stratified_sample, _stratified_sql()),
     "event_rollup": QueryDef(q_event_rollup, _ROLLUP_SQL),
     # genuinely non-SQL-expressible (approximate LSH candidate sets) —

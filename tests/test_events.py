@@ -269,3 +269,35 @@ def test_props_key_agg_matches_pandas():
     assert out["event_type"].tolist() == want["event_type"].tolist()
     for c in ["n", "sum_k", "min_k", "max_k"]:
         assert out[c].tolist() == want[c].tolist()
+
+
+def test_dau_retention_matches_pandas():
+    import numpy as np
+    import pandas as pd
+    import ray
+    from spatialjoincountovershells_ray.pipelines import events as E
+
+    rng = np.random.default_rng(29)
+    n = 2000
+    df = pd.DataFrame(
+        {
+            "user_id": rng.integers(0, 40, n).astype(np.int64),
+            "ts": pd.Timestamp("2024-03-01")
+            + pd.to_timedelta(rng.integers(0, 20 * 86400, n), unit="s"),
+        }
+    )
+    out = E.dau_retention(ray.data.from_pandas([d for d in np.array_split(df, 7)])).to_pandas()
+    ud = df.copy()
+    ud["day"] = (ud["ts"].astype("datetime64[us]").astype(np.int64) // 86_400_000_000)
+    ud = ud[["user_id", "day"]].drop_duplicates()
+    nxt = set(zip(ud["user_id"], ud["day"] - 1))
+    ud["ret"] = [int((u, d) in nxt) for u, d in zip(ud["user_id"], ud["day"])]
+    want = (
+        ud.groupby("day")
+        .agg(n_active=("user_id", "size"), n_retained=("ret", "sum"))
+        .reset_index()
+        .sort_values("day")
+    )
+    assert out["day"].tolist() == want["day"].tolist()
+    assert out["n_active"].tolist() == want["n_active"].tolist()
+    assert out["n_retained"].tolist() == want["n_retained"].tolist()

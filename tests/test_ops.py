@@ -636,3 +636,32 @@ class TestBigramHitters:
         want = sorted([(t, n) for t, n in c.items() if n >= phi * total])
         assert list(zip(out["term"], out["n"])) == want
         assert 0 < len(want) < len(c)
+
+
+class TestSourceVocab:
+    def test_exact_distinct_count(self):
+        import numpy as np
+        import pandas as pd
+        import ray
+        from spatialjoincountovershells_ray.pipelines import textops
+
+        rng = np.random.default_rng(37)
+        srcs = ["s1", "s2", "s3"]
+        docs, src_col = [], []
+        for _ in range(150):
+            s = rng.choice(srcs)
+            words = rng.choice([f"w{i}" for i in range(100)], size=rng.integers(1, 30))
+            docs.append(" ".join(words))
+            src_col.append(s)
+        df = pd.DataFrame({"source": src_col, "text": docs})
+        out = textops.source_vocab(
+            ray.data.from_pandas([d for d in np.array_split(df, 6)])
+        ).to_pandas()
+        want = (
+            df.assign(term=df["text"].str.split())
+            .explode("term")
+            .groupby("source")["term"]
+            .nunique()
+        )
+        assert out["source"].tolist() == sorted(want.index.tolist())
+        assert out["n_terms"].tolist() == want.loc[out["source"]].tolist()
