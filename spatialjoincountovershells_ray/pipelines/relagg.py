@@ -783,28 +783,37 @@ def running_total_cents(
     oracle's window aggregator trees its additions — a double running
     sum would only match an oracle that adds strictly left-to-right.
 
-    groupby(key) co-locates each key's rows; one vectorized mergesort +
-    cumsum per group; output carries the key and the (unique) last
-    order column so rows are globally identifiable."""
+    A keyed bucket exchange co-locates each key's rows (the same
+    keyed_partition_apply plan the window ops use — work scales with
+    buckets, never group count), then ONE vectorized lexsort + segmented
+    cumsum per bucket handles every group in it: cumsum over the sorted
+    bucket minus each group's starting offset. Output carries the key
+    and the (unique) last order column so rows are globally
+    identifiable."""
+    from spatialjoincountovershells_ray.pipelines.window import keyed_partition_apply
+
     last = order_cols[-1]
 
-    def cum(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(order_cols, kind="mergesort")
-        c = np.rint(g[val].to_numpy() * 100).astype(np.int64)
-        return pd.DataFrame(
+    def kernel(tbl: pa.Table) -> pa.Table:
+        k = tbl.column(key).to_numpy()
+        oc = [tbl.column(c).to_numpy() for c in order_cols]
+        c = np.rint(tbl.column(val).to_numpy() * 100).astype(np.int64)
+        order = np.lexsort((*reversed(oc), k))
+        ks, cs = k[order], np.cumsum(c[order])
+        starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]]) if len(ks) else np.array([], np.int64)
+        runlen = np.diff(np.r_[starts, len(ks)]) if len(ks) else np.array([], np.int64)
+        base = np.where(starts > 0, cs[starts - 1], 0) if len(ks) else cs
+        return pa.table(
             {
-                key: g[key].to_numpy(),
-                last: g[last].to_numpy(),
-                "total_cents": np.cumsum(c),
+                key: pa.array(ks, pa.int64()),
+                last: pa.array(oc[-1][order] if order_cols else ks),
+                "total_cents": pa.array(cs - np.repeat(base, runlen), pa.int64()),
             }
         )
 
-    return (
-        ds.select_columns(list(dict.fromkeys([key, *order_cols, val])))
-        .groupby(key)
-        .map_groups(cum, batch_format="pandas")
-        .sort([key, last])
-    )
+    return keyed_partition_apply(
+        ds.select_columns(list(dict.fromkeys([key, *order_cols, val]))), key, kernel
+    ).sort([key, last])
 
 
 def pivot_counts(
