@@ -301,6 +301,7 @@ BENCH_QUERIES = [
     "orders_pivot",
     "dau_retention",
     "source_vocab",
+    "embedding_clusters",
 ]
 
 

@@ -1858,6 +1858,19 @@ _SOURCE_VOCAB_SQL = (
 )
 
 
+def q_embedding_clusters(sf_dir: str):
+    """Deterministic distributed Lloyd's k-means (iterative
+    broadcast-refine; exact int64 moment sums make assignments
+    bit-identical under any blocking — pytest replays the algorithm
+    single-process and matches exactly). Genuinely non-SQL-expressible
+    (iterative), so rows-only at the driver gate."""
+    return ann.kmeans_assign(
+        ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]),
+        k=8,
+        iters=5,
+    )
+
+
 def q_revenue_by_nation(sf_dir: str):
     """TPC-H Q5-style star join (lineitem->orders->customer->nation) with
     per-edge join strategy and map-side fact pre-aggregation."""
@@ -2232,8 +2245,9 @@ REGISTRY: dict[str, QueryDef] = {
     "source_vocab": QueryDef(q_source_vocab, _SOURCE_VOCAB_SQL),
     "stratified_sample": QueryDef(q_stratified_sample, _stratified_sql()),
     "event_rollup": QueryDef(q_event_rollup, _ROLLUP_SQL),
-    # genuinely non-SQL-expressible (approximate LSH candidate sets) —
-    # rows-only checks, recall-tested in tests/test_ops.py
+    # genuinely non-SQL-expressible (approximate LSH candidate sets;
+    # iterative k-means) — rows-only checks, tested in tests/test_ops.py
+    "embedding_clusters": QueryDef(q_embedding_clusters, None),
     "minhash_pairs": QueryDef(q_minhash_pairs, None),
     "ngram_jaccard_lsh": QueryDef(q_ngram_jaccard_lsh, None),
     "embedding_near_dups_lsh": QueryDef(q_embedding_near_dups_lsh, None),

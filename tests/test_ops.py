@@ -665,3 +665,62 @@ class TestSourceVocab:
         )
         assert out["source"].tolist() == sorted(want.index.tolist())
         assert out["n_terms"].tolist() == want.loc[out["source"]].tolist()
+
+
+class TestKmeansAssign:
+    def _oracle(self, ids, mat, k, iters):
+        """Single-process replay of the exact fixed-point algorithm."""
+        import numpy as np
+        from spatialjoincountovershells_ray.pipelines.ann import KMEANS_FP_SCALE
+
+        q = np.rint(mat.astype(np.float64) * KMEANS_FP_SCALE).astype(np.int64)
+        order = np.argsort(ids)
+        ids, q = ids[order], q[order]
+        cent = q[:k].astype(np.float64)  # ids 0..k-1 are the seeds
+
+        def d2(qf, c):
+            qq = (qf * qf).sum(1)
+            out = np.empty((len(qf), len(c)))
+            for j in range(len(c)):
+                out[:, j] = qq - 2.0 * (qf * c[j]).sum(1) + (c[j] * c[j]).sum()
+            return out
+
+        qf = q.astype(np.float64)
+        for _ in range(iters):
+            a = np.argmin(d2(qf, cent), axis=1)
+            for j in range(k):
+                m = a == j
+                if m.any():
+                    cent[j] = q[m].sum(0).astype(np.float64) / int(m.sum())
+        return ids, np.argmin(d2(qf, cent), axis=1)
+
+    def test_bit_identical_to_oracle_and_blocking_free(self):
+        import numpy as np
+        import pandas as pd
+        import ray
+        from spatialjoincountovershells_ray.pipelines import ann
+
+        rng = np.random.default_rng(43)
+        k, n, dim = 4, 600, 16
+        centers = rng.normal(0, 0.3, (k, dim))
+        mat = np.vstack([centers[i % k] + rng.normal(0, 0.05, dim) for i in range(n)]).astype(
+            np.float32
+        )
+        ids = np.arange(n, dtype=np.int64)
+        df = pd.DataFrame({"vec_id": ids, "embedding": [r for r in mat]})
+        out5 = ann.kmeans_assign(
+            ray.data.from_pandas([d for d in np.array_split(df, 5)]), k=k, iters=4
+        ).to_pandas()
+        oid, oassign = self._oracle(ids, mat, k, iters=4)
+        assert out5["vec_id"].tolist() == oid.tolist()
+        assert out5["cluster"].tolist() == oassign.tolist()
+        # different blocking -> bit-identical assignments
+        out9 = ann.kmeans_assign(
+            ray.data.from_pandas([d for d in np.array_split(df, 9)]), k=k, iters=4
+        ).to_pandas()
+        assert out9["cluster"].tolist() == out5["cluster"].tolist()
+        # the planted structure is actually recovered: each true group
+        # maps to exactly one cluster id
+        truth = ids % k
+        for g in range(k):
+            assert len(set(out5["cluster"][truth == g])) == 1
