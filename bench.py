@@ -302,6 +302,8 @@ BENCH_QUERIES = [
     "dau_retention",
     "source_vocab",
     "embedding_clusters",
+    "term_cooccurrence",
+    "user_value_trend",
 ]
 
 

@@ -852,3 +852,71 @@ def pivot_counts(
         return pa.table(cols)
 
     return agg.map_batches(final, batch_format="pyarrow", zero_copy_batch=True).sort(key)
+
+
+def grouped_slope_fixed(
+    ds: "ray.data.Dataset",
+    key: str,
+    ts_col: str,
+    val_col: str,
+    x0_s: int,
+    val_scale: int = 100,
+) -> "ray.data.Dataset":
+    """-> key, n:int64, slope:float64 — per-group least-squares slope of
+    the fixed-point value over time (the "is this user trending up"
+    regression), from EXACT per-group integer moments.
+
+    x = epoch seconds rebased to the documented x0_s origin (keeps x*x
+    and x*y inside int64 — the caller owns the span/scale contract the
+    same way pearson_corr_scaled does); y = round(val*val_scale). Each
+    batch folds to one 6-int row per (batch, group) via one sort +
+    reduceat pass; the merged exact integers feed ONE float expression
+    (n*sxy - sx*sy)/(n*sxx - sx^2) mirrored verbatim in the SQL twin —
+    no float-summation-order dependence anywhere."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        k = batch.column(key).to_numpy()
+        x = (
+            batch.column(ts_col).cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
+            // 1_000_000
+            - x0_s
+        )
+        y = np.rint(batch.column(val_col).to_numpy() * val_scale).astype(np.int64)
+        order = np.argsort(k, kind="stable")
+        ks, xs, ys = k[order], x[order], y[order]
+        starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]]) if len(ks) else np.array([], np.int64)
+        ends = np.r_[starts, len(ks)]
+        return pa.table(
+            {
+                key: pa.array(ks[starts], pa.int64()),
+                "n": pa.array(np.diff(ends), pa.int64()),
+                "sx": pa.array(np.add.reduceat(xs, starts) if len(starts) else [], pa.int64()),
+                "sy": pa.array(np.add.reduceat(ys, starts) if len(starts) else [], pa.int64()),
+                "sxy": pa.array(np.add.reduceat(xs * ys, starts) if len(starts) else [], pa.int64()),
+                "sxx": pa.array(np.add.reduceat(xs * xs, starts) if len(starts) else [], pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.select_columns([key, ts_col, val_col])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(key)
+        .sum(["n", "sx", "sy", "sxy", "sxx"])
+    )
+
+    def final(batch: pa.Table) -> pa.Table:
+        n = batch.column("sum(n)").to_numpy().astype(np.float64)
+        sx = batch.column("sum(sx)").to_numpy().astype(np.float64)
+        sy = batch.column("sum(sy)").to_numpy().astype(np.float64)
+        sxy = batch.column("sum(sxy)").to_numpy().astype(np.float64)
+        sxx = batch.column("sum(sxx)").to_numpy().astype(np.float64)
+        slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        return pa.table(
+            {
+                key: batch.column(key),
+                "n": batch.column("sum(n)").cast(pa.int64()),
+                "slope": pa.array(slope, pa.float64()),
+            }
+        )
+
+    return agg.map_batches(final, batch_format="pyarrow", zero_copy_batch=True).sort(key)

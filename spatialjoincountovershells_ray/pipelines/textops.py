@@ -557,3 +557,75 @@ def source_vocab(docs: "ray.data.Dataset") -> "ray.data.Dataset":
         )
 
     return agg.map_batches(final, batch_format="pyarrow", zero_copy_batch=True).sort("source")
+
+
+def term_cooccurrence(
+    docs: "ray.data.Dataset", df_lo: int = 2, df_hi: int = 1_000_000
+) -> "ray.data.Dataset":
+    """-> term_a, term_b, n_docs:int64 — document co-occurrence counts
+    (the collocation / PMI-numerator table) for every unordered pair of
+    band-qualified terms, counting each document once per pair.
+
+    Two passes. Pass 1 computes document frequencies (per-batch distinct
+    (term, doc) — a doc lives in one batch, so batch-dedup IS doc-dedup —
+    then one term groupby) and broadcasts the df-band vocabulary; the
+    band is the scale knob exactly as in build_postings — it bounds both
+    the broadcast and the quadratic per-doc pair blowup (df > hi are
+    stopwords whose pair lists would dominate everything). Pass 2
+    re-streams the corpus: each batch dedups its (doc, term) pairs,
+    filters to the vocabulary, SELF-JOINS on doc_id inside the batch
+    (pyarrow's C++ hash join — no Python pair loop), keeps term_a <
+    term_b and pre-counts, so the exchange carries per-batch pair
+    counts, never per-document pair lists."""
+    import pyarrow.compute as pc
+
+    def doc_terms(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(batch.column("text"), r"[ \t\n\r\x0b\x0c]+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        keep = pc.not_equal(flat, "")
+        doc = batch.column("doc_id").take(pc.filter(parent, keep))
+        t = pa.table({"term": pc.filter(flat, keep), "doc_id": doc})
+        return t.group_by(["term", "doc_id"]).aggregate([])
+
+    df_tbl = (
+        docs.select_columns(["doc_id", "text"])
+        .map_batches(doc_terms, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("term")
+        .count()
+        .to_pandas()
+    )
+    vocab = df_tbl.loc[
+        (df_tbl["count()"] >= df_lo) & (df_tbl["count()"] <= df_hi), "term"
+    ].tolist()
+    vocab_arr = pa.array(sorted(vocab), pa.string())
+
+    def pair_counts(batch: pa.Table) -> pa.Table:
+        t = doc_terms(batch)
+        t = t.filter(pc.is_in(t.column("term"), value_set=vocab_arr))
+        j = t.join(t, keys=["doc_id"], join_type="inner", right_suffix="_b")
+        j = j.filter(pc.less(j.column("term"), j.column("term_b")))
+        g = j.group_by(["term", "term_b"]).aggregate([([], "count_all")])
+        return g.rename_columns(["term_a", "term_b", "n_docs"])
+
+    agg = (
+        docs.select_columns(["doc_id", "text"])
+        .map_batches(pair_counts, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["term_a", "term_b"])
+        .sum("n_docs")
+    )
+
+    def final(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "term_a": batch.column("term_a"),
+                "term_b": batch.column("term_b"),
+                "n_docs": batch.column("sum(n_docs)").cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(final, batch_format="pyarrow", zero_copy_batch=True).sort(
+        ["term_a", "term_b"]
+    )

@@ -1858,6 +1858,64 @@ _SOURCE_VOCAB_SQL = (
 )
 
 
+COOC_DF_LO, COOC_DF_HI = 2, 1_000_000
+
+
+def q_term_cooccurrence(sf_dir: str):
+    """Document co-occurrence counts for df-band terms: per-batch
+    (doc, term) dedup, broadcast band vocabulary, in-batch C++ hash
+    self-join on doc_id, pair-count combiner."""
+    return textops.term_cooccurrence(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]),
+        df_lo=COOC_DF_LO,
+        df_hi=COOC_DF_HI,
+    )
+
+
+_COOC_SQL = (
+    "WITH t AS (SELECT DISTINCT doc_id, term FROM "
+    "(SELECT doc_id, unnest(" + _WS_SPLIT + ") AS term FROM documents)), "
+    f"df AS (SELECT term FROM t GROUP BY term "
+    f"HAVING count(*) BETWEEN {COOC_DF_LO} AND {COOC_DF_HI}), "
+    "ft AS (SELECT doc_id, term FROM t JOIN df USING (term)) "
+    "SELECT a.term AS term_a, b.term AS term_b, CAST(count(*) AS BIGINT) AS n_docs "
+    "FROM ft a JOIN ft b ON a.doc_id = b.doc_id AND a.term < b.term "
+    "GROUP BY 1, 2 ORDER BY 1, 2"
+)
+
+
+TREND_X0_S = 1_704_067_200  # 2024-01-01T00:00:00Z, the documented x origin
+
+
+def q_user_value_trend(sf_dir: str):
+    """Per-user least-squares slope of event value over time, from exact
+    per-group integer moments (one 6-int row per (batch, user) crosses
+    the exchange; the single final float expression mirrors the SQL)."""
+    return relagg.grouped_slope_fixed(
+        ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]),
+        key="user_id",
+        ts_col="ts",
+        val_col="value",
+        x0_s=TREND_X0_S,
+        val_scale=100,
+    )
+
+
+_TREND_SQL = (
+    "WITH q AS (SELECT user_id, "
+    f"CAST(floor(epoch_us(ts) / 1000000) AS BIGINT) - {TREND_X0_S} AS x, "
+    "CAST(round(value * 100) AS BIGINT) AS y FROM events), "
+    "m AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n, "
+    "CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy, "
+    "CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx "
+    "FROM q GROUP BY user_id) "
+    "SELECT user_id, n, "
+    "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / "
+    "(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) "
+    "AS slope FROM m ORDER BY user_id"
+)
+
+
 def q_embedding_clusters(sf_dir: str):
     """Deterministic distributed Lloyd's k-means (iterative
     broadcast-refine; exact int64 moment sums make assignments
@@ -2243,6 +2301,8 @@ REGISTRY: dict[str, QueryDef] = {
     "orders_pivot": QueryDef(q_orders_pivot, _ORDERS_PIVOT_SQL),
     "dau_retention": QueryDef(q_dau_retention, _DAU_RETENTION_SQL),
     "source_vocab": QueryDef(q_source_vocab, _SOURCE_VOCAB_SQL),
+    "term_cooccurrence": QueryDef(q_term_cooccurrence, _COOC_SQL),
+    "user_value_trend": QueryDef(q_user_value_trend, _TREND_SQL),
     "stratified_sample": QueryDef(q_stratified_sample, _stratified_sql()),
     "event_rollup": QueryDef(q_event_rollup, _ROLLUP_SQL),
     # genuinely non-SQL-expressible (approximate LSH candidate sets;

@@ -724,3 +724,35 @@ class TestKmeansAssign:
         truth = ids % k
         for g in range(k):
             assert len(set(out5["cluster"][truth == g])) == 1
+
+
+class TestTermCooccurrence:
+    def test_matches_brute_force_with_band(self):
+        import numpy as np
+        import pandas as pd
+        import ray
+        from collections import Counter
+        from itertools import combinations
+        from spatialjoincountovershells_ray.pipelines import textops
+
+        rng = np.random.default_rng(47)
+        vocab = [f"w{i}" for i in range(40)]
+        docs = [
+            " ".join(rng.choice(vocab, size=rng.integers(2, 15))) for _ in range(120)
+        ] + ["w0", ""]  # single-term and empty docs contribute no pairs
+        df = pd.DataFrame({"doc_id": np.arange(len(docs), dtype=np.int64), "text": docs})
+        ds = ray.data.from_pandas([d for d in np.array_split(df, 6)])
+        lo, hi = 3, 60
+        out = textops.term_cooccurrence(ds, df_lo=lo, df_hi=hi).to_pandas()
+        dfreq = Counter()
+        for t in docs:
+            dfreq.update(set(t.split()))
+        band = {t for t, c in dfreq.items() if lo <= c <= hi}
+        pairs = Counter()
+        for t in docs:
+            terms = sorted(set(t.split()) & band)
+            pairs.update(combinations(terms, 2))
+        want = sorted(pairs.items())
+        got = list(zip(zip(out["term_a"], out["term_b"]), out["n_docs"]))
+        assert got == want
+        assert len(want) > 0

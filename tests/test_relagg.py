@@ -418,3 +418,31 @@ class TestPivotCounts:
         for v, c in [("F", "n_f"), ("P", "n_p"), ("O", "n_o")]:
             assert out[c].tolist() == ct[v].loc[out["prio"]].tolist()
         assert out["n_total"].tolist() == df.groupby("prio").size().loc[out["prio"]].tolist()
+
+
+class TestGroupedSlope:
+    def test_matches_numpy_polyfit_and_blocking_free(self):
+        rng = np.random.default_rng(53)
+        n = 3000
+        users = rng.integers(0, 25, n).astype(np.int64)
+        secs = rng.integers(0, 30 * 86400, n)
+        ts = pd.Timestamp("2024-01-01") + pd.to_timedelta(secs, unit="s")
+        value = np.round(secs / 86400 * 0.5 + rng.normal(10, 2, n), 2)  # upward trend
+        df = pd.DataFrame({"user_id": users, "ts": ts, "value": value})
+        out = relagg.grouped_slope_fixed(
+            _many_blocks(df, 8), key="user_id", ts_col="ts", val_col="value",
+            x0_s=1_704_067_200, val_scale=100,
+        ).to_pandas()
+        for _, row in out.iterrows():
+            m = users == row["user_id"]
+            x = secs[m].astype(np.float64)
+            y = np.rint(value[m] * 100).astype(np.float64)
+            sn, sx, sy = float(m.sum()), x.sum(), y.sum()
+            want = (sn * (x * y).sum() - sx * sy) / (sn * (x * x).sum() - sx * sx)
+            assert abs(row["slope"] - want) < 1e-9
+            assert row["slope"] > 0  # the planted trend is recovered
+        out2 = relagg.grouped_slope_fixed(
+            _many_blocks(df, 3), key="user_id", ts_col="ts", val_col="value",
+            x0_s=1_704_067_200, val_scale=100,
+        ).to_pandas()
+        assert out["slope"].tolist() == out2["slope"].tolist()  # exact moments
