@@ -304,6 +304,7 @@ BENCH_QUERIES = [
     "embedding_clusters",
     "term_cooccurrence",
     "user_value_trend",
+    "weekly_active_users",
 ]
 
 

@@ -493,3 +493,78 @@ def dau_retention(ds: "ray.data.Dataset") -> "ray.data.Dataset":
         )
 
     return agg.map_batches(final, batch_format="pyarrow", zero_copy_batch=True).sort("day")
+
+
+WAU_WINDOW_DAYS = 7
+
+
+def weekly_active_users(ds: "ray.data.Dataset", window: int = WAU_WINDOW_DAYS) -> "ray.data.Dataset":
+    """-> day:int64 (epoch days), wau:int64 — for every ACTIVE day, the
+    distinct users active in the trailing ``window``-day interval (the
+    classic sliding COUNT(DISTINCT), the op that is quadratic if done as
+    the self-join the SQL twin spells out).
+
+    Linear plan: per-batch (user, day) dedup; a user-keyed bucket
+    exchange; per user, each active day d covers the result days
+    [d, d+window-1], so the user's merged coverage intervals (a
+    vectorized gap-split over their sorted day vector) become +1/-1
+    boundary DIFFS — a user contributes O(intervals) rows no matter how
+    active. One tiny groupby sums diffs per day and the O(distinct
+    days) cumulative sum + active-day filter runs on the driver.
+    Exchange volume: user-day pairs in, interval boundaries out — the
+    window never replicates rows window-fold."""
+    from spatialjoincountovershells_ray.pipelines.window import keyed_partition_apply
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        day = (
+            batch.column("ts").cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
+            // 86_400_000_000
+        )
+        t = pa.table({"user_id": batch.column("user_id"), "day": pa.array(day, pa.int64())})
+        return t.group_by(["user_id", "day"]).aggregate([])
+
+    def diffs(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return pa.table({"day": pa.array([], pa.int64()), "d": pa.array([], pa.int64())})
+        u = tbl.column("user_id").to_numpy()
+        d = tbl.column("day").to_numpy()
+        order = np.lexsort((d, u))
+        us, dsrt = u[order], d[order]
+        # a new coverage interval starts at a new user or a gap > window-1
+        new = np.r_[True, (us[1:] != us[:-1]) | (dsrt[1:] - dsrt[:-1] > window - 1)]
+        starts = np.flatnonzero(new)
+        ends = np.r_[starts[1:], len(dsrt)] - 1
+        lo = dsrt[starts]
+        hi = dsrt[ends] + window - 1
+        return pa.table(
+            {
+                "day": pa.array(np.concatenate([lo, hi + 1]), pa.int64()),
+                "d": pa.array(
+                    np.concatenate([np.ones(len(lo), np.int64), -np.ones(len(hi), np.int64)])
+                ),
+            }
+        )
+
+    ud = ds.select_columns(["user_id", "ts"]).map_batches(
+        pairs, batch_format="pyarrow", zero_copy_batch=True
+    )
+    diff_tbl = (
+        keyed_partition_apply(ud, "user_id", diffs).groupby("day").sum("d").to_pandas()
+    )  # O(interval boundaries) rows
+    active_days = np.sort(
+        ud.groupby("day").count().to_pandas()["day"].to_numpy()
+    )  # O(distinct days)
+    diff_tbl = diff_tbl.sort_values("day", kind="mergesort")
+    boundary_days = diff_tbl["day"].to_numpy()
+    cum = diff_tbl["sum(d)"].to_numpy().cumsum()
+    # wau at day x = cumulative diff of all boundaries <= x
+    pos = np.searchsorted(boundary_days, active_days, side="right") - 1
+    wau = np.where(pos >= 0, cum[np.maximum(pos, 0)], 0)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "day": pa.array(active_days, pa.int64()),
+                "wau": pa.array(wau.astype(np.int64), pa.int64()),
+            }
+        )
+    )

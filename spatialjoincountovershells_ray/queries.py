@@ -1916,6 +1916,25 @@ _TREND_SQL = (
 )
 
 
+def q_weekly_active_users(sf_dir: str):
+    """Sliding 7-day distinct-user counts via per-user coverage-interval
+    diffs — linear in user-days where the SQL twin's window self-join is
+    quadratic in the window."""
+    return events.weekly_active_users(
+        ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    )
+
+
+_WAU_SQL = (
+    "WITH ud AS (SELECT DISTINCT user_id, "
+    "CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day FROM events), "
+    "days AS (SELECT DISTINCT day FROM ud) "
+    "SELECT d.day, CAST(count(DISTINCT u.user_id) AS BIGINT) AS wau "
+    "FROM days d JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day "
+    "GROUP BY d.day ORDER BY d.day"
+)
+
+
 def q_embedding_clusters(sf_dir: str):
     """Deterministic distributed Lloyd's k-means (iterative
     broadcast-refine; exact int64 moment sums make assignments
@@ -2303,6 +2322,7 @@ REGISTRY: dict[str, QueryDef] = {
     "source_vocab": QueryDef(q_source_vocab, _SOURCE_VOCAB_SQL),
     "term_cooccurrence": QueryDef(q_term_cooccurrence, _COOC_SQL),
     "user_value_trend": QueryDef(q_user_value_trend, _TREND_SQL),
+    "weekly_active_users": QueryDef(q_weekly_active_users, _WAU_SQL),
     "stratified_sample": QueryDef(q_stratified_sample, _stratified_sql()),
     "event_rollup": QueryDef(q_event_rollup, _ROLLUP_SQL),
     # genuinely non-SQL-expressible (approximate LSH candidate sets;

@@ -301,3 +301,41 @@ def test_dau_retention_matches_pandas():
     assert out["day"].tolist() == want["day"].tolist()
     assert out["n_active"].tolist() == want["n_active"].tolist()
     assert out["n_retained"].tolist() == want["n_retained"].tolist()
+
+
+def test_weekly_active_users_matches_brute_force():
+    import numpy as np
+    import pandas as pd
+    import ray
+    from spatialjoincountovershells_ray.pipelines import events as E
+
+    rng = np.random.default_rng(61)
+    n = 3000
+    df = pd.DataFrame(
+        {
+            "user_id": rng.integers(0, 30, n).astype(np.int64),
+            "ts": pd.Timestamp("2024-01-01")
+            + pd.to_timedelta(rng.integers(0, 45 * 86400, n), unit="s"),
+        }
+    )
+    out = E.weekly_active_users(
+        ray.data.from_pandas([d for d in np.array_split(df, 7)])
+    ).to_pandas()
+    ud = df.copy()
+    ud["day"] = ud["ts"].astype("datetime64[us]").astype(np.int64) // 86_400_000_000
+    ud = ud[["user_id", "day"]].drop_duplicates()
+    days = np.sort(ud["day"].unique())
+    want = [
+        ud.loc[(ud["day"] >= d - 6) & (ud["day"] <= d), "user_id"].nunique() for d in days
+    ]
+    assert out["day"].tolist() == days.tolist()
+    assert out["wau"].tolist() == want
+    # sparse regime: one user, two bursts far apart -> interval merge split
+    df2 = pd.DataFrame(
+        {
+            "user_id": np.zeros(4, np.int64),
+            "ts": pd.to_datetime(["2024-01-01", "2024-01-03", "2024-02-01", "2024-02-02"]),
+        }
+    )
+    out2 = E.weekly_active_users(ray.data.from_pandas(df2)).to_pandas()
+    assert out2["wau"].tolist() == [1, 1, 1, 1]
