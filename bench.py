@@ -305,6 +305,7 @@ BENCH_QUERIES = [
     "term_cooccurrence",
     "user_value_trend",
     "weekly_active_users",
+    "orders_checksum",
 ]
 
 

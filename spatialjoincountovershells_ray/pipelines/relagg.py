@@ -920,3 +920,45 @@ def grouped_slope_fixed(
         )
 
     return agg.map_batches(final, batch_format="pyarrow", zero_copy_batch=True).sort(key)
+
+
+def table_checksum(
+    ds: "ray.data.Dataset", key: str, val: str, val_scale: int = 100
+) -> "ray.data.Dataset":
+    """-> n:int64, checksum:int64 — an order-independent content
+    fingerprint of (key, round(val*val_scale)) rows: per row
+    h = mix64(mix64(key) XOR cents), summed mod 2^64. The
+    migration-validation primitive: two copies of a table match iff
+    (n, checksum) match, regardless of row order, partitioning or
+    blocking (the sum is commutative and exact in uint64 wraparound).
+
+    Each batch folds to one (n, partial-checksum) row; the driver sums
+    O(batches) Python ints mod 2^64. The SQL twin replays the identical
+    splitmix64 rounds in HUGEINT 32-bit limbs, so the fingerprint is
+    value-hash checkable, not just self-consistent."""
+    from spatialjoincountovershells_ray.functions.hashing import mix64
+
+    def partial(batch: pa.Table) -> pa.Table:
+        k = batch.column(key).to_numpy().astype(np.uint64)
+        c = np.rint(batch.column(val).to_numpy() * val_scale).astype(np.int64).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h = mix64(mix64(k) ^ c)
+            chk = int(h.sum(dtype=np.uint64))
+        return pa.table(
+            {
+                "n": pa.array([batch.num_rows], pa.int64()),
+                "chk": pa.array([np.uint64(chk).astype(np.int64)], pa.int64()),
+            }
+        )
+
+    parts = (
+        ds.select_columns([key, val])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+    )
+    n = int(parts["n"].sum())
+    total = sum(int(x) & 0xFFFFFFFFFFFFFFFF for x in parts["chk"]) % (1 << 64)
+    signed = total - (1 << 64) if total >= (1 << 63) else total
+    return ray.data.from_arrow(
+        pa.table({"n": pa.array([n], pa.int64()), "checksum": pa.array([signed], pa.int64())})
+    )

@@ -1916,6 +1916,44 @@ _TREND_SQL = (
 )
 
 
+def q_orders_checksum(sf_dir: str):
+    """Order-independent table fingerprint of (o_orderkey, total cents):
+    the migration-validation primitive — per-batch uint64 mix sums,
+    driver folds O(batches) ints mod 2^64."""
+    return relagg.table_checksum(
+        ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]),
+        key="o_orderkey",
+        val="o_totalprice",
+        val_scale=100,
+    )
+
+
+def _checksum_sql() -> str:
+    m1, m2 = 0xFF51AFD7ED558CCD, 0xC4CEB9FE1A85EC53
+
+    def chain(src_cte: str, xcol: str, out: str, tag: str) -> str:
+        a, b, c, d = f"{tag}a", f"{tag}b", f"{tag}c", f"{tag}d"
+        return (
+            f"{tag}1 AS (SELECT *, {_xorshift33_sql(xcol)} AS {a} FROM {src_cte}), "
+            f"{tag}2 AS (SELECT *, {_mul64_sql(a, m1)} AS {b} FROM {tag}1), "
+            f"{tag}3 AS (SELECT *, {_xorshift33_sql(b)} AS {c} FROM {tag}2), "
+            f"{tag}4 AS (SELECT *, {_mul64_sql(c, m2)} AS {d} FROM {tag}3), "
+            f"{tag}5 AS (SELECT *, {_xorshift33_sql(d)} AS {out} FROM {tag}4)"
+        )
+
+    return (
+        "WITH base AS (SELECT CAST(o_orderkey AS HUGEINT) AS x, "
+        "CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS HUGEINT) AS cents FROM orders), "
+        + chain("base", "x", "h1", "p")
+        + ", mixed AS (SELECT xor(h1, cents) AS y, * FROM p5), "
+        + chain("mixed", "y", "h2", "q")
+        + ", tot AS (SELECT CAST(count(*) AS BIGINT) AS n, "
+        "SUM(h2) % 18446744073709551616::HUGEINT AS t FROM q5) "
+        "SELECT n, CAST(CASE WHEN t >= 9223372036854775808::HUGEINT "
+        "THEN t - 18446744073709551616::HUGEINT ELSE t END AS BIGINT) AS checksum FROM tot"
+    )
+
+
 def q_weekly_active_users(sf_dir: str):
     """Sliding 7-day distinct-user counts via per-user coverage-interval
     diffs — linear in user-days where the SQL twin's window self-join is
@@ -2323,6 +2361,7 @@ REGISTRY: dict[str, QueryDef] = {
     "term_cooccurrence": QueryDef(q_term_cooccurrence, _COOC_SQL),
     "user_value_trend": QueryDef(q_user_value_trend, _TREND_SQL),
     "weekly_active_users": QueryDef(q_weekly_active_users, _WAU_SQL),
+    "orders_checksum": QueryDef(q_orders_checksum, _checksum_sql()),
     "stratified_sample": QueryDef(q_stratified_sample, _stratified_sql()),
     "event_rollup": QueryDef(q_event_rollup, _ROLLUP_SQL),
     # genuinely non-SQL-expressible (approximate LSH candidate sets;

@@ -446,3 +446,26 @@ class TestGroupedSlope:
             x0_s=1_704_067_200, val_scale=100,
         ).to_pandas()
         assert out["slope"].tolist() == out2["slope"].tolist()  # exact moments
+
+
+class TestTableChecksum:
+    def test_order_and_blocking_invariant_but_content_sensitive(self):
+        rng = np.random.default_rng(67)
+        n = 2000
+        df = pd.DataFrame(
+            {
+                "o_orderkey": np.arange(n, dtype=np.int64),
+                "o_totalprice": np.round(rng.random(n) * 1000, 2),
+            }
+        )
+        a = relagg.table_checksum(_many_blocks(df, 9), "o_orderkey", "o_totalprice").to_pandas()
+        # shuffled rows, different blocking -> identical fingerprint
+        shuf = df.sample(frac=1.0, random_state=1)
+        b = relagg.table_checksum(_many_blocks(shuf, 4), "o_orderkey", "o_totalprice").to_pandas()
+        assert a["n"][0] == b["n"][0] == n
+        assert a["checksum"][0] == b["checksum"][0]
+        # one cent of difference in one row -> different fingerprint
+        df2 = df.copy()
+        df2.loc[7, "o_totalprice"] += 0.01
+        c = relagg.table_checksum(_many_blocks(df2, 9), "o_orderkey", "o_totalprice").to_pandas()
+        assert c["checksum"][0] != a["checksum"][0]
