@@ -319,14 +319,43 @@ def _embed_fp(batch: pa.Table) -> "tuple[np.ndarray, np.ndarray]":
     return ids, np.rint(mat * KMEANS_FP_SCALE).astype(np.int64)
 
 
+def _kmeans_d2(qf: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Squared distances via per-cluster row-local sums (length-dim
+    pairwise reductions): unlike a BLAS gemm, the reduction order cannot
+    depend on the batch's row count, so distances are
+    blocking-independent."""
+    qq = (qf * qf).sum(1)
+    out = np.empty((len(qf), len(c)), np.float64)
+    for j in range(len(c)):
+        out[:, j] = qq - 2.0 * (qf * c[j]).sum(1) + (c[j] * c[j]).sum()
+    return out
+
+
+@ray.remote
+def _kmeans_partial(tbl: pa.Table, c: np.ndarray, k: int) -> "tuple[np.ndarray, np.ndarray]":
+    """One block -> (counts[k], int64 moment sums[k, dim])."""
+    _, q = _embed_fp(tbl)
+    a = np.argmin(_kmeans_d2(q.astype(np.float64), c), axis=1)
+    counts = np.bincount(a, minlength=k).astype(np.int64)
+    sums = np.zeros((k, q.shape[1]), np.int64)
+    order = np.argsort(a, kind="stable")
+    qs, asrt = q[order], a[order]
+    if len(asrt):
+        starts = np.flatnonzero(np.r_[True, asrt[1:] != asrt[:-1]])
+        sums[asrt[starts]] = np.add.reduceat(qs, starts, axis=0)
+    return counts, sums
+
+
 def kmeans_assign(
     ds: "ray.data.Dataset", k: int = 8, iters: int = 5
 ) -> "ray.data.Dataset":
     """-> vec_id:int64, cluster:int64 — DETERMINISTIC distributed Lloyd's
-    k-means over the embedding column (the iterative broadcast-refine
-    pattern: per iteration, centroids broadcast in the task closure, each
-    batch folds to <= k partial-moment rows, a tiny groupby merges them,
-    the driver updates k centroids).
+    k-means over the embedding column: the iterative broadcast-refine
+    pattern, run on raw Ray tasks over object-store-resident blocks (the
+    documented drop-to-raw-Ray case — a per-iteration Dataset groupby
+    pays the full exchange machinery for what is a k x (dim+2) fold; one
+    task per cached block + a driver numpy fold is ~10x cheaper per
+    iteration, and the driver state stays O(k*dim) ints).
 
     Determinism is engineered, not hoped for: embeddings are quantized
     once to int64 fixed point (KMEANS_FP_SCALE), so the per-cluster
@@ -336,64 +365,32 @@ def kmeans_assign(
     pytest oracle replays the identical algorithm single-process and
     matches exactly. Init = the k lowest vec_ids (deterministic); empty
     clusters keep their previous centroid. Per iteration the exchange is
-    O(batches * k * (dim+2)) int64 — the data matrix never moves."""
+    O(blocks * k * (dim+2)) int64 — the data matrix never moves: it is
+    read once (materialize — the legitimate case: iterative reuse) and
+    every iteration probes the same cached blocks."""
+    ds = ds.select_columns(["vec_id", "embedding"]).materialize()
     seeds = ds.filter(lambda r: r["vec_id"] < k).take_all()
     seeds.sort(key=lambda r: r["vec_id"])
-    dim = len(seeds[0]["embedding"])
     cent = np.stack([np.asarray(r["embedding"], np.float64) for r in seeds])
     cent = np.rint(cent * KMEANS_FP_SCALE)  # float64 copies of exact ints
-    scols = [f"s{d}" for d in range(dim)]
 
-    def _d2(qf: np.ndarray, c: np.ndarray) -> np.ndarray:
-        # per-cluster row-local sums (length-dim pairwise reductions):
-        # unlike a BLAS gemm, the reduction order cannot depend on the
-        # batch's row count, so distances are blocking-independent
-        qq = (qf * qf).sum(1)
-        out = np.empty((len(qf), len(c)), np.float64)
-        for j in range(len(c)):
-            out[:, j] = qq - 2.0 * (qf * c[j]).sum(1) + (c[j] * c[j]).sum()
-        return out
-
-    def partial(batch: pa.Table, c: np.ndarray) -> pa.Table:
-        _, q = _embed_fp(batch)
-        qf = q.astype(np.float64)
-        a = np.argmin(_d2(qf, c), axis=1)
-        order = np.argsort(a, kind="stable")
-        qs, asrt = q[order], a[order]
-        starts = np.flatnonzero(np.r_[True, asrt[1:] != asrt[:-1]])
-        sums = np.add.reduceat(qs, starts, axis=0)
-        ns = np.diff(np.r_[starts, len(asrt)])
-        cols = {
-            "cluster": pa.array(asrt[starts], pa.int64()),
-            "n": pa.array(ns.astype(np.int64), pa.int64()),
-        }
-        for d in range(dim):
-            cols[scols[d]] = pa.array(sums[:, d], pa.int64())
-        return pa.table(cols)
-
+    refs = ds.to_arrow_refs()
     for _ in range(iters):
-        merged = (
-            ds.map_batches(
-                partial, fn_kwargs={"c": cent}, batch_format="pyarrow", zero_copy_batch=True
-            )
-            .groupby("cluster")
-            .sum(["n", *scols])
-            .to_pandas()  # k rows
-        )
-        for _, row in merged.iterrows():
-            ci = int(row["cluster"])
-            n = int(row["sum(n)"])
-            if n:
-                s = np.array([int(row[f"sum({c})"]) for c in scols], np.float64)
-                cent[ci] = s / n  # exact ints -> one deterministic division
+        parts = ray.get([_kmeans_partial.remote(r, cent, k) for r in refs])
+        counts = np.sum([p[0] for p in parts], axis=0)  # exact int64
+        sums = np.sum([p[1] for p in parts], axis=0)
+        nz = counts > 0
+        cent[nz] = sums[nz].astype(np.float64) / counts[nz, None].astype(np.float64)
 
     def assign(batch: pa.Table, c: np.ndarray) -> pa.Table:
         ids, q = _embed_fp(batch)
-        qf = q.astype(np.float64)
         return pa.table(
             {
                 "vec_id": pa.array(ids, pa.int64()),
-                "cluster": pa.array(np.argmin(_d2(qf, c), axis=1).astype(np.int64), pa.int64()),
+                "cluster": pa.array(
+                    np.argmin(_kmeans_d2(q.astype(np.float64), c), axis=1).astype(np.int64),
+                    pa.int64(),
+                ),
             }
         )
 
