@@ -327,6 +327,27 @@ def rolling_fingerprint_col(col: "pa.ChunkedArray | pa.Array") -> np.ndarray:
     return out.view(np.int64)
 
 
+def full_shingle_positions(off: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Byte start of every k-byte shingle of every row of a byte-CSR
+    column, plus the owning row per shingle. Every row MUST be >= k
+    bytes (filter shorter rows first) so each shingle is full-length —
+    the positional twin of :func:`segmented_shingle_hashes` on such
+    input (shingle i of the combined stream starts at ``gstart[i]``).
+    """
+    lens = np.diff(off)
+    nsh = lens - k + 1
+    if (nsh <= 0).any():
+        raise ValueError("full_shingle_positions requires every row >= k bytes")
+    n = len(lens)
+    starts = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(nsh, out=starts[1:])
+    total = int(starts[-1])
+    row_of = np.repeat(np.arange(n, dtype=np.int64), nsh)
+    within = np.arange(total, dtype=np.int64) - np.repeat(starts[:-1], nsh)
+    gstart = off[:-1][row_of] + within
+    return gstart, row_of
+
+
 def char_shingles(text: str, k: int) -> set[str]:
     """k-character shingle set of one document (deduplicated)."""
     if len(text) < k:

@@ -1103,3 +1103,185 @@ def simhash_near_dups(
         refs = [_distinct_ham_pairs.remote(*refs[i : i + 8]) for i in range(0, len(refs), 8)]
     out = ray.get(refs[0])
     return ray.data.from_arrow(out.sort_by([("id_a", "ascending"), ("id_b", "ascending")]))
+
+
+# ---------------------------------------------------------------------------
+# exact duplicated-substring table (the Lee-et-al training-data op)
+
+
+@ray.remote
+def _collect_dup_hashes(*parts: pa.Table) -> np.ndarray:
+    """Concat the surviving screened-gram hash blocks into one sorted
+    int64 vector (the pass-2 broadcast object — O(duplicated grams),
+    never O(corpus))."""
+    arrs = [p.column("h").to_numpy() for p in parts if p.num_rows]
+    if not arrs:
+        return np.empty(0, np.int64)
+    return np.sort(np.concatenate(arrs))
+
+
+def _dupgram_empty() -> pa.Table:
+    return pa.table(
+        {
+            "gram": pa.array([], pa.string()),
+            "nd": pa.array([], pa.int64()),
+            "occ": pa.array([], pa.int64()),
+        }
+    )
+
+
+class _DupGramKernel:
+    """Pass-2 actor: re-extract the text of shingles whose hash survived
+    the pass-1 screen and pre-aggregate (gram, ndocs, occurrences) per
+    batch. The dup-hash vector is fetched once per actor."""
+
+    def __init__(self, dup_ref, k: int):
+        self.dup = ray.get(dup_ref[0]) if isinstance(dup_ref, list) else dup_ref
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        k = self.k
+        b = batch.filter(
+            pa.compute.greater_equal(pa.compute.binary_length(batch.column("text")), k)
+        )
+        if b.num_rows == 0 or len(self.dup) == 0:
+            return _dupgram_empty()
+        h, _ = T.segmented_shingle_hashes(b.column("text"), k)
+        hs = h.view(np.int64)
+        pos = np.searchsorted(self.dup, hs)
+        pos[pos == len(self.dup)] = 0
+        sel = np.flatnonzero(self.dup[pos] == hs)
+        if len(sel) == 0:
+            return _dupgram_empty()
+        data, off = T.string_bytes(b.column("text"))
+        gstart, row_of = T.full_shingle_positions(off, k)
+        gs = gstart[sel]
+        # gather the k bytes of every selected shingle into one buffer;
+        # uniform-stride offsets make it a StringArray with no Python loop
+        byte_mat = data[gs[:, None] + np.arange(k, dtype=np.int64)]
+        offsets = np.arange(0, (len(sel) + 1) * k, k, dtype=np.int32)
+        gram_arr = pa.StringArray.from_buffers(
+            len(sel), pa.py_buffer(offsets.tobytes()), pa.py_buffer(byte_mat.tobytes())
+        )
+        doc = b.column("doc_id").to_numpy()[row_of[sel]]
+        t = pa.table({"gram": gram_arr, "d": doc})
+        g = t.group_by(["gram", "d"]).aggregate([("d", "count")])
+        g2 = g.group_by("gram").aggregate([("d", "count"), ("d_count", "sum")])
+        return pa.table(
+            {
+                "gram": g2.column("gram"),
+                "nd": pa.compute.cast(g2.column("d_count"), pa.int64()),
+                "occ": pa.compute.cast(g2.column("d_count_sum"), pa.int64()),
+            }
+        )
+
+
+def dup_substrings(
+    docs: "ray.data.Dataset", k: int = 32, min_docs: int = 2
+) -> "ray.data.Dataset":
+    """-> gram:string, ndocs:int64, noccur:int64 — every k-byte substring
+    occurring in >= min_docs DISTINCT documents, with its distinct-doc
+    and total-occurrence counts, sorted by gram.
+
+    The exact cross-document duplicated-substring table of the
+    "Deduplicating Training Data" pipeline (Lee et al., 2022), the
+    sibling the suffix-array pass computes there. Two passes, neither of
+    which shuffles document bodies:
+
+    1. **Hash screen**: one CSR pass hashes every k-byte shingle of the
+       batch (functions.text.segmented_shingle_hashes); per-batch
+       pre-aggregation to (hash, distinct-docs, occurrences) partials —
+       valid globally because a document is one row and rows never split
+       across batches, so per-batch doc-dedup IS doc-dedup (the
+       build_postings argument). One groupby merges the 24-byte rows;
+       hashes with summed ndocs >= min_docs become the broadcast
+       candidate vector (O(duplicated grams), concatenated by a remote
+       task — never routed through the driver).
+    2. **Exact recovery**: a second scan re-extracts the BYTES of only
+       the screened shingles and groups by the actual substring, so a
+       hash collision is a false positive that the exact regroup + final
+       HAVING removes — the output is byte-exact, identical to a
+       GROUP BY substr() oracle.
+
+    Contracts: documents shorter than k bytes are excluded (both sides
+    of the correctness gate); byte-grams equal the SQL twin's character
+    substr() grams for ASCII corpora (the synthetic tables are ASCII —
+    asserted in tests; for multi-byte corpora the op is well-defined on
+    bytes and the twin would move to BLOB substr).
+    """
+
+    def screen(batch: pa.Table) -> pa.Table:
+        b = batch.filter(
+            pa.compute.greater_equal(pa.compute.binary_length(batch.column("text")), k)
+        )
+        if b.num_rows == 0:
+            return pa.table(
+                {
+                    "h": pa.array([], pa.int64()),
+                    "nd": pa.array([], pa.int64()),
+                    "occ": pa.array([], pa.int64()),
+                }
+            )
+        h, _ = T.segmented_shingle_hashes(b.column("text"), k)
+        _, row_of = T.full_shingle_positions(
+            T.string_bytes(b.column("text"))[1], k
+        )
+        doc = b.column("doc_id").to_numpy()[row_of]
+        t = pa.table({"h": h.view(np.int64), "d": doc})
+        g = t.group_by(["h", "d"]).aggregate([("d", "count")])
+        g2 = g.group_by("h").aggregate([("d", "count"), ("d_count", "sum")])
+        return pa.table(
+            {
+                "h": g2.column("h"),
+                "nd": pa.compute.cast(g2.column("d_count"), pa.int64()),
+                "occ": pa.compute.cast(g2.column("d_count_sum"), pa.int64()),
+            }
+        )
+
+    screened = (
+        docs.map_batches(screen, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("h")
+        .aggregate(ray.data.aggregate.Sum("nd"), ray.data.aggregate.Sum("occ"))
+    )
+
+    def keep_dup_hashes(batch: pa.Table) -> pa.Table:
+        m = pa.compute.greater_equal(batch.column("sum(nd)"), min_docs)
+        return pa.table({"h": batch.filter(m).column("h")})
+
+    dup_blocks = screened.map_batches(
+        keep_dup_hashes, batch_format="pyarrow", zero_copy_batch=True
+    )
+    refs = list(dup_blocks.materialize().to_arrow_refs())
+    if not refs:
+        dup_ref = ray.put(np.empty(0, np.int64))
+    else:
+        dup_ref = _collect_dup_hashes.remote(*refs)
+
+    from spatialjoincountovershells_ray.config import default_pool
+
+    recovered = (
+        docs.map_batches(
+            _DupGramKernel,
+            fn_constructor_kwargs={"dup_ref": [dup_ref], "k": k},
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            concurrency=default_pool(),
+        )
+        .groupby("gram")
+        .aggregate(ray.data.aggregate.Sum("nd"), ray.data.aggregate.Sum("occ"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        m = pa.compute.greater_equal(batch.column("sum(nd)"), min_docs)
+        b = batch.filter(m)
+        return pa.table(
+            {
+                "gram": b.column("gram"),
+                "ndocs": pa.compute.cast(b.column("sum(nd)"), pa.int64()),
+                "noccur": pa.compute.cast(b.column("sum(occ)"), pa.int64()),
+            }
+        )
+
+    return recovered.map_batches(
+        finish, batch_format="pyarrow", zero_copy_batch=True
+    ).sort("gram")

@@ -593,6 +593,16 @@ def q_fingerprints(sf_dir: str):
     return textops.fingerprints(ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]))
 
 
+DUP_SUBSTR_K = 32
+
+
+def q_dup_substrings(sf_dir: str):
+    return dedup.dup_substrings(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]),
+        k=DUP_SUBSTR_K,
+    )
+
+
 def _orders_join(sf_dir: str, mode: str):
     from spatialjoincountovershells_ray.pipelines.join import equi_join
 
@@ -1200,6 +1210,19 @@ _SESSIONIZE_SQL = (
 _DEDUP_SQL = (
     "SELECT CAST(MIN(doc_id) AS BIGINT) AS keep_id, CAST(COUNT(*) AS BIGINT) "
     "AS dup_count FROM documents GROUP BY text"
+)
+
+# duplicated k-byte substring table (pipelines/dedup.dup_substrings): the
+# twin enumerates every substring position with unnest(generate_series)
+# and groups by the substring itself — char == byte for the ASCII corpus
+_DUP_SUBSTR_SQL = (
+    f"WITH pos AS (SELECT doc_id, text, "
+    f"unnest(generate_series(1, length(text) - {DUP_SUBSTR_K} + 1)) AS i "
+    f"FROM documents WHERE length(text) >= {DUP_SUBSTR_K}), "
+    f"g AS (SELECT doc_id, substr(text, i, {DUP_SUBSTR_K}) AS gram FROM pos) "
+    "SELECT gram, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS ndocs, "
+    "CAST(COUNT(*) AS BIGINT) AS noccur FROM g GROUP BY gram "
+    "HAVING COUNT(DISTINCT doc_id) >= 2 ORDER BY gram"
 )
 
 _LINEITEM_AGG_SQL = (
@@ -2290,6 +2313,7 @@ REGISTRY: dict[str, QueryDef] = {
     "quality_counts": QueryDef(q_quality_counts, _QUALITY_SQL),
     "lang_id": QueryDef(q_lang_id, _LANG_SQL),
     "exact_dedup": QueryDef(q_exact_dedup, _DEDUP_SQL),
+    "dup_substrings": QueryDef(q_dup_substrings, _DUP_SUBSTR_SQL),
     "lineitem_agg": QueryDef(relational.lineitem_agg, _LINEITEM_AGG_SQL),
     "orders_per_segment": QueryDef(relational.orders_per_segment, _SEGMENT_SQL),
     "event_type_counts": QueryDef(relational.event_type_counts, _EVENTS_SQL),

@@ -756,3 +756,86 @@ class TestTermCooccurrence:
         got = list(zip(zip(out["term_a"], out["term_b"]), out["n_docs"]))
         assert got == want
         assert len(want) > 0
+
+
+class TestDupSubstrings:
+    def _oracle(self, df, k, min_docs=2):
+        from collections import defaultdict
+
+        nd = defaultdict(set)
+        occ = defaultdict(int)
+        for doc_id, text in zip(df["doc_id"], df["text"]):
+            if len(text) < k:
+                continue
+            for i in range(len(text) - k + 1):
+                g = text[i : i + k]
+                nd[g].add(doc_id)
+                occ[g] += 1
+        rows = [
+            (g, len(nd[g]), occ[g]) for g in nd if len(nd[g]) >= min_docs
+        ]
+        return sorted(rows)
+
+    def _docs(self):
+        import numpy as np
+        import pandas as pd
+
+        rng = np.random.default_rng(11)
+        boiler = "All rights reserved under the applicable terms of service."
+        texts, ids = [], []
+        for i in range(120):
+            words = " ".join(
+                rng.choice([f"tok{j}" for j in range(40)], size=rng.integers(4, 25))
+            )
+            # ~1/3 of docs share the boilerplate sentence (cross-doc dup);
+            # a few repeat it twice (noccur > ndocs)
+            if i % 3 == 0:
+                words = boiler + " " + words
+            if i % 17 == 0:
+                words = words + " " + boiler
+            texts.append(words)
+            ids.append(i)
+        # one doc shorter than k must be excluded entirely
+        ids.append(999)
+        texts.append("short")
+        return pd.DataFrame({"doc_id": ids, "text": texts})
+
+    def test_matches_brute_force(self):
+        import numpy as np
+        import ray
+        from spatialjoincountovershells_ray.pipelines import dedup
+
+        k = 24
+        df = self._docs()
+        ds = ray.data.from_pandas([d for d in np.array_split(df, 7)])
+        out = dedup.dup_substrings(ds, k=k).to_pandas()
+        want = self._oracle(df, k)
+        got = list(zip(out["gram"], out["ndocs"], out["noccur"]))
+        assert got == want
+        assert len(want) > 0  # non-vacuous: the boilerplate grams exist
+
+    def test_blocking_independent(self):
+        import numpy as np
+        import ray
+        from spatialjoincountovershells_ray.pipelines import dedup
+
+        k = 24
+        df = self._docs()
+        a = dedup.dup_substrings(
+            ray.data.from_pandas([d for d in np.array_split(df, 2)]), k=k
+        ).to_pandas()
+        b = dedup.dup_substrings(
+            ray.data.from_pandas([d for d in np.array_split(df, 13)]), k=k
+        ).to_pandas()
+        assert a.equals(b)
+
+    def test_ascii_contract_on_testdata(self):
+        # the SQL twin's substr() is character-based; the op is byte-
+        # based — they coincide because the synthetic corpus is ASCII
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        t = pq.read_table("/root/testdata/sf0.001/documents.parquet", columns=["text"])
+        nbytes = pc.binary_length(t.column("text"))
+        nchars = pc.utf8_length(t.column("text"))
+        assert pc.all(pc.equal(nbytes, nchars)).as_py()
