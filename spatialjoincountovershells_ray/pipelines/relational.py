@@ -211,3 +211,87 @@ def revenue_by_nation(sf_dir: str) -> "ray.data.Dataset":
         )
 
     return agg.map_batches(final, batch_format="pyarrow", zero_copy_batch=True).sort("n_name")
+
+
+# ---------------------------------------------------------------------------
+# set operators (UNION / INTERSECT / EXCEPT DISTINCT)
+
+
+def set_op_distinct(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    cols: list[str],
+    op: str,
+) -> "ray.data.Dataset":
+    """Distributed ``UNION`` / ``INTERSECT`` / ``EXCEPT`` DISTINCT over
+    ``cols`` -> the distinct key rows satisfying the op, sorted by cols.
+
+    One bounded exchange: each side pre-dedups per batch inside
+    map_batches (pyarrow C++ group_by) and ships only distinct key rows
+    plus two presence flags, so the exchange carries
+    O(distinct-per-batch) rows, never the input. A single
+    groupby(cols).max(flags) merges both sides; each set op is then a
+    flag predicate (union: any; intersect: both; except: left and not
+    right). No reference counterpart (SURVEY 2.7 — the reference has no
+    set operators); this is the engine-surface extension.
+    """
+    if op not in ("union", "intersect", "except"):
+        raise ValueError(f"unknown set op {op!r}")
+
+    def tag(inl: int, inr: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            d = batch.select(cols).group_by(cols).aggregate([])
+            n = d.num_rows
+            return d.append_column(
+                "inl", pa.array(np.full(n, inl, np.int64))
+            ).append_column("inr", pa.array(np.full(n, inr, np.int64)))
+
+        return fn
+
+    tagged = left.map_batches(
+        tag(1, 0), batch_format="pyarrow", zero_copy_batch=True
+    ).union(right.map_batches(tag(0, 1), batch_format="pyarrow", zero_copy_batch=True))
+    agg = tagged.groupby(cols).aggregate(
+        ray.data.aggregate.Max("inl"), ray.data.aggregate.Max("inr")
+    )
+
+    def keep(batch: pa.Table) -> pa.Table:
+        inl = batch.column("max(inl)")
+        inr = batch.column("max(inr)")
+        if op == "union":
+            m = pa.array(np.ones(batch.num_rows, bool))
+        elif op == "intersect":
+            m = pc.and_(pc.equal(inl, 1), pc.equal(inr, 1))
+        else:
+            m = pc.and_(pc.equal(inl, 1), pc.equal(inr, 0))
+        return batch.filter(m).select(cols)
+
+    out = agg.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+    return out.sort(cols)
+
+
+_DAY_US = 86_400_000_000
+
+
+def _user_day(batch: pa.Table) -> pa.Table:
+    """(user_id, day:string) distinct rows of an events batch — day as
+    '%Y-%m-%d' text, the repo's cross-gate date representation (matches
+    the oracle's strftime on both value and type)."""
+    day = pc.strftime(batch.column("ts").cast(pa.timestamp("us")), format="%Y-%m-%d")
+    t = pa.table({"user_id": batch.column("user_id"), "day": day})
+    return t.group_by(["user_id", "day"]).aggregate([])
+
+
+def user_days_set_op(sf_dir: str, type_a: str, type_b: str, op: str) -> "ray.data.Dataset":
+    """(user, day) pairs with a ``type_a`` event <op> pairs with a
+    ``type_b`` event — e.g. except: days a user clicked but never
+    purchased. Type filters are pushed into the parquet scan."""
+
+    def side(t: str) -> "ray.data.Dataset":
+        return ray.data.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["user_id", "ts"],
+            filter=pc.field("event_type") == t,
+        ).map_batches(_user_day, batch_format="pyarrow", zero_copy_batch=True)
+
+    return set_op_distinct(side(type_a), side(type_b), ["user_id", "day"], op)

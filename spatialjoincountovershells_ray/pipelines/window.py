@@ -265,3 +265,62 @@ def value_ntile_stats(
         )
 
     return agg.map_batches(final, batch_format="pyarrow", zero_copy_batch=True).sort("bucket")
+
+
+# ---------------------------------------------------------------------------
+# distribution window functions (percent_rank / cume_dist)
+
+
+def _dist_kernel(tbl: pa.Table) -> pa.Table:
+    """percent_rank() and cume_dist() over (partition by o_custkey order
+    by o_totalprice) — tie-aware (RANK semantics): one lexsort, value-run
+    boundaries give rank (run start) and cume numerator (run end).
+
+    Both outputs are single correctly-rounded double divisions of exact
+    integers ((rank-1)/(n-1), le_count/n), so they hash-match the SQL
+    window twin bit-for-bit — no transcendental, no accumulation order.
+    """
+    cust = tbl.column("o_custkey").to_numpy()
+    price = tbl.column("o_totalprice").to_numpy()
+    okey = tbl.column("o_orderkey").to_numpy()
+    m = len(cust)
+    if m == 0:
+        return pa.table(
+            {
+                "o_custkey": pa.array([], pa.int64()),
+                "o_orderkey": pa.array([], pa.int64()),
+                "pct_rank": pa.array([], pa.float64()),
+                "cume_dist": pa.array([], pa.float64()),
+            }
+        )
+    order = np.lexsort((okey, price, cust))
+    c, p = cust[order], price[order]
+    gstart = np.flatnonzero(np.r_[True, c[1:] != c[:-1]])
+    glen = np.diff(np.r_[gstart, m])
+    n = np.repeat(glen, glen).astype(np.float64)
+    pos0 = np.repeat(gstart, glen)  # group start index per row
+    # value-run starts: new group OR price change
+    vstart = np.flatnonzero(np.r_[True, (c[1:] != c[:-1]) | (p[1:] != p[:-1])])
+    vlen = np.diff(np.r_[vstart, m])
+    run_start = np.repeat(vstart, vlen)
+    run_end = np.repeat(vstart + vlen, vlen)
+    rank = (run_start - pos0 + 1).astype(np.float64)
+    le = (run_end - pos0).astype(np.float64)
+    denom = n - 1.0
+    pct = np.where(denom > 0, (rank - 1.0) / np.where(denom > 0, denom, 1.0), 0.0)
+    return pa.table(
+        {
+            "o_custkey": pa.array(c, pa.int64()),
+            "o_orderkey": pa.array(okey[order], pa.int64()),
+            "pct_rank": pa.array(pct, pa.float64()),
+            "cume_dist": pa.array(le / n, pa.float64()),
+        }
+    )
+
+
+def order_dist_stats(orders: "ray.data.Dataset") -> "ray.data.Dataset":
+    """-> o_custkey, o_orderkey, pct_rank, cume_dist — the SQL
+    distribution window functions over (partition by customer, order by
+    totalprice), via the keyed bucket exchange (complete groups per
+    bucket, one vectorized pass per bucket)."""
+    return keyed_partition_apply(orders, "o_custkey", _dist_kernel)

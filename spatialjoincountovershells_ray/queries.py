@@ -491,6 +491,22 @@ def q_attribution(sf_dir: str):
     return window.attribution_counts(sf_dir)
 
 
+def q_order_dist_stats(sf_dir: str):
+    return window.order_dist_stats(
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_totalprice"]
+        )
+    )
+
+
+def q_click_except_purchase(sf_dir: str):
+    return relational.user_days_set_op(sf_dir, "click", "purchase", "except")
+
+
+def q_click_intersect_purchase(sf_dir: str):
+    return relational.user_days_set_op(sf_dir, "click", "purchase", "intersect")
+
+
 def q_source_quantiles_cont(sf_dir: str):
     return relagg.grouped_quantiles_cont(
         ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "n_chars"]),
@@ -1158,6 +1174,24 @@ _ORDER_RANK_SQL = (
     "PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) "
     "AS rnk FROM orders"
 )
+
+_ORDER_DIST_SQL = (
+    "SELECT o_custkey, o_orderkey, "
+    "percent_rank() OVER w AS pct_rank, cume_dist() OVER w AS cume_dist "
+    "FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice)"
+)
+
+
+def _user_day_set_sql(op: str) -> str:
+    side = (
+        "SELECT DISTINCT user_id, strftime(ts, '%Y-%m-%d') AS day "
+        "FROM events WHERE event_type = '{t}'"
+    )
+    return (
+        f"{side.format(t='click')} {op.upper()} {side.format(t='purchase')} "
+        "ORDER BY user_id, day"
+    )
+
 
 _ATTRIBUTION_SQL = (
     "SELECT p.event_id, CAST(count(c.event_id) AS BIGINT) AS n_clicks "
@@ -2351,6 +2385,13 @@ REGISTRY: dict[str, QueryDef] = {
     "doc_repetition": QueryDef(q_doc_repetition, _DOC_REPETITION_SQL),
     "bpe_token_count": QueryDef(q_bpe_token_count, _BPE_TOKEN_SQL),
     "order_rank": QueryDef(q_order_rank, _ORDER_RANK_SQL),
+    "order_dist_stats": QueryDef(q_order_dist_stats, _ORDER_DIST_SQL),
+    "click_except_purchase_days": QueryDef(
+        q_click_except_purchase, _user_day_set_sql("except")
+    ),
+    "click_intersect_purchase_days": QueryDef(
+        q_click_intersect_purchase, _user_day_set_sql("intersect")
+    ),
     "attribution": QueryDef(q_attribution, _ATTRIBUTION_SQL),
     "source_quantiles_cont": QueryDef(q_source_quantiles_cont, _SOURCE_QUANTILES_CONT_SQL),
     "tfidf_top_term": QueryDef(q_tfidf_top_term, _TFIDF_SQL),

@@ -349,3 +349,55 @@ class TestRevenueByNation:
         ).df()
         assert out["n_name"].tolist() == want["n_name"].tolist()
         assert out["revenue_e4"].tolist() == want["revenue_e4"].tolist()
+
+
+class TestSetOps:
+    def _sides(self):
+        import numpy as np
+        import pandas as pd
+
+        rng = np.random.default_rng(5)
+        left = pd.DataFrame(
+            {
+                "k": rng.integers(0, 40, 300),
+                "g": rng.choice(["a", "b", "c"], 300),
+            }
+        )
+        right = pd.DataFrame(
+            {
+                "k": rng.integers(20, 60, 300),
+                "g": rng.choice(["a", "b", "d"], 300),
+            }
+        )
+        return left, right
+
+    def test_all_ops_match_pandas(self):
+        import numpy as np
+        import pandas as pd
+        import ray
+        from spatialjoincountovershells_ray.pipelines.relational import set_op_distinct
+
+        left, right = self._sides()
+        lds = ray.data.from_pandas([d for d in np.array_split(left, 5)])
+        rds = ray.data.from_pandas([d for d in np.array_split(right, 3)])
+        lset = set(map(tuple, left.drop_duplicates().values))
+        rset = set(map(tuple, right.drop_duplicates().values))
+        want = {
+            "union": lset | rset,
+            "intersect": lset & rset,
+            "except": lset - rset,
+        }
+        for op, exp in want.items():
+            out = set_op_distinct(lds, rds, ["k", "g"], op).to_pandas()
+            got = sorted(map(tuple, out.values))
+            assert got == sorted(exp), op
+            assert len(exp) > 0, op  # fixture non-vacuous for every op
+
+    def test_unknown_op_raises(self):
+        import ray
+        import pytest
+        from spatialjoincountovershells_ray.pipelines.relational import set_op_distinct
+
+        ds = ray.data.range(4)
+        with pytest.raises(ValueError):
+            set_op_distinct(ds, ds, ["id"], "minus")

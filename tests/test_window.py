@@ -374,3 +374,45 @@ class TestNtileStats:
         assert out["bucket"].tolist() == [1, 2, 3]
         assert out["n"].tolist() == [1, 1, 1]
         assert out["cents"].tolist() == [100, 200, 300]
+
+
+class TestOrderDistStats:
+    def test_matches_brute_force_with_ties(self):
+        import numpy as np
+        import pandas as pd
+        import ray
+        from spatialjoincountovershells_ray.pipelines.window import order_dist_stats
+
+        rng = np.random.default_rng(9)
+        n = 400
+        df = pd.DataFrame(
+            {
+                "o_orderkey": np.arange(n, dtype=np.int64),
+                "o_custkey": rng.integers(0, 25, n),
+                # coarse grid -> plenty of in-group price ties
+                "o_totalprice": rng.integers(1, 8, n).astype(np.float64) * 10.0,
+            }
+        )
+        # singleton group exercises the percent_rank n==1 -> 0.0 rule
+        df.loc[n - 1, "o_custkey"] = 999
+        out = (
+            order_dist_stats(ray.data.from_pandas([d for d in np.array_split(df, 6)]))
+            .to_pandas()
+            .sort_values(["o_custkey", "o_orderkey"])
+            .reset_index(drop=True)
+        )
+        rows = []
+        for ck, g in df.groupby("o_custkey"):
+            vals = g["o_totalprice"].to_numpy()
+            m = len(vals)
+            for ok, v in zip(g["o_orderkey"], vals):
+                rank = int((vals < v).sum()) + 1
+                le = int((vals <= v).sum())
+                pct = 0.0 if m == 1 else (rank - 1) / (m - 1)
+                rows.append((ck, ok, pct, le / m))
+        want = (
+            pd.DataFrame(rows, columns=["o_custkey", "o_orderkey", "pct_rank", "cume_dist"])
+            .sort_values(["o_custkey", "o_orderkey"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(out[want.columns], want, check_dtype=False)
