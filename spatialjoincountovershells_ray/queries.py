@@ -32,7 +32,7 @@ from spatialjoincountovershells_ray.sources.documents import (
     read_documents,
     write_documents,
 )
-from spatialjoincountovershells_ray.pipelines import ann, curation, dedup, events, knn, range_join, raster, relagg, relational
+from spatialjoincountovershells_ray.pipelines import ann, curation, dedup, events, graph, knn, range_join, raster, relagg, relational
 from spatialjoincountovershells_ray.pipelines import shell_count as sc
 from spatialjoincountovershells_ray.pipelines import textops, tiles, window
 
@@ -1174,6 +1174,33 @@ _ORDER_RANK_SQL = (
     "PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) "
     "AS rnk FROM orders"
 )
+
+def _pagerank_sql() -> str:
+    """Unrolled fixed-point PageRank twin: the same integer recurrence
+    (``v' = (15*S)//100 + (85 * SUM(v // deg)) // 100``) iterated
+    PR_NITER times over the distinct co-order edge set. Every value is
+    an exact integer on both sides, so the int64 scores hash equal."""
+    from spatialjoincountovershells_ray.pipelines.graph import PR_NITER, PR_SCALE
+
+    d0 = (15 * PR_SCALE) // 100
+    ctes = [
+        "ep AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem)",
+        "edges AS (SELECT DISTINCT a.p AS src, b.p AS dst FROM ep a "
+        "JOIN ep b ON a.o = b.o AND a.p <> b.p)",
+        "deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY src)",
+        f"it0 AS (SELECT src AS node, CAST({PR_SCALE} AS BIGINT) AS v FROM deg)",
+    ]
+    for i in range(1, PR_NITER + 1):
+        ctes.append(
+            f"it{i} AS (SELECT e.dst AS node, CAST({d0} + (85 * SUM(p.v // d.d)) // 100 "
+            f"AS BIGINT) AS v FROM edges e JOIN it{i-1} p ON p.node = e.src "
+            "JOIN deg d ON d.src = e.src GROUP BY e.dst)"
+        )
+    return (
+        "WITH " + ", ".join(ctes)
+        + f" SELECT node AS part_key, v AS pr FROM it{PR_NITER} ORDER BY node"
+    )
+
 
 _ORDER_DIST_SQL = (
     "SELECT o_custkey, o_orderkey, "
@@ -2386,6 +2413,7 @@ REGISTRY: dict[str, QueryDef] = {
     "bpe_token_count": QueryDef(q_bpe_token_count, _BPE_TOKEN_SQL),
     "order_rank": QueryDef(q_order_rank, _ORDER_RANK_SQL),
     "order_dist_stats": QueryDef(q_order_dist_stats, _ORDER_DIST_SQL),
+    "part_pagerank": QueryDef(graph.part_pagerank, _pagerank_sql()),
     "click_except_purchase_days": QueryDef(
         q_click_except_purchase, _user_day_set_sql("except")
     ),
