@@ -568,3 +568,118 @@ def weekly_active_users(ds: "ray.data.Dataset", window: int = WAU_WINDOW_DAYS) -
             }
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ordered per-group collect (string_agg) + watermark prefix scan
+
+
+def user_event_paths(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """-> user_id:int64, day:string, path:string — each user-day's event
+    types concatenated in (ts, event_id) order with '>' separators: the
+    ordered collect_list/string_agg aggregate surface.
+
+    Keyed bucket exchange on user_id (complete users per bucket, the
+    window-function plan), then one sort + per-group join per bucket.
+    The exchange carries (user, day, ts, id, type) rows once — the
+    output is O(user-days), and group payloads never route through the
+    driver."""
+    from spatialjoincountovershells_ray.pipelines.window import keyed_partition_apply
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.timestamp("us"))
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "day": pc.strftime(ts, format="%Y-%m-%d"),
+                "us": ts.cast(pa.int64()),
+                "event_id": batch.column("event_id"),
+                "event_type": batch.column("event_type"),
+            }
+        )
+
+    def kernel(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "day": pa.array([], pa.string()),
+                    "path": pa.array([], pa.string()),
+                }
+            )
+        df = tbl.to_pandas().sort_values(
+            ["user_id", "day", "us", "event_id"], kind="mergesort"
+        )
+        g = (
+            df.groupby(["user_id", "day"], sort=True)["event_type"]
+            .agg(">".join)
+            .reset_index(name="path")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return keyed_partition_apply(
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        "user_id",
+        kernel,
+    )
+
+
+LATE_DELAY_US = 3600 * 1_000_000  # 1 h allowed lateness
+
+
+@ray.remote
+def _block_ts_max(tbl: pa.Table) -> int:
+    m = pc.max(tbl.column("ts_us")).as_py()  # None on an empty block
+    return int(m) if m is not None else np.iinfo(np.int64).min
+
+
+@ray.remote
+def _stamp_watermark(tbl: pa.Table, prior_max: int, delay: int) -> pa.Table:
+    ts = tbl.column("ts_us").to_numpy()
+    wm = np.maximum.accumulate(np.maximum(ts, prior_max))
+    late = (ts < wm - delay).astype(np.int64)
+    return pa.table(
+        {
+            "event_id": tbl.column("event_id"),
+            "wm_us": pa.array(wm, pa.int64()),
+            "late": pa.array(late, pa.int64()),
+        }
+    )
+
+
+def late_events(ds: "ray.data.Dataset", delay_us: int = LATE_DELAY_US) -> "ray.data.Dataset":
+    """-> event_id, wm_us:int64, late:int64 — per event (in event_id
+    arrival order) the streaming watermark (running max event-time seen
+    so far) and whether the event arrived more than ``delay_us`` behind
+    it: the out-of-order/late-data detector of a streaming ingest,
+    computed as a batch **distributed prefix scan**.
+
+    The global_event_rank plan generalized from prefix-sum to
+    prefix-max: range-partitioned sort by event_id keeps blocks
+    globally ordered; each block's event-time max is a scalar, the
+    driver prefix-maxes O(blocks) scalars, and one stamp task per block
+    folds its running max with the prior-blocks offset. Driver state is
+    O(blocks) ints — never rows. late is int64 (0/1) so the gate hashes
+    exactly; the inclusive running max equals the exclusive one for the
+    lateness predicate (ts < ts - delay is always false)."""
+
+    def norm(batch: pa.Table) -> pa.Table:
+        us = batch.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
+        return pa.table({"event_id": batch.column("event_id"), "ts_us": us})
+
+    sorted_ds = (
+        ds.map_batches(norm, batch_format="pyarrow", zero_copy_batch=True)
+        .sort("event_id")
+        .materialize()
+    )
+    refs = sorted_ds.to_arrow_refs()
+    if not refs:
+        return sorted_ds
+    maxes = ray.get([_block_ts_max.remote(r) for r in refs])
+    prior = np.concatenate(
+        [[np.iinfo(np.int64).min], np.maximum.accumulate(maxes[:-1])]
+    )
+    out = [
+        _stamp_watermark.remote(r, int(p), delay_us) for r, p in zip(refs, prior)
+    ]
+    return ray.data.from_arrow_refs(out)

@@ -491,6 +491,32 @@ def q_attribution(sf_dir: str):
     return window.attribution_counts(sf_dir)
 
 
+def q_user_event_paths(sf_dir: str):
+    return events.user_event_paths(
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "user_id", "ts", "event_type"],
+        )
+    )
+
+
+# 1200 days: the synthetic o_orderdate is uncorrelated with o_orderkey
+# (max backward lag ~2400 days), so this splits late/on-time ~50/50 —
+# the events table is vacuous here (event_ids are assigned in ts order)
+LATE_ORDERS_DELAY_US = 1200 * 86_400_000_000
+
+
+def q_late_orders(sf_dir: str):
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"]
+    ).map_batches(
+        lambda b: pa.table({"event_id": b.column("o_orderkey"), "ts": b.column("o_orderdate")}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return events.late_events(orders, delay_us=LATE_ORDERS_DELAY_US)
+
+
 def q_order_dist_stats(sf_dir: str):
     return window.order_dist_stats(
         ray.data.read_parquet(
@@ -1199,6 +1225,25 @@ def _pagerank_sql() -> str:
     return (
         "WITH " + ", ".join(ctes)
         + f" SELECT node AS part_key, v AS pr FROM it{PR_NITER} ORDER BY node"
+    )
+
+
+_EVENT_PATHS_SQL = (
+    "SELECT user_id, strftime(ts, '%Y-%m-%d') AS day, "
+    "string_agg(event_type, '>' ORDER BY ts, event_id) AS path "
+    "FROM events GROUP BY 1, 2"
+)
+
+
+def _late_orders_sql() -> str:
+    return (
+        "WITH e AS (SELECT o_orderkey AS event_id, epoch_us(o_orderdate) AS ts_us "
+        "FROM orders), "
+        "w AS (SELECT event_id, ts_us, max(ts_us) OVER "
+        "(ORDER BY event_id ROWS UNBOUNDED PRECEDING) AS wm FROM e) "
+        "SELECT event_id, CAST(wm AS BIGINT) AS wm_us, "
+        f"CAST(CASE WHEN ts_us < wm - {LATE_ORDERS_DELAY_US} THEN 1 ELSE 0 END AS BIGINT) "
+        "AS late FROM w"
     )
 
 
@@ -2414,6 +2459,8 @@ REGISTRY: dict[str, QueryDef] = {
     "order_rank": QueryDef(q_order_rank, _ORDER_RANK_SQL),
     "order_dist_stats": QueryDef(q_order_dist_stats, _ORDER_DIST_SQL),
     "part_pagerank": QueryDef(graph.part_pagerank, _pagerank_sql()),
+    "user_event_paths": QueryDef(q_user_event_paths, _EVENT_PATHS_SQL),
+    "late_orders": QueryDef(q_late_orders, _late_orders_sql()),
     "click_except_purchase_days": QueryDef(
         q_click_except_purchase, _user_day_set_sql("except")
     ),

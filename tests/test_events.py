@@ -339,3 +339,67 @@ def test_weekly_active_users_matches_brute_force():
     )
     out2 = E.weekly_active_users(ray.data.from_pandas(df2)).to_pandas()
     assert out2["wau"].tolist() == [1, 1, 1, 1]
+
+
+def test_user_event_paths_matches_pandas():
+    import numpy as np
+    import pandas as pd
+    import ray
+    from spatialjoincountovershells_ray.pipelines.events import user_event_paths
+
+    rng = np.random.default_rng(21)
+    n = 600
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": rng.integers(0, 12, n),
+            "ts": pd.to_datetime("2024-03-01")
+            + pd.to_timedelta(rng.integers(0, 10 * 86400, n), unit="s"),
+            "event_type": rng.choice(["a", "b", "c"], n),
+        }
+    )
+    out = (
+        user_event_paths(ray.data.from_pandas([d for d in np.array_split(df, 5)]))
+        .to_pandas()
+        .sort_values(["user_id", "day"])
+        .reset_index(drop=True)
+    )
+    w = df.assign(day=df["ts"].dt.strftime("%Y-%m-%d")).sort_values(
+        ["user_id", "day", "ts", "event_id"], kind="mergesort"
+    )
+    want = (
+        w.groupby(["user_id", "day"], sort=True)["event_type"]
+        .agg(">".join)
+        .reset_index(name="path")
+    )
+    pd.testing.assert_frame_equal(out[["user_id", "day", "path"]], want, check_dtype=False)
+
+
+def test_late_events_prefix_max_matches_brute_force():
+    import numpy as np
+    import pandas as pd
+    import ray
+    from spatialjoincountovershells_ray.pipelines.events import late_events
+
+    rng = np.random.default_rng(4)
+    n = 500
+    # arrival order deliberately uncorrelated with event time
+    ts = pd.to_datetime("2024-01-01") + pd.to_timedelta(
+        rng.permutation(n) * 3600, unit="s"
+    )
+    df = pd.DataFrame({"event_id": np.arange(n, dtype=np.int64), "ts": ts})
+    delay = 24 * 3600 * 1_000_000
+    out = (
+        late_events(
+            ray.data.from_pandas([d for d in np.array_split(df, 9)]), delay_us=delay
+        )
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    us = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+    wm = np.maximum.accumulate(us)
+    late = (us < wm - delay).astype(np.int64)
+    assert out["wm_us"].tolist() == wm.tolist()
+    assert out["late"].tolist() == late.tolist()
+    assert 0 < late.sum() < n  # both classes present in the fixture
