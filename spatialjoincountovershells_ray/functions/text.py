@@ -385,3 +385,51 @@ def rolling_fingerprint(texts: list[str]) -> np.ndarray:
             h = (h * BASE + byte) % MOD
         out[i] = h
     return out
+
+
+def levenshtein_csr(
+    data: np.ndarray, off: np.ndarray, ia: np.ndarray, ib: np.ndarray
+) -> np.ndarray:
+    """Edit distance of row pairs (ia[p], ib[p]) of a byte-CSR column,
+    vectorized ACROSS pairs: pairs are grouped by their (len_a, len_b)
+    class (np.unique on a packed key) and each class runs one dense DP
+    whose every cell update is a numpy op over the class's pair vector —
+    O(len_a*len_b) vectorized steps per class, no per-pair Python.
+    Standard unit-cost Levenshtein over BYTES — identical to DuckDB's
+    character-based ``levenshtein()`` for ASCII input (the synthetic
+    tables' contract; multi-byte text measures byte edits instead).
+    """
+    P = len(ia)
+    out = np.zeros(P, np.int64)
+    if P == 0:
+        return out
+    lens = np.diff(off)
+    la = lens[ia]
+    lb = lens[ib]
+    key = la * 1_000_000 + lb  # packed class key (lens < 1e6 by contract)
+    order = np.argsort(key, kind="stable")
+    ks = key[order]
+    bounds = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1], True])
+    for s, e in zip(bounds[:-1], bounds[1:]):
+        idx = order[s:e]
+        na, nb = int(la[idx[0]]), int(lb[idx[0]])
+        if na == 0 or nb == 0:
+            out[idx] = max(na, nb)
+            continue
+        sa = off[:-1][ia[idx]]
+        sb = off[:-1][ib[idx]]
+        A = data[sa[:, None] + np.arange(na, dtype=np.int64)]
+        B = data[sb[:, None] + np.arange(nb, dtype=np.int64)]
+        prev = np.tile(np.arange(nb + 1, dtype=np.int32), (len(idx), 1))
+        cur = np.empty_like(prev)
+        for i in range(1, na + 1):
+            cur[:, 0] = i
+            cost = (A[:, i - 1][:, None] != B).astype(np.int32)
+            for j in range(1, nb + 1):
+                cur[:, j] = np.minimum(
+                    np.minimum(prev[:, j] + 1, cur[:, j - 1] + 1),
+                    prev[:, j - 1] + cost[:, j - 1],
+                )
+            prev, cur = cur, prev
+        out[idx] = prev[:, nb]
+    return out

@@ -635,6 +635,29 @@ def q_fingerprints(sf_dir: str):
     return textops.fingerprints(ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]))
 
 
+FUZZY_MAX_DIST = 8
+
+
+def q_part_name_fuzzy(sf_dir: str):
+    return dedup.edit_distance_pairs(
+        ray.data.read_parquet(
+            f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name", "p_brand"]
+        ),
+        id_col="p_partkey",
+        text_col="p_name",
+        group_col="p_brand",
+        max_dist=FUZZY_MAX_DIST,
+    )
+
+
+_FUZZY_SQL = (
+    "SELECT a.p_partkey AS id_a, b.p_partkey AS id_b, "
+    "CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist "
+    "FROM part a JOIN part b ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey "
+    f"WHERE levenshtein(a.p_name, b.p_name) <= {FUZZY_MAX_DIST} ORDER BY id_a, id_b"
+)
+
+
 DUP_SUBSTR_K = 32
 
 
@@ -2420,6 +2443,7 @@ REGISTRY: dict[str, QueryDef] = {
     "lang_id": QueryDef(q_lang_id, _LANG_SQL),
     "exact_dedup": QueryDef(q_exact_dedup, _DEDUP_SQL),
     "dup_substrings": QueryDef(q_dup_substrings, _DUP_SUBSTR_SQL),
+    "part_name_fuzzy_pairs": QueryDef(q_part_name_fuzzy, _FUZZY_SQL),
     "lineitem_agg": QueryDef(relational.lineitem_agg, _LINEITEM_AGG_SQL),
     "orders_per_segment": QueryDef(relational.orders_per_segment, _SEGMENT_SQL),
     "event_type_counts": QueryDef(relational.event_type_counts, _EVENTS_SQL),

@@ -839,3 +839,73 @@ class TestDupSubstrings:
         nbytes = pc.binary_length(t.column("text"))
         nchars = pc.utf8_length(t.column("text"))
         assert pc.all(pc.equal(nbytes, nchars)).as_py()
+
+
+class TestEditDistancePairs:
+    def test_matches_brute_force(self):
+        import numpy as np
+        import pandas as pd
+        import ray
+        from spatialjoincountovershells_ray.pipelines import dedup
+
+        rng = np.random.default_rng(13)
+        words = ["widget", "gadget", "wídget", "bolt", "bolts", "volt", "gizmo"]
+        rows = []
+        for i in range(160):
+            g = f"g{rng.integers(0, 6)}"
+            w = words[rng.integers(0, len(words))]
+            if rng.random() < 0.4:
+                w = w + rng.choice(list("xyz"))
+            rows.append((i, w, g))
+        df = pd.DataFrame(rows, columns=["id", "name", "grp"])
+        out = dedup.edit_distance_pairs(
+            ray.data.from_pandas([d for d in np.array_split(df, 6)]),
+            id_col="id",
+            text_col="name",
+            group_col="grp",
+            max_dist=2,
+        ).to_pandas()
+
+        def lev(a, b):
+            la, lb = len(a), len(b)
+            prev = list(range(lb + 1))
+            for i in range(1, la + 1):
+                cur = [i] + [0] * lb
+                for j in range(1, lb + 1):
+                    cur[j] = min(
+                        prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (a[i - 1] != b[j - 1])
+                    )
+                prev = cur
+            return prev[lb]
+
+        want = []
+        by_g = df.groupby("grp")
+        for _, g in by_g:
+            recs = sorted(g[["id", "name"]].itertuples(index=False))
+            for x in range(len(recs)):
+                for y in range(x + 1, len(recs)):
+                    d = lev(recs[x].name.encode(), recs[y].name.encode())
+                    if d <= 2:
+                        want.append((recs[x].id, recs[y].id, d))
+        got = sorted(zip(out["id_a"], out["id_b"], out["dist"]))
+        assert got == sorted(want)
+        assert len(want) > 0
+
+    def test_max_group_refuses(self):
+        import pandas as pd
+        import pytest
+        import ray
+        from spatialjoincountovershells_ray.pipelines import dedup
+
+        df = pd.DataFrame(
+            {"id": range(30), "name": ["x"] * 30, "grp": ["hot"] * 30}
+        )
+        with pytest.raises(Exception, match="max_group"):
+            dedup.edit_distance_pairs(
+                ray.data.from_pandas([df]),
+                id_col="id",
+                text_col="name",
+                group_col="grp",
+                max_dist=1,
+                max_group=10,
+            ).to_pandas()
