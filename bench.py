@@ -306,6 +306,14 @@ BENCH_QUERIES = [
     "user_value_trend",
     "weekly_active_users",
     "orders_checksum",
+    "dup_substrings",
+    "part_name_fuzzy_pairs",
+    "part_pagerank",
+    "order_dist_stats",
+    "click_except_purchase_days",
+    "click_intersect_purchase_days",
+    "user_event_paths",
+    "late_orders",
 ]
 
 

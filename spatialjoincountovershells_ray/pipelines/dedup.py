@@ -1190,11 +1190,12 @@ def dup_substrings(
 
     1. **Hash screen**: one CSR pass hashes every k-byte shingle of the
        batch (functions.text.segmented_shingle_hashes); per-batch
-       pre-aggregation to (hash, distinct-docs, occurrences) partials —
-       valid globally because a document is one row and rows never split
+       pre-aggregation to (hash, distinct-docs) partials — valid
+       globally because a document is one row and rows never split
        across batches, so per-batch doc-dedup IS doc-dedup (the
-       build_postings argument). One groupby merges the 24-byte rows;
-       hashes with summed ndocs >= min_docs become the broadcast
+       build_postings argument). A raw-task bucket exchange merges the
+       16-byte rows (sort+reduceat per bucket, the min_docs screen
+       pushed into the kernel); surviving hashes become the broadcast
        candidate vector (O(duplicated grams), concatenated by a remote
        task — never routed through the driver).
     2. **Exact recovery**: a second scan re-extracts the BYTES of only
@@ -1216,11 +1217,7 @@ def dup_substrings(
         )
         if b.num_rows == 0:
             return pa.table(
-                {
-                    "h": pa.array([], pa.int64()),
-                    "nd": pa.array([], pa.int64()),
-                    "occ": pa.array([], pa.int64()),
-                }
+                {"h": pa.array([], pa.int64()), "nd": pa.array([], pa.int64())}
             )
         h, _ = T.segmented_shingle_hashes(b.column("text"), k)
         _, row_of = T.full_shingle_positions(
@@ -1228,29 +1225,36 @@ def dup_substrings(
         )
         doc = b.column("doc_id").to_numpy()[row_of]
         t = pa.table({"h": h.view(np.int64), "d": doc})
-        g = t.group_by(["h", "d"]).aggregate([("d", "count")])
-        g2 = g.group_by("h").aggregate([("d", "count"), ("d_count", "sum")])
+        g = t.group_by(["h", "d"]).aggregate([])
+        g2 = g.group_by("h").aggregate([("d", "count")])
         return pa.table(
             {
                 "h": g2.column("h"),
                 "nd": pa.compute.cast(g2.column("d_count"), pa.int64()),
-                "occ": pa.compute.cast(g2.column("d_count_sum"), pa.int64()),
             }
         )
 
-    screened = (
-        docs.map_batches(screen, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("h")
-        .aggregate(ray.data.aggregate.Sum("nd"), ray.data.aggregate.Sum("occ"))
-    )
+    screen_ds = docs.map_batches(screen, batch_format="pyarrow", zero_copy_batch=True)
 
-    def keep_dup_hashes(batch: pa.Table) -> pa.Table:
-        m = pa.compute.greater_equal(batch.column("sum(nd)"), min_docs)
-        return pa.table({"h": batch.filter(m).column("h")})
+    # merge the (hash, nd, occ) partials through the raw-task bucket
+    # exchange instead of a Dataset groupby (the part_pagerank finding:
+    # ~6x cheaper for a wide int-keyed dedup at sf0.1), pushing the
+    # ndocs >= min_docs screen into the bucket kernel so only surviving
+    # hashes are ever collected
+    from spatialjoincountovershells_ray.pipelines.window import keyed_partition_apply
 
-    dup_blocks = screened.map_batches(
-        keep_dup_hashes, batch_format="pyarrow", zero_copy_batch=True
-    )
+    def merge_bucket(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return pa.table({"h": pa.array([], pa.int64())})
+        h = tbl.column("h").to_numpy()
+        nd = tbl.column("nd").to_numpy()
+        order = np.argsort(h, kind="stable")
+        hs, nds = h[order], nd[order]
+        starts = np.flatnonzero(np.r_[True, hs[1:] != hs[:-1]])
+        keep = np.add.reduceat(nds, starts) >= min_docs
+        return pa.table({"h": pa.array(hs[starts][keep], pa.int64())})
+
+    dup_blocks = keyed_partition_apply(screen_ds, "h", merge_bucket)
     refs = list(dup_blocks.materialize().to_arrow_refs())
     if not refs:
         dup_ref = ray.put(np.empty(0, np.int64))
