@@ -314,6 +314,7 @@ BENCH_QUERIES = [
     "click_intersect_purchase_days",
     "user_event_paths",
     "late_orders",
+    "dup_span_coverage",
 ]
 
 

@@ -1383,3 +1383,116 @@ def edit_distance_pairs(
         kernel,
     )
     return bucketed.sort(["id_a", "id_b"])
+
+
+# ---------------------------------------------------------------------------
+# per-document duplicated-byte coverage (the dedup DECISION metric)
+
+
+@ray.remote
+def _collect_gram_pack(k: int, *parts: pa.Table):
+    """Concat the verified dup-gram blocks into the pass-3 broadcast
+    pack: (sorted int64 gram hashes, exact gram string array). Hashes
+    are recomputed from the verified grams themselves (each is exactly k
+    bytes, so segmented_shingle_hashes yields one hash per gram equal to
+    the corpus shingle hash) — no second corpus screen needed."""
+    ne = [p for p in parts if p.num_rows]
+    if not ne:
+        return np.empty(0, np.int64), pa.array([], pa.string())
+    grams = pa.concat_tables(ne, promote_options="none").column("gram").combine_chunks()
+    h, _ = T.segmented_shingle_hashes(grams, k)
+    return np.sort(h.view(np.int64)), grams
+
+
+class _DupCoverageKernel:
+    """Pass-3 actor: per document, the number of bytes covered by at
+    least one cross-document duplicated k-gram (interval union of the
+    verified dup positions, vectorized — no per-doc Python)."""
+
+    def __init__(self, pack_ref, k: int):
+        pack = ray.get(pack_ref[0]) if isinstance(pack_ref, list) else pack_ref
+        self.hashes, self.grams = pack
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        k = self.k
+        n = batch.num_rows
+        n_bytes = pa.compute.binary_length(batch.column("text")).to_numpy()
+        dup_bytes = np.zeros(n, np.int64)
+        long_mask = n_bytes >= k
+        if long_mask.any() and len(self.hashes):
+            b = batch.filter(pa.array(long_mask))
+            h, _ = T.segmented_shingle_hashes(b.column("text"), k)
+            hs = h.view(np.int64)
+            pos_in = np.searchsorted(self.hashes, hs)
+            pos_in[pos_in == len(self.hashes)] = 0
+            sel = np.flatnonzero(self.hashes[pos_in] == hs)
+            if len(sel):
+                data, off = T.string_bytes(b.column("text"))
+                gstart, row_of = T.full_shingle_positions(off, k)
+                gs = gstart[sel]
+                byte_mat = data[gs[:, None] + np.arange(k, dtype=np.int64)]
+                offsets = np.arange(0, (len(sel) + 1) * k, k, dtype=np.int32)
+                gram_arr = pa.StringArray.from_buffers(
+                    len(sel), pa.py_buffer(offsets.tobytes()), pa.py_buffer(byte_mat.tobytes())
+                )
+                # exact string verify: hash collisions cannot inflate coverage
+                ok = pa.compute.is_in(gram_arr, value_set=self.grams).to_numpy(
+                    zero_copy_only=False
+                )
+                sel = sel[ok]
+            if len(sel):
+                row = row_of[sel]
+                pos = gstart[sel] - off[:-1][row]  # 0-based within-doc starts
+                nxt = np.empty(len(sel), np.int64)
+                nxt[:-1] = pos[1:] - pos[:-1]
+                last = np.empty(len(sel), bool)
+                last[:-1] = row[1:] != row[:-1]
+                last[-1] = True
+                contrib = np.where(last, k, np.minimum(k, nxt))
+                cov = np.zeros(int(row.max()) + 1, np.int64)
+                np.add.at(cov, row, contrib)
+                dup_bytes[np.flatnonzero(long_mask)[: len(cov)]] += cov
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "dup_bytes": pa.array(dup_bytes, pa.int64()),
+                "n_bytes": pa.array(n_bytes.astype(np.int64), pa.int64()),
+            }
+        )
+
+
+def dup_span_coverage(
+    docs: "ray.data.Dataset", k: int = 32, min_docs: int = 2
+) -> "ray.data.Dataset":
+    """-> doc_id, dup_bytes:int64, n_bytes:int64 — per document, how many
+    of its bytes lie inside at least one k-byte substring that also
+    occurs in >= min_docs-1 OTHER documents: the per-document dedup
+    DECISION metric of the Lee-et-al pipeline (drop/trim docs whose
+    duplicated fraction is high).
+
+    Three linear corpus passes, none of which shuffles text: the
+    :func:`dup_substrings` screen+recovery produce the exact verified
+    dup-gram table; its grams are re-hashed into the pass-3 broadcast
+    pack by a remote task; a final actor-pool scan marks each doc's dup
+    positions (hash screen + exact string verify, so collisions cannot
+    inflate coverage) and folds the interval union vectorized
+    (sum of min(k, gap) over consecutive dup starts). Every doc comes
+    back, zero-coverage and shorter-than-k docs included.
+    """
+    dup = dup_substrings(docs, k=k, min_docs=min_docs)
+    refs = list(dup.materialize().to_arrow_refs())
+    if refs:
+        pack_ref = _collect_gram_pack.remote(k, *refs)
+    else:
+        pack_ref = ray.put((np.empty(0, np.int64), pa.array([], pa.string())))
+
+    from spatialjoincountovershells_ray.config import default_pool
+
+    return docs.map_batches(
+        _DupCoverageKernel,
+        fn_constructor_kwargs={"pack_ref": [pack_ref], "k": k},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=default_pool(),
+    ).sort("doc_id")

@@ -1341,6 +1341,33 @@ _DEDUP_SQL = (
     "AS dup_count FROM documents GROUP BY text"
 )
 
+# per-document duplicated-byte coverage (pipelines/dedup.dup_span_coverage):
+# the twin re-derives the dup-gram set, explodes each dup position into its
+# k covered byte offsets and counts them DISTINCT per doc — the interval
+# union the Ray side folds with a vectorized min(k, gap) pass
+_DUP_COVERAGE_SQL = (
+    f"WITH pos AS (SELECT doc_id, text, "
+    f"unnest(generate_series(1, length(text) - {DUP_SUBSTR_K} + 1)) AS i "
+    f"FROM documents WHERE length(text) >= {DUP_SUBSTR_K}), "
+    f"g AS (SELECT doc_id, i, substr(text, i, {DUP_SUBSTR_K}) AS gram FROM pos), "
+    "dup AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2), "
+    "hits AS (SELECT doc_id, i FROM g WHERE gram IN (SELECT gram FROM dup)), "
+    "cov AS (SELECT doc_id, CAST(COUNT(DISTINCT i + d) AS BIGINT) AS dup_bytes "
+    f"FROM hits, (SELECT unnest(generate_series(0, {DUP_SUBSTR_K - 1})) AS d) "
+    "GROUP BY doc_id) "
+    "SELECT dd.doc_id, COALESCE(c.dup_bytes, 0) AS dup_bytes, "
+    "CAST(length(dd.text) AS BIGINT) AS n_bytes "
+    "FROM documents dd LEFT JOIN cov c ON c.doc_id = dd.doc_id ORDER BY dd.doc_id"
+)
+
+
+def q_dup_span_coverage(sf_dir: str):
+    return dedup.dup_span_coverage(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]),
+        k=DUP_SUBSTR_K,
+    )
+
+
 # duplicated k-byte substring table (pipelines/dedup.dup_substrings): the
 # twin enumerates every substring position with unnest(generate_series)
 # and groups by the substring itself — char == byte for the ASCII corpus
@@ -2444,6 +2471,7 @@ REGISTRY: dict[str, QueryDef] = {
     "exact_dedup": QueryDef(q_exact_dedup, _DEDUP_SQL),
     "dup_substrings": QueryDef(q_dup_substrings, _DUP_SUBSTR_SQL),
     "part_name_fuzzy_pairs": QueryDef(q_part_name_fuzzy, _FUZZY_SQL),
+    "dup_span_coverage": QueryDef(q_dup_span_coverage, _DUP_COVERAGE_SQL),
     "lineitem_agg": QueryDef(relational.lineitem_agg, _LINEITEM_AGG_SQL),
     "orders_per_segment": QueryDef(relational.orders_per_segment, _SEGMENT_SQL),
     "event_type_counts": QueryDef(relational.event_type_counts, _EVENTS_SQL),

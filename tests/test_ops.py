@@ -909,3 +909,50 @@ class TestEditDistancePairs:
                 max_dist=1,
                 max_group=10,
             ).to_pandas()
+
+
+class TestDupSpanCoverage:
+    def test_matches_brute_force(self):
+        import numpy as np
+        import pandas as pd
+        import ray
+        from spatialjoincountovershells_ray.pipelines import dedup
+
+        k = 12
+        rng = np.random.default_rng(19)
+        shared_a = "the quick brown fox jumps over it"
+        shared_b = "pack my box with five dozen jugs"
+        texts, ids = [], []
+        for i in range(90):
+            t = " ".join(rng.choice([f"w{j}" for j in range(50)], size=rng.integers(3, 20)))
+            if i % 4 == 0:
+                t = shared_a + " " + t
+            if i % 7 == 0:
+                t = t + " " + shared_b + " " + shared_a  # overlapping dup regions
+            texts.append(t)
+            ids.append(i)
+        ids.append(900)
+        texts.append("tiny")  # shorter than k: dup_bytes 0, still returned
+        df = pd.DataFrame({"doc_id": ids, "text": texts})
+
+        # brute force: mark every byte covered by a cross-doc duplicated k-gram
+        from collections import defaultdict
+
+        docs_of = defaultdict(set)
+        for d, t in zip(df["doc_id"], df["text"]):
+            for i in range(max(0, len(t) - k + 1)):
+                docs_of[t[i : i + k]].add(d)
+        want = []
+        for d, t in zip(df["doc_id"], df["text"]):
+            covered = np.zeros(len(t), bool)
+            for i in range(max(0, len(t) - k + 1)):
+                if len(docs_of[t[i : i + k]]) >= 2:
+                    covered[i : i + k] = True
+            want.append((d, int(covered.sum()), len(t)))
+
+        out = dedup.dup_span_coverage(
+            ray.data.from_pandas([d for d in np.array_split(df, 6)]), k=k
+        ).to_pandas()
+        got = list(zip(out["doc_id"], out["dup_bytes"], out["n_bytes"]))
+        assert got == sorted(want)
+        assert sum(w[1] for w in want) > 0
