@@ -315,6 +315,8 @@ BENCH_QUERIES = [
     "user_event_paths",
     "late_orders",
     "dup_span_coverage",
+    "label_centroids",
+    "mad_outliers",
 ]
 
 

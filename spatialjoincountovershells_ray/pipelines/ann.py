@@ -397,3 +397,74 @@ def kmeans_assign(
     return ds.map_batches(
         assign, fn_kwargs={"c": cent}, batch_format="pyarrow", zero_copy_batch=True
     ).sort("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# per-label centroids (class prototypes) — exact fixed-point moments
+
+CENTROID_FP_SCALE = 1 << 20
+
+
+def label_centroids(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """-> label:int64, dim:int64, sum_fp:int64, n:int64, mean:double —
+    the per-class mean embedding (class prototype / nearest-centroid
+    classifier table), dimension-wise, sorted by (label, dim).
+
+    Exactness contract: embeddings quantize to int64 fixed point with
+    ``floor(v * S + 0.5)`` — every step (float32->float64 widening, the
+    multiply, the add, floor) is a single correctly-rounded IEEE op, so
+    the SQL twin's identical expression produces bit-equal integers
+    (np.rint's half-even rule would diverge at exact .5 and is NOT
+    used). Each batch folds to <= labels x dim integer moment rows
+    (np.add.at over a dense label-index grid), one packed-key combiner
+    merges them, and the mean is ONE double division of exact integers.
+    """
+    S = CENTROID_FP_SCALE
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lab = batch.column("label").to_numpy().astype(np.int64)
+        mat = np.stack(batch.column("embedding").to_numpy(zero_copy_only=False)).astype(
+            np.float64
+        )
+        q = np.floor(mat * S + 0.5).astype(np.int64)
+        ulab, inv = np.unique(lab, return_inverse=True)
+        nl, d = len(ulab), q.shape[1]
+        if nl and (int(ulab[0]) < 0 or d > 0xFFFF):
+            raise ValueError("label_centroids packs (label, dim) as 48+16 bits; out of range")
+        sums = np.zeros((nl, d), np.int64)
+        np.add.at(sums, inv, q)
+        cnt = np.bincount(inv, minlength=nl).astype(np.int64)
+        return pa.table(
+            {
+                "k": pa.array(
+                    (np.repeat(ulab, d) << 16) | np.tile(np.arange(d, dtype=np.int64), nl),
+                    pa.int64(),
+                ),
+                "s": pa.array(sums.reshape(-1), pa.int64()),
+                "n": pa.array(np.repeat(cnt, d), pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("k")
+        .aggregate(ray.data.aggregate.Sum("s"), ray.data.aggregate.Sum("n"))
+    )
+
+    def final(batch: pa.Table) -> pa.Table:
+        k = batch.column("k").to_numpy()
+        s = batch.column("sum(s)").to_numpy().astype(np.int64)
+        n = batch.column("sum(n)").to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "label": pa.array(k >> 16, pa.int64()),
+                "dim": pa.array(k & 0xFFFF, pa.int64()),
+                "sum_fp": pa.array(s, pa.int64()),
+                "n": pa.array(n, pa.int64()),
+                "mean": pa.array(s.astype(np.float64) / (n.astype(np.float64) * S)),
+            }
+        )
+
+    return agg.map_batches(final, batch_format="pyarrow", zero_copy_batch=True).sort(
+        ["label", "dim"]
+    )

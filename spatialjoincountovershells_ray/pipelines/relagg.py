@@ -962,3 +962,92 @@ def table_checksum(
     return ray.data.from_arrow(
         pa.table({"n": pa.array([n], pa.int64()), "checksum": pa.array([signed], pa.int64())})
     )
+
+
+# ---------------------------------------------------------------------------
+# robust (median/MAD) outliers — all-integer, no float anywhere
+
+
+def _median2_from_hist(vals: np.ndarray, cnts: np.ndarray) -> int:
+    """2x the quantile_cont(0.5) median of a sorted value histogram —
+    always an exact integer (odd n: 2*v[m]; even n: v[m-1]+v[m], which
+    equals 2*((a+b)/2) bit-for-bit in IEEE because /2 and *2 are exact)."""
+    cum = cnts.cumsum()
+    total = int(cum[-1])
+    if total % 2:
+        return 2 * int(vals[np.searchsorted(cum, total // 2 + 1)])
+    a = int(vals[np.searchsorted(cum, total // 2)])
+    b = int(vals[np.searchsorted(cum, total // 2 + 1)])
+    return a + b
+
+
+def mad_outliers(
+    ds: "ray.data.Dataset", key: str, col: str, scale: int = 100, c: int = 3
+) -> "ray.data.Dataset":
+    """-> key, cents:int64, robust_outlier:int64 (every row) — flags rows
+    whose deviation from the global median exceeds ``c`` times the MAD
+    (median absolute deviation): the robust sibling of zscore_outliers,
+    immune to the outliers it hunts.
+
+    EVERY quantity is an integer: med2 = 2*median(cents),
+    d2 = |2*cents - med2|, md2 = 2*median(d2), and the flag is
+    ``2*d2 > c*md2`` (equivalent to |x-med| > c*MAD after clearing the
+    /2 and /4 denominators) — so there is no float to diverge from the
+    SQL twin under any summation order. One histogram pass (per-batch
+    (cents, count) combiners, O(distinct values) exchange) yields the
+    cents histogram; the d2 histogram is a pure driver TRANSFORM of it
+    (|2v - med2| with counts re-merged, O(distinct) — no second scan);
+    pass 2 is a stateless flag map with two broadcast scalars."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = np.rint(batch.column(col).to_numpy() * scale).astype(np.int64)
+        u, n = np.unique(cents, return_counts=True)
+        return pa.table({"c": pa.array(u, pa.int64()), "n": pa.array(n.astype(np.int64))})
+
+    hist = (
+        ds.select_columns([col])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("c")
+        .sum("n")
+    )
+    parts = [
+        p for p in ray.get(hist.to_arrow_refs()) if p.num_rows and p.num_columns
+    ]
+    if not parts:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    key: pa.array([], pa.int64()),
+                    "cents": pa.array([], pa.int64()),
+                    "robust_outlier": pa.array([], pa.int64()),
+                }
+            )
+        )
+    tbl = pa.concat_tables(parts, promote_options="none")
+    vals = tbl.column("c").to_numpy()
+    cnts = tbl.column("sum(n)").to_numpy().astype(np.int64)
+    order = np.argsort(vals, kind="stable")
+    vals, cnts = vals[order], cnts[order]
+    med2 = _median2_from_hist(vals, cnts)
+    d2v = np.abs(2 * vals - med2)
+    dorder = np.argsort(d2v, kind="stable")
+    dv, dc = d2v[dorder], cnts[dorder]
+    starts = np.flatnonzero(np.r_[True, dv[1:] != dv[:-1]])
+    md2 = _median2_from_hist(dv[starts], np.add.reduceat(dc, starts))
+
+    def flag(batch: pa.Table) -> pa.Table:
+        cents = np.rint(batch.column(col).to_numpy() * scale).astype(np.int64)
+        out = (2 * np.abs(2 * cents - med2) > c * md2).astype(np.int64)
+        return pa.table(
+            {
+                key: batch.column(key),
+                "cents": pa.array(cents, pa.int64()),
+                "robust_outlier": pa.array(out, pa.int64()),
+            }
+        )
+
+    return (
+        ds.select_columns([key, col])
+        .map_batches(flag, batch_format="pyarrow", zero_copy_batch=True)
+        .sort(key)
+    )

@@ -635,6 +635,46 @@ def q_fingerprints(sf_dir: str):
     return textops.fingerprints(ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]))
 
 
+def q_mad_outliers(sf_dir: str):
+    return relagg.mad_outliers(
+        ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "value"]),
+        key="event_id",
+        col="value",
+    )
+
+
+_MAD_SQL = (
+    "WITH v AS (SELECT event_id, CAST(round(value * 100) AS BIGINT) AS cents FROM events), "
+    "m AS (SELECT CAST(2 * median(cents) AS BIGINT) AS med2 FROM v), "
+    "d AS (SELECT event_id, cents, abs(2 * cents - med2) AS d2 FROM v, m), "
+    "m2 AS (SELECT CAST(2 * median(d2) AS BIGINT) AS md2 FROM d) "
+    "SELECT event_id, cents, "
+    "CAST(CASE WHEN 2 * d2 > 3 * md2 THEN 1 ELSE 0 END AS BIGINT) AS robust_outlier "
+    "FROM d, m2 ORDER BY event_id"
+)
+
+
+def q_label_centroids(sf_dir: str):
+    return ann.label_centroids(
+        ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"])
+    )
+
+
+def _label_centroids_sql() -> str:
+    from spatialjoincountovershells_ray.pipelines.ann import CENTROID_FP_SCALE as S
+
+    return (
+        "WITH e AS (SELECT label, generate_subscripts(embedding, 1) - 1 AS dim, "
+        "unnest(embedding) AS v FROM embeddings), "
+        f"q AS (SELECT label, dim, CAST(floor(CAST(v AS DOUBLE) * {S} + 0.5) AS BIGINT) "
+        "AS fp FROM e) "
+        "SELECT CAST(label AS BIGINT) AS label, dim, "
+        "CAST(SUM(fp) AS BIGINT) AS sum_fp, CAST(COUNT(*) AS BIGINT) AS n, "
+        f"CAST(SUM(fp) AS DOUBLE) / (COUNT(*) * {S}) AS mean "
+        "FROM q GROUP BY label, dim ORDER BY label, dim"
+    )
+
+
 FUZZY_MAX_DIST = 8
 
 
@@ -2472,6 +2512,8 @@ REGISTRY: dict[str, QueryDef] = {
     "dup_substrings": QueryDef(q_dup_substrings, _DUP_SUBSTR_SQL),
     "part_name_fuzzy_pairs": QueryDef(q_part_name_fuzzy, _FUZZY_SQL),
     "dup_span_coverage": QueryDef(q_dup_span_coverage, _DUP_COVERAGE_SQL),
+    "label_centroids": QueryDef(q_label_centroids, _label_centroids_sql()),
+    "mad_outliers": QueryDef(q_mad_outliers, _MAD_SQL),
     "lineitem_agg": QueryDef(relational.lineitem_agg, _LINEITEM_AGG_SQL),
     "orders_per_segment": QueryDef(relational.orders_per_segment, _SEGMENT_SQL),
     "event_type_counts": QueryDef(relational.event_type_counts, _EVENTS_SQL),

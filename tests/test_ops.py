@@ -956,3 +956,31 @@ class TestDupSpanCoverage:
         got = list(zip(out["doc_id"], out["dup_bytes"], out["n_bytes"]))
         assert got == sorted(want)
         assert sum(w[1] for w in want) > 0
+
+
+class TestLabelCentroids:
+    def test_exact_moments_and_blocking_independence(self):
+        import numpy as np
+        import pandas as pd
+        import ray
+        from spatialjoincountovershells_ray.pipelines import ann
+
+        rng = np.random.default_rng(23)
+        n, d = 300, 8
+        mat = rng.normal(size=(n, d)).astype(np.float32)
+        lab = rng.integers(0, 5, n).astype(np.int32)
+        df = pd.DataFrame({"label": lab, "embedding": list(mat)})
+        a = ann.label_centroids(
+            ray.data.from_pandas([x for x in np.array_split(df, 2)])
+        ).to_pandas()
+        b = ann.label_centroids(
+            ray.data.from_pandas([x for x in np.array_split(df, 9)])
+        ).to_pandas()
+        assert a.equals(b)  # exact ints -> blocking cannot change anything
+        S = ann.CENTROID_FP_SCALE
+        q = np.floor(mat.astype(np.float64) * S + 0.5).astype(np.int64)
+        for lbl in np.unique(lab):
+            want = q[lab == lbl].sum(axis=0)
+            got = a.loc[a["label"] == lbl].sort_values("dim")["sum_fp"].to_numpy()
+            assert (got == want).all()
+            assert (a.loc[a["label"] == lbl, "n"] == (lab == lbl).sum()).all()

@@ -469,3 +469,46 @@ class TestTableChecksum:
         df2.loc[7, "o_totalprice"] += 0.01
         c = relagg.table_checksum(_many_blocks(df2, 9), "o_orderkey", "o_totalprice").to_pandas()
         assert c["checksum"][0] != a["checksum"][0]
+
+
+class TestMadOutliers:
+    def test_matches_brute_force_and_blocking(self):
+        import numpy as np
+        import pandas as pd
+        import ray
+        from spatialjoincountovershells_ray.pipelines.relagg import mad_outliers
+
+        rng = np.random.default_rng(31)
+        n = 500
+        vals = rng.normal(10.0, 2.0, n)
+        vals[::50] += 40.0  # planted outliers
+        df = pd.DataFrame({"event_id": np.arange(n, dtype=np.int64), "value": vals})
+        out = mad_outliers(
+            ray.data.from_pandas([d for d in np.array_split(df, 7)]),
+            key="event_id",
+            col="value",
+        ).to_pandas()
+        cents = np.rint(vals * 100).astype(np.int64)
+        sv = np.sort(cents)
+        med2 = int(sv[(n - 1) // 2]) + int(sv[n // 2])
+        d2 = np.abs(2 * cents - med2)
+        sd = np.sort(d2)
+        md2 = int(sd[(n - 1) // 2]) + int(sd[n // 2])
+        want = (2 * d2 > 3 * md2).astype(np.int64)
+        assert out["robust_outlier"].to_numpy().tolist() == want.tolist()
+        assert out["cents"].to_numpy().tolist() == cents.tolist()
+        assert 0 < want.sum() < n  # planted outliers caught, not everything
+        out2 = mad_outliers(
+            ray.data.from_pandas([df]), key="event_id", col="value"
+        ).to_pandas()
+        assert out.equals(out2)
+
+    def test_even_odd_median_rule(self):
+        import numpy as np
+        from spatialjoincountovershells_ray.pipelines.relagg import _median2_from_hist
+
+        # odd count: 2*middle; even: sum of the two middles
+        v = np.array([1, 5, 9], np.int64)
+        assert _median2_from_hist(v, np.array([1, 1, 1], np.int64)) == 10
+        assert _median2_from_hist(v, np.array([1, 1, 2], np.int64)) == 14
+        assert _median2_from_hist(np.array([3], np.int64), np.array([4], np.int64)) == 6
