@@ -317,6 +317,9 @@ BENCH_QUERIES = [
     "dup_span_coverage",
     "label_centroids",
     "mad_outliers",
+    "supplier_customer_full",
+    "order_share",
+    "winsorize_values",
 ]
 
 

@@ -1051,3 +1051,54 @@ def mad_outliers(
         .map_batches(flag, batch_format="pyarrow", zero_copy_batch=True)
         .sort(key)
     )
+
+
+def winsorize_at_group_quantile(
+    ds: "ray.data.Dataset",
+    group: str,
+    key: str,
+    value: str,
+    q: float = 0.9,
+    scale: int = 100,
+) -> "ray.data.Dataset":
+    """-> key, group, cents:int64, capped_cents:int64 — every row with
+    its fixed-point value CAPPED at its group's q-th discrete quantile
+    (winsorization, the keep-the-row sibling of
+    filter_above_group_quantile; heavy-tail taming before aggregation).
+
+    Same two-pass composition: decomposable histogram quantiles
+    (O(groups) out), tiny threshold table broadcast-joined back, cap
+    applied map-side as an integer min — every output is an int64, so
+    the gate hashes exactly."""
+    import pyarrow.compute as pc
+
+    from spatialjoincountovershells_ray.pipelines.join import equi_join
+
+    def prep(batch: pa.Table) -> pa.Table:
+        cents = np.rint(batch.column(value).to_numpy() * scale).astype(np.int64)
+        return pa.table(
+            {
+                key: batch.column(key),
+                group: batch.column(group),
+                "cents": pa.array(cents, pa.int64()),
+            }
+        )
+
+    rows = ds.select_columns([key, group, value]).map_batches(
+        prep, batch_format="pyarrow", zero_copy_batch=True
+    )
+    th = grouped_quantiles_disc(rows.select_columns([group, "cents"]), group, "cents", {"__th": q})
+    joined = equi_join(rows, th, group, group, mode="broadcast")
+
+    def cap(batch: pa.Table) -> pa.Table:
+        capped = pc.min_element_wise(batch.column("cents"), batch.column("__th"))
+        return pa.table(
+            {
+                key: batch.column(key),
+                group: batch.column(group),
+                "cents": batch.column("cents"),
+                "capped_cents": pc.cast(capped, pa.int64()),
+            }
+        )
+
+    return joined.map_batches(cap, batch_format="pyarrow", zero_copy_batch=True).sort(key)

@@ -324,3 +324,45 @@ def order_dist_stats(orders: "ray.data.Dataset") -> "ray.data.Dataset":
     totalprice), via the keyed bucket exchange (complete groups per
     bucket, one vectorized pass per bucket)."""
     return keyed_partition_apply(orders, "o_custkey", _dist_kernel)
+
+
+# ---------------------------------------------------------------------------
+# ratio-to-report (share of group total)
+
+
+def _share_kernel(tbl: pa.Table) -> pa.Table:
+    """cents / SUM(cents) OVER (PARTITION BY o_custkey) — group sums are
+    exact int64 (sort + reduceat), the share is ONE double division of
+    exact integers, so it hashes bit-equal to the SQL window twin."""
+    cust = tbl.column("o_custkey").to_numpy()
+    okey = tbl.column("o_orderkey").to_numpy()
+    cents = np.rint(tbl.column("o_totalprice").to_numpy() * 100).astype(np.int64)
+    if len(cust) == 0:
+        return pa.table(
+            {
+                "o_custkey": pa.array([], pa.int64()),
+                "o_orderkey": pa.array([], pa.int64()),
+                "cents": pa.array([], pa.int64()),
+                "share": pa.array([], pa.float64()),
+            }
+        )
+    order = np.argsort(cust, kind="stable")
+    c, ok, cs = cust[order], okey[order], cents[order]
+    starts = np.flatnonzero(np.r_[True, c[1:] != c[:-1]])
+    runlen = np.diff(np.r_[starts, len(c)])
+    totals = np.repeat(np.add.reduceat(cs, starts), runlen)
+    return pa.table(
+        {
+            "o_custkey": pa.array(c, pa.int64()),
+            "o_orderkey": pa.array(ok, pa.int64()),
+            "cents": pa.array(cs, pa.int64()),
+            "share": pa.array(cs.astype(np.float64) / totals.astype(np.float64)),
+        }
+    )
+
+
+def order_share(orders: "ray.data.Dataset") -> "ray.data.Dataset":
+    """-> o_custkey, o_orderkey, cents, share — each order's share of its
+    customer's total spend (the SQL ratio-to-report window), via the
+    keyed bucket exchange."""
+    return keyed_partition_apply(orders, "o_custkey", _share_kernel)

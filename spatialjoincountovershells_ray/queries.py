@@ -635,6 +635,78 @@ def q_fingerprints(sf_dir: str):
     return textops.fingerprints(ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]))
 
 
+def q_winsorize_values(sf_dir: str):
+    return relagg.winsorize_at_group_quantile(
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
+        ),
+        group="event_type",
+        key="event_id",
+        value="value",
+        q=0.9,
+    )
+
+
+_WINSORIZE_SQL = (
+    "WITH v AS (SELECT event_id, event_type, "
+    "CAST(round(value * 100) AS BIGINT) AS cents FROM events), "
+    "t AS (SELECT event_type, quantile_disc(cents, 0.9) AS q FROM v GROUP BY 1) "
+    "SELECT event_id, v.event_type, cents, "
+    "CAST(least(cents, q) AS BIGINT) AS capped_cents "
+    "FROM v JOIN t USING (event_type) ORDER BY event_id"
+)
+
+
+def q_order_share(sf_dir: str):
+    return window.order_share(
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_totalprice"]
+        )
+    )
+
+
+_ORDER_SHARE_SQL = (
+    "WITH c AS (SELECT o_custkey, o_orderkey, "
+    "CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders) "
+    "SELECT o_custkey, o_orderkey, cents, "
+    "CAST(cents AS DOUBLE) / SUM(cents) OVER (PARTITION BY o_custkey) AS share FROM c"
+)
+
+
+def q_supplier_customer_full(sf_dir: str):
+    """Full outer join through the shuffle plan — the join type the
+    broadcast plan refuses (unmatched rows on BOTH sides must come back
+    exactly once; per-bucket hash co-partitioning guarantees it)."""
+    import pyarrow.compute as pc
+
+    from spatialjoincountovershells_ray.pipelines.join import equi_join
+
+    sup = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey", "s_nationkey"],
+        filter=pc.field("s_nationkey") < 20,
+    )
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey"],
+        filter=pc.field("c_nationkey") >= 5,
+    )
+    return equi_join(
+        sup, cust, "s_nationkey", "c_nationkey", mode="shuffle", join_type="full outer"
+    )
+
+
+# pyarrow full outer COALESCES the key column (right-only rows carry the
+# right key under the left key's name) — the twin mirrors that
+_FULL_JOIN_SQL = (
+    "SELECT s.s_suppkey, COALESCE(s.s_nationkey, c.c_nationkey) AS s_nationkey, "
+    "c.c_custkey "
+    "FROM (SELECT s_suppkey, s_nationkey FROM supplier WHERE s_nationkey < 20) s "
+    "FULL OUTER JOIN (SELECT c_custkey, c_nationkey FROM customer WHERE c_nationkey >= 5) c "
+    "ON s.s_nationkey = c.c_nationkey"
+)
+
+
 def q_mad_outliers(sf_dir: str):
     return relagg.mad_outliers(
         ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "value"]),
@@ -2514,6 +2586,9 @@ REGISTRY: dict[str, QueryDef] = {
     "dup_span_coverage": QueryDef(q_dup_span_coverage, _DUP_COVERAGE_SQL),
     "label_centroids": QueryDef(q_label_centroids, _label_centroids_sql()),
     "mad_outliers": QueryDef(q_mad_outliers, _MAD_SQL),
+    "supplier_customer_full": QueryDef(q_supplier_customer_full, _FULL_JOIN_SQL),
+    "order_share": QueryDef(q_order_share, _ORDER_SHARE_SQL),
+    "winsorize_values": QueryDef(q_winsorize_values, _WINSORIZE_SQL),
     "lineitem_agg": QueryDef(relational.lineitem_agg, _LINEITEM_AGG_SQL),
     "orders_per_segment": QueryDef(relational.orders_per_segment, _SEGMENT_SQL),
     "event_type_counts": QueryDef(relational.event_type_counts, _EVENTS_SQL),

@@ -512,3 +512,41 @@ class TestMadOutliers:
         assert _median2_from_hist(v, np.array([1, 1, 1], np.int64)) == 10
         assert _median2_from_hist(v, np.array([1, 1, 2], np.int64)) == 14
         assert _median2_from_hist(np.array([3], np.int64), np.array([4], np.int64)) == 6
+
+
+def test_winsorize_caps_at_group_p90():
+    import numpy as np
+    import pandas as pd
+    import ray
+    from spatialjoincountovershells_ray.pipelines.relagg import winsorize_at_group_quantile
+
+    rng = np.random.default_rng(47)
+    n = 400
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "event_type": rng.choice(["a", "b", "c"], n),
+            "value": rng.exponential(10.0, n).round(2),
+        }
+    )
+    out = (
+        winsorize_at_group_quantile(
+            ray.data.from_pandas([d for d in np.array_split(df, 6)]),
+            group="event_type",
+            key="event_id",
+            value="value",
+            q=0.9,
+        )
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    cents = np.rint(df["value"].to_numpy() * 100).astype(np.int64)
+    th = {}
+    for g, grp in pd.Series(cents).groupby(df["event_type"]):
+        sv = np.sort(grp.to_numpy())
+        # quantile_disc: smallest v with cum >= ceil(q*n) (index ceil(q*n)-1)
+        th[g] = int(sv[int(np.ceil(0.9 * len(sv))) - 1])
+    want = np.minimum(cents, df["event_type"].map(th).to_numpy())
+    assert out["capped_cents"].tolist() == want.tolist()
+    assert (out["capped_cents"] < out["cents"]).sum() > 0  # some rows actually capped

@@ -416,3 +416,32 @@ class TestOrderDistStats:
             .reset_index(drop=True)
         )
         pd.testing.assert_frame_equal(out[want.columns], want, check_dtype=False)
+
+
+def test_order_share_sums_to_one_and_matches_pandas():
+    import numpy as np
+    import pandas as pd
+    import ray
+    from spatialjoincountovershells_ray.pipelines.window import order_share
+
+    rng = np.random.default_rng(41)
+    n = 300
+    df = pd.DataFrame(
+        {
+            "o_orderkey": np.arange(n, dtype=np.int64),
+            "o_custkey": rng.integers(0, 20, n),
+            "o_totalprice": rng.uniform(1, 500, n).round(2),
+        }
+    )
+    out = (
+        order_share(ray.data.from_pandas([d for d in np.array_split(df, 5)]))
+        .to_pandas()
+        .sort_values("o_orderkey")
+        .reset_index(drop=True)
+    )
+    cents = np.rint(df["o_totalprice"].to_numpy() * 100).astype(np.int64)
+    tot = pd.Series(cents).groupby(df["o_custkey"]).transform("sum").to_numpy()
+    want = cents.astype(np.float64) / tot.astype(np.float64)
+    assert out["share"].to_numpy().tolist() == want.tolist()
+    sums = out.groupby("o_custkey")["share"].sum()
+    assert np.allclose(sums, 1.0)
