@@ -320,6 +320,7 @@ BENCH_QUERIES = [
     "supplier_customer_full",
     "order_share",
     "winsorize_values",
+    "nearest_centroid",
 ]
 
 

@@ -468,3 +468,71 @@ def label_centroids(ds: "ray.data.Dataset") -> "ray.data.Dataset":
     return agg.map_batches(final, batch_format="pyarrow", zero_copy_batch=True).sort(
         ["label", "dim"]
     )
+
+
+@ray.remote
+def _collect_centroid_grid(*parts: pa.Table) -> np.ndarray:
+    """(labels_sorted, D) int64 rounded-centroid matrix from the
+    label_centroids blocks (rows already carry label/dim/sum_fp/n)."""
+    ne = [p for p in parts if p.num_rows]
+    tbl = pa.concat_tables(ne, promote_options="none")
+    lab = tbl.column("label").to_numpy()
+    dim = tbl.column("dim").to_numpy()
+    s = tbl.column("sum_fp").to_numpy().astype(np.float64)
+    n = tbl.column("n").to_numpy().astype(np.float64)
+    labs = np.unique(lab)
+    d = int(dim.max()) + 1
+    grid = np.zeros((len(labs), d), np.int64)
+    li = np.searchsorted(labs, lab)
+    # floor(s/n + 0.5): every step one correctly-rounded IEEE op (s, n
+    # exact in double), replayed verbatim by the SQL twin
+    grid[li, dim] = np.floor(s / n + 0.5).astype(np.int64)
+    return np.concatenate([labs[:, None], grid], axis=1)
+
+
+def nearest_centroid(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """-> vec_id, label_pred:int64, d2:int64 — each embedding classified
+    to its nearest ROUNDED label centroid (the nearest-centroid /
+    Rocchio classifier), with the exact integer squared distance.
+
+    Exactness: vectors quantize with floor(v*S+0.5) (label_centroids'
+    contract) and centroids round to the same grid via floor(s/n + 0.5)
+    — both expressions replayed verbatim in SQL — so d2 = sum_dim
+    (v_d - c_d)^2 is an EXACT int64 (<= dims * (2*S*|v|_max)^2, far
+    inside headroom) and the argmin (ties -> smallest label) cannot be
+    perturbed by float error. Centroids come from one label_centroids
+    pass (O(labels x dims) rows), are concatenated by a remote task and
+    broadcast; classification is one stateless vectorized scan."""
+    cent = label_centroids(ds)
+    refs = list(cent.materialize().to_arrow_refs())
+    grid_ref = _collect_centroid_grid.remote(*refs)
+    S = CENTROID_FP_SCALE
+
+    def classify(batch: pa.Table, grid: np.ndarray) -> pa.Table:
+        ids = batch.column("vec_id").to_numpy()
+        mat = np.stack(batch.column("embedding").to_numpy(zero_copy_only=False)).astype(
+            np.float64
+        )
+        q = np.floor(mat * S + 0.5).astype(np.int64)
+        labs, c = grid[:, 0], grid[:, 1:]
+        # exact int64 pairwise d2: (n, L) via per-label reductions
+        d2 = np.empty((len(q), len(labs)), np.int64)
+        for j in range(len(labs)):
+            diff = q - c[j]
+            d2[:, j] = (diff * diff).sum(axis=1)
+        best = np.argmin(d2, axis=1)  # first (= smallest label) wins ties
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "label_pred": pa.array(labs[best], pa.int64()),
+                "d2": pa.array(d2[np.arange(len(q)), best], pa.int64()),
+            }
+        )
+
+    grid = ray.get(grid_ref)
+    return ds.map_batches(
+        classify,
+        fn_kwargs={"grid": grid},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).sort("vec_id")

@@ -747,6 +747,33 @@ def _label_centroids_sql() -> str:
     )
 
 
+def q_nearest_centroid(sf_dir: str):
+    return ann.nearest_centroid(
+        ray.data.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "label", "embedding"]
+        )
+    )
+
+
+def _nearest_centroid_sql() -> str:
+    from spatialjoincountovershells_ray.pipelines.ann import CENTROID_FP_SCALE as S
+
+    return (
+        "WITH e AS (SELECT vec_id, label, generate_subscripts(embedding, 1) - 1 AS dim, "
+        "unnest(embedding) AS v FROM embeddings), "
+        f"q AS (SELECT vec_id, label, dim, CAST(floor(CAST(v AS DOUBLE) * {S} + 0.5) "
+        "AS BIGINT) AS fp FROM e), "
+        "c AS (SELECT label, dim, CAST(floor(CAST(SUM(fp) AS DOUBLE) / COUNT(*) + 0.5) "
+        "AS BIGINT) AS cfp FROM q GROUP BY label, dim), "
+        "d AS (SELECT q.vec_id, c.label, SUM((q.fp - c.cfp) * (q.fp - c.cfp)) AS d2 "
+        "FROM q JOIN c ON q.dim = c.dim GROUP BY q.vec_id, c.label), "
+        "r AS (SELECT vec_id, label, d2, row_number() OVER "
+        "(PARTITION BY vec_id ORDER BY d2, label) AS rn FROM d) "
+        "SELECT vec_id, CAST(label AS BIGINT) AS label_pred, CAST(d2 AS BIGINT) AS d2 "
+        "FROM r WHERE rn = 1 ORDER BY vec_id"
+    )
+
+
 FUZZY_MAX_DIST = 8
 
 
@@ -2589,6 +2616,7 @@ REGISTRY: dict[str, QueryDef] = {
     "supplier_customer_full": QueryDef(q_supplier_customer_full, _FULL_JOIN_SQL),
     "order_share": QueryDef(q_order_share, _ORDER_SHARE_SQL),
     "winsorize_values": QueryDef(q_winsorize_values, _WINSORIZE_SQL),
+    "nearest_centroid": QueryDef(q_nearest_centroid, _nearest_centroid_sql()),
     "lineitem_agg": QueryDef(relational.lineitem_agg, _LINEITEM_AGG_SQL),
     "orders_per_segment": QueryDef(relational.orders_per_segment, _SEGMENT_SQL),
     "event_type_counts": QueryDef(relational.event_type_counts, _EVENTS_SQL),

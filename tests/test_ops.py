@@ -984,3 +984,39 @@ class TestLabelCentroids:
             got = a.loc[a["label"] == lbl].sort_values("dim")["sum_fp"].to_numpy()
             assert (got == want).all()
             assert (a.loc[a["label"] == lbl, "n"] == (lab == lbl).sum()).all()
+
+
+class TestNearestCentroid:
+    def test_replay_parity_and_blocking(self):
+        import numpy as np
+        import pandas as pd
+        import ray
+        from spatialjoincountovershells_ray.pipelines import ann
+
+        rng = np.random.default_rng(29)
+        k, d, n = 4, 6, 240
+        centers = rng.normal(size=(k, d)) * 3
+        lab = rng.integers(0, k, n).astype(np.int32)
+        mat = (centers[lab] + rng.normal(size=(n, d)) * 0.5).astype(np.float32)
+        df = pd.DataFrame(
+            {"vec_id": np.arange(n, dtype=np.int64), "label": lab, "embedding": list(mat)}
+        )
+        a = ann.nearest_centroid(
+            ray.data.from_pandas([x for x in np.array_split(df, 3)])
+        ).to_pandas()
+        b = ann.nearest_centroid(
+            ray.data.from_pandas([x for x in np.array_split(df, 8)])
+        ).to_pandas()
+        assert a.equals(b)
+        # single-process replay of the identical integer pipeline
+        S = ann.CENTROID_FP_SCALE
+        q = np.floor(mat.astype(np.float64) * S + 0.5).astype(np.int64)
+        cent = np.zeros((k, d), np.int64)
+        for j in range(k):
+            s = q[lab == j].sum(axis=0).astype(np.float64)
+            cent[j] = np.floor(s / (lab == j).sum() + 0.5).astype(np.int64)
+        d2 = ((q[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        pred = d2.argmin(axis=1)
+        assert a["label_pred"].to_numpy().tolist() == pred.tolist()
+        # planted clusters: the classifier should mostly recover labels
+        assert (pred == lab).mean() > 0.9
