@@ -321,6 +321,7 @@ BENCH_QUERIES = [
     "order_share",
     "winsorize_values",
     "nearest_centroid",
+    "custkey_skew",
 ]
 
 

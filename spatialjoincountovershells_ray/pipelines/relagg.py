@@ -1102,3 +1102,67 @@ def winsorize_at_group_quantile(
         )
 
     return joined.map_batches(cap, batch_format="pyarrow", zero_copy_batch=True).sort(key)
+
+
+def key_skew_report(ds: "ray.data.Dataset", key: str) -> "ray.data.Dataset":
+    """-> n_keys, n_rows, max_n, p50_n, p90_n (one row, all int64) —
+    the distribution of per-key row counts: the skew diagnostic you run
+    before choosing a partitioning / salting strategy (the salt
+    machinery's cheap pre-pass, promoted to a first-class op).
+
+    Two bounded exchanges: per-batch key-count combiners merge into the
+    per-key count table (O(keys)); a second combiner pass folds that
+    into a count-of-counts histogram (O(distinct counts) — for skew
+    analysis this is tiny: most keys share few distinct frequencies),
+    from which one driver read-off yields max and exact discrete
+    quantiles. Raw rows never cross either exchange."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        u, n = np.unique(batch.column(key).to_numpy(), return_counts=True)
+        return pa.table({"k": pa.array(u, pa.int64()), "n": pa.array(n.astype(np.int64))})
+
+    per_key = (
+        ds.select_columns([key])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("k")
+        .sum("n")
+    )
+
+    def count_hist(batch: pa.Table) -> pa.Table:
+        cname = "sum(n)" if "sum(n)" in batch.schema.names else "n"
+        u, n = np.unique(batch.column(cname).to_numpy(), return_counts=True)
+        return pa.table({"c": pa.array(u, pa.int64()), "m": pa.array(n.astype(np.int64))})
+
+    hist = per_key.map_batches(
+        count_hist, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("c").sum("m")
+    parts = [p for p in ray.get(hist.to_arrow_refs()) if p.num_rows and p.num_columns]
+    if not parts:
+        z = pa.array([], pa.int64())
+        return ray.data.from_arrow(
+            pa.table({"n_keys": z, "n_rows": z, "max_n": z, "p50_n": z, "p90_n": z})
+        )
+    tbl = pa.concat_tables(parts, promote_options="none")
+    c = tbl.column("c").to_numpy()
+    m = tbl.column("sum(m)").to_numpy().astype(np.int64)
+    order = np.argsort(c, kind="stable")
+    c, m = c[order], m[order]
+    cum = m.cumsum()
+    nkeys = int(cum[-1])
+
+    def qdisc(q: float) -> int:
+        # quantile_disc: the value at 1-based rank ceil(q * n)
+        r = int(np.ceil(q * nkeys))
+        return int(c[np.searchsorted(cum, r)])
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "n_keys": pa.array([nkeys], pa.int64()),
+                "n_rows": pa.array([int((c * m).sum())], pa.int64()),
+                "max_n": pa.array([int(c[-1])], pa.int64()),
+                "p50_n": pa.array([qdisc(0.5)], pa.int64()),
+                "p90_n": pa.array([qdisc(0.9)], pa.int64()),
+            }
+        )
+    )

@@ -747,6 +747,22 @@ def _label_centroids_sql() -> str:
     )
 
 
+def q_custkey_skew(sf_dir: str):
+    return relagg.key_skew_report(
+        ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"]),
+        key="o_custkey",
+    )
+
+
+_SKEW_SQL = (
+    "WITH k AS (SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n FROM orders GROUP BY 1) "
+    "SELECT CAST(COUNT(*) AS BIGINT) AS n_keys, CAST(SUM(n) AS BIGINT) AS n_rows, "
+    "CAST(MAX(n) AS BIGINT) AS max_n, "
+    "CAST(quantile_disc(n, 0.5) AS BIGINT) AS p50_n, "
+    "CAST(quantile_disc(n, 0.9) AS BIGINT) AS p90_n FROM k"
+)
+
+
 def q_nearest_centroid(sf_dir: str):
     return ann.nearest_centroid(
         ray.data.read_parquet(
@@ -2617,6 +2633,7 @@ REGISTRY: dict[str, QueryDef] = {
     "order_share": QueryDef(q_order_share, _ORDER_SHARE_SQL),
     "winsorize_values": QueryDef(q_winsorize_values, _WINSORIZE_SQL),
     "nearest_centroid": QueryDef(q_nearest_centroid, _nearest_centroid_sql()),
+    "custkey_skew": QueryDef(q_custkey_skew, _SKEW_SQL),
     "lineitem_agg": QueryDef(relational.lineitem_agg, _LINEITEM_AGG_SQL),
     "orders_per_segment": QueryDef(relational.orders_per_segment, _SEGMENT_SQL),
     "event_type_counts": QueryDef(relational.event_type_counts, _EVENTS_SQL),

@@ -550,3 +550,24 @@ def test_winsorize_caps_at_group_p90():
     want = np.minimum(cents, df["event_type"].map(th).to_numpy())
     assert out["capped_cents"].tolist() == want.tolist()
     assert (out["capped_cents"] < out["cents"]).sum() > 0  # some rows actually capped
+
+
+def test_key_skew_report_matches_pandas():
+    import numpy as np
+    import pandas as pd
+    import ray
+    from spatialjoincountovershells_ray.pipelines.relagg import key_skew_report
+
+    rng = np.random.default_rng(53)
+    keys = np.concatenate([rng.integers(0, 100, 900), np.full(300, 7)])  # hot key
+    df = pd.DataFrame({"k": keys.astype(np.int64)})
+    out = key_skew_report(
+        ray.data.from_pandas([d for d in np.array_split(df, 6)]), key="k"
+    ).to_pandas()
+    counts = df["k"].value_counts().to_numpy()
+    counts.sort()
+    assert out["n_keys"].iloc[0] == len(counts)
+    assert out["n_rows"].iloc[0] == len(df)
+    assert out["max_n"].iloc[0] == counts.max()
+    assert out["p50_n"].iloc[0] == counts[int(np.ceil(0.5 * len(counts))) - 1]
+    assert out["p90_n"].iloc[0] == counts[int(np.ceil(0.9 * len(counts))) - 1]
