@@ -1166,3 +1166,70 @@ def key_skew_report(ds: "ray.data.Dataset", key: str) -> "ray.data.Dataset":
             }
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# mergeable approximate quantile summary (the quantile sibling of CMS/HLL/MG)
+
+
+def quantile_sketch(
+    ds: "ray.data.Dataset", col: str, qs: dict[str, float], eps: float = 0.01, scale: int = 100
+) -> "ray.data.Dataset":
+    """-> one row: <name>:int64 per entry of ``qs`` — approximate
+    quantiles of the fixed-point column with a PROVABLE rank error
+    bound, computed from bounded per-batch summaries (the quantile
+    member of the sketch family next to CMS, HLL and Misra-Gries).
+
+    Each batch compresses its sorted cents to m = ceil(4/eps) weighted
+    order statistics (sample j covers the ranks between samples, so the
+    within-batch rank error is <= n_b * eps/4); the final task merges
+    ALL partials by value and reads ranks off the cumulative weights —
+    total rank error <= sum_b n_b*eps/4 + merge read-off <= eps*N/2.
+    The exchange carries O(batches/eps) rows, never values. The summary
+    CONTENTS depend on the blocking (any merge-based quantile sketch
+    does), so the op is gated rows-only; the pytest contract instead
+    PROVES the rank bound under multiple blockings. A tree merge with
+    recompression is the deeper-scale path when batches/eps outgrows
+    one task; at that point the error budget doubles per level (the
+    standard mergeable-summaries trade)."""
+    m = int(np.ceil(4.0 / eps))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = np.sort(np.rint(batch.column(col).to_numpy() * scale).astype(np.int64))
+        n = len(cents)
+        if n == 0:
+            return pa.table({"v": pa.array([], pa.int64()), "w": pa.array([], pa.int64())})
+        if n <= m:
+            idx = np.arange(n)
+        else:
+            idx = np.unique(np.linspace(0, n - 1, m).round().astype(np.int64))
+        # weight of sample j = ranks it stands for (gap to previous sample)
+        w = np.diff(np.r_[-1, idx])
+        w[-1] += (n - 1) - idx[-1]  # tail ranks fold into the last sample
+        return pa.table({"v": pa.array(cents[idx], pa.int64()), "w": pa.array(w, pa.int64())})
+
+    parts = [
+        p
+        for p in ray.get(
+            ds.select_columns([col])
+            .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+            .to_arrow_refs()
+        )
+        if p.num_rows and p.num_columns
+    ]
+    if not parts:
+        return ray.data.from_arrow(
+            pa.table({name: pa.array([], pa.int64()) for name in qs})
+        )
+    tbl = pa.concat_tables(parts, promote_options="none")
+    v = tbl.column("v").to_numpy()
+    w = tbl.column("w").to_numpy().astype(np.int64)
+    order = np.argsort(v, kind="stable")
+    v, w = v[order], w[order]
+    cum = w.cumsum()
+    total = int(cum[-1])
+    out = {}
+    for name, q in qs.items():
+        t = int(np.floor(q * (total - 1)))
+        out[name] = pa.array([int(v[np.searchsorted(cum, t + 1)])], pa.int64())
+    return ray.data.from_arrow(pa.table(out))

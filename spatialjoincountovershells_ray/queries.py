@@ -747,6 +747,17 @@ def _label_centroids_sql() -> str:
     )
 
 
+def q_value_quantile_sketch(sf_dir: str):
+    """Rows-only gate (any merge-based quantile summary is blocking-
+    dependent); the rank-error bound is PROVEN in pytest instead."""
+    return relagg.quantile_sketch(
+        ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["value"]),
+        "value",
+        {"p10": 0.1, "p50": 0.5, "p90": 0.9, "p99": 0.99},
+        eps=0.01,
+    )
+
+
 def q_custkey_skew(sf_dir: str):
     return relagg.key_skew_report(
         ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"]),
@@ -2634,6 +2645,7 @@ REGISTRY: dict[str, QueryDef] = {
     "winsorize_values": QueryDef(q_winsorize_values, _WINSORIZE_SQL),
     "nearest_centroid": QueryDef(q_nearest_centroid, _nearest_centroid_sql()),
     "custkey_skew": QueryDef(q_custkey_skew, _SKEW_SQL),
+    "value_quantile_sketch": QueryDef(q_value_quantile_sketch, None),
     "lineitem_agg": QueryDef(relational.lineitem_agg, _LINEITEM_AGG_SQL),
     "orders_per_segment": QueryDef(relational.orders_per_segment, _SEGMENT_SQL),
     "event_type_counts": QueryDef(relational.event_type_counts, _EVENTS_SQL),

@@ -571,3 +571,56 @@ def test_key_skew_report_matches_pandas():
     assert out["max_n"].iloc[0] == counts.max()
     assert out["p50_n"].iloc[0] == counts[int(np.ceil(0.5 * len(counts))) - 1]
     assert out["p90_n"].iloc[0] == counts[int(np.ceil(0.9 * len(counts))) - 1]
+
+
+class TestQuantileSketch:
+    def _check(self, vals, nblocks, eps):
+        import numpy as np
+        import pandas as pd
+        import ray
+        from spatialjoincountovershells_ray.pipelines.relagg import quantile_sketch
+
+        df = pd.DataFrame({"value": vals})
+        qs = {"p10": 0.1, "p50": 0.5, "p90": 0.9, "p99": 0.99}
+        out = quantile_sketch(
+            ray.data.from_pandas([d for d in np.array_split(df, nblocks)]),
+            "value",
+            qs,
+            eps=eps,
+        ).to_pandas()
+        cents = np.sort(np.rint(np.asarray(vals) * 100).astype(np.int64))
+        n = len(cents)
+        for name, q in qs.items():
+            est = out[name].iloc[0]
+            # rank error bound: the estimate's true rank within eps*n of target
+            lo = np.searchsorted(cents, est, side="left")
+            hi = np.searchsorted(cents, est, side="right") - 1
+            target = q * (n - 1)
+            err = min(abs(lo - target), abs(hi - target))
+            assert err <= eps * n + 1, (name, est, err, eps * n)
+
+    def test_rank_bound_random_and_sorted_blockings(self):
+        import numpy as np
+
+        rng = np.random.default_rng(61)
+        vals = rng.lognormal(3.0, 1.0, 20000).round(2)
+        for nb in (1, 7, 40):
+            self._check(vals, nb, eps=0.02)
+        # adversarial: globally sorted input (each block covers one range)
+        self._check(np.sort(vals), 25, eps=0.02)
+
+    def test_exact_when_batch_smaller_than_summary(self):
+        import numpy as np
+        import pandas as pd
+        import ray
+        from spatialjoincountovershells_ray.pipelines.relagg import quantile_sketch
+
+        vals = np.arange(100, dtype=np.float64) / 100.0 * 7  # n << 4/eps
+        out = quantile_sketch(
+            ray.data.from_pandas([pd.DataFrame({"value": vals})]),
+            "value",
+            {"p50": 0.5},
+            eps=0.01,
+        ).to_pandas()
+        cents = np.sort(np.rint(vals * 100).astype(np.int64))
+        assert out["p50"].iloc[0] == cents[int(np.floor(0.5 * (len(cents) - 1)))]
