@@ -322,6 +322,7 @@ BENCH_QUERIES = [
     "winsorize_values",
     "nearest_centroid",
     "custkey_skew",
+    "value_quantile_sketch",
 ]
 
 
