@@ -323,6 +323,7 @@ BENCH_QUERIES = [
     "nearest_centroid",
     "custkey_skew",
     "value_quantile_sketch",
+    "bpe_merges",
 ]
 
 

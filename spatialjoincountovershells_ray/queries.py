@@ -32,7 +32,7 @@ from spatialjoincountovershells_ray.sources.documents import (
     read_documents,
     write_documents,
 )
-from spatialjoincountovershells_ray.pipelines import ann, curation, dedup, events, graph, knn, range_join, raster, relagg, relational
+from spatialjoincountovershells_ray.pipelines import ann, bpe, curation, dedup, events, graph, knn, range_join, raster, relagg, relational
 from spatialjoincountovershells_ray.pipelines import shell_count as sc
 from spatialjoincountovershells_ray.pipelines import textops, tiles, window
 
@@ -745,6 +745,16 @@ def _label_centroids_sql() -> str:
         f"CAST(SUM(fp) AS DOUBLE) / (COUNT(*) * {S}) AS mean "
         "FROM q GROUP BY label, dim ORDER BY label, dim"
     )
+
+
+def q_bpe_merges(sf_dir: str):
+    """Distributed byte-level BPE tokenizer training over the documents
+    table (word-frequency fold -> shard actors -> exact-count merge
+    loop). Genuinely iterative with a greedy stateful rewrite per merge
+    — non-SQL-expressible, so rows-only at the driver gate; pytest
+    proves bit-identical merges vs a single-process reference trainer
+    at two shardings (tests/test_bpe.py)."""
+    return bpe.train_doc_bpe(sf_dir)
 
 
 def q_value_quantile_sketch(sf_dir: str):
@@ -2646,6 +2656,7 @@ REGISTRY: dict[str, QueryDef] = {
     "nearest_centroid": QueryDef(q_nearest_centroid, _nearest_centroid_sql()),
     "custkey_skew": QueryDef(q_custkey_skew, _SKEW_SQL),
     "value_quantile_sketch": QueryDef(q_value_quantile_sketch, None),
+    "bpe_merges": QueryDef(q_bpe_merges, None),
     "lineitem_agg": QueryDef(relational.lineitem_agg, _LINEITEM_AGG_SQL),
     "orders_per_segment": QueryDef(relational.orders_per_segment, _SEGMENT_SQL),
     "event_type_counts": QueryDef(relational.event_type_counts, _EVENTS_SQL),
