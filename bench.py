@@ -324,6 +324,7 @@ BENCH_QUERIES = [
     "custkey_skew",
     "value_quantile_sketch",
     "bpe_merges",
+    "part_skyline",
 ]
 
 

@@ -1233,3 +1233,59 @@ def quantile_sketch(
         t = int(np.floor(q * (total - 1)))
         out[name] = pa.array([int(v[np.searchsorted(cum, t + 1)])], pa.int64())
     return ray.data.from_arrow(pa.table(out))
+
+
+def _sky2d_mask(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Boolean mask of the maximize-maximize Pareto frontier of (x, y).
+
+    Sort x desc then y desc; per distinct x only the max-y row is a
+    candidate, and a candidate survives iff its y strictly exceeds the
+    cummax over larger-x candidates. O(n log n), one pass, exact under
+    ties (equal points keep exactly one representative).
+    """
+    n = len(x)
+    mask = np.zeros(n, dtype=bool)
+    if n == 0:
+        return mask
+    order = np.lexsort((-y, -x))
+    xs, ys = x[order], y[order]
+    first = np.r_[True, xs[1:] != xs[:-1]]
+    cand = order[first]
+    run = np.maximum.accumulate(ys[first])
+    keep = np.r_[True, run[1:] > run[:-1]]
+    mask[cand[keep]] = True
+    return mask
+
+
+def skyline2d(ds: "ray.data.Dataset", xcol: str, ycol: str) -> "ray.data.Dataset":
+    """-> the DISTINCT maximize-maximize skyline (Pareto frontier) rows
+    of (xcol, ycol), sorted by xcol.
+
+    Skylines are decomposable: a globally non-dominated point is
+    non-dominated in its own batch, so each batch folds to its local
+    frontier (a combiner whose output is tiny on real-valued data — the
+    expected frontier of n random points is O(log n)) and one final
+    pass over the concatenated local frontiers finishes. The exchange
+    carries frontier points only, never the table; values pass through
+    untouched so the SQL twin hashes bit-equal.
+    """
+
+    def local(batch: pa.Table) -> pa.Table:
+        x = batch.column(xcol).to_numpy()
+        y = batch.column(ycol).to_numpy()
+        m = _sky2d_mask(x, y)
+        return pa.table({xcol: pa.array(x[m]), ycol: pa.array(y[m])})
+
+    def final(batch: pa.Table) -> pa.Table:
+        x = batch.column(xcol).to_numpy()
+        y = batch.column(ycol).to_numpy()
+        m = _sky2d_mask(x, y)
+        return pa.table({xcol: pa.array(x[m]), ycol: pa.array(y[m])})
+
+    return (
+        ds.select_columns([xcol, ycol])
+        .map_batches(local, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(1)  # O(sum of local frontiers) rows — tiny by then
+        .map_batches(final, batch_format="pyarrow", zero_copy_batch=True)
+        .sort(xcol)
+    )

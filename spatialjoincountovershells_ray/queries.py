@@ -21,6 +21,7 @@ from typing import Callable, Optional
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 
 from spatialjoincountovershells_ray.config import GridSpec, RadiusLadder
@@ -755,6 +756,39 @@ def q_bpe_merges(sf_dir: str):
     proves bit-identical merges vs a single-process reference trainer
     at two shardings (tests/test_bpe.py)."""
     return bpe.train_doc_bpe(sf_dir)
+
+
+def q_part_skyline(sf_dir: str):
+    """2-D skyline (maximize p_size, maximize p_retailprice): the
+    distinct Pareto-frontier points of the part table. Decomposable —
+    each batch folds to its local frontier, one tiny final pass
+    finishes; values pass through untouched so the NOT-EXISTS twin
+    hashes bit-equal."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_size", "p_retailprice"]
+    )
+    # p_size is int32 on disk; emit int64 to match the BIGINT twin.
+    ds = ds.map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("p_size"),
+            "p_size",
+            pc.cast(t.column("p_size"), pa.int64()),
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return relagg.skyline2d(ds, "p_size", "p_retailprice")
+
+
+_PART_SKYLINE_SQL = (
+    "WITH pts AS (SELECT DISTINCT CAST(p_size AS BIGINT) AS p_size, "
+    "p_retailprice FROM part) "
+    "SELECT p.p_size, p.p_retailprice FROM pts p WHERE NOT EXISTS ("
+    "SELECT 1 FROM pts q WHERE q.p_size >= p.p_size "
+    "AND q.p_retailprice >= p.p_retailprice "
+    "AND (q.p_size > p.p_size OR q.p_retailprice > p.p_retailprice)) "
+    "ORDER BY p.p_size"
+)
 
 
 def q_value_quantile_sketch(sf_dir: str):
@@ -2657,6 +2691,7 @@ REGISTRY: dict[str, QueryDef] = {
     "custkey_skew": QueryDef(q_custkey_skew, _SKEW_SQL),
     "value_quantile_sketch": QueryDef(q_value_quantile_sketch, None),
     "bpe_merges": QueryDef(q_bpe_merges, None),
+    "part_skyline": QueryDef(q_part_skyline, _PART_SKYLINE_SQL),
     "lineitem_agg": QueryDef(relational.lineitem_agg, _LINEITEM_AGG_SQL),
     "orders_per_segment": QueryDef(relational.orders_per_segment, _SEGMENT_SQL),
     "event_type_counts": QueryDef(relational.event_type_counts, _EVENTS_SQL),

@@ -1020,3 +1020,53 @@ class TestNearestCentroid:
         assert a["label_pred"].to_numpy().tolist() == pred.tolist()
         # planted clusters: the classifier should mostly recover labels
         assert (pred == lab).mean() > 0.9
+
+
+class TestSkyline2d:
+    def test_matches_brute_force_and_blocking_free(self):
+        import pandas as pd
+        from spatialjoincountovershells_ray.pipelines import relagg
+
+        rng = np.random.default_rng(41)
+        n = 5000
+        # small integer domain => heavy exact-duplicate pressure
+        x = rng.integers(0, 40, n).astype(np.int64)
+        y = rng.integers(0, 25, n).astype(np.float64)
+        df = pd.DataFrame({"x": x, "y": y})
+
+        # brute-force oracle over DISTINCT points
+        pts = df.drop_duplicates().to_numpy()
+        keep = []
+        for i in range(len(pts)):
+            dominated = (
+                (pts[:, 0] >= pts[i, 0])
+                & (pts[:, 1] >= pts[i, 1])
+                & ((pts[:, 0] > pts[i, 0]) | (pts[:, 1] > pts[i, 1]))
+            ).any()
+            if not dominated:
+                keep.append(tuple(pts[i]))
+        want = sorted(keep)
+
+        for nblocks in (2, 7):
+            got = (
+                relagg.skyline2d(
+                    ray.data.from_pandas([b for b in np.array_split(df, nblocks)]),
+                    "x",
+                    "y",
+                )
+                .to_pandas()
+                .apply(tuple, axis=1)
+                .tolist()
+            )
+            assert sorted(got) == want
+            # frontier is strictly decreasing in y as x increases
+            ys = [t[1] for t in sorted(got)]
+            assert all(a > b for a, b in zip(ys, ys[1:]))
+
+    def test_empty_and_single(self):
+        import pandas as pd
+        from spatialjoincountovershells_ray.pipelines import relagg
+
+        df = pd.DataFrame({"x": np.array([3], np.int64), "y": np.array([1.5])})
+        got = relagg.skyline2d(ray.data.from_pandas(df), "x", "y").to_pandas()
+        assert got.values.tolist() == [[3, 1.5]]
