@@ -325,6 +325,7 @@ BENCH_QUERIES = [
     "value_quantile_sketch",
     "bpe_merges",
     "part_skyline",
+    "coorder_triangles",
 ]
 
 

@@ -187,3 +187,149 @@ def part_pagerank(sf_dir: str, iters: int = PR_NITER) -> "ray.data.Dataset":
         f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
     )
     return pagerank_scores(coorder_edges(li).materialize(), iters=iters)
+
+
+# ---------------------------------------------------------------------------
+# Exact triangle / wedge statistics (global clustering numerator+denominator)
+# ---------------------------------------------------------------------------
+
+
+def _wedge_keys(tbl: pa.Table) -> pa.Table:
+    """Oriented-edge bucket -> packed wedge keys ((a<<32)|b, a<b).
+
+    Per-center pair generation is vectorized by out-degree class (the
+    same shape as the Levenshtein length-class DP): for each distinct
+    out-degree d, every center with that degree contributes its
+    triu-indexed neighbor pairs in one gather. Neighbor lists are sorted
+    within each center, so a < b holds without a min/max pass."""
+    empty = pa.table({"k": pa.array([], pa.int64()), "is_edge": pa.array([], pa.int8())})
+    if tbl.num_rows == 0 or tbl.num_columns == 0:
+        return empty
+    src = tbl.column("src").to_numpy()
+    dst = tbl.column("dst").to_numpy()
+    order = np.lexsort((dst, src))
+    s, d = src[order], dst[order]
+    starts = np.flatnonzero(np.r_[True, s[1:] != s[:-1]])
+    lens = np.diff(np.r_[starts, len(s)])
+    out = []
+    for dd in np.unique(lens):
+        if dd < 2:
+            continue
+        rows = starts[lens == dd]
+        nb = d[rows[:, None] + np.arange(int(dd))]
+        iu, ju = np.triu_indices(int(dd), 1)
+        out.append((nb[:, iu].ravel() << 32) | nb[:, ju].ravel())
+    if not out:
+        return empty
+    k = np.concatenate(out)
+    return pa.table(
+        {"k": pa.array(k, pa.int64()), "is_edge": pa.array(np.zeros(len(k), np.int8))}
+    )
+
+
+def _closed_wedges(tbl: pa.Table) -> pa.Table:
+    """One hash bucket of tagged packed keys -> one-row count of wedge
+    keys (is_edge=0, with multiplicity) present in the distinct edge-key
+    set (is_edge=1). Each packed key hashes to exactly one bucket, so
+    per-bucket membership is globally exact."""
+    if tbl.num_rows == 0 or tbl.num_columns == 0:
+        return pa.table({"t": pa.array([], pa.int64())})
+    k = tbl.column("k").to_numpy()
+    tag = tbl.column("is_edge").to_numpy()
+    ek = np.sort(k[tag == 1])
+    wk = k[tag == 0]
+    if not len(ek) or not len(wk):
+        return pa.table({"t": pa.array([0], pa.int64())})
+    pos = np.searchsorted(ek, wk)
+    hits = (pos < len(ek)) & (ek[np.minimum(pos, len(ek) - 1)] == wk)
+    return pa.table({"t": pa.array([int(hits.sum())], pa.int64())})
+
+
+def triangle_stats(edges: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Exact global graph statistics of a distinct both-direction edge
+    set (src,dst int64, src != dst, both (a,b) and (b,a) present):
+    -> one row {nodes, edges, wedges, triangles} (all int64; edges =
+    undirected count; global clustering = 3*triangles/wedges).
+
+    Physical plan (compact-forward / degree orientation): each
+    undirected edge is oriented from its lower (degree, id) endpoint, so
+    every triangle has exactly one center with two out-edges; centers'
+    out-neighbor pairs (wedges) are generated per src-hash bucket and a
+    second key-hash bucket exchange counts the wedges whose closing edge
+    exists. The exchange carries 8-byte packed keys only; wedge volume
+    is the degree-oriented O(sum d_out^2) <= O(m^1.5) bound, the known
+    optimum for exact listing. Degrees ride the PageRank dense-vector
+    contract: O(#nodes) ints, broadcast once via ray.put.
+
+    No reference counterpart (the reference joins geometry, not graphs);
+    the SQL twin is the canonical three-way self-join."""
+    from spatialjoincountovershells_ray.pipelines.window import keyed_partition_apply
+
+    edges = edges.materialize()
+    refs = edges.to_arrow_refs()
+    parts = ray.get([_src_counts.remote(r) for r in refs])
+    us = np.concatenate([p[0] for p in parts]) if parts else np.empty(0, np.int64)
+    cs = np.concatenate([p[1] for p in parts]) if parts else np.empty(0, np.int64)
+    one_row = lambda n, e, w, t: ray.data.from_arrow(  # noqa: E731
+        pa.table(
+            {
+                "nodes": pa.array([n], pa.int64()),
+                "edges": pa.array([e], pa.int64()),
+                "wedges": pa.array([w], pa.int64()),
+                "triangles": pa.array([t], pa.int64()),
+            }
+        )
+    )
+    if not len(us):
+        return one_row(0, 0, 0, 0)
+    order = np.argsort(us, kind="stable")
+    su, sc = us[order], cs[order]
+    nstarts = np.flatnonzero(np.r_[True, su[1:] != su[:-1]])
+    nodes = su[nstarts]
+    deg = np.add.reduceat(sc, nstarts)
+    if int(deg.max()) >= 2**31:
+        raise OverflowError("triangle_stats wedge arithmetic assumes degree < 2^31")
+    if int(nodes[0]) < 0 or int(nodes[-1]) >= 2**31:
+        raise ValueError("triangle_stats packs node pairs as 31-bit ids")
+    nwedges = int(np.sum((deg * (deg - 1)) // 2, dtype=np.int64))
+    ndirected = int(np.sum(sc, dtype=np.int64))
+    deg_ref = ray.put((nodes, deg))
+
+    def orient(batch: pa.Table, ref) -> pa.Table:
+        nd, dg = (ray.get(ref[0]) if isinstance(ref, list) else ref)
+        src = batch.column("src").to_numpy()
+        dst = batch.column("dst").to_numpy()
+        da = dg[np.searchsorted(nd, src)]
+        db = dg[np.searchsorted(nd, dst)]
+        keep = (da < db) | ((da == db) & (src < dst))
+        return pa.table(
+            {"src": pa.array(src[keep]), "dst": pa.array(dst[keep])}
+        )
+
+    oriented = edges.map_batches(
+        orient, fn_kwargs={"ref": [deg_ref]}, batch_format="pyarrow", zero_copy_batch=True
+    )
+    wedges = keyed_partition_apply(oriented, "src", _wedge_keys)
+
+    def edge_keys(batch: pa.Table) -> pa.Table:
+        src = batch.column("src").to_numpy()
+        dst = batch.column("dst").to_numpy()
+        m = src < dst
+        k = (src[m] << 32) | dst[m]
+        return pa.table(
+            {"k": pa.array(k, pa.int64()), "is_edge": pa.array(np.ones(len(k), np.int8))}
+        )
+
+    ek = edges.map_batches(edge_keys, batch_format="pyarrow", zero_copy_batch=True)
+    per_bucket = keyed_partition_apply(wedges.union(ek), "k", _closed_wedges)
+    ntri = sum(int(r["t"]) for r in per_bucket.take_all())  # O(buckets) scalars
+    return one_row(int(len(nodes)), ndirected // 2, nwedges, ntri)
+
+
+def coorder_triangles(sf_dir: str) -> "ray.data.Dataset":
+    """End-to-end: lineitem -> co-order edges -> exact {nodes, edges,
+    wedges, triangles} (one row)."""
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+    return triangle_stats(coorder_edges(li))

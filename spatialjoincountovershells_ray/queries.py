@@ -1434,6 +1434,20 @@ _ORDER_RANK_SQL = (
     "AS rnk FROM orders"
 )
 
+
+_TRIANGLES_SQL = (
+    "WITH ep AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem), "
+    "e AS (SELECT a.p AS u, b.p AS v FROM ep a JOIN ep b "
+    "ON a.o = b.o AND a.p < b.p GROUP BY 1, 2), "
+    "deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM "
+    "(SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e) GROUP BY node) "
+    "SELECT (SELECT COUNT(*) FROM deg) AS nodes, "
+    "(SELECT COUNT(*) FROM e) AS edges, "
+    "(SELECT CAST(SUM(d * (d - 1) / 2) AS BIGINT) FROM deg) AS wedges, "
+    "(SELECT COUNT(*) FROM e e1 JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v "
+    "JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v) AS triangles"
+)
+
 def _pagerank_sql() -> str:
     """Unrolled fixed-point PageRank twin: the same integer recurrence
     (``v' = (15*S)//100 + (85 * SUM(v // deg)) // 100``) iterated
@@ -2731,6 +2745,7 @@ REGISTRY: dict[str, QueryDef] = {
     "order_rank": QueryDef(q_order_rank, _ORDER_RANK_SQL),
     "order_dist_stats": QueryDef(q_order_dist_stats, _ORDER_DIST_SQL),
     "part_pagerank": QueryDef(graph.part_pagerank, _pagerank_sql()),
+    "coorder_triangles": QueryDef(graph.coorder_triangles, _TRIANGLES_SQL),
     "user_event_paths": QueryDef(q_user_event_paths, _EVENT_PATHS_SQL),
     "late_orders": QueryDef(q_late_orders, _late_orders_sql()),
     "click_except_purchase_days": QueryDef(

@@ -1070,3 +1070,46 @@ class TestSkyline2d:
         df = pd.DataFrame({"x": np.array([3], np.int64), "y": np.array([1.5])})
         got = relagg.skyline2d(ray.data.from_pandas(df), "x", "y").to_pandas()
         assert got.values.tolist() == [[3, 1.5]]
+
+
+class TestTriangleStats:
+    def test_matches_brute_force(self):
+        import itertools
+
+        import pandas as pd
+        from spatialjoincountovershells_ray.pipelines import graph
+
+        rng = np.random.default_rng(7)
+        n = 60
+        # random undirected graph, ~12% density: plenty of triangles
+        und = set()
+        for a, b in rng.integers(0, n, (500, 2)):
+            if a != b:
+                und.add((min(int(a), int(b)), max(int(a), int(b))))
+        tris = sum(
+            1
+            for a, b, c in itertools.combinations(range(n), 3)
+            if (a, b) in und and (a, c) in und and (b, c) in und
+        )
+        deg = np.zeros(n, np.int64)
+        for a, b in und:
+            deg[a] += 1
+            deg[b] += 1
+        wedges = int(((deg * (deg - 1)) // 2).sum())
+
+        both = [(a, b) for a, b in und] + [(b, a) for a, b in und]
+        df = pd.DataFrame(both, columns=["src", "dst"]).astype(np.int64)
+        ds = ray.data.from_pandas([b for b in np.array_split(df, 5)])
+        got = graph.triangle_stats(ds).to_pandas().iloc[0]
+        assert int(got["triangles"]) == tris
+        assert int(got["wedges"]) == wedges
+        assert int(got["edges"]) == len(und)
+        assert int(got["nodes"]) == int((deg > 0).sum())
+
+    def test_empty(self):
+        import pandas as pd
+        from spatialjoincountovershells_ray.pipelines import graph
+
+        df = pd.DataFrame({"src": np.array([], np.int64), "dst": np.array([], np.int64)})
+        got = graph.triangle_stats(ray.data.from_pandas(df)).to_pandas().iloc[0]
+        assert got.tolist() == [0, 0, 0, 0]
