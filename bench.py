@@ -326,6 +326,7 @@ BENCH_QUERIES = [
     "bpe_merges",
     "part_skyline",
     "coorder_triangles",
+    "orders_snapshot_diff",
 ]
 
 

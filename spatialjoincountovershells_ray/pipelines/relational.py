@@ -295,3 +295,83 @@ def user_days_set_op(sf_dir: str, type_a: str, type_b: str, op: str) -> "ray.dat
         ).map_batches(_user_day, batch_format="pyarrow", zero_copy_batch=True)
 
     return set_op_distinct(side(type_a), side(type_b), ["user_id", "day"], op)
+
+
+def snapshot_diff(
+    old: "ray.data.Dataset",
+    new: "ray.data.Dataset",
+    key: str,
+    compare_cols: list[str],
+) -> "ray.data.Dataset":
+    """Change-data-capture diff of two snapshot versions of a keyed
+    table: -> {key, change} with change in ('added', 'removed',
+    'changed'), sorted by key. Unchanged rows are dropped map-side.
+
+    Physical plan: tag each side with a presence flag, union, one
+    key-hash bucket exchange so every key's two versions meet in one
+    bucket, then a per-bucket pyarrow full-outer join classifies.
+    The exchange carries key + compared columns only (project before
+    calling for wide tables); output is bounded by the churn, never
+    the snapshot size. Keys must be unique per snapshot (enforced:
+    the per-bucket join would otherwise fan out, so each bucket
+    asserts key uniqueness and fails loudly)."""
+    from spatialjoincountovershells_ray.pipelines.window import keyed_partition_apply
+
+    cols = [key] + list(compare_cols)
+
+    def tag(val: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            t = batch.select(cols)
+            return t.append_column(
+                "_in_old", pa.array(np.full(t.num_rows, val, np.int8))
+            )
+
+        return fn
+
+    tagged = old.map_batches(
+        tag(1), batch_format="pyarrow", zero_copy_batch=True
+    ).union(new.map_batches(tag(0), batch_format="pyarrow", zero_copy_batch=True))
+
+    def classify(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {key: pa.array([], pa.int64()), "change": pa.array([], pa.string())}
+        )
+        if tbl.num_rows == 0 or tbl.num_columns == 0:
+            return empty
+        in_old = tbl.column("_in_old").to_numpy().astype(bool)
+        o = tbl.filter(in_old).select(cols)
+        n = tbl.filter(~in_old).select(cols)
+        for side in (o, n):
+            if side.num_rows and side.column(key).null_count == 0:
+                k = side.column(key).to_numpy()
+                if len(np.unique(k)) != len(k):
+                    raise ValueError(f"snapshot_diff requires unique {key!r} per snapshot")
+        o = o.append_column("_po", pa.array(np.ones(o.num_rows, np.int8)))
+        n = n.append_column("_pn", pa.array(np.ones(n.num_rows, np.int8)))
+        j = o.join(n, keys=[key], join_type="full outer", right_suffix="_n")
+        po = pc.fill_null(j.column("_po"), 0).to_numpy().astype(bool)
+        pn = pc.fill_null(j.column("_pn"), 0).to_numpy().astype(bool)
+        same = np.ones(j.num_rows, dtype=bool)
+        for c in compare_cols:
+            eq = pc.equal(j.column(c), j.column(f"{c}_n"))
+            same &= pc.fill_null(eq, False).to_numpy(zero_copy_only=False)
+        kv = j.column(key).to_numpy()
+        out_k, out_c = [], []
+        for mask, label in (
+            (~po & pn, "added"),
+            (po & ~pn, "removed"),
+            (po & pn & ~same, "changed"),
+        ):
+            if mask.any():
+                out_k.append(kv[mask])
+                out_c.append(np.full(int(mask.sum()), label, dtype=object))
+        if not out_k:
+            return empty
+        return pa.table(
+            {
+                key: pa.array(np.concatenate(out_k), pa.int64()),
+                "change": pa.array(np.concatenate(out_c), pa.string()),
+            }
+        )
+
+    return keyed_partition_apply(tagged, key, classify).sort(key)

@@ -758,6 +758,55 @@ def q_bpe_merges(sf_dir: str):
     return bpe.train_doc_bpe(sf_dir)
 
 
+
+def q_orders_snapshot_diff(sf_dir: str):
+    """CDC diff of two deterministic snapshot versions of orders: the
+    old snapshot drops keys = 3 (mod 97) ("added" later), the new one
+    drops keys = 5 (mod 89) ("removed") and flips o_orderstatus to 'X'
+    for keys = 0 (mod 11) ("changed"). One key-hash exchange carrying
+    (key, status) pairs; output is the churn set only."""
+    cols = ["o_orderkey", "o_orderstatus"]
+
+    def old_f(batch: pa.Table) -> pa.Table:
+        k = batch.column("o_orderkey").to_numpy()
+        return batch.filter(k % 97 != 3)
+
+    def new_f(batch: pa.Table) -> pa.Table:
+        t = batch.filter(batch.column("o_orderkey").to_numpy() % 89 != 5)
+        k = t.column("o_orderkey").to_numpy()
+        st = t.column("o_orderstatus").to_numpy(zero_copy_only=False).astype(object)
+        st[k % 11 == 0] = "X"
+        return t.set_column(
+            t.schema.get_field_index("o_orderstatus"),
+            "o_orderstatus",
+            pa.array(st, pa.string()),
+        )
+
+    base = f"{sf_dir}/orders.parquet"
+    old = ray.data.read_parquet(base, columns=cols).map_batches(
+        old_f, batch_format="pyarrow", zero_copy_batch=True
+    )
+    new = ray.data.read_parquet(base, columns=cols).map_batches(
+        new_f, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return relational.snapshot_diff(old, new, "o_orderkey", ["o_orderstatus"])
+
+
+_SNAPSHOT_DIFF_SQL = (
+    "WITH old AS (SELECT o_orderkey, o_orderstatus FROM orders "
+    "WHERE o_orderkey % 97 <> 3), "
+    "new AS (SELECT o_orderkey, CASE WHEN o_orderkey % 11 = 0 THEN 'X' "
+    "ELSE o_orderstatus END AS o_orderstatus FROM orders "
+    "WHERE o_orderkey % 89 <> 5) "
+    "SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey, "
+    "CASE WHEN o.o_orderkey IS NULL THEN 'added' "
+    "WHEN n.o_orderkey IS NULL THEN 'removed' ELSE 'changed' END AS change "
+    "FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey "
+    "WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL "
+    "OR o.o_orderstatus <> n.o_orderstatus ORDER BY 1"
+)
+
+
 def q_part_skyline(sf_dir: str):
     """2-D skyline (maximize p_size, maximize p_retailprice): the
     distinct Pareto-frontier points of the part table. Decomposable —
@@ -2706,6 +2755,7 @@ REGISTRY: dict[str, QueryDef] = {
     "value_quantile_sketch": QueryDef(q_value_quantile_sketch, None),
     "bpe_merges": QueryDef(q_bpe_merges, None),
     "part_skyline": QueryDef(q_part_skyline, _PART_SKYLINE_SQL),
+    "orders_snapshot_diff": QueryDef(q_orders_snapshot_diff, _SNAPSHOT_DIFF_SQL),
     "lineitem_agg": QueryDef(relational.lineitem_agg, _LINEITEM_AGG_SQL),
     "orders_per_segment": QueryDef(relational.orders_per_segment, _SEGMENT_SQL),
     "event_type_counts": QueryDef(relational.event_type_counts, _EVENTS_SQL),

@@ -1113,3 +1113,55 @@ class TestTriangleStats:
         df = pd.DataFrame({"src": np.array([], np.int64), "dst": np.array([], np.int64)})
         got = graph.triangle_stats(ray.data.from_pandas(df)).to_pandas().iloc[0]
         assert got.tolist() == [0, 0, 0, 0]
+
+
+class TestSnapshotDiff:
+    def test_matches_pandas_oracle(self):
+        import pandas as pd
+        from spatialjoincountovershells_ray.pipelines import relational
+
+        rng = np.random.default_rng(13)
+        keys = np.arange(1000, dtype=np.int64)
+        vals = rng.integers(0, 5, 1000).astype(np.int64)
+        old = pd.DataFrame({"k": keys, "v": vals})
+        # new: drop 10%, change 10%, add fresh keys
+        new = old[keys % 10 != 0].copy()
+        ch = new["k"] % 7 == 0
+        new.loc[ch, "v"] = new.loc[ch, "v"] + 100
+        added = pd.DataFrame(
+            {"k": np.arange(2000, 2050, dtype=np.int64), "v": np.int64(1)}
+        )
+        new = pd.concat([new, added], ignore_index=True)
+
+        want = {}
+        om = dict(zip(old["k"], old["v"]))
+        nm = dict(zip(new["k"], new["v"]))
+        for k in om:
+            if k not in nm:
+                want[k] = "removed"
+            elif om[k] != nm[k]:
+                want[k] = "changed"
+        for k in nm:
+            if k not in om:
+                want[k] = "added"
+
+        got = relational.snapshot_diff(
+            ray.data.from_pandas([b for b in np.array_split(old, 4)]),
+            ray.data.from_pandas([b for b in np.array_split(new, 3)]),
+            "k",
+            ["v"],
+        ).to_pandas()
+        assert dict(zip(got["k"], got["change"])) == want
+        assert got["k"].is_monotonic_increasing
+
+    def test_duplicate_key_rejected(self):
+        import pandas as pd
+        import pytest
+        from spatialjoincountovershells_ray.pipelines import relational
+
+        old = pd.DataFrame({"k": np.array([1, 1], np.int64), "v": np.array([2, 3], np.int64)})
+        new = pd.DataFrame({"k": np.array([1], np.int64), "v": np.array([2], np.int64)})
+        with pytest.raises(Exception, match="unique"):
+            relational.snapshot_diff(
+                ray.data.from_pandas(old), ray.data.from_pandas(new), "k", ["v"]
+            ).to_pandas()
