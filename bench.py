@@ -327,6 +327,7 @@ BENCH_QUERIES = [
     "part_skyline",
     "coorder_triangles",
     "orders_snapshot_diff",
+    "zorder_shards",
 ]
 
 

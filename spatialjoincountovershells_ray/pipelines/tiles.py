@@ -228,3 +228,90 @@ def point_in_polygons(
         concurrency=concurrency,
     )
     return out.sort([id_col, "poly_id"]) if sort else out
+
+
+def zorder_shard_stats(
+    points: "ray.data.Dataset",
+    box: float,
+    level: int = 4,
+    shard_bits: int = 6,
+) -> "ray.data.Dataset":
+    """Z-order (Morton) space-filling-curve partitioner audit:
+    -> {shard, n, morton_min, morton_max} sorted by shard.
+
+    Each point's 3-D grid cell on the 2^level-per-axis grid is bit-
+    interleaved into a Morton key; a shard is the key's top
+    ``shard_bits`` bits, i.e. a CONTIGUOUS Morton range = a spatially
+    compact octree node. This is the locality-preserving alternative to
+    the row-hash partitioner for spatial data: neighboring cells land in
+    the same shard, so a downstream range/kNN stage probes O(1) shards
+    instead of all of them (the min/max columns prove the ranges are
+    disjoint and contiguous). Map-side partial (shard, n, min, max)
+    per batch — the exchange carries <= 2^shard_bits rows per task,
+    never points; the final fold is O(shards).
+
+    No reference counterpart (the reference's radix sort orders cells
+    row-major, src/objects/ArraySTR/Build.c); the SQL twin interleaves
+    bits with a generate_series cross join."""
+    if level * 3 >= 63 or shard_bits > 3 * level:
+        raise ValueError("zorder_shard_stats: level/shard_bits out of range")
+    cell = box / float(1 << level)
+    drop = 3 * level - shard_bits
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ix = np.floor(batch.column("x").to_numpy() / cell).astype(np.int64)
+        iy = np.floor(batch.column("y").to_numpy() / cell).astype(np.int64)
+        iz = np.floor(batch.column("z").to_numpy() / cell).astype(np.int64)
+        hi = np.int64((1 << level) - 1)
+        if len(ix) and (
+            min(ix.min(), iy.min(), iz.min()) < 0
+            or max(ix.max(), iy.max(), iz.max()) > hi
+        ):
+            raise ValueError("zorder_shard_stats: point outside [0, box)")
+        m = np.zeros(len(ix), np.int64)
+        for i in range(level):
+            m |= (
+                (((ix >> i) & 1) << (3 * i + 2))
+                | (((iy >> i) & 1) << (3 * i + 1))
+                | (((iz >> i) & 1) << (3 * i))
+            )
+        shard = m >> drop
+        order = np.argsort(m, kind="stable")
+        ms = m[order]
+        ss = shard[order]
+        starts = np.flatnonzero(np.r_[True, ss[1:] != ss[:-1]]) if len(ss) else np.array([], np.int64)
+        ends = np.r_[starts[1:], len(ss)] if len(ss) else np.array([], np.int64)
+        return pa.table(
+            {
+                "shard": pa.array(ss[starts], pa.int64()),
+                "n": pa.array(ends - starts, pa.int64()),
+                "morton_min": pa.array(ms[starts], pa.int64()),
+                "morton_max": pa.array(ms[ends - 1] if len(ss) else ms[:0], pa.int64()),
+            }
+        )
+
+    def fold(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return tbl
+        s = tbl.column("shard").to_numpy()
+        order = np.argsort(s, kind="stable")
+        s = s[order]
+        n = tbl.column("n").to_numpy()[order]
+        lo = tbl.column("morton_min").to_numpy()[order]
+        hi = tbl.column("morton_max").to_numpy()[order]
+        starts = np.flatnonzero(np.r_[True, s[1:] != s[:-1]])
+        return pa.table(
+            {
+                "shard": pa.array(s[starts], pa.int64()),
+                "n": pa.array(np.add.reduceat(n, starts), pa.int64()),
+                "morton_min": pa.array(np.minimum.reduceat(lo, starts), pa.int64()),
+                "morton_max": pa.array(np.maximum.reduceat(hi, starts), pa.int64()),
+            }
+        )
+
+    return (
+        points.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(1)  # <= 2^shard_bits rows per input block by then
+        .map_batches(fold, batch_format="pyarrow", zero_copy_batch=True)
+        .sort("shard")
+    )

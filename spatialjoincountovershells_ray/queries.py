@@ -24,7 +24,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 
-from spatialjoincountovershells_ray.config import GridSpec, RadiusLadder
+from spatialjoincountovershells_ray.config import BOX_SIZE, GridSpec, RadiusLadder
 from spatialjoincountovershells_ray.functions.hashing import derive_coord_sql
 from spatialjoincountovershells_ray.sources import synthetic
 from spatialjoincountovershells_ray.sources.documents import (
@@ -804,6 +804,28 @@ _SNAPSHOT_DIFF_SQL = (
     "FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey "
     "WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL "
     "OR o.o_orderstatus <> n.o_orderstatus ORDER BY 1"
+)
+
+
+
+def q_zorder_shards(sf_dir: str):
+    """Z-order curve partitioner audit: 64 octree shards (Morton top-6
+    bits on a 16^3 grid), each a contiguous disjoint Morton range."""
+    return tiles.zorder_shard_stats(
+        synthetic.particles_dataset(sf_dir), BOX_SIZE, level=4, shard_bits=6
+    )
+
+
+_ZORDER_SQL = (
+    # morton is a per-ROW closed-form 12-term bit interleave (particle_id
+    # is NOT unique in the derived table, so no per-id grouping is legal)
+    f"WITH {synthetic.PARTICLES_CTE}, "
+    "g AS (SELECT CAST(floor(x / 62.5) AS BIGINT) AS ix, "
+    "CAST(floor(y / 62.5) AS BIGINT) AS iy, "
+    "CAST(floor(z / 62.5) AS BIGINT) AS iz FROM particles), "
+    "mz AS (SELECT (((ix >> 0) & 1) << 2) + (((iy >> 0) & 1) << 1) + ((iz >> 0) & 1) + (((ix >> 1) & 1) << 5) + (((iy >> 1) & 1) << 4) + (((iz >> 1) & 1) << 3) + (((ix >> 2) & 1) << 8) + (((iy >> 2) & 1) << 7) + (((iz >> 2) & 1) << 6) + (((ix >> 3) & 1) << 11) + (((iy >> 3) & 1) << 10) + (((iz >> 3) & 1) << 9) AS morton FROM g) "
+    "SELECT morton >> 6 AS shard, COUNT(*) AS n, MIN(morton) AS morton_min, "
+    "MAX(morton) AS morton_max FROM mz GROUP BY 1 ORDER BY 1"
 )
 
 
@@ -2755,6 +2777,7 @@ REGISTRY: dict[str, QueryDef] = {
     "value_quantile_sketch": QueryDef(q_value_quantile_sketch, None),
     "bpe_merges": QueryDef(q_bpe_merges, None),
     "part_skyline": QueryDef(q_part_skyline, _PART_SKYLINE_SQL),
+    "zorder_shards": QueryDef(q_zorder_shards, _ZORDER_SQL),
     "orders_snapshot_diff": QueryDef(q_orders_snapshot_diff, _SNAPSHOT_DIFF_SQL),
     "lineitem_agg": QueryDef(relational.lineitem_agg, _LINEITEM_AGG_SQL),
     "orders_per_segment": QueryDef(relational.orders_per_segment, _SEGMENT_SQL),

@@ -1165,3 +1165,59 @@ class TestSnapshotDiff:
             relational.snapshot_diff(
                 ray.data.from_pandas(old), ray.data.from_pandas(new), "k", ["v"]
             ).to_pandas()
+
+
+class TestZorderShards:
+    def test_ranges_disjoint_contiguous_and_counts(self):
+        import pandas as pd
+        from spatialjoincountovershells_ray.pipelines import tiles
+
+        rng = np.random.default_rng(3)
+        n = 20000
+        df = pd.DataFrame(
+            {
+                "x": rng.uniform(0, 1000, n),
+                "y": rng.uniform(0, 1000, n),
+                "z": rng.uniform(0, 1000, n),
+            }
+        )
+        level, bits = 3, 4
+        got = tiles.zorder_shard_stats(
+            ray.data.from_pandas([b for b in np.array_split(df, 6)]),
+            1000.0,
+            level=level,
+            shard_bits=bits,
+        ).to_pandas()
+        assert got["n"].sum() == n
+        # brute-force oracle
+        cell = 1000.0 / (1 << level)
+        ii = [np.floor(df[c].to_numpy() / cell).astype(np.int64) for c in "xyz"]
+        m = np.zeros(n, np.int64)
+        for i in range(level):
+            m |= (
+                (((ii[0] >> i) & 1) << (3 * i + 2))
+                | (((ii[1] >> i) & 1) << (3 * i + 1))
+                | (((ii[2] >> i) & 1) << (3 * i))
+            )
+        sh = m >> (3 * level - bits)
+        for _, r in got.iterrows():
+            mask = sh == r["shard"]
+            assert mask.sum() == r["n"]
+            assert m[mask].min() == r["morton_min"]
+            assert m[mask].max() == r["morton_max"]
+        # each shard owns the contiguous morton range [s<<d, (s+1)<<d):
+        # ranges never overlap, which is the locality property
+        d = 3 * level - bits
+        assert (got["morton_min"].to_numpy() >> d).tolist() == got["shard"].tolist()
+        assert (got["morton_max"].to_numpy() >> d).tolist() == got["shard"].tolist()
+
+    def test_out_of_box_rejected(self):
+        import pandas as pd
+        import pytest
+        from spatialjoincountovershells_ray.pipelines import tiles
+
+        df = pd.DataFrame({"x": [-1.0], "y": [5.0], "z": [5.0]})
+        with pytest.raises(Exception, match="outside"):
+            tiles.zorder_shard_stats(
+                ray.data.from_pandas(df), 1000.0, level=3, shard_bits=3
+            ).to_pandas()
