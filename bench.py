@@ -328,6 +328,7 @@ BENCH_QUERIES = [
     "coorder_triangles",
     "orders_snapshot_diff",
     "zorder_shards",
+    "orders_cube",
 ]
 
 

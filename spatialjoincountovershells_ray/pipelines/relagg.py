@@ -1289,3 +1289,56 @@ def skyline2d(ds: "ray.data.Dataset", xcol: str, ycol: str) -> "ray.data.Dataset
         .map_batches(final, batch_format="pyarrow", zero_copy_batch=True)
         .sort(xcol)
     )
+
+
+def cube_counts(
+    ds: "ray.data.Dataset", cols: list[str], sentinel: str = "(all)"
+) -> "ray.data.Dataset":
+    """GROUP BY CUBE(``cols``) row counts over string columns: one row
+    per value combination for EVERY subset of ``cols``, masked columns
+    replaced by ``sentinel`` (the COALESCE'd shape of SQL's CUBE).
+
+    Same physical plan as :func:`rollup_counts` — the input flows
+    through one decomposable finest-level count, and all 2^k coarser
+    grids are derived from that already-aggregated O(product of
+    cardinalities) table in a single expansion task; only the aggregate
+    ever re-flows, never the input."""
+    import itertools
+
+    sep = "\x1f"
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.select(cols).group_by(cols).aggregate([([], "count_all")])
+        key = pc.binary_join_element_wise(*[t.column(c).cast(pa.string()) for c in cols], sep)
+        return pa.table({"k": key, "n": t.column("count_all").cast(pa.int64())})
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("k")
+        .sum("n")
+    )
+
+    def expand(df: pd.DataFrame) -> pd.DataFrame:
+        ncol = "sum(n)" if "sum(n)" in df.columns else "n"
+        parts = df["k"].str.split(sep, expand=True)
+        parts.columns = cols
+        base = parts.assign(n=df[ncol].to_numpy(np.int64))
+        levels = []
+        for r in range(len(cols), -1, -1):
+            for keep in itertools.combinations(cols, r):
+                g = (
+                    base.groupby(list(keep), sort=False, as_index=False)["n"].sum()
+                    if keep
+                    else pd.DataFrame({"n": [int(base["n"].sum())]})
+                )
+                for c in cols:
+                    if c not in keep:
+                        g[c] = sentinel
+                levels.append(g[cols + ["n"]])
+        return pd.concat(levels, ignore_index=True)
+
+    return (
+        merged.repartition(1)
+        .map_batches(expand, batch_format="pandas", batch_size=None, zero_copy_batch=True)
+        .sort(cols)
+    )

@@ -829,6 +829,24 @@ _ZORDER_SQL = (
 )
 
 
+
+def q_orders_cube(sf_dir: str):
+    """GROUP BY CUBE(o_orderstatus, o_orderpriority) row counts — all
+    four aggregation grids from one finest-level decomposable count."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderstatus", "o_orderpriority"]
+    )
+    return relagg.cube_counts(ds, ["o_orderstatus", "o_orderpriority"])
+
+
+_CUBE_SQL = (
+    "SELECT COALESCE(o_orderstatus, '(all)') AS o_orderstatus, "
+    "COALESCE(o_orderpriority, '(all)') AS o_orderpriority, "
+    "COUNT(*) AS n FROM orders "
+    "GROUP BY CUBE(o_orderstatus, o_orderpriority) ORDER BY 1, 2"
+)
+
+
 def q_part_skyline(sf_dir: str):
     """2-D skyline (maximize p_size, maximize p_retailprice): the
     distinct Pareto-frontier points of the part table. Decomposable —
@@ -2777,6 +2795,7 @@ REGISTRY: dict[str, QueryDef] = {
     "value_quantile_sketch": QueryDef(q_value_quantile_sketch, None),
     "bpe_merges": QueryDef(q_bpe_merges, None),
     "part_skyline": QueryDef(q_part_skyline, _PART_SKYLINE_SQL),
+    "orders_cube": QueryDef(q_orders_cube, _CUBE_SQL),
     "zorder_shards": QueryDef(q_zorder_shards, _ZORDER_SQL),
     "orders_snapshot_diff": QueryDef(q_orders_snapshot_diff, _SNAPSHOT_DIFF_SQL),
     "lineitem_agg": QueryDef(relational.lineitem_agg, _LINEITEM_AGG_SQL),

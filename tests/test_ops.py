@@ -1221,3 +1221,39 @@ class TestZorderShards:
             tiles.zorder_shard_stats(
                 ray.data.from_pandas(df), 1000.0, level=3, shard_bits=3
             ).to_pandas()
+
+
+class TestCubeCounts:
+    def test_matches_pandas_oracle(self):
+        import itertools
+
+        import pandas as pd
+        from spatialjoincountovershells_ray.pipelines import relagg
+
+        rng = np.random.default_rng(5)
+        df = pd.DataFrame(
+            {
+                "a": rng.choice(["u", "v", "w"], 3000),
+                "b": rng.choice(["p", "q"], 3000),
+                "c": rng.choice(["x", "y", "z", "t"], 3000),
+            }
+        )
+        cols = ["a", "b", "c"]
+        want = {}
+        for r in range(4):
+            for keep in itertools.combinations(cols, r):
+                grp = df.groupby(list(keep)).size() if keep else {(): len(df)}
+                for k, v in dict(grp).items():
+                    kt = (k,) if keep and not isinstance(k, tuple) else k
+                    full = tuple(
+                        kt[keep.index(c)] if c in keep else "(all)" for c in cols
+                    )
+                    want[full] = int(v)
+        got = (
+            relagg.cube_counts(
+                ray.data.from_pandas([b for b in np.array_split(df, 4)]), cols
+            )
+            .to_pandas()
+        )
+        assert {tuple(r[cols]): int(r["n"]) for _, r in got.iterrows()} == want
+        assert len(got) == len(want)
