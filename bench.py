@@ -329,6 +329,7 @@ BENCH_QUERIES = [
     "orders_snapshot_diff",
     "zorder_shards",
     "orders_cube",
+    "doc_pair_dot",
 ]
 
 

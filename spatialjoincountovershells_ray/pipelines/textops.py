@@ -629,3 +629,139 @@ def term_cooccurrence(
     return agg.map_batches(final, batch_format="pyarrow", zero_copy_batch=True).sort(
         ["term_a", "term_b"]
     )
+
+
+def _gram_tf(batch: pa.Table) -> pa.Table:
+    """One doc batch -> exact (k, gram, doc, tf) word-3-gram term
+    frequencies; k is the gram's routing hash (collisions harmless — the
+    pair kernel groups by the gram STRING, the hash only co-locates)."""
+    import pyarrow.compute as pc
+
+    empty = pa.table(
+        {
+            "k": pa.array([], pa.int64()),
+            "gram": pa.array([], pa.string()),
+            "doc": pa.array([], pa.int64()),
+            "tf": pa.array([], pa.int64()),
+        }
+    )
+    toks = pc.split_pattern_regex(batch.column("text"), r"[ \t\n\r\x0b\x0c]+")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = pc.list_flatten(toks)
+    parent = pc.list_parent_indices(toks)
+    keep = pc.not_equal(flat, "")
+    f = flat.filter(keep)
+    if isinstance(f, pa.ChunkedArray):
+        f = f.combine_chunks()
+    p = parent.filter(keep).to_numpy()
+    n = len(f)
+    if n < 3:
+        return empty
+    g = pc.binary_join_element_wise(
+        f.slice(0, n - 2), f.slice(1, n - 2), f.slice(2, n - 2), " "
+    )
+    valid = p[: n - 2] == p[2:]
+    gram = g.filter(pa.array(valid))
+    doc = batch.column("doc_id").take(pa.array(p[: n - 2][valid]))
+    t = pa.table({"gram": gram, "doc": doc})
+    tf = t.group_by(["gram", "doc"]).aggregate([([], "count_all")])
+    data, off = T.string_bytes(tf.column("gram"))
+    h = T.hash_byte_spans(data, off[:-1], np.diff(off).astype(np.int64))
+    return pa.table(
+        {
+            "k": pa.array(h.astype(np.int64) & 0x7FFFFFFFFFFFFFFF, pa.int64()),
+            "gram": tf.column("gram"),
+            "doc": tf.column("doc").cast(pa.int64()),
+            "tf": tf.column("count_all").cast(pa.int64()),
+        }
+    )
+
+
+def doc_pair_ngram_dot(
+    docs: "ray.data.Dataset", df_cap: int = 64, min_dot: int = 2
+) -> "ray.data.Dataset":
+    """-> doc_a, doc_b, dot:int64 — EXACT word-3-gram term-frequency dot
+    product of every document pair sharing at least one 3-gram with
+    document frequency <= ``df_cap``, kept when dot >= ``min_dot``;
+    sorted by (doc_a, doc_b).
+
+    The inverted-index all-pairs similarity plan (Bayardo et al.'s
+    term-at-a-time shape): tf triples are built map-side per batch (each
+    doc is whole inside one row, so tf is complete without an exchange),
+    routed by gram hash so every gram's postings land in ONE bucket —
+    global df is then an in-bucket run length, grams over the cap are
+    pruned THERE (the stop-word bound, mirrored exactly in the twin's
+    df filter), and each surviving posting list of length d emits its
+    triu pairs per length class in one gather. A second pair-key
+    exchange folds partial dots. The exchanges carry (hash, gram, doc,
+    tf) postings and 16-byte pair partials, never text; pair volume is
+    the documented O(sum_{df<=cap} df^2) inverted-index bound, not
+    O(docs^2). Integer tf dots keep both sides bit-exact; feed the dot
+    with the per-doc norms from :func:`token_counts`-style aggregates
+    for cosine."""
+    from spatialjoincountovershells_ray.pipelines.window import keyed_partition_apply
+
+    def pair_kernel(tbl: pa.Table) -> pa.Table:
+        empty = pa.table({"pair": pa.array([], pa.int64()), "dot": pa.array([], pa.int64())})
+        if tbl.num_rows == 0 or tbl.num_columns == 0:
+            return empty
+        codes = tbl.column("gram").combine_chunks().dictionary_encode().indices.to_numpy()
+        doc = tbl.column("doc").to_numpy()
+        tf = tbl.column("tf").to_numpy()
+        if len(doc) and (int(doc.min()) < 0 or int(doc.max()) >= 2**31):
+            raise ValueError("doc_pair_ngram_dot packs doc pairs as 31-bit ids")
+        order = np.lexsort((doc, codes))
+        c, dc, tc = codes[order], doc[order], tf[order]
+        starts = np.flatnonzero(np.r_[True, c[1:] != c[:-1]])
+        lens = np.diff(np.r_[starts, len(c)])
+        pairs, dots = [], []
+        for d in np.unique(lens):
+            if d < 2 or d > df_cap:
+                continue
+            rows = starts[lens == d]
+            dm = dc[rows[:, None] + np.arange(int(d))]
+            tm = tc[rows[:, None] + np.arange(int(d))]
+            iu, ju = np.triu_indices(int(d), 1)
+            pairs.append((dm[:, iu].ravel() << 32) | dm[:, ju].ravel())
+            dots.append((tm[:, iu] * tm[:, ju]).ravel())
+        if not pairs:
+            return empty
+        pk = np.concatenate(pairs)
+        dv = np.concatenate(dots)
+        u, inv = np.unique(pk, return_inverse=True)
+        acc = np.zeros(len(u), np.int64)
+        np.add.at(acc, inv, dv)
+        return pa.table({"pair": pa.array(u, pa.int64()), "dot": pa.array(acc, pa.int64())})
+
+    def fold(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_a": pa.array([], pa.int64()),
+                "doc_b": pa.array([], pa.int64()),
+                "dot": pa.array([], pa.int64()),
+            }
+        )
+        if tbl.num_rows == 0 or tbl.num_columns == 0:
+            return empty
+        pk = tbl.column("pair").to_numpy()
+        dv = tbl.column("dot").to_numpy()
+        order = np.argsort(pk, kind="stable")
+        pk, dv = pk[order], dv[order]
+        starts = np.flatnonzero(np.r_[True, pk[1:] != pk[:-1]])
+        tot = np.add.reduceat(dv, starts)
+        keep = tot >= min_dot
+        u = pk[starts][keep]
+        return pa.table(
+            {
+                "doc_a": pa.array(u >> 32, pa.int64()),
+                "doc_b": pa.array(u & 0xFFFFFFFF, pa.int64()),
+                "dot": pa.array(tot[keep], pa.int64()),
+            }
+        )
+
+    tfds = docs.select_columns(["doc_id", "text"]).map_batches(
+        _gram_tf, batch_format="pyarrow", zero_copy_batch=True
+    )
+    partials = keyed_partition_apply(tfds, "k", pair_kernel)
+    return keyed_partition_apply(partials, "pair", fold).sort(["doc_a", "doc_b"])

@@ -847,6 +847,31 @@ _CUBE_SQL = (
 )
 
 
+
+def q_doc_pair_dot(sf_dir: str):
+    """Inverted-index all-pairs similarity: exact word-3-gram tf dot
+    products of doc pairs sharing a rare (df <= 64) gram, dot >= 2."""
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return textops.doc_pair_ngram_dot(docs, df_cap=64, min_dot=2)
+
+
+_DOC_PAIR_DOT_SQL = (
+    r"WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(text, "
+    r"'[ \t\n\r\x0b\x0c]+'), x -> x <> '') AS l FROM documents), "
+    "g AS (SELECT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS gram "
+    "FROM t, unnest(range(1, len(l) - 1)) AS u(i)), "
+    "tf AS (SELECT doc_id, gram, COUNT(*) AS tf FROM g GROUP BY 1, 2), "
+    "df AS (SELECT gram, COUNT(*) AS df FROM tf GROUP BY 1) "
+    "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+    "CAST(SUM(a.tf * b.tf) AS BIGINT) AS dot "
+    "FROM tf a JOIN tf b ON a.gram = b.gram AND a.doc_id < b.doc_id "
+    "JOIN df ON df.gram = a.gram WHERE df.df <= 64 "
+    "GROUP BY 1, 2 HAVING SUM(a.tf * b.tf) >= 2 ORDER BY 1, 2"
+)
+
+
 def q_part_skyline(sf_dir: str):
     """2-D skyline (maximize p_size, maximize p_retailprice): the
     distinct Pareto-frontier points of the part table. Decomposable —
@@ -2795,6 +2820,7 @@ REGISTRY: dict[str, QueryDef] = {
     "value_quantile_sketch": QueryDef(q_value_quantile_sketch, None),
     "bpe_merges": QueryDef(q_bpe_merges, None),
     "part_skyline": QueryDef(q_part_skyline, _PART_SKYLINE_SQL),
+    "doc_pair_dot": QueryDef(q_doc_pair_dot, _DOC_PAIR_DOT_SQL),
     "orders_cube": QueryDef(q_orders_cube, _CUBE_SQL),
     "zorder_shards": QueryDef(q_zorder_shards, _ZORDER_SQL),
     "orders_snapshot_diff": QueryDef(q_orders_snapshot_diff, _SNAPSHOT_DIFF_SQL),

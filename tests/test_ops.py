@@ -1257,3 +1257,49 @@ class TestCubeCounts:
         )
         assert {tuple(r[cols]): int(r["n"]) for _, r in got.iterrows()} == want
         assert len(got) == len(want)
+
+
+class TestDocPairNgramDot:
+    def test_matches_brute_force(self):
+        import itertools
+        from collections import Counter
+
+        import pandas as pd
+        from spatialjoincountovershells_ray.pipelines import textops
+
+        rng = np.random.default_rng(11)
+        vocab = [f"w{i}" for i in range(30)]
+        texts = [
+            " ".join(rng.choice(vocab, rng.integers(3, 25)))
+            for _ in range(80)
+        ]
+        df = pd.DataFrame({"doc_id": np.arange(80, dtype=np.int64), "text": texts})
+
+        def grams(s):
+            t = s.split()
+            return Counter(
+                " ".join(t[i : i + 3]) for i in range(len(t) - 2)
+            )
+
+        gs = [grams(s) for s in texts]
+        dfreq = Counter()
+        for g in gs:
+            dfreq.update(g.keys())
+        cap, mind = 8, 2
+        want = {}
+        for a, b in itertools.combinations(range(80), 2):
+            dot = sum(
+                gs[a][g] * gs[b][g] for g in gs[a] if g in gs[b] and dfreq[g] <= cap
+            )
+            if dot >= mind:
+                want[(a, b)] = dot
+
+        got = textops.doc_pair_ngram_dot(
+            ray.data.from_pandas([b for b in np.array_split(df, 5)]),
+            df_cap=cap,
+            min_dot=mind,
+        ).to_pandas()
+        assert {
+            (int(r["doc_a"]), int(r["doc_b"])): int(r["dot"]) for _, r in got.iterrows()
+        } == want
+        assert list(got.columns) == ["doc_a", "doc_b", "dot"]
