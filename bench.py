@@ -330,6 +330,7 @@ BENCH_QUERIES = [
     "zorder_shards",
     "orders_cube",
     "doc_pair_dot",
+    "orders_profile",
 ]
 
 

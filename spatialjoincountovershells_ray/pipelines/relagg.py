@@ -1342,3 +1342,125 @@ def cube_counts(
         .map_batches(expand, batch_format="pandas", batch_size=None, zero_copy_batch=True)
         .sort(cols)
     )
+
+
+def table_profile(ds: "ray.data.Dataset", cols: list[str]) -> "ray.data.Dataset":
+    """Data-quality profile: -> {column, n_rows, n_nulls, n_distinct}
+    (exact, one row per profiled column, sorted by column name).
+
+    One pass over the input: each batch emits its per-column DISTINCT
+    values (cast to string — injective per distinct value, so equality
+    is preserved across types) plus one tiny count partial, all routed
+    by hash(column, value) so a value's duplicates from every batch meet
+    in exactly one bucket. The exchange therefore carries per-batch
+    distinct values, never rows; the final fold is O(buckets x columns).
+    The scale contract matches the exact-distinct ops: a column whose
+    distinct set is itself ~input-sized flows once through the hash
+    exchange (the unavoidable cost of an exact COUNT(DISTINCT); the HLL
+    sketch ops are the cheap alternative)."""
+    from spatialjoincountovershells_ray.functions import text as T
+    from spatialjoincountovershells_ray.pipelines.window import keyed_partition_apply
+
+    def _hash_strings(arr: pa.Array) -> np.ndarray:
+        data, off = T.string_bytes(arr)
+        h = T.hash_byte_spans(data, off[:-1], np.diff(off).astype(np.int64))
+        return (h.astype(np.int64) & 0x7FFFFFFFFFFFFFFF).astype(np.int64)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ks, cs, vs, ns, nulls, isc = [], [], [], [], [], []
+        for c in cols:
+            arr = batch.column(c)
+            vals = pc.unique(arr.drop_null()).cast(pa.string())
+            if isinstance(vals, pa.ChunkedArray):
+                vals = vals.combine_chunks()
+            tagged = pc.binary_join_element_wise(
+                pa.array([c] * len(vals), pa.string()), vals, "\x1f"
+            )
+            ks.append(_hash_strings(tagged))
+            cs.append(np.full(len(vals), c, dtype=object))
+            vs.append(vals.to_numpy(zero_copy_only=False).astype(object))
+            ns.append(np.zeros(len(vals), np.int64))
+            nulls.append(np.zeros(len(vals), np.int64))
+            isc.append(np.zeros(len(vals), np.int8))
+            # one count partial per column per batch
+            ks.append(_hash_strings(pa.array([c], pa.string())))
+            cs.append(np.array([c], dtype=object))
+            vs.append(np.array([""], dtype=object))
+            ns.append(np.array([batch.num_rows], np.int64))
+            nulls.append(np.array([arr.null_count], np.int64))
+            isc.append(np.ones(1, np.int8))
+        return pa.table(
+            {
+                "k": pa.array(np.concatenate(ks), pa.int64()),
+                "col": pa.array(np.concatenate(cs), pa.string()),
+                "val": pa.array(np.concatenate(vs), pa.string()),
+                "n": pa.array(np.concatenate(ns), pa.int64()),
+                "nulls": pa.array(np.concatenate(nulls), pa.int64()),
+                "is_count": pa.array(np.concatenate(isc), pa.int8()),
+            }
+        )
+
+    def bucket_fold(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "col": pa.array([], pa.string()),
+                "nd": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "nulls": pa.array([], pa.int64()),
+            }
+        )
+        if tbl.num_rows == 0 or tbl.num_columns == 0:
+            return empty
+        isc = tbl.column("is_count").to_numpy().astype(bool)
+        vals = tbl.filter(~isc)
+        nd = (
+            vals.select(["col", "val"]).group_by(["col", "val"]).aggregate([])
+            .group_by("col").aggregate([([], "count_all")])
+        )
+        counts = (
+            tbl.filter(isc)
+            .group_by("col")
+            .aggregate([("n", "sum"), ("nulls", "sum")])
+        )
+        out_cols: dict[str, dict[str, int]] = {}
+        for i in range(nd.num_rows):
+            out_cols.setdefault(str(nd.column("col")[i]), {})["nd"] = int(
+                nd.column("count_all")[i].as_py()
+            )
+        for i in range(counts.num_rows):
+            d = out_cols.setdefault(str(counts.column("col")[i]), {})
+            d["n"] = int(counts.column("n_sum")[i].as_py())
+            d["nulls"] = int(counts.column("nulls_sum")[i].as_py())
+        names = sorted(out_cols)
+        return pa.table(
+            {
+                "col": pa.array(names, pa.string()),
+                "nd": pa.array([out_cols[c].get("nd", 0) for c in names], pa.int64()),
+                "n": pa.array([out_cols[c].get("n", 0) for c in names], pa.int64()),
+                "nulls": pa.array([out_cols[c].get("nulls", 0) for c in names], pa.int64()),
+            }
+        )
+
+    parts = keyed_partition_apply(
+        ds.select_columns(cols).map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        "k",
+        bucket_fold,
+    )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("col", as_index=False).sum()
+        g = g.sort_values("col", kind="mergesort")
+        return pd.DataFrame(
+            {
+                "column": g["col"].to_numpy(),
+                "n_rows": g["n"].to_numpy(np.int64),
+                "n_nulls": g["nulls"].to_numpy(np.int64),
+                "n_distinct": g["nd"].to_numpy(np.int64),
+            }
+        )
+
+    return parts.repartition(1).map_batches(
+        final, batch_format="pandas", batch_size=None, zero_copy_batch=True
+    )

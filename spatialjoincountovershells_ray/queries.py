@@ -872,6 +872,19 @@ _DOC_PAIR_DOT_SQL = (
 )
 
 
+
+def q_orders_profile(sf_dir: str):
+    """Exact per-column data-quality profile of orders (row, null and
+    distinct counts) — one pass, value-hash distinct exchange."""
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet")
+    return relagg.table_profile(ds, ['o_custkey', 'o_orderdate', 'o_orderkey', 'o_orderpriority', 'o_orderstatus', 'o_totalprice'])
+
+
+_PROFILE_SQL = (
+    "SELECT * FROM (SELECT 'o_custkey' AS \"column\", COUNT(*) AS n_rows, COUNT(*) - COUNT(o_custkey) AS n_nulls, COUNT(DISTINCT o_custkey) AS n_distinct FROM orders UNION ALL SELECT 'o_orderdate' AS \"column\", COUNT(*) AS n_rows, COUNT(*) - COUNT(o_orderdate) AS n_nulls, COUNT(DISTINCT o_orderdate) AS n_distinct FROM orders UNION ALL SELECT 'o_orderkey' AS \"column\", COUNT(*) AS n_rows, COUNT(*) - COUNT(o_orderkey) AS n_nulls, COUNT(DISTINCT o_orderkey) AS n_distinct FROM orders UNION ALL SELECT 'o_orderpriority' AS \"column\", COUNT(*) AS n_rows, COUNT(*) - COUNT(o_orderpriority) AS n_nulls, COUNT(DISTINCT o_orderpriority) AS n_distinct FROM orders UNION ALL SELECT 'o_orderstatus' AS \"column\", COUNT(*) AS n_rows, COUNT(*) - COUNT(o_orderstatus) AS n_nulls, COUNT(DISTINCT o_orderstatus) AS n_distinct FROM orders UNION ALL SELECT 'o_totalprice' AS \"column\", COUNT(*) AS n_rows, COUNT(*) - COUNT(o_totalprice) AS n_nulls, COUNT(DISTINCT o_totalprice) AS n_distinct FROM orders) ORDER BY \"column\""
+)
+
+
 def q_part_skyline(sf_dir: str):
     """2-D skyline (maximize p_size, maximize p_retailprice): the
     distinct Pareto-frontier points of the part table. Decomposable —
@@ -2820,6 +2833,7 @@ REGISTRY: dict[str, QueryDef] = {
     "value_quantile_sketch": QueryDef(q_value_quantile_sketch, None),
     "bpe_merges": QueryDef(q_bpe_merges, None),
     "part_skyline": QueryDef(q_part_skyline, _PART_SKYLINE_SQL),
+    "orders_profile": QueryDef(q_orders_profile, _PROFILE_SQL),
     "doc_pair_dot": QueryDef(q_doc_pair_dot, _DOC_PAIR_DOT_SQL),
     "orders_cube": QueryDef(q_orders_cube, _CUBE_SQL),
     "zorder_shards": QueryDef(q_zorder_shards, _ZORDER_SQL),

@@ -1303,3 +1303,26 @@ class TestDocPairNgramDot:
             (int(r["doc_a"]), int(r["doc_b"])): int(r["dot"]) for _, r in got.iterrows()
         } == want
         assert list(got.columns) == ["doc_a", "doc_b", "dot"]
+
+
+class TestTableProfile:
+    def test_matches_pandas_with_nulls(self):
+        import pandas as pd
+        from spatialjoincountovershells_ray.pipelines import relagg
+
+        rng = np.random.default_rng(17)
+        n = 4000
+        a = rng.integers(0, 50, n).astype(np.float64)
+        a[rng.random(n) < 0.1] = np.nan
+        b = rng.choice(["x", "y", "z", None], n, p=[0.4, 0.3, 0.2, 0.1])
+        df = pd.DataFrame({"a": a, "b": b})
+        got = relagg.table_profile(
+            ray.data.from_pandas([p for p in np.array_split(df, 5)]), ["a", "b"]
+        ).to_pandas()
+        want = {
+            "a": (n, int(np.isnan(a).sum()), len(np.unique(a[~np.isnan(a)]))),
+            "b": (n, int(sum(x is None for x in b)), len(set(x for x in b if x is not None))),
+        }
+        for _, r in got.iterrows():
+            assert (int(r["n_rows"]), int(r["n_nulls"]), int(r["n_distinct"])) == want[r["column"]]
+        assert got["column"].tolist() == ["a", "b"]
