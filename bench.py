@@ -331,6 +331,7 @@ BENCH_QUERIES = [
     "orders_cube",
     "doc_pair_dot",
     "orders_profile",
+    "event_grid_ffill",
 ]
 
 

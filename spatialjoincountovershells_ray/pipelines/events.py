@@ -683,3 +683,68 @@ def late_events(ds: "ray.data.Dataset", delay_us: int = LATE_DELAY_US) -> "ray.d
         _stamp_watermark.remote(r, int(p), delay_us) for r, p in zip(refs, prior)
     ]
     return ray.data.from_arrow_refs(out)
+
+
+GRID_START_US = 1_704_067_200_000_000  # 2024-01-01 00:00:00 UTC
+GRID_STEP_US = 6 * 3600 * 1_000_000
+GRID_POINTS = 28  # one week of 6-hour grid points
+
+
+def grid_ffill(events: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Time-series resample: -> {user_id, ts, value} — every user's
+    ``value`` forward-filled onto the fixed 6-hour grid (GRID_POINTS
+    points from GRID_START_US), one row per grid point at or after the
+    user's first observation. Equal-timestamp observations collapse to
+    MAX(value) first, so the fill is deterministic on both sides.
+
+    Physical plan: one user-hash bucket exchange (grid points never
+    flow — each bucket materializes only its own users' G points), then
+    a single vectorized searchsorted over (user << 44 | ts_offset)
+    packed keys does every user's as-of lookup at once. Output is
+    O(users x G); the per-bucket work is O((events + users x G) log
+    events). The SQL twin is the canonical grid ASOF JOIN."""
+    from spatialjoincountovershells_ray.pipelines.window import keyed_partition_apply
+
+    def kernel(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "ts": pa.array([], pa.timestamp("us")),
+                "value": pa.array([], pa.float64()),
+            }
+        )
+        if tbl.num_rows == 0 or tbl.num_columns == 0:
+            return empty
+        user = tbl.column("user_id").to_numpy()
+        ts = tbl.column("ts").cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
+        val = tbl.column("value").to_numpy()
+        off = ts - GRID_START_US
+        if len(off) and (int(off.min()) < 0 or int(off.max()) >= 1 << 44):
+            raise ValueError("grid_ffill: event ts outside the packable grid window")
+        if len(user) and (int(user.min()) < 0 or int(user.max()) >= 1 << 19):
+            raise ValueError("grid_ffill packs user ids as 19-bit")
+        # collapse equal (user, ts) to max(value): sort value ascending
+        # within each (user, ts) run, keep the run's last row
+        order = np.lexsort((val, off, user))
+        u, o, v = user[order], off[order], val[order]
+        last = np.r_[(u[1:] != u[:-1]) | (o[1:] != o[:-1]), True]
+        u, o, v = u[last], o[last], v[last]
+        ev_key = (u << 44) | o
+        users = np.unique(u)
+        goff = np.arange(GRID_POINTS, dtype=np.int64) * GRID_STEP_US
+        gu = np.repeat(users, GRID_POINTS)
+        go = np.tile(goff, len(users))
+        idx = np.searchsorted(ev_key, (gu << 44) | go, side="right") - 1
+        valid = (idx >= 0) & (u[np.maximum(idx, 0)] == gu)
+        return pa.table(
+            {
+                "user_id": pa.array(gu[valid], pa.int64()),
+                "ts": pa.array(GRID_START_US + go[valid], pa.int64()).cast(
+                    pa.timestamp("us")
+                ),
+                "value": pa.array(v[idx[valid]], pa.float64()),
+            }
+        )
+
+    ds = events.select_columns(["user_id", "ts", "value"])
+    return keyed_partition_apply(ds, "user_id", kernel).sort(["user_id", "ts"])

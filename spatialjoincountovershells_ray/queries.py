@@ -885,6 +885,29 @@ _PROFILE_SQL = (
 )
 
 
+
+def q_event_grid_ffill(sf_dir: str):
+    """Per-user 6-hour-grid resample of event values with as-of forward
+    fill (one vectorized packed-key searchsorted per user bucket)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+    )
+    return events.grid_ffill(ds)
+
+
+_GRID_FFILL_SQL = (
+    "WITH e AS (SELECT user_id, ts, MAX(value) AS value FROM events "
+    "GROUP BY 1, 2), "
+    "grid AS (SELECT u.user_id, g.ts FROM "
+    "(SELECT DISTINCT user_id FROM events) u CROSS JOIN "
+    "(SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00', "
+    "TIMESTAMP '2024-01-07 18:00:00', INTERVAL 6 HOUR)) AS ts) g) "
+    "SELECT g.user_id, g.ts, e.value FROM grid g "
+    "ASOF JOIN e ON g.user_id = e.user_id AND g.ts >= e.ts "
+    "ORDER BY 1, 2"
+)
+
+
 def q_part_skyline(sf_dir: str):
     """2-D skyline (maximize p_size, maximize p_retailprice): the
     distinct Pareto-frontier points of the part table. Decomposable —
@@ -2833,6 +2856,7 @@ REGISTRY: dict[str, QueryDef] = {
     "value_quantile_sketch": QueryDef(q_value_quantile_sketch, None),
     "bpe_merges": QueryDef(q_bpe_merges, None),
     "part_skyline": QueryDef(q_part_skyline, _PART_SKYLINE_SQL),
+    "event_grid_ffill": QueryDef(q_event_grid_ffill, _GRID_FFILL_SQL),
     "orders_profile": QueryDef(q_orders_profile, _PROFILE_SQL),
     "doc_pair_dot": QueryDef(q_doc_pair_dot, _DOC_PAIR_DOT_SQL),
     "orders_cube": QueryDef(q_orders_cube, _CUBE_SQL),

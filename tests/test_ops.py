@@ -1326,3 +1326,40 @@ class TestTableProfile:
         for _, r in got.iterrows():
             assert (int(r["n_rows"]), int(r["n_nulls"]), int(r["n_distinct"])) == want[r["column"]]
         assert got["column"].tolist() == ["a", "b"]
+
+
+class TestGridFfill:
+    def test_matches_pandas_asof(self):
+        import pandas as pd
+        from spatialjoincountovershells_ray.pipelines import events as E
+
+        rng = np.random.default_rng(23)
+        n = 2000
+        users = rng.integers(0, 40, n).astype(np.int64)
+        off = rng.integers(0, 7 * 24 * 3600 * 1_000_000, n).astype(np.int64)
+        vals = rng.integers(0, 1000, n).astype(np.float64)
+        ts = pd.to_datetime(E.GRID_START_US + off, unit="us")
+        df = pd.DataFrame({"user_id": users, "ts": ts, "value": vals})
+
+        # oracle: per (user, grid point) the max-value row of the latest
+        # at-or-before (user, ts) pair
+        dd = df.copy()
+        dd["us"] = E.GRID_START_US + off
+        dd = dd.groupby(["user_id", "us"], as_index=False)["value"].max()
+        want = {}
+        for uid, g in dd.groupby("user_id"):
+            g = g.sort_values("us")
+            for k in range(E.GRID_POINTS):
+                t = E.GRID_START_US + k * E.GRID_STEP_US
+                prior = g[g["us"] <= t]
+                if len(prior):
+                    want[(int(uid), t)] = float(prior.iloc[-1]["value"])
+
+        got = E.grid_ffill(
+            ray.data.from_pandas([b for b in np.array_split(df, 6)])
+        ).to_pandas()
+        gotmap = {
+            (int(r["user_id"]), int(r["ts"].value // 1000)): float(r["value"])
+            for _, r in got.iterrows()
+        }
+        assert gotmap == want
