@@ -332,6 +332,7 @@ BENCH_QUERIES = [
     "doc_pair_dot",
     "orders_profile",
     "event_grid_ffill",
+    "price_band_pairs",
 ]
 
 

@@ -375,3 +375,99 @@ def snapshot_diff(
         )
 
     return keyed_partition_apply(tagged, key, classify).sort(key)
+
+
+def band_self_join(
+    ds: "ray.data.Dataset",
+    key: str,
+    val: str,
+    delta: float,
+    bucket_width: float = 500.0,
+) -> "ray.data.Dataset":
+    """1-D band self-join: -> {key_lo, key_hi, diff} for every row pair
+    with |val_a - val_b| <= ``delta`` (distinct keys), sorted. The
+    inequality-join (IEJoin-class) primitive: near-equal prices,
+    near-simultaneous timestamps, sensor-value collisions.
+
+    Physical plan — overlapping range partitioner: each row lands in
+    value bucket floor(v / W) and is REPLICATED into the bucket below
+    when it sits within delta of that boundary (W >> delta, so <= 1
+    extra copy per row). Any qualifying pair then coexists in the
+    bucket of its smaller value, which uniquely OWNS the pair (pairs
+    whose lower row is a replica are emitted by that row's native
+    bucket instead) — every pair exactly once with no cross-bucket
+    talk. Per bucket one sort + one vectorized searchsorted window
+    builds candidates; the exact |a-b| <= delta filter runs elementwise
+    so float boundary semantics match the SQL twin bit-for-bit (the
+    window bound uses a small slack and never decides inclusion).
+    The exchange carries (bucket, key, val) triples; work per bucket is
+    O(n log n + pairs)."""
+    from spatialjoincountovershells_ray.pipelines.window import keyed_partition_apply
+
+    if delta <= 0 or bucket_width <= 4 * delta:
+        raise ValueError("band_self_join needs 0 < delta << bucket_width")
+
+    def assign(batch: pa.Table) -> pa.Table:
+        k = batch.column(key).to_numpy()
+        v = batch.column(val).to_numpy()
+        b = np.floor(v / bucket_width).astype(np.int64)
+        near_low = (v - b * bucket_width) <= delta * 1.01
+        kk = np.concatenate([k, k[near_low]])
+        vv = np.concatenate([v, v[near_low]])
+        bb = np.concatenate([b, b[near_low] - 1])
+        return pa.table(
+            {
+                "vb": pa.array(bb, pa.int64()),
+                key: pa.array(kk, pa.int64()),
+                val: pa.array(vv, pa.float64()),
+            }
+        )
+
+    def kernel(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "key_lo": pa.array([], pa.int64()),
+                "key_hi": pa.array([], pa.int64()),
+                "diff": pa.array([], pa.float64()),
+            }
+        )
+        if tbl.num_rows == 0 or tbl.num_columns == 0:
+            return empty
+        vb = tbl.column("vb").to_numpy()
+        k = tbl.column(key).to_numpy()
+        v = tbl.column(val).to_numpy()
+        order = np.lexsort((k, v, vb))
+        vb, k, v = vb[order], k[order], v[order]
+        native = np.floor(v / bucket_width).astype(np.int64) == vb
+        # candidate window per row i: rows j > i in the same vb-run with
+        # v[j] <= v[i] + delta (slack-widened; exact filter below)
+        starts = np.flatnonzero(np.r_[True, vb[1:] != vb[:-1]])
+        ends = np.r_[starts[1:], len(vb)]
+        hi = np.empty(len(v), np.int64)
+        for s, e in zip(starts, ends):  # one iteration per value bucket
+            hi[s:e] = s + np.searchsorted(v[s:e], v[s:e] + delta * 1.001, side="right")
+        lo = np.arange(len(v)) + 1
+        cnt = np.maximum(hi - lo, 0)
+        # pairs owned here only when the LOWER row is native to this bucket
+        cnt = np.where(native, cnt, 0)
+        if int(cnt.sum()) == 0:
+            return empty
+        ii = np.repeat(np.arange(len(v)), cnt)
+        jj = np.arange(int(cnt.sum())) - np.repeat(np.cumsum(cnt) - cnt, cnt) + ii + 1
+        exact = np.abs(v[jj] - v[ii]) <= delta
+        a, b = k[ii[exact]], k[jj[exact]]
+        d = np.abs(v[jj[exact]] - v[ii[exact]])
+        keep = a != b
+        a, b, d = a[keep], b[keep], d[keep]
+        return pa.table(
+            {
+                "key_lo": pa.array(np.minimum(a, b), pa.int64()),
+                "key_hi": pa.array(np.maximum(a, b), pa.int64()),
+                "diff": pa.array(d, pa.float64()),
+            }
+        )
+
+    assigned = ds.select_columns([key, val]).map_batches(
+        assign, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return keyed_partition_apply(assigned, "vb", kernel).sort(["key_lo", "key_hi"])

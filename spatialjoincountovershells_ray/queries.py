@@ -908,6 +908,25 @@ _GRID_FFILL_SQL = (
 )
 
 
+
+def q_price_band_pairs(sf_dir: str):
+    """Inequality (band) self-join: order pairs whose o_totalprice
+    differ by <= 2.0, via the delta-overlapping range partitioner."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    )
+    return relational.band_self_join(ds, "o_orderkey", "o_totalprice", delta=2.0)
+
+
+_BAND_SQL = (
+    "SELECT a.o_orderkey AS key_lo, b.o_orderkey AS key_hi, "
+    "abs(a.o_totalprice - b.o_totalprice) AS diff "
+    "FROM orders a JOIN orders b ON a.o_orderkey < b.o_orderkey "
+    "AND abs(a.o_totalprice - b.o_totalprice) <= 2.0 "
+    "ORDER BY 1, 2"
+)
+
+
 def q_part_skyline(sf_dir: str):
     """2-D skyline (maximize p_size, maximize p_retailprice): the
     distinct Pareto-frontier points of the part table. Decomposable —
@@ -2856,6 +2875,7 @@ REGISTRY: dict[str, QueryDef] = {
     "value_quantile_sketch": QueryDef(q_value_quantile_sketch, None),
     "bpe_merges": QueryDef(q_bpe_merges, None),
     "part_skyline": QueryDef(q_part_skyline, _PART_SKYLINE_SQL),
+    "price_band_pairs": QueryDef(q_price_band_pairs, _BAND_SQL),
     "event_grid_ffill": QueryDef(q_event_grid_ffill, _GRID_FFILL_SQL),
     "orders_profile": QueryDef(q_orders_profile, _PROFILE_SQL),
     "doc_pair_dot": QueryDef(q_doc_pair_dot, _DOC_PAIR_DOT_SQL),

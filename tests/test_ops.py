@@ -1363,3 +1363,42 @@ class TestGridFfill:
             for _, r in got.iterrows()
         }
         assert gotmap == want
+
+
+class TestBandSelfJoin:
+    def test_matches_brute_force_across_bucket_boundaries(self):
+        import pandas as pd
+        from spatialjoincountovershells_ray.pipelines import relational
+
+        rng = np.random.default_rng(29)
+        n = 3000
+        # cluster values near bucket boundaries (multiples of W=50) to
+        # exercise the replication/ownership rule hard
+        v = np.round(
+            rng.choice([0, 50, 100, 150], n) + rng.normal(0, 1.5, n), 3
+        )
+        k = np.arange(n, dtype=np.int64)
+        df = pd.DataFrame({"k": k, "v": v})
+        delta = 0.7
+
+        sv = np.sort(v)
+        order = np.argsort(v, kind="stable")
+        want = set()
+        for i in range(n):
+            j = i + 1
+            while j < n and sv[j] - sv[i] <= delta:
+                a, b = k[order[i]], k[order[j]]
+                want.add((min(a, b), max(a, b)))
+                j += 1
+
+        got = relational.band_self_join(
+            ray.data.from_pandas([b for b in np.array_split(df, 5)]),
+            "k",
+            "v",
+            delta=delta,
+            bucket_width=50.0,
+        ).to_pandas()
+        pairs = set(zip(got["key_lo"].astype(int), got["key_hi"].astype(int)))
+        assert pairs == want
+        assert len(got) == len(want)  # exactly-once emission
+        assert (got["diff"].to_numpy() <= delta).all()
