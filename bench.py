@@ -333,6 +333,7 @@ BENCH_QUERIES = [
     "orders_profile",
     "event_grid_ffill",
     "price_band_pairs",
+    "part_components",
 ]
 
 

@@ -333,3 +333,71 @@ def coorder_triangles(sf_dir: str) -> "ray.data.Dataset":
         f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
     )
     return triangle_stats(coorder_edges(li))
+
+
+CC_NITER = 4  # fixed label-propagation rounds (the SQL twin unrolls these)
+
+
+@ray.remote
+def _cc_partial(tbl: pa.Table, lbl_ref, nnodes: int) -> np.ndarray:
+    """Min incoming-neighbor label per dst over one cached edge block."""
+    lbl = lbl_ref
+    si = tbl.column("si").to_numpy()
+    di = tbl.column("di").to_numpy()
+    acc = np.full(nnodes, np.iinfo(np.int64).max, np.int64)
+    np.minimum.at(acc, di, lbl[si])
+    return acc
+
+
+def cc_labels(edges: "ray.data.Dataset", iters: int = CC_NITER) -> "ray.data.Dataset":
+    """-> part_key:int64, lbl:int64 — connected-component labels after
+    ``iters`` rounds of synchronous min-label propagation
+    (lbl' = min(lbl, min over in-edges of the source's lbl), seeded with
+    each node's own id), sorted by part_key. Deterministic at ANY
+    iteration count — the fixed-round recurrence is the gated output,
+    exactly like the PageRank op, so the DuckDB twin just unrolls it;
+    full convergence is iters >= graph diameter.
+
+    Same physical plan as :func:`pagerank_scores`: edges cached once as
+    indexed int32 blocks, one min-scatter task per block per round, an
+    O(nodes) dense vector combined driver-side (documented PageRank
+    contract). The per-round exchange is O(blocks x nodes) partial
+    vectors, never edges."""
+    edges = edges.materialize()
+    refs = edges.to_arrow_refs()
+    parts = ray.get([_src_counts.remote(r) for r in refs])
+    us = np.concatenate([p[0] for p in parts]) if parts else np.empty(0, np.int64)
+    if not len(us):
+        return ray.data.from_arrow(
+            pa.table({"part_key": pa.array([], pa.int64()), "lbl": pa.array([], pa.int64())})
+        )
+    nodes = np.unique(us)
+    nnodes = len(nodes)
+
+    def index_edges(batch: pa.Table) -> pa.Table:
+        si = np.searchsorted(nodes, batch.column("src").to_numpy())
+        di = np.searchsorted(nodes, batch.column("dst").to_numpy())
+        return pa.table({"si": pa.array(si, pa.int32()), "di": pa.array(di, pa.int32())})
+
+    iref = (
+        edges.map_batches(index_edges, batch_format="pyarrow", zero_copy_batch=True)
+        .materialize()
+        .to_arrow_refs()
+    )
+    lbl = nodes.copy()
+    for _ in range(iters):
+        lref = ray.put(lbl)
+        mins = ray.get([_cc_partial.remote(r, lref, nnodes) for r in iref])
+        lbl = np.minimum(lbl, np.minimum.reduce(mins)) if mins else lbl
+    return ray.data.from_arrow(
+        pa.table({"part_key": pa.array(nodes, pa.int64()), "lbl": pa.array(lbl, pa.int64())})
+    )
+
+
+def part_components(sf_dir: str, iters: int = CC_NITER) -> "ray.data.Dataset":
+    """End-to-end: lineitem -> co-order edges -> fixed-round min-label
+    propagation component labels."""
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+    return cc_labels(coorder_edges(li).materialize(), iters=iters)

@@ -1617,6 +1617,32 @@ _TRIANGLES_SQL = (
     "JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v) AS triangles"
 )
 
+
+def _cc_sql() -> str:
+    """Unrolled min-label-propagation twin: lbl' = least(lbl, min over
+    in-edges of the source's lbl), CC_NITER rounds, seeded with node id.
+    Pure integer mins — bit-exact against the engine's dense folds."""
+    from spatialjoincountovershells_ray.pipelines.graph import CC_NITER
+
+    ctes = [
+        "ep AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem)",
+        "edges AS (SELECT DISTINCT a.p AS src, b.p AS dst FROM ep a "
+        "JOIN ep b ON a.o = b.o AND a.p <> b.p)",
+        "it0 AS (SELECT DISTINCT src AS node, src AS lbl FROM edges)",
+    ]
+    for k in range(1, CC_NITER + 1):
+        ctes.append(
+            f"it{k} AS (SELECT d.node, LEAST(d.lbl, COALESCE(m.ml, d.lbl)) AS lbl "
+            f"FROM it{k - 1} d LEFT JOIN (SELECT e.dst AS node, MIN(i.lbl) AS ml "
+            f"FROM edges e JOIN it{k - 1} i ON i.node = e.src GROUP BY e.dst) m "
+            "ON m.node = d.node)"
+        )
+    return (
+        "WITH " + ", ".join(ctes)
+        + f" SELECT node AS part_key, CAST(lbl AS BIGINT) AS lbl FROM it{CC_NITER} ORDER BY 1"
+    )
+
+
 def _pagerank_sql() -> str:
     """Unrolled fixed-point PageRank twin: the same integer recurrence
     (``v' = (15*S)//100 + (85 * SUM(v // deg)) // 100``) iterated
@@ -2921,6 +2947,7 @@ REGISTRY: dict[str, QueryDef] = {
     "order_rank": QueryDef(q_order_rank, _ORDER_RANK_SQL),
     "order_dist_stats": QueryDef(q_order_dist_stats, _ORDER_DIST_SQL),
     "part_pagerank": QueryDef(graph.part_pagerank, _pagerank_sql()),
+    "part_components": QueryDef(graph.part_components, _cc_sql()),
     "coorder_triangles": QueryDef(graph.coorder_triangles, _TRIANGLES_SQL),
     "user_event_paths": QueryDef(q_user_event_paths, _EVENT_PATHS_SQL),
     "late_orders": QueryDef(q_late_orders, _late_orders_sql()),

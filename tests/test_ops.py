@@ -1402,3 +1402,44 @@ class TestBandSelfJoin:
         assert pairs == want
         assert len(got) == len(want)  # exactly-once emission
         assert (got["diff"].to_numpy() <= delta).all()
+
+
+class TestCCLabels:
+    def test_converges_to_true_components(self):
+        import pandas as pd
+        from spatialjoincountovershells_ray.pipelines import graph
+
+        rng = np.random.default_rng(31)
+        # three planted components: node ranges [0,30), [100,140), [200,210)
+        comps = [np.arange(0, 30), np.arange(100, 140), np.arange(200, 210)]
+        und = set()
+        for c in comps:
+            # random spanning structure + extra edges
+            perm = rng.permutation(c)
+            for a, b in zip(perm, perm[1:]):
+                und.add((min(int(a), int(b)), max(int(a), int(b))))
+            for a, b in rng.choice(c, (20, 2)):
+                if a != b:
+                    und.add((min(int(a), int(b)), max(int(a), int(b))))
+        both = [(a, b) for a, b in und] + [(b, a) for a, b in und]
+        df = pd.DataFrame(both, columns=["src", "dst"]).astype(np.int64)
+        ds = ray.data.from_pandas([b for b in np.array_split(df, 4)])
+        # enough rounds to converge any of these small components
+        got = graph.cc_labels(ds, iters=64).to_pandas()
+        lab = dict(zip(got["part_key"], got["lbl"]))
+        for c in comps:
+            assert {lab[int(x)] for x in c} == {int(c.min())}
+
+    def test_fixed_rounds_deterministic_across_blocking(self):
+        import pandas as pd
+        from spatialjoincountovershells_ray.pipelines import graph
+
+        rng = np.random.default_rng(37)
+        und = {(int(min(a, b)), int(max(a, b))) for a, b in rng.integers(0, 300, (400, 2)) if a != b}
+        both = [(a, b) for a, b in und] + [(b, a) for a, b in und]
+        df = pd.DataFrame(both, columns=["src", "dst"]).astype(np.int64)
+        outs = []
+        for nb in (1, 7):
+            ds = ray.data.from_pandas([b for b in np.array_split(df, nb)])
+            outs.append(graph.cc_labels(ds, iters=3).to_pandas().values.tolist())
+        assert outs[0] == outs[1]
