@@ -273,28 +273,64 @@ def set_op_distinct(
 _DAY_US = 86_400_000_000
 
 
-def _user_day(batch: pa.Table) -> pa.Table:
-    """(user_id, day:string) distinct rows of an events batch — day as
-    '%Y-%m-%d' text, the repo's cross-gate date representation (matches
-    the oracle's strftime on both value and type)."""
-    day = pc.strftime(batch.column("ts").cast(pa.timestamp("us")), format="%Y-%m-%d")
-    t = pa.table({"user_id": batch.column("user_id"), "day": day})
-    return t.group_by(["user_id", "day"]).aggregate([])
-
-
 def user_days_set_op(sf_dir: str, type_a: str, type_b: str, op: str) -> "ray.data.Dataset":
     """(user, day) pairs with a ``type_a`` event <op> pairs with a
     ``type_b`` event — e.g. except: days a user clicked but never
-    purchased. Type filters are pushed into the parquet scan."""
+    purchased.
 
-    def side(t: str) -> "ray.data.Dataset":
-        return ray.data.read_parquet(
-            f"{sf_dir}/events.parquet",
-            columns=["user_id", "ts"],
-            filter=pc.field("event_type") == t,
-        ).map_batches(_user_day, batch_format="pyarrow", zero_copy_batch=True)
+    Specialized plan over the generic :func:`set_op_distinct`: ONE scan
+    of events (both type filters pushed as a single ``isin`` predicate)
+    instead of two, and the exchange key is the int64 epoch-day, not the
+    '%Y-%m-%d' string — per-batch group_by pre-dedups (user, day) and
+    ORs the two membership flags, so the shuffle carries three int64
+    columns per distinct (user, day) and the date is stringified only
+    after aggregation (output rows, not input rows). Epoch-day floor
+    equals strftime's calendar date for the naive-UTC timestamps both
+    engines use."""
+    if op not in ("union", "intersect", "except"):
+        raise ValueError(f"unknown set op {op!r}")
 
-    return set_op_distinct(side(type_a), side(type_b), ["user_id", "day"], op)
+    def tag(batch: pa.Table) -> pa.Table:
+        us = batch.column("ts").cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
+        et = batch.column("event_type")
+        t = pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "day_i": pa.array(us // _DAY_US, pa.int64()),
+                "inl": pc.equal(et, type_a).cast(pa.int64()),
+                "inr": pc.equal(et, type_b).cast(pa.int64()),
+            }
+        )
+        d = t.group_by(["user_id", "day_i"]).aggregate([("inl", "max"), ("inr", "max")])
+        return d.rename_columns(["user_id", "day_i", "inl", "inr"])
+
+    tagged = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_type"],
+        filter=pc.field("event_type").isin([type_a, type_b]),
+    ).map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+    agg = tagged.groupby(["user_id", "day_i"]).aggregate(
+        ray.data.aggregate.Max("inl"), ray.data.aggregate.Max("inr")
+    )
+
+    def keep(batch: pa.Table) -> pa.Table:
+        inl = batch.column("max(inl)")
+        inr = batch.column("max(inr)")
+        if op == "union":
+            m = pa.array(np.ones(batch.num_rows, bool))
+        elif op == "intersect":
+            m = pc.and_(pc.equal(inl, 1), pc.equal(inr, 1))
+        else:
+            m = pc.and_(pc.equal(inl, 1), pc.equal(inr, 0))
+        kept = batch.filter(m)
+        day = pc.strftime(
+            pc.multiply(kept.column("day_i"), _DAY_US).cast(pa.timestamp("us")),
+            format="%Y-%m-%d",
+        )
+        return pa.table({"user_id": kept.column("user_id"), "day": day})
+
+    out = agg.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+    return out.sort(["user_id", "day"])
 
 
 def snapshot_diff(
