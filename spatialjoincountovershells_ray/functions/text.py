@@ -388,7 +388,11 @@ def rolling_fingerprint(texts: list[str]) -> np.ndarray:
 
 
 def levenshtein_csr(
-    data: np.ndarray, off: np.ndarray, ia: np.ndarray, ib: np.ndarray
+    data: np.ndarray,
+    off: np.ndarray,
+    ia: np.ndarray,
+    ib: np.ndarray,
+    max_dist: int | None = None,
 ) -> np.ndarray:
     """Edit distance of row pairs (ia[p], ib[p]) of a byte-CSR column,
     vectorized ACROSS pairs: pairs are grouped by their (len_a, len_b)
@@ -398,6 +402,15 @@ def levenshtein_csr(
     Standard unit-cost Levenshtein over BYTES — identical to DuckDB's
     character-based ``levenshtein()`` for ASCII input (the synthetic
     tables' contract; multi-byte text measures byte edits instead).
+
+    With ``max_dist`` set, runs the Ukkonen band instead: only cells
+    with |i - j| <= max_dist are computed (any <=max_dist path stays in
+    the band since dist >= |i - j|), values saturate at max_dist + 1
+    (a capped stand-in only ever produces cells > max_dist downstream,
+    so true <=max_dist distances stay exact), and pairs whose running
+    row minimum exceeds max_dist are finalized early and compacted out
+    of the class (the DP row min is non-decreasing in i). Returns the
+    exact distance where it is <= max_dist and max_dist + 1 otherwise.
     """
     P = len(ia)
     out = np.zeros(P, np.int64)
@@ -410,11 +423,15 @@ def levenshtein_csr(
     order = np.argsort(key, kind="stable")
     ks = key[order]
     bounds = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1], True])
+    d = max_dist
     for s, e in zip(bounds[:-1], bounds[1:]):
         idx = order[s:e]
         na, nb = int(la[idx[0]]), int(lb[idx[0]])
         if na == 0 or nb == 0:
             out[idx] = max(na, nb)
+            continue
+        if d is not None and abs(na - nb) > d:
+            out[idx] = d + 1  # the length gap alone exceeds the band
             continue
         sa = off[:-1][ia[idx]]
         sb = off[:-1][ib[idx]]
@@ -422,14 +439,56 @@ def levenshtein_csr(
         B = data[sb[:, None] + np.arange(nb, dtype=np.int64)]
         prev = np.tile(np.arange(nb + 1, dtype=np.int32), (len(idx), 1))
         cur = np.empty_like(prev)
+        if d is None:
+            for i in range(1, na + 1):
+                cur[:, 0] = i
+                cost = (A[:, i - 1][:, None] != B).astype(np.int32)
+                for j in range(1, nb + 1):
+                    cur[:, j] = np.minimum(
+                        np.minimum(prev[:, j] + 1, cur[:, j - 1] + 1),
+                        prev[:, j - 1] + cost[:, j - 1],
+                    )
+                prev, cur = cur, prev
+            out[idx] = prev[:, nb]
+            continue
+        big = np.int32(d + 1)
+        np.minimum(prev, big, out=prev)  # saturate row 0
+        alive = np.arange(len(idx))
+        t1 = np.empty(len(idx), np.int32)
+        t2 = np.empty(len(idx), np.int32)
         for i in range(1, na + 1):
-            cur[:, 0] = i
-            cost = (A[:, i - 1][:, None] != B).astype(np.int32)
-            for j in range(1, nb + 1):
-                cur[:, j] = np.minimum(
-                    np.minimum(prev[:, j] + 1, cur[:, j - 1] + 1),
-                    prev[:, j - 1] + cost[:, j - 1],
-                )
+            lo, hi = max(1, i - d), min(nb, i + d)
+            if i + d <= nb:
+                prev[:, hi] = big  # outside row i-1's band: stale, truly > d
+            if lo > 1:
+                cur[:, lo - 1] = big  # |i - (lo-1)| = d + 1 > d
+            else:
+                cur[:, 0] = min(i, int(big))
+            cost = (A[:, i - 1][:, None] != B[:, lo - 1 : hi]).view(np.int8)
+            n = len(alive)
+            w1, w2 = t1[:n], t2[:n]
+            for j in range(lo, hi + 1):
+                np.add(prev[:, j], 1, out=w1)
+                np.add(cur[:, j - 1], 1, out=w2)
+                np.minimum(w1, w2, out=w1)
+                np.add(prev[:, j - 1], cost[:, j - lo], out=w2)
+                np.minimum(w1, w2, out=cur[:, j])
+            np.minimum(cur[:, lo : hi + 1], big, out=cur[:, lo : hi + 1])
             prev, cur = cur, prev
-        out[idx] = prev[:, nb]
+            if i < na:
+                keep = prev[:, lo : hi + 1].min(axis=1) <= d
+                nk = int(keep.sum())
+                if nk == 0:
+                    out[idx[alive]] = d + 1
+                    alive = alive[:0]
+                    break
+                # compaction is a few cheap copies; pruning dead pairs
+                # eagerly is what turns the band into ~O(death_row) work
+                if nk < 0.9 * len(alive):
+                    out[idx[alive[~keep]]] = d + 1
+                    alive = alive[keep]
+                    prev, cur = prev[keep], cur[keep]
+                    A, B = A[keep], B[keep]
+        if len(alive):
+            out[idx[alive]] = prev[:, nb]
     return out

@@ -1366,9 +1366,21 @@ def edit_distance_pairs(
         ib = np.concatenate(ib_parts)
         keep = np.abs(lens[ia] - lens[ib]) <= max_dist
         ia, ib = ia[keep], ib[keep]
-        d = T.levenshtein_csr(data, off, ia, ib)
-        hit = d <= max_dist
-        ia, ib, d = ia[hit], ib[hit], d[hit]
+        # ~256k pairs per DP call: the band arrays of a larger class
+        # blow L2 and throughput halves (measured); smaller chunks pay
+        # numpy dispatch per (len_a, len_b) class instead
+        parts = []
+        for s0 in range(0, len(ia), 262_144):
+            ca, cb = ia[s0 : s0 + 262_144], ib[s0 : s0 + 262_144]
+            dd = T.levenshtein_csr(data, off, ca, cb, max_dist=max_dist)
+            hit = dd <= max_dist
+            parts.append((ca[hit], cb[hit], dd[hit]))
+        if parts:
+            ia = np.concatenate([p[0] for p in parts])
+            ib = np.concatenate([p[1] for p in parts])
+            d = np.concatenate([p[2] for p in parts])
+        else:
+            ia = ib = d = np.empty(0, np.int64)
         return pa.table(
             {
                 "id_a": pa.array(ids[ia], pa.int64()),

@@ -1014,7 +1014,7 @@ def _nearest_centroid_sql() -> str:
     )
 
 
-FUZZY_MAX_DIST = 8
+FUZZY_MAX_DIST = 4
 
 
 def q_part_name_fuzzy(sf_dir: str):

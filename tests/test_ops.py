@@ -1443,3 +1443,38 @@ class TestCCLabels:
             ds = ray.data.from_pandas([b for b in np.array_split(df, nb)])
             outs.append(graph.cc_labels(ds, iters=3).to_pandas().values.tolist())
         assert outs[0] == outs[1]
+
+
+class TestLevenshteinBand:
+    """Banded levenshtein_csr: exact <= max_dist, sentinel above."""
+
+    @staticmethod
+    def _py_lev(a: bytes, b: bytes) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    def test_band_matches_full_dp(self):
+        import pyarrow as pa
+
+        rng = np.random.default_rng(11)
+        words = [
+            bytes(rng.choice(list(b"abc"), size=int(n)).tolist())
+            for n in rng.integers(0, 14, 160)
+        ]
+        arr = pa.array([w.decode() for w in words])
+        data, off = T.string_bytes(arr)
+        ia, ib = np.triu_indices(len(words), 1)
+        ia, ib = ia.astype(np.int64), ib.astype(np.int64)
+        full = T.levenshtein_csr(data, off, ia, ib)
+        ref = np.array([self._py_lev(words[a], words[b]) for a, b in zip(ia, ib)])
+        assert (full == ref).all()
+        for d in (0, 1, 2, 3, 5, 9):
+            band = T.levenshtein_csr(data, off, ia, ib, max_dist=d)
+            le = ref <= d
+            assert (band[le] == ref[le]).all(), d
+            assert (band[~le] > d).all(), d
