@@ -1508,3 +1508,134 @@ def dup_span_coverage(
         zero_copy_batch=True,
         concurrency=default_pool(),
     ).sort("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# semantic dedup (SemDeDup-shaped: cluster-blocked embedding near-dup drop)
+
+SEMDEDUP_FP_SCALE = 1 << 10
+SEMDEDUP_MAX_CLUSTER = 4096
+
+
+def semantic_dedup(
+    ds: "ray.data.Dataset", tau_num: int = 7, tau_den: int = 20
+) -> "ray.data.Dataset":
+    """-> vec_id, cluster:int64, kept:int64 — every embedding assigned
+    to its nearest label-centroid cluster, then dropped (kept=0) iff
+    some SMALLER-id vector in the same cluster has cosine similarity
+    >= tau_num/tau_den to it: the SemDeDup decision shape (Abbas et al.
+    2023 — k-means-block the corpus, drop all but one of each semantic
+    duplicate group), with the cluster step standing on the repo's
+    exact nearest-centroid classifier instead of a float k-means so the
+    WHOLE operator is value-hash exact against its SQL twin.
+
+    Exactness: cluster assignment replays label_centroids /
+    nearest_centroid verbatim (floor(v*S+0.5) grid, floor(s/n+0.5)
+    rounded centroids, exact int64 argmin with smallest-label ties).
+    The similarity predicate re-quantizes to a COARSER grid
+    (SEMDEDUP_FP_SCALE = 2^10, its own documented contract) so the
+    sqrt-free integer form  dot > 0  AND  den^2*dot^2 >= num^2*na*nb
+    stays inside int64: a runtime guard refuses inputs whose
+    den^2*dot_max^2 headroom could overflow rather than going silently
+    wrong. Drop rule uses "exists an earlier near neighbor" (pure
+    pairwise, order-free) rather than the sequential greedy chain, so
+    it is expressible as one NOT EXISTS in SQL and independent of
+    partitioning.
+
+    Scale shape: centroid table is O(labels x dims) and broadcasts;
+    one streaming pass assigns + quantizes; clusters co-locate through
+    the hash-bucket exchange with the fp vectors riding as list rows
+    (never the raw corpus text); the within-cluster pair work is the
+    SemDeDup contract -- cluster sizes are bounded by the cluster count
+    knob, and a cluster larger than SEMDEDUP_MAX_CLUSTER refuses loudly
+    instead of going quadratic.
+    """
+    from spatialjoincountovershells_ray.pipelines.ann import (
+        CENTROID_FP_SCALE,
+        _collect_centroid_grid,
+        label_centroids,
+    )
+    from spatialjoincountovershells_ray.pipelines.window import keyed_partition_apply
+
+    cent = label_centroids(ds)
+    refs = list(cent.materialize().to_arrow_refs())
+    grid = ray.get(_collect_centroid_grid.remote(*refs))
+    CS, S2 = CENTROID_FP_SCALE, SEMDEDUP_FP_SCALE
+
+    def assign(batch: pa.Table, grid: np.ndarray) -> pa.Table:
+        ids = batch.column("vec_id").to_numpy().astype(np.int64)
+        mat = np.stack(batch.column("embedding").to_numpy(zero_copy_only=False)).astype(
+            np.float64
+        )
+        qc = np.floor(mat * CS + 0.5).astype(np.int64)
+        labs, c = grid[:, 0], grid[:, 1:]
+        d2 = np.empty((len(qc), len(labs)), np.int64)
+        for j in range(len(labs)):
+            diff = qc - c[j]
+            d2[:, j] = (diff * diff).sum(axis=1)
+        best = np.argmin(d2, axis=1)  # first (= smallest label) wins ties
+        q2 = np.floor(mat * S2 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "cluster": pa.array(labs[best], pa.int64()),
+                "q": pa.array(list(q2), pa.list_(pa.int64())),
+            }
+        )
+
+    assigned = ds.map_batches(
+        assign, fn_kwargs={"grid": grid}, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    empty = pa.table(
+        {
+            "vec_id": pa.array([], pa.int64()),
+            "cluster": pa.array([], pa.int64()),
+            "kept": pa.array([], pa.int64()),
+        }
+    )
+    num2 = tau_num * tau_num
+    den2 = tau_den * tau_den
+
+    def kernel(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return empty
+        tbl = tbl.sort_by([("cluster", "ascending"), ("vec_id", "ascending")])
+        ids = tbl.column("vec_id").to_numpy()
+        cl = tbl.column("cluster").to_numpy()
+        flat = tbl.column("q").combine_chunks()
+        d = len(flat[0])
+        Q = np.asarray(flat.flatten()).reshape(len(ids), d)
+        qmax = int(np.abs(Q).max()) if len(ids) else 0
+        dmax = d * qmax * qmax
+        if den2 * dmax * dmax >= 2**62:
+            raise ValueError(
+                f"semantic_dedup: fp headroom exceeded (|q|max={qmax}, D={d}); "
+                "lower SEMDEDUP_FP_SCALE"
+            )
+        kept = np.ones(len(ids), bool)
+        bounds = np.flatnonzero(np.r_[True, cl[1:] != cl[:-1], True])
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            g = int(e - s)
+            if g > SEMDEDUP_MAX_CLUSTER:
+                raise ValueError(
+                    f"semantic_dedup: cluster {cl[s]} has {g} rows "
+                    f"(max {SEMDEDUP_MAX_CLUSTER}); raise the cluster count"
+                )
+            if g < 2:
+                continue
+            G = Q[s:e]
+            dot = G @ G.T
+            n = np.diag(dot).copy()
+            sim = (dot > 0) & (den2 * dot * dot >= num2 * (n[:, None] * n[None, :]))
+            sim &= np.tri(g, k=-1, dtype=bool).T  # strictly u < v
+            kept[s:e] = ~sim.any(axis=0)
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "cluster": pa.array(cl, pa.int64()),
+                "kept": pa.array(kept.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return keyed_partition_apply(assigned, "cluster", kernel).sort("vec_id")

@@ -1014,6 +1014,61 @@ def _nearest_centroid_sql() -> str:
     )
 
 
+SEMDEDUP_TAU = (7, 20)  # cosine threshold 0.35 (the sf fixtures' pair band)
+
+
+def q_semantic_dedup(sf_dir: str):
+    """SemDeDup-shaped semantic dedup: exact nearest-centroid clusters,
+    drop any vector with an earlier same-cluster neighbor at cosine >=
+    tau — whole decision value-hash exact on the shared fixed-point
+    grids (pipelines/dedup.semantic_dedup)."""
+    return dedup.semantic_dedup(
+        ray.data.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "label", "embedding"]
+        ),
+        tau_num=SEMDEDUP_TAU[0],
+        tau_den=SEMDEDUP_TAU[1],
+    )
+
+
+def _semantic_dedup_sql() -> str:
+    from spatialjoincountovershells_ray.pipelines.ann import CENTROID_FP_SCALE as S
+    from spatialjoincountovershells_ray.pipelines.dedup import SEMDEDUP_FP_SCALE as S2
+
+    num, den = SEMDEDUP_TAU
+    # cluster CTEs replay _nearest_centroid_sql verbatim; the pair
+    # predicate is the sqrt-free integer form of cos >= num/den on the
+    # coarser S2 grid (dot > 0 AND den^2 dot^2 >= num^2 na nb); DuckDB's
+    # SUM yields HUGEINT so dot^2 is 128-bit exact on its side too
+    return (
+        "WITH e AS (SELECT vec_id, label, generate_subscripts(embedding, 1) - 1 AS dim, "
+        "unnest(embedding) AS v FROM embeddings), "
+        f"q AS (SELECT vec_id, label, dim, CAST(floor(CAST(v AS DOUBLE) * {S} + 0.5) "
+        "AS BIGINT) AS fp FROM e), "
+        "c AS (SELECT label, dim, CAST(floor(CAST(SUM(fp) AS DOUBLE) / COUNT(*) + 0.5) "
+        "AS BIGINT) AS cfp FROM q GROUP BY label, dim), "
+        "d AS (SELECT q.vec_id, c.label, SUM((q.fp - c.cfp) * (q.fp - c.cfp)) AS d2 "
+        "FROM q JOIN c ON q.dim = c.dim GROUP BY q.vec_id, c.label), "
+        "r AS (SELECT vec_id, label, d2, row_number() OVER "
+        "(PARTITION BY vec_id ORDER BY d2, label) AS rn FROM d), "
+        "cl AS (SELECT vec_id, CAST(label AS BIGINT) AS cluster FROM r WHERE rn = 1), "
+        f"q2 AS (SELECT vec_id, dim, CAST(floor(CAST(v AS DOUBLE) * {S2} + 0.5) "
+        "AS BIGINT) AS fp FROM e), "
+        "nrm AS (SELECT vec_id, SUM(fp * fp) AS n FROM q2 GROUP BY vec_id), "
+        "pr AS (SELECT ca.vec_id AS va, cb.vec_id AS vb, SUM(qa.fp * qb.fp) AS dot "
+        "FROM cl ca JOIN cl cb ON ca.cluster = cb.cluster AND ca.vec_id < cb.vec_id "
+        "JOIN q2 qa ON qa.vec_id = ca.vec_id "
+        "JOIN q2 qb ON qb.vec_id = cb.vec_id AND qb.dim = qa.dim "
+        "GROUP BY va, vb), "
+        "dr AS (SELECT DISTINCT pr.vb AS vec_id FROM pr "
+        "JOIN nrm a ON a.vec_id = pr.va JOIN nrm b ON b.vec_id = pr.vb "
+        f"WHERE pr.dot > 0 AND {den * den} * pr.dot * pr.dot >= {num * num} * a.n * b.n) "
+        "SELECT cl.vec_id, cl.cluster, CAST(CASE WHEN dr.vec_id IS NULL THEN 1 ELSE 0 END "
+        "AS BIGINT) AS kept FROM cl LEFT JOIN dr ON dr.vec_id = cl.vec_id "
+        "ORDER BY cl.vec_id"
+    )
+
+
 FUZZY_MAX_DIST = 4
 
 
@@ -2897,6 +2952,7 @@ REGISTRY: dict[str, QueryDef] = {
     "order_share": QueryDef(q_order_share, _ORDER_SHARE_SQL),
     "winsorize_values": QueryDef(q_winsorize_values, _WINSORIZE_SQL),
     "nearest_centroid": QueryDef(q_nearest_centroid, _nearest_centroid_sql()),
+    "semantic_dedup": QueryDef(q_semantic_dedup, _semantic_dedup_sql()),
     "custkey_skew": QueryDef(q_custkey_skew, _SKEW_SQL),
     "value_quantile_sketch": QueryDef(q_value_quantile_sketch, None),
     "bpe_merges": QueryDef(q_bpe_merges, None),

@@ -1478,3 +1478,46 @@ class TestLevenshteinBand:
             le = ref <= d
             assert (band[le] == ref[le]).all(), d
             assert (band[~le] > d).all(), d
+
+
+class TestSemanticDedup:
+    def test_matches_brute_force_decision(self):
+        import pyarrow.parquet as pq
+        from spatialjoincountovershells_ray.pipelines.ann import CENTROID_FP_SCALE
+        from spatialjoincountovershells_ray.pipelines.dedup import (
+            SEMDEDUP_FP_SCALE,
+            semantic_dedup,
+        )
+
+        tbl = pq.read_table("/root/testdata/sf0.001/embeddings.parquet")
+        got = semantic_dedup(ray.data.from_arrow(tbl), tau_num=7, tau_den=20).to_pandas()
+
+        # brute-force single-machine replay of the documented contract
+        m = np.stack(tbl.column("embedding").to_numpy(zero_copy_only=False)).astype(
+            np.float64
+        )
+        lab = tbl.column("label").to_numpy().astype(np.int64)
+        ids = tbl.column("vec_id").to_numpy()
+        order = np.argsort(ids)
+        m, lab, ids = m[order], lab[order], ids[order]
+        qc = np.floor(m * CENTROID_FP_SCALE + 0.5).astype(np.int64)
+        labs = np.unique(lab)
+        cents = np.stack(
+            [
+                np.floor(qc[lab == l].sum(0) / (lab == l).sum() + 0.5).astype(np.int64)
+                for l in labs
+            ]
+        )
+        d2 = ((qc[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+        cl = labs[np.argmin(d2, axis=1)]
+        q2 = np.floor(m * SEMDEDUP_FP_SCALE + 0.5).astype(np.int64)
+        dot = q2 @ q2.T
+        n = np.diag(dot)
+        sim = (dot > 0) & (400 * dot.astype(object) * dot >= 49 * np.multiply.outer(n, n))
+        sim &= cl[:, None] == cl[None, :]
+        sim &= np.tri(len(ids), k=-1, dtype=bool).T
+        kept = ~sim.any(axis=0)
+        assert (got["vec_id"].to_numpy() == ids).all()
+        assert (got["cluster"].to_numpy() == cl).all()
+        assert (got["kept"].to_numpy() == kept.astype(np.int64)).all()
+        assert 0 < (~kept).sum() < len(ids)  # non-vacuous both ways
