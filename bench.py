@@ -334,6 +334,8 @@ BENCH_QUERIES = [
     "event_grid_ffill",
     "price_band_pairs",
     "part_components",
+    "semantic_dedup",
+    "session_concurrency",
 ]
 
 

@@ -748,3 +748,111 @@ def grid_ffill(events: "ray.data.Dataset") -> "ray.data.Dataset":
 
     ds = events.select_columns(["user_id", "ts", "value"])
     return keyed_partition_apply(ds, "user_id", kernel).sort(["user_id", "ts"])
+
+
+# ---------------------------------------------------------------------------
+# peak concurrent sessions per day (interval-stabbing sweep)
+
+_DAY_US_ = 86_400_000_000
+
+
+@ray.remote
+def _block_delta_sum(tbl: pa.Table) -> int:
+    return int(pc.sum(tbl.column("d")).as_py() or 0)
+
+
+@ray.remote
+def _stamp_day_max(tbl: pa.Table, offset: int) -> pa.Table:
+    """Running concurrency for one globally-sorted boundary block, then
+    the block's per-day max partials (exact: every ts is globally unique
+    after the per-instant pre-aggregation, so offset + cumsum IS the
+    RANGE-frame running sum)."""
+    if tbl.num_rows == 0:
+        return pa.table({"day_i": pa.array([], pa.int64()), "mx": pa.array([], pa.int64())})
+    conc = offset + np.cumsum(tbl.column("d").to_numpy(), dtype=np.int64)
+    day = tbl.column("ts_us").to_numpy() // _DAY_US_
+    t = pa.table({"day_i": pa.array(day, pa.int64()), "mx": pa.array(conc, pa.int64())})
+    g = t.group_by("day_i").aggregate([("mx", "max")])
+    return g.rename_columns(["day_i", "mx"])
+
+
+def session_concurrency_daily(sf_dir_or_ds) -> "ray.data.Dataset":
+    """-> day:string, max_conc:int64 — peak number of simultaneously
+    open sessions per calendar day, sessions split at >30 min gaps in
+    (ts, event_id) per-user order (the user_sessions rule), each open
+    over [start_ts, end_ts] INCLUSIVE.
+
+    The concurrency/occupancy metric (interval stabbing) as a sweep,
+    never a join: sessions fold to +-1 boundary deltas (+1 at start,
+    -1 at end + 1us), deltas pre-aggregate per instant so every ts_us
+    survives exactly once, one range-partitioned sort orders the
+    instants, per-block delta sums prefix-fold on the driver (O(blocks)
+    ints — the global_event_rank offset pattern), and each block stamps
+    its running sums and reduces to per-day max partials in place. The
+    exchange after the sort carries O(days) rows. Days with no boundary
+    instant (a fully-inherited overnight plateau) do not appear —
+    documented metric contract, mirrored by the SQL twin.
+    """
+    ds = (
+        ray.data.read_parquet(
+            f"{sf_dir_or_ds}/events.parquet", columns=["ts", "user_id", "event_id"]
+        )
+        if isinstance(sf_dir_or_ds, str)
+        else sf_dir_or_ds
+    )
+
+    def bounds(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["ts", "event_id"], kind="mergesort")
+        us = _epoch_us(g["ts"])
+        brk = np.zeros(len(us), bool)
+        brk[0] = True
+        if len(us) > 1:
+            brk[1:] = np.diff(us) > GAP_US
+        starts = us[brk]
+        ends = us[np.r_[brk[1:], True]]
+        return pd.DataFrame(
+            {
+                "ts_us": np.concatenate([starts, ends + 1]),
+                "d": np.concatenate(
+                    [np.ones(len(starts), np.int64), -np.ones(len(ends), np.int64)]
+                ),
+            }
+        )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("ts_us").aggregate([("d", "sum")])
+        return g.rename_columns(["ts_us", "d"])
+
+    per_instant = (
+        ds.groupby("user_id")
+        .map_groups(bounds, batch_format="pandas")
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("ts_us")
+        .sum("d")
+        .map_batches(
+            lambda b: pa.table(
+                {"ts_us": b.column("ts_us"), "d": b.column("sum(d)").cast(pa.int64())}
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    )
+    sorted_ds = per_instant.sort("ts_us").materialize()
+    refs = sorted_ds.to_arrow_refs()
+    if not refs:
+        return sorted_ds
+    sums = ray.get([_block_delta_sum.remote(r) for r in refs])
+    offsets = np.concatenate([[0], np.cumsum(sums[:-1], dtype=np.int64)])
+    parts = [_stamp_day_max.remote(r, int(off)) for r, off in zip(refs, offsets)]
+    agg = ray.data.from_arrow_refs(parts).groupby("day_i").max("mx")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        day = pc.strftime(
+            pc.multiply(batch.column("day_i"), _DAY_US_).cast(pa.timestamp("us")),
+            format="%Y-%m-%d",
+        )
+        return pa.table(
+            {"day": day, "max_conc": batch.column("max(mx)").cast(pa.int64())}
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True).sort("day")

@@ -1885,6 +1885,27 @@ _SESSIONS_SQL = (
     "FROM events) GROUP BY user_id"
 )
 
+# Exact twin of events.session_concurrency_daily: same >30 min gap rule
+# as _SESSIONS_SQL, sessions open [start, end] inclusive (-1 lands at
+# end + 1us), per-instant delta pre-grouping makes ROWS == RANGE for the
+# running sum, and days surface only where a boundary instant falls.
+_SESSION_CONC_SQL = (
+    "WITH o AS (SELECT user_id, ts, event_id, CASE WHEN date_diff('microsecond', "
+    "lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) > 1800000000 "
+    "OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL "
+    "THEN 1 ELSE 0 END AS brk FROM events), "
+    "g AS (SELECT user_id, ts, SUM(brk) OVER (PARTITION BY user_id "
+    "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM o), "
+    "iv AS (SELECT epoch_us(MIN(ts)) AS st, epoch_us(MAX(ts)) + 1 AS en "
+    "FROM g GROUP BY user_id, sid), "
+    "b AS (SELECT st AS t, 1 AS d FROM iv UNION ALL SELECT en, -1 FROM iv), "
+    "bb AS (SELECT t, SUM(d) AS d FROM b GROUP BY t), "
+    "r AS (SELECT t, SUM(d) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS conc FROM bb) "
+    "SELECT strftime(make_timestamp(CAST(t // 86400000000 AS BIGINT) * 86400000000), "
+    "'%Y-%m-%d') AS day, CAST(MAX(conc) AS BIGINT) AS max_conc "
+    "FROM r GROUP BY day ORDER BY day"
+)
+
 _WINDOW_AGG_SQL = (
     "SELECT user_id, CAST(floor(epoch_us(ts) / 3600000000.0) AS BIGINT) AS win, "
     "CAST(COUNT(*) AS BIGINT) AS n_events, MIN(value) AS min_value, "
@@ -2969,6 +2990,7 @@ REGISTRY: dict[str, QueryDef] = {
     "event_type_counts": QueryDef(relational.event_type_counts, _EVENTS_SQL),
     "event_lag": QueryDef(events.event_lag, _EVENT_LAG_SQL),
     "user_sessions": QueryDef(events.user_sessions, _SESSIONS_SQL),
+    "session_concurrency": QueryDef(events.session_concurrency_daily, _SESSION_CONC_SQL),
     "sessionize": QueryDef(events.sessionize, _SESSIONIZE_SQL),
     "normalize_text": QueryDef(q_normalize_text, _NORMALIZE_SQL),
     "top_terms": QueryDef(q_top_terms, _TOP_TERMS_SQL),

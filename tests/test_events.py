@@ -403,3 +403,39 @@ def test_late_events_prefix_max_matches_brute_force():
     assert out["wm_us"].tolist() == wm.tolist()
     assert out["late"].tolist() == late.tolist()
     assert 0 < late.sum() < n  # both classes present in the fixture
+
+
+class TestSessionConcurrency:
+    def test_sweep_semantics(self):
+        import pandas as pd
+        from spatialjoincountovershells_ray.pipelines.events import (
+            session_concurrency_daily,
+        )
+
+        day = 86_400_000_000
+        mk = lambda us: pd.Timestamp(us, unit="us")
+        # u1: one session crossing midnight (23:50 -> 00:10 next day);
+        # u2: session overlapping u1's on day0; u3: separate day2
+        # session; u2+u3 share an exact start instant on day2 (tie).
+        rows = [
+            (1, mk(int(day * 0.993)), 1),
+            (1, mk(int(day * 1.007)), 2),
+            (2, mk(int(day * 0.995)), 3),
+            (2, mk(int(day * 0.996)), 4),
+            (3, mk(int(day * 2.5)), 5),
+            (2, mk(int(day * 2.5)), 6),
+        ]
+        df = pd.DataFrame(rows, columns=["user_id", "ts", "event_id"])
+        ds = ray.data.from_pandas([b for b in np.array_split(df, 3)])
+        got = session_concurrency_daily(ds).to_pandas()
+        want = pd.DataFrame(
+            {
+                "day": ["1970-01-01", "1970-01-02", "1970-01-03"],
+                # day 2 reports 0: its only boundary instant is u1's
+                # session END (+1us), at which the session has closed —
+                # the documented boundary-instant contract (the 00:00 ->
+                # 00:10 open plateau has no instant of its own)
+                "max_conc": np.array([2, 0, 2], np.int64),
+            }
+        )
+        pd.testing.assert_frame_equal(got.reset_index(drop=True), want)
