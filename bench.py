@@ -336,6 +336,9 @@ BENCH_QUERIES = [
     "part_components",
     "semantic_dedup",
     "session_concurrency",
+    "mixture_sample",
+    "near_dup_curated",
+    "source_diversity",
 ]
 
 

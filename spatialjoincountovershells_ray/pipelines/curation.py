@@ -25,6 +25,12 @@ extensions alongside pipelines/dedup.py and textops.py):
   packs (the standard "pack then chunk" LM pre-training layout).
   Distributed sort + O(blocks) driver prefix sums + one stamp task
   per block — the global_event_rank plan (pipelines/window.py:138).
+- :func:`mixture_sample` — per-domain mixture weighting (the data-mixing
+  stage of an LM pre-training recipe): every document is emitted
+  floor(r) + Bernoulli(frac(r)) times for its source's rate r, with the
+  Bernoulli decided by the same deterministic multiply-mod key hash as
+  hash_split — so r < 1 subsamples a domain, r > 1 epoch-upsamples it,
+  and re-runs/retries reproduce the exact same mixture. Map-only.
 """
 
 from __future__ import annotations
@@ -240,6 +246,67 @@ def hash_split(
         split = np.where(v < thresh, "val", "train")
         cols = {c: batch.column(c) for c in keep_cols}
         cols["split"] = pa.array(split)
+        return pa.table(cols)
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def mixture_rate_nums(rates: dict[str, float]) -> dict[str, int]:
+    """Rates quantized to integer numerators over ``_SAMPLE_M`` — the
+    single quantization both the Ray kernel and the SQL twin consume, so
+    the two sides can never disagree on float rounding."""
+    return {s: int(round(r * _SAMPLE_M)) for s, r in rates.items()}
+
+
+def mixture_sample(
+    ds: "ray.data.Dataset",
+    rates: dict[str, float],
+    key: str = "doc_id",
+    source_col: str = "source",
+    keep_cols: list[str] | None = None,
+    default_rate: float = 1.0,
+) -> "ray.data.Dataset":
+    """-> keep_cols + copy:int64 — deterministic per-domain mixture
+    sampling/up-sampling. A row whose source has rate r is emitted
+    ``floor(r) + [hash(key) < frac(r)]`` times with copy = 0..n-1; the
+    hash is the shared multiply-mod sampler (relagg.hash_sample), so the
+    mixture is reproducible under re-runs, retries and incremental
+    loads, and E[copies] = r exactly per domain.
+
+    Map-only: the rate table is a handful of (source, rate) entries
+    captured in the task closure (bytes, not a broadcast problem); rows
+    are expanded with repeat/arange — no shuffle at any scale.
+    """
+    keep = keep_cols if keep_cols is not None else [key, source_col]
+    nums = mixture_rate_nums(rates)
+    default_num = int(round(default_rate * _SAMPLE_M))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        k = batch.column(key).to_numpy()
+        if k.size and int(k.max(initial=0)) > _SAMPLE_MAX_KEY:
+            raise ValueError(
+                f"{key} exceeds {_SAMPLE_MAX_KEY} — k*A+B would wrap int64 "
+                "and silently diverge from the SQL twin"
+            )
+        src = batch.column(source_col)
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        enc = pc.dictionary_encode(src)
+        uniq = enc.dictionary.to_pylist()
+        num_of = np.array([nums.get(s, default_num) for s in uniq], dtype=np.int64)
+        num = num_of[enc.indices.to_numpy()] if len(uniq) else np.empty(0, np.int64)
+        h = (k.astype(np.int64) * np.int64(_SAMPLE_A) + np.int64(_SAMPLE_B)) % np.int64(
+            _SAMPLE_M
+        )
+        copies = num // _SAMPLE_M + (h < num % _SAMPLE_M)
+        total = int(copies.sum())
+        rows = np.repeat(np.arange(len(k), dtype=np.int64), copies)
+        bounds = np.zeros(len(k) + 1, dtype=np.int64)
+        np.cumsum(copies, out=bounds[1:])
+        copy = np.arange(total, dtype=np.int64) - np.repeat(bounds[:-1], copies)
+        idx = pa.array(rows, pa.int64())
+        cols = {c: batch.column(c).take(idx) for c in keep}
+        cols["copy"] = pa.array(copy, pa.int64())
         return pa.table(cols)
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

@@ -572,6 +572,28 @@ def ngram_dup_clusters(
     return assign_dup_clusters(docs, pairs)
 
 
+def near_dup_curated(
+    docs: "ray.data.Dataset", n: int = 3, threshold: float = 0.2
+) -> "ray.data.Dataset":
+    """-> doc_id — the keep-one-per-cluster curated corpus: every
+    document whose near-dup cluster label (min doc_id in the connected
+    component, :func:`ngram_dup_clusters`) is itself. Singletons keep
+    themselves; each duplicate cluster survives exactly once via its
+    smallest id — the deterministic keep rule a resumable curation job
+    needs (re-runs keep the same representatives).
+
+    The keep filter is map-only on top of the cluster assignment, so the
+    operator adds no exchange beyond what clustering already does."""
+    clusters = ngram_dup_clusters(docs, n=n, threshold=threshold)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        lbl = batch.column("cluster_id").to_numpy()
+        return pa.table({"doc_id": pa.array(ids[ids == lbl], pa.int64())})
+
+    return clusters.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def simhash64(docs: "ray.data.Dataset") -> "ray.data.Dataset":
     """-> doc_id, simhash:int64 — 64-bit SimHash over whitespace-token
     hashes (sign of per-bit vote sums)."""

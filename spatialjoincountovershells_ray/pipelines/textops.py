@@ -559,6 +559,78 @@ def source_vocab(docs: "ray.data.Dataset") -> "ray.data.Dataset":
     return agg.map_batches(final, batch_format="pyarrow", zero_copy_batch=True).sort("source")
 
 
+def source_diversity(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """-> source, n_tokens, n_terms, sum_sq (all int64) — exact unigram
+    diversity statistics per source: token total N, distinct-term count,
+    and the collision mass sum(c^2) over term counts c. The three
+    integers determine the collision (Renyi-2) entropy
+    -ln(sum_sq / N^2) and the Gini-Simpson index exactly, with no float
+    leaving the engine — the domain-diversity screen a mixture-weighting
+    stage (curation.mixture_sample) reads before assigning rates.
+
+    Plan: per-batch (source, term) partial counts (each batch's exchange
+    row count is its own vocabulary, never its token count), one
+    (source, term) groupby to finish the counts, then a per-batch
+    combiner folds each block's share of (N, terms, sum c^2) so the final
+    exchange is O(sources x blocks). c fits int64 by the corpus contract
+    (a single term under 3e9 occurrences per source keeps c^2 in range;
+    the combiner asserts it)."""
+    import pyarrow.compute as pc
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(batch.column("text"), r"[ \t\n\r\x0b\x0c]+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        keep = pc.not_equal(flat, "")
+        src = batch.column("source").take(pc.filter(parent, keep))
+        t = pa.table({"source": src, "term": pc.filter(flat, keep)})
+        g = t.group_by(["source", "term"]).aggregate([([], "count_all")])
+        return g.rename_columns(["source", "term", "n"])
+
+    counts = (
+        docs.select_columns(["source", "text"])
+        .map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["source", "term"])
+        .sum("n")
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        n = batch.column("sum(n)").to_numpy()
+        if n.size and int(n.max(initial=0)) >= 3_000_000_000:
+            raise ValueError("source_diversity: term count would overflow c^2 in int64")
+        t = pa.table(
+            {
+                "source": batch.column("source"),
+                "n_tokens": pa.array(n, pa.int64()),
+                "n_terms": pa.array(np.ones(len(n), np.int64), pa.int64()),
+                "sum_sq": pa.array(n * n, pa.int64()),
+            }
+        )
+        return t.group_by("source").aggregate(
+            [("n_tokens", "sum"), ("n_terms", "sum"), ("sum_sq", "sum")]
+        ).rename_columns(["source", "n_tokens", "n_terms", "sum_sq"])
+
+    agg = (
+        counts.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("source")
+        .sum(["n_tokens", "n_terms", "sum_sq"])
+    )
+
+    def final(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "source": batch.column("source"),
+                "n_tokens": batch.column("sum(n_tokens)").cast(pa.int64()),
+                "n_terms": batch.column("sum(n_terms)").cast(pa.int64()),
+                "sum_sq": batch.column("sum(sum_sq)").cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(final, batch_format="pyarrow", zero_copy_batch=True).sort("source")
+
+
 def term_cooccurrence(
     docs: "ray.data.Dataset", df_lo: int = 2, df_hi: int = 1_000_000
 ) -> "ray.data.Dataset":

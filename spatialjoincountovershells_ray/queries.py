@@ -618,6 +618,38 @@ def q_pack_sequences(sf_dir: str):
     )
 
 
+# per-domain mixture rates spanning subsample (<1), passthrough (1) and
+# epoch-upsample (>1); quantized ONCE (mixture_rate_nums) for both sides
+MIXTURE_RATES = {f"src{i}": (0.25, 0.6, 1.0, 1.5, 2.75)[i % 5] for i in range(20)}
+
+
+def q_mixture_sample(sf_dir: str):
+    """Deterministic per-domain mixture sampling/up-sampling: each doc
+    emitted floor(r)+Bernoulli(frac(r)) times for its source's rate."""
+    return curation.mixture_sample(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]),
+        MIXTURE_RATES,
+    )
+
+
+def q_near_dup_curated(sf_dir: str):
+    """Keep-one-per-near-dup-cluster curated doc list (min doc_id keep
+    rule over the exact word-3-gram pair graph components)."""
+    return dedup.near_dup_curated(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]),
+        n=3,
+        threshold=0.2,
+    )
+
+
+def q_source_diversity(sf_dir: str):
+    """Exact per-source unigram diversity integers: token total, distinct
+    terms, collision mass sum(c^2)."""
+    return textops.source_diversity(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "text"])
+    )
+
+
 def q_user_event_variety(sf_dir: str):
     """Exact COUNT(DISTINCT event_type) per user — batch-level pre-dedup
     so the exchange carries at most one row per (user, type) per batch."""
@@ -1638,6 +1670,27 @@ _HASH_SPLIT_SQL = (
     + " THEN 'val' ELSE 'train' END AS split FROM documents"
 )
 
+
+def _mixture_sql() -> str:
+    """Twin of curation.mixture_sample at MIXTURE_RATES: the CASE table
+    carries the SAME integer numerators the Ray kernel uses, and the
+    copy expansion is unnest(range(ncopies))."""
+    nums = curation.mixture_rate_nums(MIXTURE_RATES)
+    A, B, M = relagg._SAMPLE_A, relagg._SAMPLE_B, relagg._SAMPLE_M
+    case = (
+        "CASE source "
+        + " ".join(f"WHEN '{s}' THEN {n}" for s, n in sorted(nums.items()))
+        + f" ELSE {M} END"
+    )
+    return (
+        f"WITH r AS (SELECT doc_id, source, {case} AS num FROM documents), "
+        f"c AS (SELECT doc_id, source, num // {M} + CASE WHEN "
+        f"(doc_id * {A} + {B}) % {M} < num % {M} THEN 1 ELSE 0 END AS nc FROM r) "
+        "SELECT doc_id, source, CAST(unnest(range(nc)) AS BIGINT) AS copy FROM c"
+    )
+
+
+
 _USER_VARIETY_SQL = (
     "SELECT user_id, CAST(count(DISTINCT event_type) AS BIGINT) AS n_distinct "
     "FROM events GROUP BY user_id"
@@ -2144,6 +2197,19 @@ _NGRAM_CLUSTERS_SQL = (
     "lbl AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id FROM reach GROUP BY u) "
     "SELECT d.doc_id, CAST(COALESCE(l.cluster_id, d.doc_id) AS BIGINT) AS cluster_id "
     "FROM documents d LEFT JOIN lbl l ON d.doc_id = l.doc_id ORDER BY d.doc_id"
+)
+
+# keep-one-per-cluster curated corpus: the cluster labels' fixpoints
+_NEAR_DUP_CURATED_SQL = (
+    "SELECT doc_id FROM (" + _NGRAM_CLUSTERS_SQL + ") WHERE doc_id = cluster_id"
+)
+
+_SOURCE_DIVERSITY_SQL = (
+    "WITH t AS (SELECT source, unnest(" + _WS_SPLIT + ") AS term FROM documents), "
+    "c AS (SELECT source, term, count(*) AS n FROM t GROUP BY 1, 2) "
+    "SELECT source, CAST(SUM(n) AS BIGINT) AS n_tokens, "
+    "CAST(COUNT(*) AS BIGINT) AS n_terms, CAST(SUM(n * n) AS BIGINT) AS sum_sq "
+    "FROM c GROUP BY source"
 )
 
 _ANN_SQL = (
@@ -3043,6 +3109,9 @@ REGISTRY: dict[str, QueryDef] = {
     "decontaminate": QueryDef(q_decontaminate, _DECONTAM_SQL),
     "scrub_blocklist": QueryDef(q_scrub_blocklist, _SCRUB_SQL),
     "hash_split": QueryDef(q_hash_split, _HASH_SPLIT_SQL),
+    "mixture_sample": QueryDef(q_mixture_sample, _mixture_sql()),
+    "near_dup_curated": QueryDef(q_near_dup_curated, _NEAR_DUP_CURATED_SQL),
+    "source_diversity": QueryDef(q_source_diversity, _SOURCE_DIVERSITY_SQL),
     "pack_sequences": QueryDef(q_pack_sequences, _PACK_SQL),
     "user_event_variety": QueryDef(q_user_event_variety, _USER_VARIETY_SQL),
     "hll_users": QueryDef(q_hll_users, _hll_sql()),

@@ -221,3 +221,101 @@ class TestShuffleShards:
             out.sort_values("pos").reset_index(drop=True),
             out2.sort_values("pos").reset_index(drop=True),
         )
+
+
+class TestMixtureSample:
+    def test_copies_match_arithmetic_and_rates(self):
+        from spatialjoincountovershells_ray.pipelines.relagg import (
+            _SAMPLE_A,
+            _SAMPLE_B,
+            _SAMPLE_M,
+        )
+
+        n = 6000
+        rng = np.random.default_rng(11)
+        df = pd.DataFrame(
+            {
+                "doc_id": np.arange(n, dtype=np.int64),
+                "source": rng.choice(["a", "b", "c", "d"], size=n),
+            }
+        )
+        rates = {"a": 0.3, "b": 1.0, "c": 1.5, "d": 2.25}
+        out = curation.mixture_sample(_blocks(df, 7), rates).to_pandas()
+        # oracle: same integer arithmetic, row by row
+        nums = curation.mixture_rate_nums(rates)
+        num = df["source"].map(nums).to_numpy(dtype=np.int64)
+        h = (df["doc_id"].to_numpy() * _SAMPLE_A + _SAMPLE_B) % _SAMPLE_M
+        want = num // _SAMPLE_M + (h < num % _SAMPLE_M)
+        got = out.groupby("doc_id").size().reindex(df["doc_id"], fill_value=0).to_numpy()
+        assert (got == want).all()
+        # copy indices are 0..copies-1 per doc
+        mx = out.groupby("doc_id")["copy"].max()
+        assert (mx.to_numpy() == want[want > 0] - 1).all()
+        # realized per-source rate tracks the requested rate
+        for s, r in rates.items():
+            ns = (df["source"] == s).sum()
+            assert abs(len(out[out["source"] == s]) / ns - r) < 0.1
+        # blocking-invariant (deterministic mixture)
+        out2 = curation.mixture_sample(_blocks(df, 3), rates).to_pandas()
+        key = ["doc_id", "copy"]
+        pd.testing.assert_frame_equal(
+            out.sort_values(key).reset_index(drop=True),
+            out2.sort_values(key).reset_index(drop=True),
+        )
+
+    def test_key_overflow_guard(self):
+        import pytest
+
+        df = pd.DataFrame(
+            {"doc_id": np.array([2**62], dtype=np.int64), "source": ["a"]}
+        )
+        with pytest.raises((ValueError, ray.exceptions.RayTaskError)):
+            curation.mixture_sample(_blocks(df, 1), {"a": 1.0}).to_pandas()
+
+
+class TestSourceDiversity:
+    def test_matches_duckdb(self):
+        from spatialjoincountovershells_ray.pipelines import textops
+
+        df = _word_docs(3, 300, vocab=25, lo=2, hi=20)
+        rng = np.random.default_rng(4)
+        df["source"] = rng.choice(["s1", "s2", "s3"], size=len(df))
+        got = (
+            textops.source_diversity(_blocks(df, 6))
+            .to_pandas()
+            .sort_values("source")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("documents", df)
+        want = con.execute(
+            "WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS term FROM documents), "
+            "c AS (SELECT source, term, count(*) AS n FROM t WHERE term <> '' GROUP BY 1, 2) "
+            "SELECT source, CAST(SUM(n) AS BIGINT) AS n_tokens, "
+            "CAST(COUNT(*) AS BIGINT) AS n_terms, CAST(SUM(n*n) AS BIGINT) AS sum_sq "
+            "FROM c GROUP BY source ORDER BY source"
+        ).df()
+        pd.testing.assert_frame_equal(got, want)
+
+
+class TestNearDupCurated:
+    def test_keep_rule_is_min_per_cluster(self):
+        from spatialjoincountovershells_ray.pipelines import dedup
+
+        df = _word_docs(9, 120, vocab=8, lo=3, hi=8)  # tiny vocab -> dup clusters
+        df["source"] = "s"
+        clusters = (
+            dedup.ngram_dup_clusters(_blocks(df, 5), n=3, threshold=0.2)
+            .to_pandas()
+        )
+        curated = (
+            dedup.near_dup_curated(_blocks(df, 5), n=3, threshold=0.2)
+            .to_pandas()["doc_id"]
+            .to_numpy()
+        )
+        want = np.sort(clusters["cluster_id"].unique())
+        assert (np.sort(curated) == want).all()
+        # every cluster survives exactly once and by its min member
+        assert set(want) == set(
+            clusters.groupby("cluster_id")["doc_id"].min().to_numpy()
+        )
