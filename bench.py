@@ -339,6 +339,8 @@ BENCH_QUERIES = [
     "mixture_sample",
     "near_dup_curated",
     "source_diversity",
+    "ann_pq",
+    "pq_codes",
 ]
 
 

@@ -13,6 +13,12 @@
   centroid inside ``map_batches``, and each query probes only its
   ``nprobe`` nearest lists. Same one-pass streaming shape as LSH but
   with data-adaptive buckets (better recall on clustered embeddings).
+- ``pq_encode`` / ``pq_topk``: product quantization (Jegou et al.,
+  TPAMI 2011) — per-subspace codebooks trained on a bounded sample,
+  vectors compressed to m uint8 codes (32x at m=8 on 64-dim float32),
+  queries scored by asymmetric-distance lookup tables (ADC). The
+  compressed-domain half of the billion-scale IVF-PQ plan; compose
+  with ``ivf_topk``'s list probing for the full layout.
 """
 
 from __future__ import annotations
@@ -290,6 +296,195 @@ def ivf_topk(
                 )
             return pa.table(
                 {"qid": np.concatenate(out_q), "vec_id": np.concatenate(out_v), "sim": np.concatenate(out_s)}
+            )
+
+    cands = embeddings.map_batches(
+        Kernel,
+        fn_constructor_kwargs={"ref": [ref], "k": k + 1},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=concurrency,
+    )
+
+    def select(group: pd.DataFrame) -> pd.DataFrame:
+        group = group[group["vec_id"] != group["qid"]]
+        g = group.sort_values(["sim", "vec_id"], ascending=[False, True], kind="mergesort").head(k)
+        g = g.assign(rnk=np.arange(1, len(g) + 1, dtype=np.int64))
+        return g[["qid", "vec_id", "rnk"]]
+
+    return cands.groupby("qid").map_groups(select, batch_format="pandas").sort(["qid", "rnk"])
+
+
+def subspace_kmeans(
+    sample: np.ndarray, ksub: int, *, iters: int = 12, seed: int = 11
+) -> np.ndarray:
+    """Deterministic Euclidean Lloyd's k-means for one PQ subspace.
+
+    Plain (non-spherical) k-means — subvectors are not unit-norm.
+    k-means++ seeding from a fixed RNG; dead clusters re-seed from the
+    worst-fit point. Returns [ksub, dsub] float64 centroids."""
+    rng = np.random.default_rng(seed)
+    n = len(sample)
+    ksub = min(ksub, n)
+    first = int(rng.integers(n))
+    cents = [sample[first]]
+    d2 = ((sample - cents[0]) ** 2).sum(1)
+    for _ in range(ksub - 1):
+        p = np.maximum(d2, 0)
+        tot = p.sum()
+        idx = int(rng.choice(n, p=p / tot)) if tot > 0 else int(rng.integers(n))
+        cents.append(sample[idx])
+        d2 = np.minimum(d2, ((sample - cents[-1]) ** 2).sum(1))
+    c = np.stack(cents)
+    for _ in range(iters):
+        d = ((sample[:, None, :] - c[None, :, :]) ** 2).sum(2)
+        assign = np.argmin(d, axis=1)
+        for j in range(ksub):
+            rows = assign == j
+            if rows.any():
+                c[j] = sample[rows].mean(axis=0)
+            else:
+                c[j] = sample[int(np.argmax(d.min(axis=1)))]
+    return c
+
+
+def pq_train(sample: np.ndarray, m: int, ksub: int) -> np.ndarray:
+    """Product-quantizer codebooks [m, ksub, dsub] from a normalized
+    sample: the D dims split into m contiguous subspaces, one independent
+    Euclidean k-means per subspace (Jegou et al., "Product Quantization
+    for Nearest Neighbor Search", TPAMI 2011)."""
+    n, d = sample.shape
+    if d % m:
+        raise ValueError(f"pq_train: dim {d} not divisible by m={m}")
+    dsub = d // m
+    return np.stack(
+        [
+            subspace_kmeans(sample[:, j * dsub : (j + 1) * dsub], ksub, seed=11 + j)
+            for j in range(m)
+        ]
+    )
+
+
+def _pq_encode_mat(mat: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """[N, m] uint8 codes: each subvector to its nearest sub-centroid."""
+    n, d = mat.shape
+    m, ksub, dsub = books.shape
+    codes = np.empty((n, m), np.uint8)
+    for j in range(m):
+        sub = mat[:, j * dsub : (j + 1) * dsub]
+        # ||x - c||^2 argmin == argmax(2 x.c - ||c||^2); one gemm per subspace
+        dots = sub @ books[j].T
+        codes[:, j] = np.argmax(2.0 * dots - (books[j] ** 2).sum(1)[None, :], axis=1)
+    return codes
+
+
+def pq_encode(
+    embeddings: "ray.data.Dataset",
+    *,
+    m: int = 8,
+    ksub: int = 16,
+    train_rows: int = 4096,
+) -> "ray.data.Dataset":
+    """-> vec_id:int64, code:binary(m bytes) — the PQ-compressed vector
+    table (64-dim float32 -> m bytes, a 32x compression at m=8): the
+    artifact a 100 TB ANN deployment stores and serves instead of raw
+    floats. Codebooks train on a bounded sample (the IVF contract: the
+    only driver materialization, O(train_rows x D)); encoding is one
+    stateless vectorized scan."""
+    sample_tbl = embeddings.limit(train_rows).select_columns(["embedding"]).take_all()
+    sample = _norm_rows(
+        np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in sample_tbl])
+    )
+    books = pq_train(sample, m, ksub)
+    ref = ray.put(books)
+
+    def encode(batch: pa.Table, ref) -> pa.Table:
+        b = ray.get(ref[0]) if isinstance(ref, list) else ref
+        ids = batch.column("vec_id").to_numpy()
+        mat = _norm_rows(
+            np.stack(batch.column("embedding").to_numpy(zero_copy_only=False)).astype(np.float64)
+        )
+        codes = _pq_encode_mat(mat, b)
+        mm = b.shape[0]
+        # row-major [N, m] uint8 IS the fixed-size-binary data buffer
+        code_col = pa.FixedSizeBinaryArray.from_buffers(
+            pa.binary(mm), len(ids), [None, pa.py_buffer(np.ascontiguousarray(codes).tobytes())]
+        )
+        return pa.table({"vec_id": pa.array(ids, pa.int64()), "code": code_col})
+
+    return embeddings.map_batches(
+        encode, fn_kwargs={"ref": [ref]}, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def pq_topk(
+    embeddings: "ray.data.Dataset",
+    query_ids: np.ndarray,
+    query_mat: np.ndarray,
+    k: int,
+    *,
+    m: int = 8,
+    ksub: int = 16,
+    train_rows: int = 4096,
+    concurrency=None,
+) -> "ray.data.Dataset":
+    """PQ ANN: asymmetric-distance (ADC) top-k over product-quantized
+    vectors — each query precomputes an [m, ksub] table of subspace
+    distances to every sub-centroid; a database vector's approximate
+    distance is m table lookups summed over its codes, never a float dot
+    product (Jegou et al. 2011, the compressed-domain half of IVF-PQ —
+    compose with ivf_topk's list probing for the full billion-scale
+    plan). Codebooks train on a bounded sample and broadcast; the base
+    table streams once; per-batch partial top-k bounds the exchange to
+    O(batches x Q x k). Approximate (recall < 1); same output schema as
+    cosine_topk."""
+    if concurrency is None:
+        concurrency = default_pool()
+    sample_tbl = embeddings.limit(train_rows).select_columns(["embedding"]).take_all()
+    sample = _norm_rows(
+        np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in sample_tbl])
+    )
+    books = pq_train(sample, m, ksub)
+    qmat = _norm_rows(np.asarray(query_mat, dtype=np.float64))
+    dsub = qmat.shape[1] // m
+    # ADC lookup tables: luts[q, j, c] = ||q_j - books[j, c]||^2
+    luts = np.stack(
+        [
+            ((qmat[:, j * dsub : (j + 1) * dsub][:, None, :] - books[j][None, :, :]) ** 2).sum(2)
+            for j in range(m)
+        ],
+        axis=1,
+    )  # [Q, m, ksub]
+    ref = ray.put({"ids": np.asarray(query_ids), "books": books, "luts": luts})
+
+    class Kernel:
+        def __init__(self, ref, k):
+            p = ray.get(ref[0])
+            self.qids, self.books, self.luts = p["ids"], p["books"], p["luts"]
+            self.k = k
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch.column("vec_id").to_numpy()
+            mat = _norm_rows(
+                np.stack(batch.column("embedding").to_numpy(zero_copy_only=False)).astype(np.float64)
+            )
+            codes = _pq_encode_mat(mat, self.books)  # [B, m]
+            # d2[q, b] = sum_j luts[q, j, codes[b, j]] — pure table lookups
+            mm = self.luts.shape[1]
+            d2 = self.luts[:, 0, codes[:, 0]]
+            for j in range(1, mm):
+                d2 = d2 + self.luts[:, j, codes[:, j]]
+            kk = min(self.k, d2.shape[1])
+            part = np.argpartition(d2, kk - 1, axis=1)[:, :kk]
+            rows = np.repeat(np.arange(len(self.qids), dtype=np.int64), kk)
+            cols = part.reshape(-1)
+            return pa.table(
+                {
+                    "qid": self.qids[rows],
+                    "vec_id": ids[cols],
+                    # unit sphere: cos = 1 - d2/2; report sim for the shared select
+                    "sim": 1.0 - d2[rows, cols] / 2.0,
+                }
             )
 
     cands = embeddings.map_batches(

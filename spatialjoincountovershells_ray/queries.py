@@ -1489,6 +1489,21 @@ def q_ann_lsh(sf_dir: str):
     )
 
 
+def q_ann_pq(sf_dir: str):
+    """Product-quantization ANN: ADC lookup-table top-k over PQ codes
+    (the compressed-domain half of IVF-PQ)."""
+    ids, mat = _query_vectors(sf_dir)
+    return ann.pq_topk(
+        ray.data.read_parquet(f"{sf_dir}/embeddings.parquet"), ids, mat, ANN_K
+    )
+
+
+def q_pq_codes(sf_dir: str):
+    """The PQ-compressed vector table itself (vec_id + m-byte code):
+    64-dim float32 -> 8 bytes, the storage artifact a scale ANN serves."""
+    return ann.pq_encode(ray.data.read_parquet(f"{sf_dir}/embeddings.parquet"))
+
+
 def q_media_frames(sf_dir: str):
     """Frame-sampling plumbing over the spatial document table's media
     spans (stub frame counts; real vectorized explode)."""
@@ -3149,6 +3164,8 @@ REGISTRY: dict[str, QueryDef] = {
     "embedding_near_dups_lsh": QueryDef(q_embedding_near_dups_lsh, None),
     "ann_lsh": QueryDef(q_ann_lsh, None),
     "ann_ivf": QueryDef(q_ann_ivf, None),
+    "ann_pq": QueryDef(q_ann_pq, None),
+    "pq_codes": QueryDef(q_pq_codes, None),
     # the media codec is stubbed but its stub arithmetic is deterministic,
     # so these carry full value-hashed HUGEINT twins
     "media_frames": QueryDef(q_media_frames, _media_frames_sql()),

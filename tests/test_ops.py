@@ -349,6 +349,61 @@ class TestANN:
         ]
         assert runs[0].equals(runs[1])
 
+    def test_pq_topk_recall(self):
+        tbl, m = self._emb(400, 16)
+        qids = np.arange(5, dtype=np.int64)
+        exact = dataset_to_table(
+            ann.cosine_topk(ray.data.from_arrow(tbl), qids, m[:5].astype(np.float64), 10)
+        ).to_pandas()
+        approx = dataset_to_table(
+            ann.pq_topk(
+                ray.data.from_arrow(tbl), qids, m[:5].astype(np.float64), 10,
+                m=4, ksub=32,
+            )
+        ).to_pandas()
+        recalls = []
+        for q in range(5):
+            e = set(exact[exact.qid == q].vec_id)
+            a = set(approx[approx.qid == q].vec_id)
+            recalls.append(len(e & a) / len(e))
+        # 4 subspaces x 32 codes on 16-dim vectors: lossy but close
+        assert np.mean(recalls) >= 0.5
+
+    def test_pq_encode_roundtrip_distance(self):
+        tbl, m = self._emb(300, 16)
+        codes = dataset_to_table(ann.pq_encode(ray.data.from_arrow(tbl), m=4, ksub=32)).to_pandas()
+        assert len(codes) == 300
+        assert codes["code"].map(len).eq(4).all()
+        # decode through the same training path and check quantization error
+        mm = m.astype(np.float64)
+        mm /= np.linalg.norm(mm, axis=1, keepdims=True)
+        books = ann.pq_train(mm[:300], 4, 32)
+        dec = np.concatenate(
+            [
+                books[j][np.frombuffer(b"".join(codes.sort_values("vec_id")["code"]), np.uint8).reshape(-1, 4)[:, j]]
+                for j in range(4)
+            ],
+            axis=1,
+        )
+        err = np.linalg.norm(dec - mm, axis=1)
+        assert err.mean() < 0.5  # unit-norm vectors: PQ error well under the norm
+
+    def test_pq_deterministic_across_blockings(self):
+        import pandas as pd
+
+        tbl, m = self._emb(300, 16)
+        qids = np.arange(3, dtype=np.int64)
+        outs = []
+        for nblocks in (2, 7):
+            tbls = [tbl.slice(i * (300 // nblocks + 1), 300 // nblocks + 1) for i in range(nblocks)]
+            ds = ray.data.from_arrow([t for t in tbls if t.num_rows])
+            outs.append(
+                dataset_to_table(
+                    ann.pq_topk(ds, qids, m[:3].astype(np.float64), 5, m=4, ksub=16, train_rows=300)
+                ).to_pandas()
+            )
+        pd.testing.assert_frame_equal(outs[0], outs[1])
+
 
 class TestTiles:
     def test_tile_assign_partition_of_space(self):
