@@ -341,6 +341,7 @@ BENCH_QUERIES = [
     "source_diversity",
     "ann_pq",
     "pq_codes",
+    "ann_ivfpq",
 ]
 
 

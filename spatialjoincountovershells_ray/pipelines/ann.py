@@ -194,6 +194,52 @@ def lsh_topk(
     return cands.groupby("qid").map_groups(select, batch_format="pandas").sort(["qid", "rnk"])
 
 
+def train_sample(embeddings: "ray.data.Dataset", train_rows: int) -> np.ndarray:
+    """Deterministic bounded training sample: the ``train_rows`` vectors
+    with the smallest mix64(vec_id), as a normalized [n, D] float64
+    matrix in hash order.
+
+    A ``limit(train_rows)`` sample is NOT deterministic under Ray Data's
+    default ``preserve_order=False`` — which blocks arrive first decides
+    which rows train the codebooks, so two runs of the same query could
+    build different indexes (observed as a flaky blocking-invariance
+    test). mix64 is a bijective mixer, so the min-k set is a fixed
+    pseudo-random sample of the corpus, invariant to blocking, arrival
+    order and cluster size. Per-batch partial min-k bounds the exchange
+    to O(blocks x train_rows) rows; the final sort+limit runs on that
+    bounded candidate set, never the corpus."""
+
+    def part(batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_numpy()
+        h = mix64(ids.astype(np.uint64))
+        # sign-flip: int64 compare == uint64 compare after XOR 2^63
+        hkey = (h ^ np.uint64(1 << 63)).view(np.int64)
+        k = min(train_rows, len(ids))
+        sel = (
+            np.argpartition(hkey, k - 1)[:k]
+            if len(ids) > k
+            else np.arange(len(ids), dtype=np.int64)
+        )
+        return pa.table(
+            {
+                "h": pa.array(hkey[sel], pa.int64()),
+                "embedding": batch.column("embedding").take(pa.array(sel)),
+            }
+        )
+
+    rows = (
+        embeddings.select_columns(["vec_id", "embedding"])
+        .map_batches(part, batch_format="pyarrow", zero_copy_batch=True)
+        .sort("h")
+        .limit(train_rows)
+        .take_all()
+    )
+    rows.sort(key=lambda r: r["h"])  # take_all after sort+limit: re-assert order
+    return _norm_rows(
+        np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    )
+
+
 def kmeans_centroids(
     sample: np.ndarray, nlist: int, *, iters: int = 10, seed: int = 7
 ) -> np.ndarray:
@@ -239,17 +285,15 @@ def ivf_topk(
     train_rows: int = 4096,
     concurrency=None,
 ) -> "ray.data.Dataset":
-    """IVF ANN: train centroids on a bounded sample (``limit(train_rows)``
-    — the only driver-side materialization, O(train_rows × D) regardless
-    of corpus size), broadcast them, assign vectors to lists inside
-    ``map_batches``, probe each query's ``nprobe`` nearest lists.
-    Approximate (recall < 1); same output schema as cosine_topk."""
+    """IVF ANN: train centroids on a bounded deterministic sample
+    (:func:`train_sample` — the only driver-side materialization,
+    O(train_rows × D) regardless of corpus size), broadcast them, assign
+    vectors to lists inside ``map_batches``, probe each query's
+    ``nprobe`` nearest lists. Approximate (recall < 1); same output
+    schema as cosine_topk."""
     if concurrency is None:
         concurrency = default_pool()
-    sample_tbl = embeddings.limit(train_rows).select_columns(["embedding"]).take_all()
-    sample = _norm_rows(
-        np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in sample_tbl])
-    )
+    sample = train_sample(embeddings, train_rows)
     cents = kmeans_centroids(sample, nlist)
     qmat = _norm_rows(np.asarray(query_mat, dtype=np.float64))
     # per-query probe lists -> bucket -> queries inverted map
@@ -391,10 +435,7 @@ def pq_encode(
     floats. Codebooks train on a bounded sample (the IVF contract: the
     only driver materialization, O(train_rows x D)); encoding is one
     stateless vectorized scan."""
-    sample_tbl = embeddings.limit(train_rows).select_columns(["embedding"]).take_all()
-    sample = _norm_rows(
-        np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in sample_tbl])
-    )
+    sample = train_sample(embeddings, train_rows)
     books = pq_train(sample, m, ksub)
     ref = ray.put(books)
 
@@ -440,10 +481,7 @@ def pq_topk(
     cosine_topk."""
     if concurrency is None:
         concurrency = default_pool()
-    sample_tbl = embeddings.limit(train_rows).select_columns(["embedding"]).take_all()
-    sample = _norm_rows(
-        np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in sample_tbl])
-    )
+    sample = train_sample(embeddings, train_rows)
     books = pq_train(sample, m, ksub)
     qmat = _norm_rows(np.asarray(query_mat, dtype=np.float64))
     dsub = qmat.shape[1] // m
@@ -485,6 +523,115 @@ def pq_topk(
                     # unit sphere: cos = 1 - d2/2; report sim for the shared select
                     "sim": 1.0 - d2[rows, cols] / 2.0,
                 }
+            )
+
+    cands = embeddings.map_batches(
+        Kernel,
+        fn_constructor_kwargs={"ref": [ref], "k": k + 1},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=concurrency,
+    )
+
+    def select(group: pd.DataFrame) -> pd.DataFrame:
+        group = group[group["vec_id"] != group["qid"]]
+        g = group.sort_values(["sim", "vec_id"], ascending=[False, True], kind="mergesort").head(k)
+        g = g.assign(rnk=np.arange(1, len(g) + 1, dtype=np.int64))
+        return g[["qid", "vec_id", "rnk"]]
+
+    return cands.groupby("qid").map_groups(select, batch_format="pandas").sort(["qid", "rnk"])
+
+
+def ivfpq_topk(
+    embeddings: "ray.data.Dataset",
+    query_ids: np.ndarray,
+    query_mat: np.ndarray,
+    k: int,
+    *,
+    nlist: int = 32,
+    nprobe: int = 8,
+    m: int = 8,
+    ksub: int = 16,
+    train_rows: int = 4096,
+    concurrency=None,
+) -> "ray.data.Dataset":
+    """The composed billion-scale ANN plan: IVF list probing (ivf_topk)
+    to bound WHICH vectors each query scores, PQ asymmetric-distance
+    lookups (pq_topk) to bound HOW each candidate is scored — per
+    candidate the cost is m byte-indexed table reads, never a D-wide
+    float dot product. One bounded sample trains both the coarse
+    centroids and the subspace codebooks; one broadcast carries coarse
+    centroids + codebooks + per-query probe sets + ADC tables; the base
+    table streams once. Approximate (recall < 1); same output schema as
+    cosine_topk.
+    """
+    if concurrency is None:
+        concurrency = default_pool()
+    sample = train_sample(embeddings, train_rows)
+    cents = kmeans_centroids(sample, nlist)
+    books = pq_train(sample, m, ksub)
+    qmat = _norm_rows(np.asarray(query_mat, dtype=np.float64))
+    dsub = qmat.shape[1] // m
+    order = np.argsort(-(qmat @ cents.T), axis=1, kind="stable")[:, : min(nprobe, len(cents))]
+    bucket_to_q: dict[int, list[int]] = {}
+    for qi in range(len(qmat)):
+        for b in order[qi]:
+            bucket_to_q.setdefault(int(b), []).append(qi)
+    luts = np.stack(
+        [
+            ((qmat[:, j * dsub : (j + 1) * dsub][:, None, :] - books[j][None, :, :]) ** 2).sum(2)
+            for j in range(m)
+        ],
+        axis=1,
+    )  # [Q, m, ksub]
+    ref = ray.put(
+        {
+            "ids": np.asarray(query_ids),
+            "cents": cents,
+            "books": books,
+            "bucket_to_q": bucket_to_q,
+            "luts": luts,
+        }
+    )
+
+    class Kernel:
+        def __init__(self, ref, k):
+            p = ray.get(ref[0])
+            self.qids, self.cents, self.books = p["ids"], p["cents"], p["books"]
+            self.bucket_to_q, self.luts = p["bucket_to_q"], p["luts"]
+            self.k = k
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch.column("vec_id").to_numpy()
+            mat = _norm_rows(
+                np.stack(batch.column("embedding").to_numpy(zero_copy_only=False)).astype(np.float64)
+            )
+            lists = np.argmax(mat @ self.cents.T, axis=1)
+            codes = _pq_encode_mat(mat, self.books)
+            mm = self.luts.shape[1]
+            out_q, out_v, out_s = [], [], []
+            for b in np.unique(lists):
+                qlist = self.bucket_to_q.get(int(b))
+                if not qlist:
+                    continue
+                rows = np.nonzero(lists == b)[0]
+                c = codes[rows]
+                d2 = self.luts[qlist, 0][:, c[:, 0]]
+                for j in range(1, mm):
+                    d2 = d2 + self.luts[qlist, j][:, c[:, j]]
+                kk = min(self.k, len(rows))
+                part = np.argpartition(d2, kk - 1, axis=1)[:, :kk]
+                for jq, qi in enumerate(qlist):
+                    sel = rows[part[jq]]
+                    out_q.append(np.full(len(sel), self.qids[qi], dtype=np.int64))
+                    out_v.append(ids[sel])
+                    out_s.append(1.0 - d2[jq, part[jq]] / 2.0)
+            if not out_q:
+                return pa.table(
+                    {"qid": pa.array([], pa.int64()), "vec_id": pa.array([], pa.int64()), "sim": pa.array([], pa.float64())}
+                )
+            return pa.table(
+                {"qid": np.concatenate(out_q), "vec_id": np.concatenate(out_v), "sim": np.concatenate(out_s)}
             )
 
     cands = embeddings.map_batches(

@@ -1504,6 +1504,15 @@ def q_pq_codes(sf_dir: str):
     return ann.pq_encode(ray.data.read_parquet(f"{sf_dir}/embeddings.parquet"))
 
 
+def q_ann_ivfpq(sf_dir: str):
+    """The composed billion-scale plan: IVF list probing bounds which
+    vectors are scored, PQ ADC lookups bound how."""
+    ids, mat = _query_vectors(sf_dir)
+    return ann.ivfpq_topk(
+        ray.data.read_parquet(f"{sf_dir}/embeddings.parquet"), ids, mat, ANN_K
+    )
+
+
 def q_media_frames(sf_dir: str):
     """Frame-sampling plumbing over the spatial document table's media
     spans (stub frame counts; real vectorized explode)."""
@@ -3166,6 +3175,7 @@ REGISTRY: dict[str, QueryDef] = {
     "ann_ivf": QueryDef(q_ann_ivf, None),
     "ann_pq": QueryDef(q_ann_pq, None),
     "pq_codes": QueryDef(q_pq_codes, None),
+    "ann_ivfpq": QueryDef(q_ann_ivfpq, None),
     # the media codec is stubbed but its stub arithmetic is deterministic,
     # so these carry full value-hashed HUGEINT twins
     "media_frames": QueryDef(q_media_frames, _media_frames_sql()),

@@ -374,10 +374,14 @@ class TestANN:
         codes = dataset_to_table(ann.pq_encode(ray.data.from_arrow(tbl), m=4, ksub=32)).to_pandas()
         assert len(codes) == 300
         assert codes["code"].map(len).eq(4).all()
-        # decode through the same training path and check quantization error
+        # decode through the same training path and check quantization
+        # error: train_sample orders the (full) sample by mix64(vec_id)
+        from spatialjoincountovershells_ray.functions.hashing import mix64
+
         mm = m.astype(np.float64)
         mm /= np.linalg.norm(mm, axis=1, keepdims=True)
-        books = ann.pq_train(mm[:300], 4, 32)
+        horder = np.argsort(mix64(np.arange(300, dtype=np.uint64)), kind="stable")
+        books = ann.pq_train(mm[horder], 4, 32)
         dec = np.concatenate(
             [
                 books[j][np.frombuffer(b"".join(codes.sort_values("vec_id")["code"]), np.uint8).reshape(-1, 4)[:, j]]
@@ -387,6 +391,26 @@ class TestANN:
         )
         err = np.linalg.norm(dec - mm, axis=1)
         assert err.mean() < 0.5  # unit-norm vectors: PQ error well under the norm
+
+    def test_ivfpq_topk_recall(self):
+        tbl, m = self._emb(400, 16)
+        qids = np.arange(5, dtype=np.int64)
+        exact = dataset_to_table(
+            ann.cosine_topk(ray.data.from_arrow(tbl), qids, m[:5].astype(np.float64), 10)
+        ).to_pandas()
+        approx = dataset_to_table(
+            ann.ivfpq_topk(
+                ray.data.from_arrow(tbl), qids, m[:5].astype(np.float64), 10,
+                nlist=16, nprobe=10, m=4, ksub=32,
+            )
+        ).to_pandas()
+        recalls = []
+        for q in range(5):
+            e = set(exact[exact.qid == q].vec_id)
+            a = set(approx[approx.qid == q].vec_id)
+            recalls.append(len(e & a) / len(e))
+        # compounded approximation (probe misses + code quantization)
+        assert np.mean(recalls) >= 0.4
 
     def test_pq_deterministic_across_blockings(self):
         import pandas as pd
