@@ -342,6 +342,8 @@ BENCH_QUERIES = [
     "ann_pq",
     "pq_codes",
     "ann_ivfpq",
+    "source_minhash",
+    "source_similarity",
 ]
 
 

@@ -631,6 +631,115 @@ def source_diversity(docs: "ray.data.Dataset") -> "ray.data.Dataset":
     return agg.map_batches(final, batch_format="pyarrow", zero_copy_batch=True).sort("source")
 
 
+def source_minhash(docs: "ray.data.Dataset", num_perm: int = 16) -> "ray.data.Dataset":
+    """-> source, perm, minhash (int64) — the per-domain MinHash
+    signature table: for permutation p, min over the domain's tokens of
+    mix64(fnv1a(token) + p) >> 1. Two signatures' match rate estimates
+    the token-set Jaccard between domains (:func:`source_similarity`) —
+    the corpus-level diversity diagnostic a mixture-weighting stage
+    reads, at O(sources x num_perm) rows instead of a vocabulary
+    exchange.
+
+    MIN is fully decomposable: each batch folds its tokens to one
+    candidate row per (source, perm) via a sort + minimum.reduceat, so
+    the exchange carries O(batches x sources x num_perm) 24-byte rows,
+    never tokens. The >> 1 keeps values in non-negative int64 so the
+    engine's uint64 min and the SQL twin's HUGEINT min agree."""
+    import pyarrow.compute as pc
+
+    from spatialjoincountovershells_ray.functions.hashing import mix64
+
+    def partial(batch: pa.Table) -> pa.Table:
+        hv, row_of, _ = T.segmented_token_hashes(batch.column("text"))
+        src = batch.column("source")
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        enc = pc.dictionary_encode(src)
+        idx = enc.indices.to_numpy()[row_of] if len(hv) else np.empty(0, np.int64)
+        uniq = enc.dictionary
+        order = np.argsort(idx, kind="stable")
+        hs, ix = hv[order], idx[order]
+        starts = np.flatnonzero(np.r_[True, ix[1:] != ix[:-1]]) if len(ix) else np.array([], np.int64)
+        seg_src = ix[starts]
+        out_src, out_perm, out_min = [], [], []
+        for p in range(num_perm):
+            with np.errstate(over="ignore"):
+                hp = mix64(hs + np.uint64(p)) >> np.uint64(1)
+            mins = np.minimum.reduceat(hp, starts) if len(starts) else hp[:0]
+            out_src.append(seg_src)
+            out_perm.append(np.full(len(starts), p, dtype=np.int64))
+            out_min.append(mins.view(np.int64))
+        if not len(starts):
+            return pa.table(
+                {
+                    "source": pa.array([], uniq.type),
+                    "perm": pa.array([], pa.int64()),
+                    "m": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "source": uniq.take(pa.array(np.concatenate(out_src))),
+                "perm": pa.array(np.concatenate(out_perm), pa.int64()),
+                "m": pa.array(np.concatenate(out_min), pa.int64()),
+            }
+        )
+
+    agg = (
+        docs.select_columns(["source", "text"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["source", "perm"])
+        .min("m")
+    )
+
+    def final(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "source": batch.column("source"),
+                "perm": batch.column("perm"),
+                "minhash": batch.column("min(m)").cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(final, batch_format="pyarrow", zero_copy_batch=True).sort(
+        ["source", "perm"]
+    )
+
+
+def source_similarity(docs: "ray.data.Dataset", num_perm: int = 16) -> "ray.data.Dataset":
+    """-> src_a, src_b, n_match:int64 — the pairwise domain-similarity
+    matrix: for each unordered source pair, how many of the num_perm
+    MinHash slots agree (n_match / num_perm estimates token-set
+    Jaccard). Derived from :func:`source_minhash`; the signature table
+    is O(sources x num_perm) rows, so the pair fold runs in one task on
+    one coalesced block — the legitimately-small final stage."""
+    sig = source_minhash(docs, num_perm)
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        src = batch.column("source").to_numpy(zero_copy_only=False)
+        perm = batch.column("perm").to_numpy()
+        mh = batch.column("minhash").to_numpy()
+        order = np.lexsort((perm, src))
+        src, perm, mh = src[order], perm[order], mh[order]
+        uniq, starts = np.unique(src, return_index=True)
+        k = len(uniq)
+        # dense [k, num_perm] grid (each source has exactly num_perm rows)
+        grid = mh.reshape(k, -1)
+        ia, ib = np.triu_indices(k, 1)
+        n_match = (grid[ia] == grid[ib]).sum(axis=1).astype(np.int64)
+        return pa.table(
+            {
+                "src_a": pa.array(uniq[ia]),
+                "src_b": pa.array(uniq[ib]),
+                "n_match": pa.array(n_match, pa.int64()),
+            }
+        )
+
+    return sig.repartition(1).map_batches(
+        pairs, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    ).sort(["src_a", "src_b"])
+
+
 def term_cooccurrence(
     docs: "ray.data.Dataset", df_lo: int = 2, df_hi: int = 1_000_000
 ) -> "ray.data.Dataset":

@@ -650,6 +650,21 @@ def q_source_diversity(sf_dir: str):
     )
 
 
+def q_source_minhash(sf_dir: str):
+    """Per-domain MinHash signature table (bit-exact splitmix64 twin)."""
+    return textops.source_minhash(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "text"])
+    )
+
+
+def q_source_similarity(sf_dir: str):
+    """Pairwise domain-similarity matrix: MinHash slot agreement counts
+    between every unordered source pair."""
+    return textops.source_similarity(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "text"])
+    )
+
+
 def q_user_event_variety(sf_dir: str):
     """Exact COUNT(DISTINCT event_type) per user — batch-level pre-dedup
     so the exchange carries at most one row per (user, type) per batch."""
@@ -2347,6 +2362,39 @@ def _hll_sql(
     )
 
 
+def _source_minhash_sql(num_perm: int = 16) -> str:
+    """Twin of textops.source_minhash: FNV-1a per token (the simhash tok
+    CTE), then the full splitmix64 mix of (h + perm) in HUGEINT limbs
+    (the HLL chain), MIN(x // 2) per (source, perm)."""
+    m1, m2 = 0xFF51AFD7ED558CCD, 0xC4CEB9FE1A85EC53
+    return (
+        "WITH tok0 AS (SELECT source, unnest(" + _WS_SPLIT + ") AS tok FROM documents), "
+        "tok AS (SELECT source, list_reduce(list_prepend(14695981039346656037::HUGEINT, "
+        "list_transform(generate_series(1, length(tok)), i -> ord(tok[i])::HUGEINT)), "
+        "(h, c) -> (xor(h, c) * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT) AS h "
+        "FROM tok0), "
+        f"pp AS (SELECT unnest(generate_series(0, {num_perm - 1})) AS perm), "
+        f"x0 AS (SELECT source, perm, (h + perm) % {_M64} AS x FROM tok, pp), "
+        f"x1 AS (SELECT source, perm, {_xorshift33_sql('x')} AS x FROM x0), "
+        f"x2 AS (SELECT source, perm, {_mul64_sql('x', m1)} AS x FROM x1), "
+        f"x3 AS (SELECT source, perm, {_xorshift33_sql('x')} AS x FROM x2), "
+        f"x4 AS (SELECT source, perm, {_mul64_sql('x', m2)} AS x FROM x3), "
+        f"x5 AS (SELECT source, perm, {_xorshift33_sql('x')} AS x FROM x4) "
+        "SELECT source, CAST(perm AS BIGINT) AS perm, "
+        "CAST(MIN(x // 2) AS BIGINT) AS minhash FROM x5 GROUP BY source, perm"
+    )
+
+
+def _source_similarity_sql(num_perm: int = 16) -> str:
+    return (
+        "WITH sig AS (" + _source_minhash_sql(num_perm) + ") "
+        "SELECT a.source AS src_a, b.source AS src_b, "
+        "CAST(count(*) FILTER (a.minhash = b.minhash) AS BIGINT) AS n_match "
+        "FROM sig a JOIN sig b ON a.perm = b.perm AND a.source < b.source "
+        "GROUP BY 1, 2"
+    )
+
+
 def q_hll_users(sf_dir: str):
     """HyperLogLog register table (p=8) over event user ids — the O(2^p)
     sketch alternative to daily_active_users' exact distinct shuffle."""
@@ -3136,6 +3184,8 @@ REGISTRY: dict[str, QueryDef] = {
     "mixture_sample": QueryDef(q_mixture_sample, _mixture_sql()),
     "near_dup_curated": QueryDef(q_near_dup_curated, _NEAR_DUP_CURATED_SQL),
     "source_diversity": QueryDef(q_source_diversity, _SOURCE_DIVERSITY_SQL),
+    "source_minhash": QueryDef(q_source_minhash, _source_minhash_sql()),
+    "source_similarity": QueryDef(q_source_similarity, _source_similarity_sql()),
     "pack_sequences": QueryDef(q_pack_sequences, _PACK_SQL),
     "user_event_variety": QueryDef(q_user_event_variety, _USER_VARIETY_SQL),
     "hll_users": QueryDef(q_hll_users, _hll_sql()),

@@ -745,6 +745,49 @@ class TestSourceVocab:
         assert out["source"].tolist() == sorted(want.index.tolist())
         assert out["n_terms"].tolist() == want.loc[out["source"]].tolist()
 
+    def test_source_minhash_oracle_and_blocking(self):
+        import pandas as pd
+
+        from spatialjoincountovershells_ray.functions.hashing import mix64
+
+        rng = np.random.default_rng(8)
+        vocab = [f"w{i}" for i in range(60)]
+        rows = []
+        for i in range(200):
+            s = f"s{i % 3}"
+            rows.append((s, " ".join(rng.choice(vocab, size=rng.integers(1, 25)))))
+        # twin source: identical token multiset as s0 (same docs) -> all slots match
+        rows += [("dup0", t) for (s, t) in rows if s == "s0"]
+        df = pd.DataFrame(rows, columns=["source", "text"])
+        P = 8
+        outs = []
+        for nb in (4, 9):
+            ds = ray.data.from_pandas([d for d in np.array_split(df, nb)])
+            outs.append(textops.source_minhash(ds, num_perm=P).to_pandas())
+        pd.testing.assert_frame_equal(outs[0], outs[1])  # blocking-invariant
+        out = outs[0]
+        # single-process oracle: min over token hashes per (source, perm)
+        toks = df.assign(tok=df["text"].str.split()).explode("tok")
+        from spatialjoincountovershells_ray.functions.hashing import hash_bytes_rows
+
+        h = hash_bytes_rows(np.array([t.encode() for t in toks["tok"]], dtype=object))
+        for p in range(P):
+            with np.errstate(over="ignore"):
+                hp = (mix64(h + np.uint64(p)) >> np.uint64(1)).view(np.int64)
+            want = (
+                pd.DataFrame({"source": toks["source"].to_numpy(), "m": hp})
+                .groupby("source")["m"]
+                .min()
+            )
+            got = out[out["perm"] == p].set_index("source")["minhash"]
+            assert got.to_dict() == want.to_dict()
+        # identical domains share every slot
+        sim = textops.source_similarity(
+            ray.data.from_pandas([d for d in np.array_split(df, 5)]), num_perm=P
+        ).to_pandas()
+        full = sim[(sim.src_a == "dup0") & (sim.src_b == "s0")]
+        assert full["n_match"].tolist() == [P]
+
 
 class TestKmeansAssign:
     def _oracle(self, ids, mat, k, iters):
