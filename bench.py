@@ -344,6 +344,7 @@ BENCH_QUERIES = [
     "ann_ivfpq",
     "source_minhash",
     "source_similarity",
+    "bm25_topk",
 ]
 
 

@@ -740,6 +740,110 @@ def source_similarity(docs: "ray.data.Dataset", num_perm: int = 16) -> "ray.data
     ).sort(["src_a", "src_b"])
 
 
+def bm25_topk(
+    docs: "ray.data.Dataset",
+    query_terms: list[str],
+    k: int = 10,
+    *,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> "ray.data.Dataset":
+    """-> doc_id, score:double, rnk:int64 — the k documents ranked
+    highest by Okapi BM25 for a bag of query terms (the canonical
+    inverted-index retrieval scorer; build_postings/tfidf_top_term are
+    the index/feature siblings, this is the end-to-end search surface).
+
+    Two streaming passes. Pass 1 folds corpus statistics map-side —
+    per-batch (doc count, token count, per-query-term document
+    frequency) — so the exchange is O(batches x terms) int64 rows; idf
+    and avgdl derive on the driver from a handful of integers. Pass 2
+    re-streams the corpus: token hashes per batch (the shared FNV
+    kernel), one vectorized equality scan per query term for tf, the
+    BM25 saturation formula per candidate doc, then a per-batch partial
+    top-k so the final exact selection sorts O(batches x k) rows in one
+    task. Ties break by doc_id ascending; only docs matching >= 1 term
+    are candidates. Scores are float64 (ln in idf) — the correctness
+    gate is rows-only, the pytest oracle replays the identical
+    arithmetic single-process and matches exactly."""
+    from spatialjoincountovershells_ray.functions.hashing import hash_bytes_rows
+
+    qh = hash_bytes_rows(np.array([t.encode() for t in query_terms], dtype=object))
+
+    def stats(batch: pa.Table) -> pa.Table:
+        hv, row_of, tok_counts = T.segmented_token_hashes(batch.column("text"))
+        n = batch.num_rows
+        dfs = np.empty(len(qh), np.int64)
+        for i, h in enumerate(qh):
+            rows = np.unique(row_of[hv == h])
+            dfs[i] = len(rows)
+        return pa.table(
+            {
+                "term_idx": pa.array(
+                    np.r_[np.arange(len(qh), dtype=np.int64), [-1], [-2]], pa.int64()
+                ),
+                "n": pa.array(np.r_[dfs, [n], [int(tok_counts.sum())]], pa.int64()),
+            }
+        )
+
+    folded = (
+        docs.select_columns(["text"])
+        .map_batches(stats, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("term_idx")
+        .sum("n")
+        .take_all()
+    )  # len(query_terms) + 2 rows — never the corpus
+    agg = {int(r["term_idx"]): int(r["sum(n)"]) for r in folded}
+    ndocs, ntoks = agg[-1], agg[-2]
+    avgdl = ntoks / max(ndocs, 1)
+    idf = np.array(
+        [
+            np.log((ndocs - agg.get(i, 0) + 0.5) / (agg.get(i, 0) + 0.5) + 1.0)
+            for i in range(len(qh))
+        ]
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        hv, row_of, tok_counts = T.segmented_token_hashes(batch.column("text"))
+        ids = batch.column("doc_id").to_numpy()
+        n = len(ids)
+        dl = tok_counts.astype(np.float64)
+        denom_base = k1 * (1.0 - b + b * dl / avgdl)
+        s = np.zeros(n, np.float64)
+        for i, h in enumerate(qh):
+            tf = np.bincount(row_of[hv == h], minlength=n).astype(np.float64)
+            s += idf[i] * tf * (k1 + 1.0) / (tf + denom_base)
+        cand = np.nonzero(s > 0)[0]
+        if len(cand) > k:  # partial top-k bounds the exchange
+            keep = np.argpartition(-s[cand], k - 1)[:k]
+            cand = cand[keep]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[cand], pa.int64()),
+                "score": pa.array(s[cand], pa.float64()),
+            }
+        )
+
+    cands = docs.select_columns(["doc_id", "text"]).map_batches(
+        score, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def select(batch: pa.Table) -> pa.Table:
+        sc = batch.column("score").to_numpy()
+        ids = batch.column("doc_id").to_numpy()
+        order = np.lexsort((ids, -sc))[:k]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[order], pa.int64()),
+                "score": pa.array(sc[order], pa.float64()),
+                "rnk": pa.array(np.arange(1, len(order) + 1, dtype=np.int64), pa.int64()),
+            }
+        )
+
+    return cands.repartition(1).map_batches(
+        select, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+
 def term_cooccurrence(
     docs: "ray.data.Dataset", df_lo: int = 2, df_hi: int = 1_000_000
 ) -> "ray.data.Dataset":

@@ -665,6 +665,18 @@ def q_source_similarity(sf_dir: str):
     )
 
 
+BM25_QUERY = ["vector", "merge", "window"]
+
+
+def q_bm25_topk(sf_dir: str):
+    """Okapi BM25 ranked retrieval for a fixed term bag (rows-only:
+    float idf/saturation scores; pytest replays the arithmetic exactly)."""
+    return textops.bm25_topk(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]),
+        BM25_QUERY,
+    )
+
+
 def q_user_event_variety(sf_dir: str):
     """Exact COUNT(DISTINCT event_type) per user — batch-level pre-dedup
     so the exchange carries at most one row per (user, type) per batch."""
@@ -3226,6 +3238,7 @@ REGISTRY: dict[str, QueryDef] = {
     "ann_pq": QueryDef(q_ann_pq, None),
     "pq_codes": QueryDef(q_pq_codes, None),
     "ann_ivfpq": QueryDef(q_ann_ivfpq, None),
+    "bm25_topk": QueryDef(q_bm25_topk, None),
     # the media codec is stubbed but its stub arithmetic is deterministic,
     # so these carry full value-hashed HUGEINT twins
     "media_frames": QueryDef(q_media_frames, _media_frames_sql()),

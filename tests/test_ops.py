@@ -789,6 +789,46 @@ class TestSourceVocab:
         assert full["n_match"].tolist() == [P]
 
 
+class TestBm25:
+    def test_matches_single_process_oracle(self):
+        import pandas as pd
+
+        rng = np.random.default_rng(6)
+        vocab = [f"w{i}" for i in range(30)]
+        texts = [
+            " ".join(rng.choice(vocab, size=rng.integers(1, 40))) for _ in range(400)
+        ]
+        df = pd.DataFrame({"doc_id": np.arange(400, dtype=np.int64), "text": texts})
+        terms = ["w3", "w7", "w11"]
+        k1, b, K = 1.2, 0.75, 10
+        got = textops.bm25_topk(
+            ray.data.from_pandas([d for d in np.array_split(df, 7)]), terms, K
+        ).to_pandas()
+        # exact replay
+        toks = [t.split() for t in texts]
+        dl = np.array([len(t) for t in toks], np.float64)
+        avgdl = dl.sum() / len(dl)
+        N = len(df)
+        s = np.zeros(N)
+        for term in terms:
+            tf = np.array([t.count(term) for t in toks], np.float64)
+            dfreq = int((tf > 0).sum())
+            idf = np.log((N - dfreq + 0.5) / (dfreq + 0.5) + 1.0)
+            s += idf * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+        order = np.lexsort((np.arange(N), -s))
+        order = order[s[order] > 0][:K]
+        assert got["doc_id"].tolist() == order.tolist()
+        assert np.array_equal(got["score"].to_numpy(), s[order])  # bit-equal floats
+        assert got["rnk"].tolist() == list(range(1, len(order) + 1))
+
+    def test_no_match_returns_empty(self):
+        import pandas as pd
+
+        df = pd.DataFrame({"doc_id": np.arange(5, dtype=np.int64), "text": ["a b"] * 5})
+        out = textops.bm25_topk(ray.data.from_pandas(df), ["zzz"], 3).to_pandas()
+        assert len(out) == 0
+
+
 class TestKmeansAssign:
     def _oracle(self, ids, mat, k, iters):
         """Single-process replay of the exact fixed-point algorithm."""
