@@ -345,6 +345,7 @@ BENCH_QUERIES = [
     "source_minhash",
     "source_similarity",
     "bm25_topk",
+    "weighted_sample",
 ]
 
 

@@ -711,7 +711,17 @@ def kmeans_assign(
     read once (materialize — the legitimate case: iterative reuse) and
     every iteration probes the same cached blocks."""
     ds = ds.select_columns(["vec_id", "embedding"]).materialize()
-    seeds = ds.filter(lambda r: r["vec_id"] < k).take_all()
+
+    def _seed_filter(batch: pa.Table) -> pa.Table:
+        # vectorized Arrow filter (a row-lambda filter would iterate the
+        # whole corpus in Python just to find k seed rows)
+        import pyarrow.compute as _pc
+
+        return batch.filter(_pc.less(batch.column("vec_id"), k))
+
+    seeds = ds.map_batches(
+        _seed_filter, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()
     seeds.sort(key=lambda r: r["vec_id"])
     cent = np.stack([np.asarray(r["embedding"], np.float64) for r in seeds])
     cent = np.rint(cent * KMEANS_FP_SCALE)  # float64 copies of exact ints

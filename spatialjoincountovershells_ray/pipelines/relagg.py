@@ -523,6 +523,62 @@ def stratified_sample(
     )
 
 
+def weighted_sample(
+    ds: "ray.data.Dataset",
+    ident: str,
+    weight: str,
+    k: int,
+    columns: list[str] | None = None,
+) -> "ray.data.Dataset":
+    """-> columns + rnk:int64 — deterministic weighted sample WITHOUT
+    replacement of k rows (Efraimidis–Spirakis A-ES): each row draws
+    u = (mix64(ident)+1) / 2^64 from its identity hash and is ranked by
+    key = u^(1/w); the k largest keys win, so inclusion probability is
+    proportional to weight in the exact A-ES sense while staying
+    reproducible under re-runs, retries and incremental loads (the same
+    contract as hash_sample / stratified_sample, extended to weights).
+
+    Decomposable: key ranking is a max-combiner, so each batch forwards
+    only its own top k rows and the final exact selection sorts
+    O(batches x k) rows in one task. Rows with weight <= 0 are excluded
+    (their A-ES key is 0). Float keys are deterministic — every replica
+    computes the same IEEE expression from the same integers — and the
+    pytest oracle replays them bit-for-bit."""
+    from spatialjoincountovershells_ray.functions.hashing import mix64
+
+    if columns is not None:
+        ds = ds.select_columns(sorted({*columns, ident, weight}))
+    kcol = "__aes"
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column(ident).to_numpy()
+        w = batch.column(weight).to_numpy().astype(np.float64)
+        u = (mix64(ids.astype(np.uint64)).astype(np.float64) + 1.0) / 2.0**64
+        with np.errstate(divide="ignore", invalid="ignore"):
+            key = np.where(w > 0, u ** (1.0 / np.maximum(w, 1e-300)), 0.0)
+        t = batch.append_column(kcol, pa.array(key, pa.float64()))
+        if t.num_rows <= k:
+            return t.filter(pa.array(key > 0))
+        cut = np.partition(key, len(key) - k)[len(key) - k]
+        keep = key >= cut  # ties kept; exact top-k resolved in the final
+        return t.filter(pa.array(keep & (key > 0)))
+
+    def final(batch: pa.Table) -> pa.Table:
+        key = batch.column(kcol).to_numpy()
+        ids = batch.column(ident).to_numpy()
+        order = np.lexsort((ids, -key))[:k]  # key desc, ident asc tiebreak
+        out = batch.take(pa.array(order)).drop_columns([kcol])
+        return out.append_column(
+            "rnk", pa.array(np.arange(1, len(order) + 1, dtype=np.int64), pa.int64())
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(1)
+        .map_batches(final, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+    )
+
+
 def rollup_counts(
     ds: "ray.data.Dataset", cols: list[str], sentinel: str = "(all)"
 ) -> "ray.data.Dataset":

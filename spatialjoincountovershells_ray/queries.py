@@ -2954,6 +2954,20 @@ def _stratified_sql(k: int = STRAT_K) -> str:
     )
 
 
+def q_weighted_sample(sf_dir: str):
+    """Deterministic A-ES weighted sample of 100 orders, inclusion odds
+    proportional to o_totalprice (rows-only: float u^(1/w) keys; pytest
+    replays them bit-exactly)."""
+    return relagg.weighted_sample(
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+        ),
+        ident="o_orderkey",
+        weight="o_totalprice",
+        k=100,
+    )
+
+
 def q_stratified_sample(sf_dir: str):
     """Fixed-k-per-source deterministic document sample (min-by-hash
     combiner — every source represented regardless of skew, exchange
@@ -3239,6 +3253,7 @@ REGISTRY: dict[str, QueryDef] = {
     "pq_codes": QueryDef(q_pq_codes, None),
     "ann_ivfpq": QueryDef(q_ann_ivfpq, None),
     "bm25_topk": QueryDef(q_bm25_topk, None),
+    "weighted_sample": QueryDef(q_weighted_sample, None),
     # the media codec is stubbed but its stub arithmetic is deterministic,
     # so these carry full value-hashed HUGEINT twins
     "media_frames": QueryDef(q_media_frames, _media_frames_sql()),

@@ -624,3 +624,58 @@ class TestQuantileSketch:
         ).to_pandas()
         cents = np.sort(np.rint(vals * 100).astype(np.int64))
         assert out["p50"].iloc[0] == cents[int(np.floor(0.5 * (len(cents) - 1)))]
+
+
+class TestWeightedSample:
+    def test_matches_single_process_oracle_and_blocking(self):
+        from spatialjoincountovershells_ray.functions.hashing import mix64
+        from spatialjoincountovershells_ray.pipelines import relagg
+
+        rng = np.random.default_rng(13)
+        n, k = 5000, 50
+        df = pd.DataFrame(
+            {
+                "o_orderkey": np.arange(n, dtype=np.int64),
+                "o_totalprice": np.round(rng.exponential(100.0, n), 2),
+            }
+        )
+        df.loc[::97, "o_totalprice"] = 0.0  # zero weights must never win
+        outs = []
+        for nb in (3, 11):
+            ds = ray.data.from_pandas([d for d in np.array_split(df, nb)])
+            outs.append(
+                relagg.weighted_sample(ds, "o_orderkey", "o_totalprice", k)
+                .to_pandas()
+                .reset_index(drop=True)
+            )
+        pd.testing.assert_frame_equal(outs[0], outs[1])
+        out = outs[0]
+        # exact A-ES replay
+        w = df["o_totalprice"].to_numpy()
+        u = (mix64(df["o_orderkey"].to_numpy().astype(np.uint64)).astype(np.float64) + 1.0) / 2.0**64
+        with np.errstate(divide="ignore"):
+            key = np.where(w > 0, u ** (1.0 / np.maximum(w, 1e-300)), 0.0)
+        order = np.lexsort((df["o_orderkey"].to_numpy(), -key))[:k]
+        assert out["o_orderkey"].tolist() == df["o_orderkey"].to_numpy()[order].tolist()
+        assert out["rnk"].tolist() == list(range(1, k + 1))
+        assert (out["o_totalprice"] > 0).all()
+
+    def test_weight_bias(self):
+        # heavy rows should be sampled far more often than light ones
+        from spatialjoincountovershells_ray.pipelines import relagg
+
+        n = 4000
+        df = pd.DataFrame(
+            {
+                "o_orderkey": np.arange(n, dtype=np.int64),
+                "o_totalprice": np.where(np.arange(n) < 200, 100.0, 1.0),
+            }
+        )
+        out = relagg.weighted_sample(
+            ray.data.from_pandas([d for d in np.array_split(df, 6)]),
+            "o_orderkey",
+            "o_totalprice",
+            100,
+        ).to_pandas()
+        heavy = (out["o_orderkey"] < 200).sum()
+        assert heavy >= 60  # 200 heavy rows carry ~84% of total weight
