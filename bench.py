@@ -346,6 +346,7 @@ BENCH_QUERIES = [
     "source_similarity",
     "bm25_topk",
     "weighted_sample",
+    "pca_project",
 ]
 
 

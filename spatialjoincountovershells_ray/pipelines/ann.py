@@ -751,6 +751,121 @@ def kmeans_assign(
     ).sort("vec_id")
 
 
+PCA_FP_SCALE = 1 << 16  # coarser than centroids: the moment fold squares it
+
+
+def pca_project(
+    ds: "ray.data.Dataset", ncomp: int = 8
+) -> "tuple[ray.data.Dataset, np.ndarray, np.ndarray]":
+    """Distributed PCA over the embedding column. Returns
+    ``(projected, components, eigvals)`` where projected is
+    -> vec_id, c0..c{ncomp-1}:double (each vector's coordinates in the
+    top principal directions), components is [ncomp, D] and eigvals the
+    matching variances.
+
+    Plan: one streaming pass folds EXACT integer moments — per batch the
+    count, the D-vector sum and the DxD second-moment matrix of the
+    fixed-point-quantized vectors (np.rint(x * 2^16)), so the exchange
+    carries O(batches) blocks of D^2+D+1 int64s and the driver fold is
+    deterministic regardless of blocking or summation order (a float
+    covariance fold would drift with block boundaries). The covariance
+    eigendecomposition runs once on the driver (D x D — 64x64 here);
+    signs canonicalize to max-|component| positive so re-runs emit
+    identical projections. A second stateless pass projects map-side.
+
+    Overflow contract: |x| <= 4 per coordinate (asserted) keeps each
+    product under 2^36, so ~1e8 rows fit int64 per partial; beyond that
+    shard the fold (tree-merge partials) before widening is needed."""
+    S = PCA_FP_SCALE
+
+    def moments(batch: pa.Table) -> pa.Table:
+        mat = np.stack(batch.column("embedding").to_numpy(zero_copy_only=False)).astype(
+            np.float64
+        )
+        if mat.size and np.abs(mat).max() > 4.0:
+            raise ValueError("pca_project: |coordinate| > 4 breaks the int64 moment bound")
+        q = np.rint(mat * S).astype(np.int64)
+        d = q.shape[1]
+        sxx = q.T @ q  # exact: int64 matmul
+        return pa.table(
+            {
+                "kind": pa.array(
+                    np.r_[
+                        np.zeros(1, np.int64),
+                        np.ones(d, np.int64),
+                        np.full(d * d, 2, np.int64),
+                    ],
+                    pa.int64(),
+                ),
+                "idx": pa.array(
+                    np.r_[
+                        np.zeros(1, np.int64),
+                        np.arange(d, dtype=np.int64),
+                        np.arange(d * d, dtype=np.int64),
+                    ],
+                    pa.int64(),
+                ),
+                "v": pa.array(
+                    np.r_[np.array([len(q)], np.int64), q.sum(0), sxx.reshape(-1)],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    folded = (
+        ds.select_columns(["embedding"])
+        .map_batches(moments, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["kind", "idx"])
+        .sum("v")
+        .take_all()
+    )  # D^2 + D + 1 rows — never the data
+    n = 0
+    sx: dict[int, int] = {}
+    sxx_d: dict[int, int] = {}
+    for r in folded:
+        if r["kind"] == 0:
+            n = int(r["sum(v)"])
+        elif r["kind"] == 1:
+            sx[int(r["idx"])] = int(r["sum(v)"])
+        else:
+            sxx_d[int(r["idx"])] = int(r["sum(v)"])
+    d = len(sx)
+    sum_x = np.array([sx[i] for i in range(d)], np.float64)
+    sum_xx = np.array([sxx_d[i] for i in range(d * d)], np.float64).reshape(d, d)
+    mean = sum_x / (n * S)
+    cov = sum_xx / (n * S * S) - np.outer(mean, mean)
+    eigvals, eigvecs = np.linalg.eigh(cov)
+    order = np.argsort(-eigvals)[:ncomp]
+    comps = eigvecs[:, order].T  # [ncomp, D]
+    eigvals = eigvals[order]
+    # deterministic sign: the largest-|entry| coordinate is positive
+    for j in range(len(comps)):
+        i = int(np.argmax(np.abs(comps[j])))
+        if comps[j, i] < 0:
+            comps[j] = -comps[j]
+    ref = ray.put({"mean": mean, "comps": comps})
+
+    def project(batch: pa.Table, ref) -> pa.Table:
+        p = ray.get(ref[0]) if isinstance(ref, list) else ref
+        ids = batch.column("vec_id").to_numpy()
+        mat = np.stack(batch.column("embedding").to_numpy(zero_copy_only=False)).astype(
+            np.float64
+        )
+        # project the same quantized values the moments saw, so the
+        # output is a pure function of the exact integer state
+        q = np.rint(mat * S) / S
+        proj = (q - p["mean"]) @ p["comps"].T
+        cols = {"vec_id": pa.array(ids, pa.int64())}
+        for j in range(proj.shape[1]):
+            cols[f"c{j}"] = pa.array(proj[:, j], pa.float64())
+        return pa.table(cols)
+
+    out = ds.select_columns(["vec_id", "embedding"]).map_batches(
+        project, fn_kwargs={"ref": [ref]}, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return out.sort("vec_id"), comps, eigvals
+
+
 # ---------------------------------------------------------------------------
 # per-label centroids (class prototypes) — exact fixed-point moments
 

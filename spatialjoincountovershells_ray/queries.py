@@ -1531,6 +1531,16 @@ def q_pq_codes(sf_dir: str):
     return ann.pq_encode(ray.data.read_parquet(f"{sf_dir}/embeddings.parquet"))
 
 
+def q_pca_project(sf_dir: str):
+    """Top-8 principal-component coordinates of every embedding (exact
+    integer moment fold -> driver eigh -> map-side projection)."""
+    ds, _, _ = ann.pca_project(
+        ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]),
+        ncomp=8,
+    )
+    return ds
+
+
 def q_ann_ivfpq(sf_dir: str):
     """The composed billion-scale plan: IVF list probing bounds which
     vectors are scored, PQ ADC lookups bound how."""
@@ -3254,6 +3264,7 @@ REGISTRY: dict[str, QueryDef] = {
     "ann_ivfpq": QueryDef(q_ann_ivfpq, None),
     "bm25_topk": QueryDef(q_bm25_topk, None),
     "weighted_sample": QueryDef(q_weighted_sample, None),
+    "pca_project": QueryDef(q_pca_project, None),
     # the media codec is stubbed but its stub arithmetic is deterministic,
     # so these carry full value-hashed HUGEINT twins
     "media_frames": QueryDef(q_media_frames, _media_frames_sql()),

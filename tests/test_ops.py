@@ -789,6 +789,53 @@ class TestSourceVocab:
         assert full["n_match"].tolist() == [P]
 
 
+class TestPcaProject:
+    def test_oracle_and_blocking_invariance(self):
+        import pandas as pd
+
+        from spatialjoincountovershells_ray.pipelines.ann import PCA_FP_SCALE
+
+        rng = np.random.default_rng(21)
+        n, d, c = 600, 12, 3
+        # anisotropic data: first directions carry most variance
+        # (scaled so |x| stays inside the documented |coordinate| <= 4 bound)
+        base = np.clip(rng.normal(size=(n, d)), -4.9, 4.9) * np.linspace(0.8, 0.04, d)
+        tbl = pa.table(
+            {
+                "vec_id": np.arange(n, dtype=np.int64),
+                "embedding": pa.array(list(base.astype(np.float32)), pa.list_(pa.float32())),
+            }
+        )
+        outs, comps_all = [], []
+        for nb in (2, 9):
+            chunks = np.array_split(np.arange(n), nb)
+            ds = ray.data.from_arrow([tbl.take(pa.array(ix)) for ix in chunks])
+            out, comps, eigvals = ann.pca_project(ds, ncomp=c)
+            outs.append(out.to_pandas())
+            comps_all.append(comps)
+        pd.testing.assert_frame_equal(outs[0], outs[1])  # exact moments -> invariant
+        assert np.array_equal(comps_all[0], comps_all[1])
+        # single-process replay of the identical arithmetic
+        S = PCA_FP_SCALE
+        q = np.rint(base.astype(np.float32).astype(np.float64) * S).astype(np.int64)
+        mean = q.sum(0).astype(np.float64) / (n * S)
+        cov = (q.T @ q).astype(np.float64) / (n * S * S) - np.outer(mean, mean)
+        w, v = np.linalg.eigh(cov)
+        order = np.argsort(-w)[:c]
+        comps = v[:, order].T
+        for j in range(c):
+            i = int(np.argmax(np.abs(comps[j])))
+            if comps[j, i] < 0:
+                comps[j] = -comps[j]
+        proj = (q / S - mean) @ comps.T
+        got = outs[0][[f"c{j}" for j in range(c)]].to_numpy()
+        assert np.allclose(got, proj, atol=1e-12)
+        # the leading component carries the most sample variance
+        var = got.var(axis=0)
+        assert var[0] >= var[1] >= var[2]
+        assert var[0] > 1.2 * var[2]  # scales 0.8 > 0.73 > 0.66 by construction
+
+
 class TestBm25:
     def test_matches_single_process_oracle(self):
         import pandas as pd
