@@ -347,6 +347,7 @@ BENCH_QUERIES = [
     "bm25_topk",
     "weighted_sample",
     "pca_project",
+    "orders_dq",
 ]
 
 

@@ -507,3 +507,131 @@ def band_self_join(
         assign, batch_format="pyarrow", zero_copy_batch=True
     )
     return keyed_partition_apply(assigned, "vb", kernel).sort(["key_lo", "key_hi"])
+
+
+# ---------------------------------------------------------------------------
+# data-quality audit
+
+
+def dq_checks(
+    ds: "ray.data.Dataset",
+    *,
+    not_null: list[str] = (),
+    positive: list[str] = (),
+    unique: list[str] = (),
+    in_set: dict[str, "object"] | None = None,
+) -> "ray.data.Dataset":
+    """-> rule:string, n_bad:int64 (sorted by rule) — the validation
+    audit a production ingest runs before promoting a table: NULL
+    checks, positivity/range checks, primary-key uniqueness (n_bad =
+    rows minus distinct keys) and referential-integrity checks against
+    broadcast key sets (`in_set[col]` is a sorted int64 np.ndarray of
+    valid keys — ship the anti-join through equi_join instead when the
+    reference side stops fitting a broadcast).
+
+    Map-side: every rule except `unique` folds to one (rule, count) row
+    per batch. `unique` pre-counts keys per batch, finishes the count in
+    one key groupby, then folds sum(cnt-1) — the exchange carries key
+    partials for the unique columns only. Always emits every rule row
+    (n_bad = 0 included), so a green run is distinguishable from a rule
+    that never executed."""
+    in_set = in_set or {}
+    if not (list(not_null) or list(positive) or list(unique) or in_set):
+        raise ValueError("dq_checks: no rules given")
+    refs = {c: ray.put(np.asarray(v, dtype=np.int64)) for c, v in in_set.items()}
+    rule_names = (
+        [f"not_null:{c}" for c in not_null]
+        + [f"positive:{c}" for c in positive]
+        + [f"in_set:{c}" for c in in_set]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        rules, counts = [], []
+        for c in not_null:
+            rules.append(f"not_null:{c}")
+            counts.append(batch.column(c).null_count)
+        for c in positive:
+            v = batch.column(c)
+            bad = pc.sum(
+                pc.cast(pc.or_kleene(pc.less_equal(v, 0), pc.is_null(v)), pa.int64())
+            ).as_py()
+            rules.append(f"positive:{c}")
+            counts.append(int(bad or 0))
+        for c, r in refs.items():
+            valid = ray.get(r)
+            vals = batch.column(c).to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(valid, vals)
+            pos = np.minimum(pos, max(len(valid) - 1, 0))
+            ok = valid[pos] == vals if len(valid) else np.zeros(len(vals), bool)
+            rules.append(f"in_set:{c}")
+            counts.append(int((~ok).sum()))
+        return pa.table(
+            {
+                "rule": pa.array(rules, pa.string()),
+                "n_bad": pa.array(np.asarray(counts, np.int64), pa.int64()),
+            }
+        )
+
+    parts = [
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("rule")
+        .sum("n_bad")
+    ] if rule_names else []
+
+    for c in unique:
+        def key_partial(batch: pa.Table, col=c) -> pa.Table:
+            g = (
+                batch.select([col])
+                .group_by(col)
+                .aggregate([([], "count_all")])
+                .rename_columns(["k", "n"])
+            )
+            return g
+
+        keyed = (
+            ds.map_batches(key_partial, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("k")
+            .sum("n")
+        )
+
+        def dup_fold(batch: pa.Table, col=c) -> pa.Table:
+            n = batch.column("sum(n)").to_numpy()
+            return pa.table(
+                {
+                    "rule": pa.array([f"unique:{col}"], pa.string()),
+                    "n_bad": pa.array([int((n - 1).sum())], pa.int64()),
+                }
+            )
+
+        parts.append(
+            keyed.map_batches(dup_fold, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("rule")
+            .sum("n_bad")
+        )
+
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merged.union(p)
+
+    def final(batch: pa.Table) -> pa.Table:
+        col = "sum(n_bad)" if "sum(n_bad)" in batch.column_names else "n_bad"
+        return pa.table(
+            {
+                "rule": batch.column("rule"),
+                "n_bad": batch.column(col).cast(pa.int64()),
+            }
+        )
+
+    return (
+        merged.map_batches(final, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("rule")
+        .sum("n_bad")
+        .map_batches(
+            lambda b: pa.table(
+                {"rule": b.column("rule"), "n_bad": b.column("sum(n_bad)").cast(pa.int64())}
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .sort("rule")
+    )

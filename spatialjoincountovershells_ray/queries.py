@@ -2964,6 +2964,73 @@ def _stratified_sql(k: int = STRAT_K) -> str:
     )
 
 
+# deterministic fault injection for the data-quality audit: the synthetic
+# tables have perfect integrity, so the checked view negates custkey on
+# o_orderkey % 1009 == 0 (referential orphans), negates price on % 997
+# (range violations) and collapses keys to 1 on % 991 (PK duplicates) —
+# mirrored verbatim in the SQL twin so every rule counts nonzero rows.
+_DQ_MODS = (1009, 997, 991)
+
+
+def q_orders_dq(sf_dir: str):
+    """Data-quality audit over a deterministically perturbed orders view:
+    PK uniqueness, price positivity, custkey referential integrity."""
+    import pyarrow.parquet as pq
+
+    ckeys = np.sort(
+        pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+        .column("c_custkey")
+        .to_numpy()
+    )
+    m_ref, m_pos, m_dup = _DQ_MODS
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+
+    def perturb(batch: pa.Table) -> pa.Table:
+        k = batch.column("o_orderkey").to_numpy()
+        ck = batch.column("o_custkey").to_numpy().copy()
+        pr = batch.column("o_totalprice").to_numpy().copy()
+        ck[k % m_ref == 0] *= -1
+        pr[k % m_pos == 0] *= -1.0
+        kk = np.where(k % m_dup == 0, np.int64(1), k)
+        return pa.table(
+            {
+                "o_orderkey": pa.array(kk, pa.int64()),
+                "o_custkey": pa.array(ck, pa.int64()),
+                "o_totalprice": pa.array(pr, pa.float64()),
+            }
+        )
+
+    checked = ds.map_batches(perturb, batch_format="pyarrow", zero_copy_batch=True)
+    return relational.dq_checks(
+        checked,
+        not_null=["o_custkey"],
+        positive=["o_totalprice"],
+        unique=["o_orderkey"],
+        in_set={"o_custkey": ckeys},
+    )
+
+
+def _orders_dq_sql() -> str:
+    m_ref, m_pos, m_dup = _DQ_MODS
+    return (
+        "WITH v AS (SELECT "
+        f"CASE WHEN o_orderkey % {m_dup} = 0 THEN 1 ELSE o_orderkey END AS k, "
+        f"CASE WHEN o_orderkey % {m_ref} = 0 THEN -o_custkey ELSE o_custkey END AS ck, "
+        f"CASE WHEN o_orderkey % {m_pos} = 0 THEN -o_totalprice ELSE o_totalprice END AS pr "
+        "FROM orders) "
+        "SELECT 'in_set:o_custkey' AS rule, CAST(count(*) FILTER ("
+        "NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = v.ck)) AS BIGINT) AS n_bad FROM v "
+        "UNION ALL SELECT 'not_null:o_custkey', CAST(count(*) FILTER (ck IS NULL) AS BIGINT) FROM v "
+        "UNION ALL SELECT 'positive:o_totalprice', "
+        "CAST(count(*) FILTER (pr <= 0 OR pr IS NULL) AS BIGINT) FROM v "
+        "UNION ALL SELECT 'unique:o_orderkey', "
+        "CAST(count(*) - count(DISTINCT k) AS BIGINT) FROM v "
+        "ORDER BY rule"
+    )
+
+
 def q_weighted_sample(sf_dir: str):
     """Deterministic A-ES weighted sample of 100 orders, inclusion odds
     proportional to o_totalprice (rows-only: float u^(1/w) keys; pytest
@@ -3265,6 +3332,7 @@ REGISTRY: dict[str, QueryDef] = {
     "bm25_topk": QueryDef(q_bm25_topk, None),
     "weighted_sample": QueryDef(q_weighted_sample, None),
     "pca_project": QueryDef(q_pca_project, None),
+    "orders_dq": QueryDef(q_orders_dq, _orders_dq_sql()),
     # the media codec is stubbed but its stub arithmetic is deterministic,
     # so these carry full value-hashed HUGEINT twins
     "media_frames": QueryDef(q_media_frames, _media_frames_sql()),

@@ -679,3 +679,43 @@ class TestWeightedSample:
         ).to_pandas()
         heavy = (out["o_orderkey"] < 200).sum()
         assert heavy >= 60  # 200 heavy rows carry ~84% of total weight
+
+
+class TestDqChecks:
+    def test_counts_every_violation_kind(self):
+        from spatialjoincountovershells_ray.pipelines import relational
+
+        df = pd.DataFrame(
+            {
+                "k": np.array([1, 2, 2, 3, 4, 4, 4, 5], dtype=np.int64),
+                "ck": pd.array([10, 20, None, -5, 10, 20, 10, 30], dtype="Int64"),
+                "price": [1.0, -2.0, 3.0, 0.0, 5.0, 6.0, -7.0, 8.0],
+            }
+        )
+        valid = np.array([10, 20, 30], dtype=np.int64)
+        out = (
+            relational.dq_checks(
+                ray.data.from_pandas([d for d in np.array_split(df, 3)]),
+                not_null=["ck"],
+                positive=["price"],
+                unique=["k"],
+                in_set={"ck": valid},
+            )
+            .to_pandas()
+            .set_index("rule")["n_bad"]
+            .to_dict()
+        )
+        # nulls: 1; nonpositive prices: -2, 0, -7 -> 3; dup keys: (2x2 -> 1) + (4x3 -> 2) = 3
+        # in_set: -5 bad, None bad (not in the set) -> 2
+        assert out == {
+            "not_null:ck": 1,
+            "positive:price": 3,
+            "unique:k": 3,
+            "in_set:ck": 2,
+        }
+
+    def test_no_rules_raises(self):
+        from spatialjoincountovershells_ray.pipelines import relational
+
+        with pytest.raises(ValueError, match="no rules"):
+            relational.dq_checks(ray.data.range(3))
