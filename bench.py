@@ -348,6 +348,7 @@ BENCH_QUERIES = [
     "weighted_sample",
     "pca_project",
     "orders_dq",
+    "sink_roundtrip",
 ]
 
 

@@ -3031,6 +3031,63 @@ def _orders_dq_sql() -> str:
     )
 
 
+SINK_BUCKETS = 16
+
+
+def q_sink_roundtrip(sf_dir: str):
+    """Resumable partitioned-parquet sink round-trip: write orders
+    bucketed by mix64(o_orderkey), read the directory back, return
+    per-bucket row counts — value-hash gated against the splitmix64
+    bucket arithmetic computed directly in SQL."""
+    import tempfile
+
+    from spatialjoincountovershells_ray.sources import sinks
+
+    out = os.path.join(tempfile.mkdtemp(prefix="sjcs_sink_"), "orders_parts")
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey"])
+    m = sinks.write_partitioned(ds, out, "o_orderkey", nbuckets=SINK_BUCKETS)
+    assert not m["skipped"] and m["rows"] > 0
+    back = ray.data.read_parquet(out)
+
+    def counts(batch: pa.Table) -> pa.Table:
+        b = batch.column("bucket")
+        # hive partition values may surface as strings/dictionary
+        bi = pc.cast(pc.cast(b, pa.string()), pa.int64()) if not pa.types.is_integer(b.type) else b
+        t = pa.table({"bucket": bi})
+        g = t.group_by("bucket").aggregate([([], "count_all")])
+        return g.rename_columns(["bucket", "n"])
+
+    agg = (
+        back.map_batches(counts, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .sum("n")
+    )
+
+    def final(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "bucket": batch.column("bucket").cast(pa.int64()),
+                "n": batch.column("sum(n)").cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(final, batch_format="pyarrow", zero_copy_batch=True).sort("bucket")
+
+
+def _sink_roundtrip_sql(nbuckets: int = SINK_BUCKETS) -> str:
+    m1, m2 = 0xFF51AFD7ED558CCD, 0xC4CEB9FE1A85EC53
+    return (
+        "WITH x0 AS (SELECT o_orderkey::HUGEINT AS x FROM orders), "
+        f"x1 AS (SELECT {_xorshift33_sql('x')} AS x FROM x0), "
+        f"x2 AS (SELECT {_mul64_sql('x', m1)} AS x FROM x1), "
+        f"x3 AS (SELECT {_xorshift33_sql('x')} AS x FROM x2), "
+        f"x4 AS (SELECT {_mul64_sql('x', m2)} AS x FROM x3), "
+        f"x5 AS (SELECT {_xorshift33_sql('x')} AS x FROM x4) "
+        f"SELECT CAST(x % {nbuckets} AS BIGINT) AS bucket, "
+        "CAST(count(*) AS BIGINT) AS n FROM x5 GROUP BY 1"
+    )
+
+
 def q_weighted_sample(sf_dir: str):
     """Deterministic A-ES weighted sample of 100 orders, inclusion odds
     proportional to o_totalprice (rows-only: float u^(1/w) keys; pytest
@@ -3333,6 +3390,7 @@ REGISTRY: dict[str, QueryDef] = {
     "weighted_sample": QueryDef(q_weighted_sample, None),
     "pca_project": QueryDef(q_pca_project, None),
     "orders_dq": QueryDef(q_orders_dq, _orders_dq_sql()),
+    "sink_roundtrip": QueryDef(q_sink_roundtrip, _sink_roundtrip_sql()),
     # the media codec is stubbed but its stub arithmetic is deterministic,
     # so these carry full value-hashed HUGEINT twins
     "media_frames": QueryDef(q_media_frames, _media_frames_sql()),
