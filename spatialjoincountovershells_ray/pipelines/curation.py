@@ -316,13 +316,29 @@ def mixture_sample(
 # concat-and-chunk sequence packing
 
 
+_PACK_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("n_tokens", pa.int64()),
+        ("pack_id", pa.int64()),
+        ("pack_offset", pa.int64()),
+    ]
+)
+
+
 @ray.remote
 def _block_token_sum(tbl: pa.Table) -> int:
+    # a sort over many-fragment inputs can emit zero-row blocks with an
+    # EMPTY schema — treat them as contributing nothing
+    if tbl.num_rows == 0:
+        return 0
     return int(pc.sum(tbl.column("n_tokens")).as_py() or 0)
 
 
 @ray.remote
 def _stamp_pack(tbl: pa.Table, offset: int, budget: int) -> pa.Table:
+    if tbl.num_rows == 0:
+        return _PACK_SCHEMA.empty_table()
     nt = tbl.column("n_tokens").to_numpy()
     cum_before = offset + np.cumsum(nt, dtype=np.int64) - nt
     return pa.table(
