@@ -246,6 +246,10 @@ BENCH_QUERIES = [
     "top_terms",
     "event_window_agg",
     "event_rolling_max",
+    "event_rolling_median",
+    "event_lead",
+    "order_overlap_pairs",
+    "lineitem_unpivot",
     "event_sliding_counts",
     "event_asof_join",
     "orders_per_segment",

@@ -207,6 +207,64 @@ def event_rolling_max(sf_dir_or_ds, window: int = 3) -> "ray.data.Dataset":
     return ds.groupby("user_id").map_groups(roll, batch_format="pandas")
 
 
+def event_rolling_median(sf_dir_or_ds, window: int = 5) -> "ray.data.Dataset":
+    """ROWS-window median: -> event_id, roll_med:double — median of the
+    value (in exact integer cents) over the current + previous
+    ``window-1`` events of the same user in (ts, event_id) order.
+
+    Unlike max, median is not decomposable, so this is the order-
+    statistic window shape: each group's values slide through a length-
+    bounded sorted window. Bit-exactness holds because the inputs are
+    exact int64 cents and both engines compute the even-count case as
+    one correctly-rounded double (lo+hi)/2 (verified empirically vs
+    DuckDB's windowed median over BIGINT)."""
+    ds = (
+        ray.data.read_parquet(
+            f"{sf_dir_or_ds}/events.parquet",
+            columns=["event_id", "ts", "user_id", "value"],
+        )
+        if isinstance(sf_dir_or_ds, str)
+        else sf_dir_or_ds
+    )
+
+    def roll(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["ts", "event_id"], kind="mergesort")
+        cents = np.rint(g["value"].to_numpy() * 100).astype(np.int64)
+        rm = pd.Series(cents).rolling(window, min_periods=1).median()
+        return pd.DataFrame({"event_id": g["event_id"].to_numpy(), "roll_med": rm.to_numpy()})
+
+    return ds.groupby("user_id").map_groups(roll, batch_format="pandas")
+
+
+def event_lead(sf_dir_or_ds) -> "ray.data.Dataset":
+    """-> event_id:int64, next_event_id:float64|NaN, gap_us:float64|NaN —
+    the next event of the same user in (ts, event_id) order and the
+    exact microsecond gap to it (lag's forward-looking sibling; the gap
+    is an int64 difference surfaced as the driver-canonical float64
+    null representation, same rationale as :func:`event_lag`)."""
+    ds = (
+        ray.data.read_parquet(
+            f"{sf_dir_or_ds}/events.parquet", columns=["event_id", "ts", "user_id"]
+        )
+        if isinstance(sf_dir_or_ds, str)
+        else sf_dir_or_ds
+    )
+
+    def lead(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["ts", "event_id"], kind="mergesort")
+        nxt = g["event_id"].shift(-1).astype("float64")
+        us = _epoch_us(g["ts"]).astype("float64")
+        gap = np.empty(len(us))
+        gap[:-1] = us[1:] - us[:-1]
+        if len(gap):
+            gap[-1] = np.nan
+        return pd.DataFrame(
+            {"event_id": g["event_id"], "next_event_id": nxt, "gap_us": gap}
+        )
+
+    return ds.groupby("user_id").map_groups(lead, batch_format="pandas")
+
+
 def sessionize(sf_dir_or_ds) -> "ray.data.Dataset":
     """-> event_id, user_id, session_id:int64 — every event labeled with
     its 1-based per-user session ordinal (same >30 min gap rule as

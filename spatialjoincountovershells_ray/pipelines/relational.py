@@ -635,3 +635,39 @@ def dq_checks(
         )
         .sort("rule")
     )
+
+
+# ---------------------------------------------------------------------------
+# unpivot (melt): wide measures -> long (name, value) rows
+
+
+UNPIVOT_MEASURES = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def lineitem_unpivot(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """-> l_orderkey, l_linenumber, measure:string, val:double — the
+    UNPIVOT/melt relational op: the four lineitem measure columns turned
+    into one (name, value) row each (4x fan-out). Pure map: each batch
+    emits its four slices locally (values pass through untouched, so
+    bit-exactness is free); no exchange, no state — the shape that lets
+    a wide fact table feed a generic (key, measure, value) consumer."""
+
+    def melt(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        parts = []
+        for m in UNPIVOT_MEASURES:
+            parts.append(
+                pa.table(
+                    {
+                        "l_orderkey": batch.column("l_orderkey"),
+                        "l_linenumber": batch.column("l_linenumber").cast(pa.int64()),
+                        "measure": pa.repeat(pa.scalar(m, pa.string()), n),
+                        "val": batch.column(m).cast(pa.float64()),
+                    }
+                )
+            )
+        return pa.concat_tables(parts, promote_options="none")
+
+    return ds.select_columns(
+        ["l_orderkey", "l_linenumber", *UNPIVOT_MEASURES]
+    ).map_batches(melt, batch_format="pyarrow", zero_copy_batch=True)

@@ -361,6 +361,93 @@ def _share_kernel(tbl: pa.Table) -> pa.Table:
     )
 
 
+OVERLAP_DAY_US = 86_400_000_000
+
+
+def _overlap_kernel(tbl: pa.Table) -> pa.Table:
+    """Per-customer overlapping-interval pairs, one vectorized sweep.
+
+    Intervals are sorted by (customer, start, orderkey); because interval
+    a precedes b in that order, the pair overlaps iff b.start <= a.end
+    (closed intervals). Each row's partners are then one contiguous run
+    of its successors, found with a single np.searchsorted over the same
+    composite (customer-rank x span) int64 axis the attribution kernel
+    uses — ends are clamped to the customer's segment so a probe can
+    never bleed into a neighboring customer. Output size equals the true
+    pair count; work is O(n log n + pairs) per bucket with no Python
+    loop."""
+    cust = tbl.column("o_custkey").to_numpy()
+    okey = tbl.column("o_orderkey").to_numpy()
+    s = tbl.column("s_us").to_numpy()
+    e = tbl.column("e_us").to_numpy()
+    empty = pa.table(
+        {
+            "o_custkey": pa.array([], pa.int64()),
+            "a_orderkey": pa.array([], pa.int64()),
+            "b_orderkey": pa.array([], pa.int64()),
+        }
+    )
+    n = len(cust)
+    if n == 0:
+        return empty
+    order = np.lexsort((okey, s, cust))
+    c, k, s, e = cust[order], okey[order], s[order], e[order]
+    t0 = int(s.min())
+    span = max(int(s.max()), int(e.max())) - t0 + 2
+    uu, uidx = np.unique(c, return_inverse=True)
+    if len(uu) * span >= (1 << 62):  # composite axis would overflow int64
+        raise ValueError("overlap kernel: customers x time span exceeds int64")
+    key_s = uidx * span + (s - t0)
+    # clamp each end into its own customer segment: a probe at the clamp
+    # still covers every in-segment start (starts sit at offsets < span-1)
+    key_e = np.minimum(uidx * span + np.minimum(e - t0, span - 2), uidx * span + span - 2)
+    hi = np.searchsorted(key_s, key_e, "right")
+    base = np.arange(n, dtype=np.int64)
+    cnt = hi - base - 1
+    cnt = np.maximum(cnt, 0)
+    total = int(cnt.sum())
+    if total == 0:
+        return empty
+    ai = np.repeat(base, cnt)
+    offs = np.concatenate([[0], np.cumsum(cnt[:-1])])
+    bi = ai + 1 + (np.arange(total, dtype=np.int64) - np.repeat(offs, cnt))
+    return pa.table(
+        {
+            "o_custkey": pa.array(c[ai], pa.int64()),
+            "a_orderkey": pa.array(k[ai], pa.int64()),
+            "b_orderkey": pa.array(k[bi], pa.int64()),
+        }
+    )
+
+
+def order_overlap_pairs(orders: "ray.data.Dataset") -> "ray.data.Dataset":
+    """-> o_custkey, a_orderkey, b_orderkey — every pair of the same
+    customer's orders whose processing windows overlap, where an order's
+    window is [orderdate, orderdate + (1 + orderkey % 7) days] (a
+    deterministic per-row duration). The interval SELF-join shape — the
+    op the SQL twin spells as an O(g^2) self-join per customer — run as
+    one sorted sweep per key bucket, emitting each unordered pair once
+    with a the earlier interval ((start, orderkey) order)."""
+
+    def prep(batch: pa.Table) -> pa.Table:
+        us = batch.column("o_orderdate").cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
+        okey = batch.column("o_orderkey").to_numpy()
+        dur = (1 + okey % 7) * OVERLAP_DAY_US
+        return pa.table(
+            {
+                "o_custkey": batch.column("o_custkey"),
+                "o_orderkey": batch.column("o_orderkey"),
+                "s_us": pa.array(us, pa.int64()),
+                "e_us": pa.array(us + dur, pa.int64()),
+            }
+        )
+
+    prepped = orders.select_columns(
+        ["o_custkey", "o_orderkey", "o_orderdate"]
+    ).map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    return keyed_partition_apply(prepped, "o_custkey", _overlap_kernel)
+
+
 def order_share(orders: "ray.data.Dataset") -> "ray.data.Dataset":
     """-> o_custkey, o_orderkey, cents, share — each order's share of its
     customer's total spend (the SQL ratio-to-report window), via the

@@ -526,6 +526,34 @@ def q_order_dist_stats(sf_dir: str):
     )
 
 
+def q_event_rolling_median(sf_dir: str):
+    return events.event_rolling_median(sf_dir)
+
+
+def q_event_lead(sf_dir: str):
+    return events.event_lead(sf_dir)
+
+
+def q_order_overlap_pairs(sf_dir: str):
+    return window.order_overlap_pairs(
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        )
+    )
+
+
+def q_lineitem_unpivot(sf_dir: str):
+    from spatialjoincountovershells_ray.pipelines.relational import UNPIVOT_MEASURES
+
+    return relational.lineitem_unpivot(
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_linenumber", *UNPIVOT_MEASURES],
+        )
+    )
+
+
 def q_click_except_purchase(sf_dir: str):
     return relational.user_days_set_op(sf_dir, "click", "purchase", "except")
 
@@ -2058,6 +2086,45 @@ _ROLLING_MAX_SQL = (
     "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS roll_max FROM events"
 )
 
+# windowed median over exact int64 cents: both engines compute the
+# even-count case as one correctly-rounded (lo+hi)/2 double, verified
+# bit-equal empirically (see events.event_rolling_median)
+_ROLLING_MEDIAN_SQL = (
+    "SELECT event_id, median(CAST(round(value * 100) AS BIGINT)) OVER ("
+    "PARTITION BY user_id ORDER BY ts, event_id "
+    "ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS roll_med FROM events"
+)
+
+_EVENT_LEAD_SQL = (
+    "SELECT event_id, CAST(lead(event_id) OVER w AS DOUBLE) AS next_event_id, "
+    "CAST(date_diff('microsecond', ts, lead(ts) OVER w) AS DOUBLE) AS gap_us "
+    "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
+)
+
+# the O(g^2)-per-customer interval self-join the engine answers with a
+# sorted sweep (window.order_overlap_pairs); closed intervals, pair
+# emitted once with `a` the earlier (start, orderkey) interval
+_ORDER_OVERLAP_SQL = (
+    "WITH w AS (SELECT o_custkey, o_orderkey AS k, "
+    "CAST(epoch_us(o_orderdate) AS BIGINT) AS s, "
+    "CAST(epoch_us(o_orderdate) AS BIGINT) + (1 + o_orderkey % 7) * 86400000000 AS e "
+    "FROM orders) "
+    "SELECT a.o_custkey, a.k AS a_orderkey, b.k AS b_orderkey "
+    "FROM w a JOIN w b ON a.o_custkey = b.o_custkey "
+    "AND (a.s < b.s OR (a.s = b.s AND a.k < b.k)) AND b.s <= a.e"
+)
+
+_UNPIVOT_SQL = (
+    "SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, "
+    "'l_quantity' AS measure, CAST(l_quantity AS DOUBLE) AS val FROM lineitem "
+    "UNION ALL SELECT l_orderkey, CAST(l_linenumber AS BIGINT), "
+    "'l_extendedprice', l_extendedprice FROM lineitem "
+    "UNION ALL SELECT l_orderkey, CAST(l_linenumber AS BIGINT), "
+    "'l_discount', l_discount FROM lineitem "
+    "UNION ALL SELECT l_orderkey, CAST(l_linenumber AS BIGINT), "
+    "'l_tax', l_tax FROM lineitem"
+)
+
 def _geo_sql() -> str:
     from spatialjoincountovershells_ray.pipelines.geo_join import RAD, a_threshold
 
@@ -3294,6 +3361,10 @@ REGISTRY: dict[str, QueryDef] = {
     "top_terms": QueryDef(q_top_terms, _TOP_TERMS_SQL),
     "event_window_agg": QueryDef(events.event_window_agg, _WINDOW_AGG_SQL),
     "event_rolling_max": QueryDef(events.event_rolling_max, _ROLLING_MAX_SQL),
+    "event_rolling_median": QueryDef(q_event_rolling_median, _ROLLING_MEDIAN_SQL),
+    "event_lead": QueryDef(q_event_lead, _EVENT_LEAD_SQL),
+    "order_overlap_pairs": QueryDef(q_order_overlap_pairs, _ORDER_OVERLAP_SQL),
+    "lineitem_unpivot": QueryDef(q_lineitem_unpivot, _UNPIVOT_SQL),
     "event_sliding_counts": QueryDef(events.event_sliding_counts, _SLIDING_SQL),
     "event_asof_join": QueryDef(events.event_asof_join, _ASOF_SQL),
     "event_transitions": QueryDef(events.event_transition_counts, _TRANSITIONS_SQL),

@@ -439,3 +439,65 @@ class TestSessionConcurrency:
             }
         )
         pd.testing.assert_frame_equal(got.reset_index(drop=True), want)
+
+
+def test_event_rolling_median_matches_duckdb():
+    import duckdb
+
+    rng = np.random.default_rng(31)
+    n = 3000
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": rng.integers(0, 25, n).astype(np.int64),
+            "ts": pd.to_datetime(rng.integers(0, 10**9, n), unit="s"),
+            "value": rng.integers(0, 10**6, n).astype(np.float64) / 100.0,
+        }
+    )
+    ds = ray.data.from_pandas([d for d in np.array_split(df, 7)])
+    out = (
+        events.event_rolling_median(ds)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("events", df)
+    exp = con.execute(
+        "SELECT event_id, median(CAST(round(value * 100) AS BIGINT)) OVER ("
+        "PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS roll_med "
+        "FROM events ORDER BY event_id"
+    ).df()
+    # bit-exact: int64 cents in, one correctly-rounded division out
+    assert np.array_equal(out["roll_med"].to_numpy(), exp["roll_med"].to_numpy())
+
+
+def test_event_lead_matches_duckdb():
+    import duckdb
+
+    rng = np.random.default_rng(32)
+    n = 2000
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": rng.integers(0, 30, n).astype(np.int64),
+            "ts": pd.to_datetime(rng.integers(0, 10**9, n), unit="s"),
+        }
+    )
+    ds = ray.data.from_pandas([d for d in np.array_split(df, 5)])
+    out = (
+        events.event_lead(ds).to_pandas().sort_values("event_id").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("events", df)
+    exp = con.execute(
+        "SELECT event_id, CAST(lead(event_id) OVER w AS DOUBLE) AS next_event_id, "
+        "CAST(date_diff('microsecond', ts, lead(ts) OVER w) AS DOUBLE) AS gap_us "
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id) "
+        "ORDER BY event_id"
+    ).df()
+    for c in ("next_event_id", "gap_us"):
+        a, b = out[c].to_numpy(), exp[c].to_numpy()
+        assert np.array_equal(np.isnan(a), np.isnan(b))
+        assert np.array_equal(a[~np.isnan(a)], b[~np.isnan(b)])

@@ -719,3 +719,32 @@ class TestDqChecks:
 
         with pytest.raises(ValueError, match="no rules"):
             relational.dq_checks(ray.data.range(3))
+
+
+class TestUnpivot:
+    def test_melt_roundtrip(self):
+        from spatialjoincountovershells_ray.pipelines import relational
+
+        rng = np.random.default_rng(41)
+        n = 500
+        df = pd.DataFrame(
+            {
+                "l_orderkey": rng.integers(1, 100, n).astype(np.int64),
+                "l_linenumber": rng.integers(1, 8, n).astype(np.int32),
+                "l_quantity": rng.integers(1, 50, n).astype(np.float64),
+                "l_extendedprice": rng.random(n) * 1000,
+                "l_discount": rng.random(n) * 0.1,
+                "l_tax": rng.random(n) * 0.08,
+            }
+        )
+        ds = ray.data.from_pandas([d for d in np.array_split(df, 4)])
+        out = relational.lineitem_unpivot(ds).to_pandas()
+        assert len(out) == 4 * n
+        assert sorted(out["measure"].unique()) == sorted(relational.UNPIVOT_MEASURES)
+        # values pass through bit-exact: pivot back and compare
+        for m in relational.UNPIVOT_MEASURES:
+            sub = out[out["measure"] == m].sort_values(["l_orderkey", "l_linenumber"])
+            src = df.sort_values(["l_orderkey", "l_linenumber"])
+            assert np.array_equal(
+                np.sort(sub["val"].to_numpy()), np.sort(df[m].to_numpy())
+            )

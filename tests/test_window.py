@@ -445,3 +445,56 @@ def test_order_share_sums_to_one_and_matches_pandas():
     assert out["share"].to_numpy().tolist() == want.tolist()
     sums = out.groupby("o_custkey")["share"].sum()
     assert np.allclose(sums, 1.0)
+
+
+class TestOverlapPairs:
+    def test_matches_self_join_sql(self):
+        rng = np.random.default_rng(23)
+        n = 2000
+        day = 86_400_000_000
+        df = pd.DataFrame(
+            {
+                "o_orderkey": np.arange(1, n + 1, dtype=np.int64),
+                "o_custkey": rng.integers(0, 60, n).astype(np.int64),
+                # dates clustered into a few weeks so real overlaps occur,
+                # with exact-tie starts to exercise the orderkey tie-break
+                "o_orderdate": pd.to_datetime(
+                    rng.integers(0, 40, n) * day + rng.integers(0, 4, n) * (day // 2),
+                    unit="us",
+                ),
+            }
+        )
+        out = (
+            window.order_overlap_pairs(_blocks(df))
+            .to_pandas()
+            .sort_values(["o_custkey", "a_orderkey", "b_orderkey"])
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("orders", df)
+        exp = con.execute(
+            "WITH w AS (SELECT o_custkey, o_orderkey AS k, "
+            "CAST(epoch_us(o_orderdate) AS BIGINT) AS s, "
+            "CAST(epoch_us(o_orderdate) AS BIGINT) + (1 + o_orderkey % 7) * 86400000000 AS e "
+            "FROM orders) "
+            "SELECT a.o_custkey, a.k AS a_orderkey, b.k AS b_orderkey "
+            "FROM w a JOIN w b ON a.o_custkey = b.o_custkey "
+            "AND (a.s < b.s OR (a.s = b.s AND a.k < b.k)) AND b.s <= a.e "
+            "ORDER BY 1, 2, 3"
+        ).df()
+        exp[["o_custkey", "a_orderkey", "b_orderkey"]] = exp[
+            ["o_custkey", "a_orderkey", "b_orderkey"]
+        ].astype("int64")
+        assert len(out) > 0
+        pd.testing.assert_frame_equal(out[exp.columns.tolist()], exp)
+
+    def test_empty_and_singleton_groups(self):
+        df = pd.DataFrame(
+            {
+                "o_orderkey": np.array([1, 2], np.int64),
+                "o_custkey": np.array([7, 8], np.int64),  # one order each
+                "o_orderdate": pd.to_datetime([0, 0], unit="us"),
+            }
+        )
+        out = window.order_overlap_pairs(_blocks(df, nblocks=2)).to_pandas()
+        assert len(out) == 0
