@@ -59,7 +59,7 @@ def _consume(res) -> int:
     if isinstance(res, (pd.DataFrame, pa.Table)):
         return len(res)
     total = 0
-    for batch in res.iter_batches(batch_format="pyarrow"):
+    for batch in res.iter_batches(batch_format="pyarrow", batch_size=None):
         total += batch.num_rows
     return total
 
@@ -75,7 +75,7 @@ def run_headline(sf_dir: str) -> dict:
 
     from spatialjoincountovershells_ray.queries import LADDER, q_shell_count
 
-    for batch in q_shell_count(sf_dir).iter_batches(batch_format="pyarrow"):
+    for batch in q_shell_count(sf_dir).iter_batches(batch_format="pyarrow", batch_size=None):
         pass
 
     t0 = time.time()
@@ -83,7 +83,7 @@ def run_headline(sf_dir: str) -> dict:
     scols = [f"s{i}" for i in range(LADDER.nrads)]
     totals = dict.fromkeys(scols, 0)
     nrows = 0
-    for batch in ds.iter_batches(batch_format="pyarrow"):
+    for batch in ds.iter_batches(batch_format="pyarrow", batch_size=None):
         nrows += batch.num_rows
         for c in scols:
             s = batch.column(c)
@@ -147,7 +147,7 @@ def run_scaling_workload(sf_dir: str, *, ntrials: int = 3, light_warmup: bool = 
         )
         pairs = 0
         rows = 0
-        for b in ds.iter_batches(batch_format="pyarrow"):
+        for b in ds.iter_batches(batch_format="pyarrow", batch_size=None):
             rows += b.num_rows
             for i in range(ladder.nrads):
                 pairs += pc.sum(b.column(f"s{i}")).as_py() or 0
@@ -166,7 +166,7 @@ def run_scaling_workload(sf_dir: str, *, ntrials: int = 3, light_warmup: bool = 
             sort=False,
             batch_size=None,
         )
-        for _ in wds.iter_batches(batch_format="pyarrow"):
+        for _ in wds.iter_batches(batch_format="pyarrow", batch_size=None):
             pass
     else:
         once()  # warmup (worker imports, first-touch, index put)
