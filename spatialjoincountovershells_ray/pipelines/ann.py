@@ -284,6 +284,7 @@ def ivf_topk(
     nprobe: int = 4,
     train_rows: int = 4096,
     concurrency=None,
+    sample: np.ndarray | None = None,
 ) -> "ray.data.Dataset":
     """IVF ANN: train centroids on a bounded deterministic sample
     (:func:`train_sample` — the only driver-side materialization,
@@ -293,7 +294,8 @@ def ivf_topk(
     schema as cosine_topk."""
     if concurrency is None:
         concurrency = default_pool()
-    sample = train_sample(embeddings, train_rows)
+    if sample is None:
+        sample = train_sample(embeddings, train_rows)
     cents = kmeans_centroids(sample, nlist)
     qmat = _norm_rows(np.asarray(query_mat, dtype=np.float64))
     # per-query probe lists -> bucket -> queries inverted map
@@ -428,6 +430,7 @@ def pq_encode(
     m: int = 8,
     ksub: int = 16,
     train_rows: int = 4096,
+    sample: np.ndarray | None = None,
 ) -> "ray.data.Dataset":
     """-> vec_id:int64, code:binary(m bytes) — the PQ-compressed vector
     table (64-dim float32 -> m bytes, a 32x compression at m=8): the
@@ -435,7 +438,8 @@ def pq_encode(
     floats. Codebooks train on a bounded sample (the IVF contract: the
     only driver materialization, O(train_rows x D)); encoding is one
     stateless vectorized scan."""
-    sample = train_sample(embeddings, train_rows)
+    if sample is None:
+        sample = train_sample(embeddings, train_rows)
     books = pq_train(sample, m, ksub)
     ref = ray.put(books)
 
@@ -468,6 +472,7 @@ def pq_topk(
     ksub: int = 16,
     train_rows: int = 4096,
     concurrency=None,
+    sample: np.ndarray | None = None,
 ) -> "ray.data.Dataset":
     """PQ ANN: asymmetric-distance (ADC) top-k over product-quantized
     vectors — each query precomputes an [m, ksub] table of subspace
@@ -481,7 +486,8 @@ def pq_topk(
     cosine_topk."""
     if concurrency is None:
         concurrency = default_pool()
-    sample = train_sample(embeddings, train_rows)
+    if sample is None:
+        sample = train_sample(embeddings, train_rows)
     books = pq_train(sample, m, ksub)
     qmat = _norm_rows(np.asarray(query_mat, dtype=np.float64))
     dsub = qmat.shape[1] // m
@@ -554,6 +560,7 @@ def ivfpq_topk(
     ksub: int = 16,
     train_rows: int = 4096,
     concurrency=None,
+    sample: np.ndarray | None = None,
 ) -> "ray.data.Dataset":
     """The composed billion-scale ANN plan: IVF list probing (ivf_topk)
     to bound WHICH vectors each query scores, PQ asymmetric-distance
@@ -567,7 +574,8 @@ def ivfpq_topk(
     """
     if concurrency is None:
         concurrency = default_pool()
-    sample = train_sample(embeddings, train_rows)
+    if sample is None:
+        sample = train_sample(embeddings, train_rows)
     cents = kmeans_centroids(sample, nlist)
     books = pq_train(sample, m, ksub)
     qmat = _norm_rows(np.asarray(query_mat, dtype=np.float64))
