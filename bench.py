@@ -248,6 +248,8 @@ BENCH_QUERIES = [
     "event_rolling_max",
     "event_rolling_median",
     "event_lead",
+    "latest_events",
+    "span_audit",
     "order_overlap_pairs",
     "lineitem_unpivot",
     "event_sliding_counts",

@@ -914,3 +914,82 @@ def session_concurrency_daily(sf_dir_or_ds) -> "ray.data.Dataset":
         )
 
     return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True).sort("day")
+
+
+def latest_events(sf_dir_or_ds) -> "ray.data.Dataset":
+    """-> user_id, last_event_id:int64, last_value:double — each user's
+    most recent event by (ts, event_id) order: the log-compaction /
+    upsert-materialization op (latest-wins per key).
+
+    Decomposable: "latest" is an associative max over (ts, event_id)
+    tuples, so each batch first folds to one row per user it contains
+    (lexsort + run ends — O(batch)), and only those partials cross the
+    exchange: O(users x batches) rows of four scalars, never the log.
+    The per-bucket final pass reruns the identical fold."""
+    ds = (
+        ray.data.read_parquet(
+            f"{sf_dir_or_ds}/events.parquet",
+            columns=["event_id", "ts", "user_id", "value"],
+        )
+        if isinstance(sf_dir_or_ds, str)
+        else sf_dir_or_ds
+    )
+    import pyarrow as pa
+
+    from spatialjoincountovershells_ray.pipelines.window import keyed_partition_apply
+
+    def fold(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "ts_us": pa.array([], pa.int64()),
+                    "event_id": pa.array([], pa.int64()),
+                    "value": pa.array([], pa.float64()),
+                }
+            )
+        u = tbl.column("user_id").to_numpy()
+        us = tbl.column("ts_us").to_numpy()
+        e = tbl.column("event_id").to_numpy()
+        v = tbl.column("value").to_numpy()
+        order = np.lexsort((e, us, u))
+        uu = u[order]
+        ends = np.flatnonzero(np.r_[uu[1:] != uu[:-1], True])
+        sel = order[ends]
+        return pa.table(
+            {
+                "user_id": pa.array(u[sel], pa.int64()),
+                "ts_us": pa.array(us[sel], pa.int64()),
+                "event_id": pa.array(e[sel], pa.int64()),
+                "value": pa.array(v[sel], pa.float64()),
+            }
+        )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = batch.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
+        return fold(
+            pa.table(
+                {
+                    "user_id": batch.column("user_id"),
+                    "ts_us": us,
+                    "event_id": batch.column("event_id"),
+                    "value": batch.column("value"),
+                }
+            )
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    merged = keyed_partition_apply(partials, "user_id", fold)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "last_event_id": batch.column("event_id"),
+                "last_value": batch.column("value"),
+            }
+        )
+
+    return merged.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True).sort(
+        "user_id"
+    )

@@ -229,3 +229,68 @@ def sample_frames(docs: "ray.data.Dataset", stride: int = 10) -> "ray.data.Datas
     return media_spans(docs).map_batches(
         explode, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def span_audit(docs: "ray.data.Dataset", record_kinds=("halo_record", "particle_record")) -> "ray.data.Dataset":
+    """-> doc_id, n_spans:int64, seq_ok:int64 — the per-document
+    span-sequence integrity audit of the interleaved text+media table:
+    the input contract (BASELINE.json ``input_hint``: span-sequence
+    equality on kind/text/media_ref/order) made queryable.
+
+    seq_ok = 1 iff the document matches the FIXTURES.md grammar exactly:
+    four spans, kinds [text, <record>, media, text], offsets [0,1,2,3],
+    media_ref non-empty on the media span and empty elsewhere, and the
+    media span carrying no text. One vectorized pass over the flattened
+    span arrays (list_flatten + parent indices, position = arange minus
+    repeated starts) — no per-row Python; the audit an ingest job runs
+    before trusting a shipped corpus snapshot."""
+    import pyarrow.compute as pc
+
+    def audit(batch: pa.Table) -> pa.Table:
+        spans = batch.column("spans")
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        doc_id = batch.column("doc_id")
+        n = pc.list_value_length(spans).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(spans)
+        kindcol = pc.struct_field(flat, "kind")
+        is_text = pc.equal(kindcol, "text").to_numpy(zero_copy_only=False)
+        is_media = pc.equal(kindcol, "media").to_numpy(zero_copy_only=False)
+        is_record = pc.is_in(
+            kindcol, value_set=pa.array(list(record_kinds))
+        ).to_numpy(zero_copy_only=False)
+        mref_len = pc.binary_length(pc.struct_field(flat, "media_ref")).to_numpy(zero_copy_only=False)
+        text_len = pc.binary_length(pc.struct_field(flat, "text")).to_numpy(zero_copy_only=False)
+        offset = pc.struct_field(flat, "offset").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        starts = np.concatenate([[0], np.cumsum(n[:-1])]).astype(np.int64) if len(n) else np.array([], np.int64)
+        pos = np.arange(len(offset), dtype=np.int64) - np.repeat(starts, n)
+        kind_ok = np.where(
+            pos == 0,
+            is_text,
+            np.where(pos == 1, is_record, np.where(pos == 2, is_media, is_text)),
+        )
+        span_ok = (
+            kind_ok
+            & (offset == pos)
+            & np.where(pos == 2, (mref_len > 0) & (text_len == 0), mref_len == 0)
+        )
+        # per-doc AND over span flags: count of ok spans equals n.
+        # reduceat is undefined at empty segments / an out-of-range final
+        # start (n == 0 docs); those docs fail the n == 4 test anyway, so
+        # clip the starts and let the mask zero them.
+        if len(span_ok):
+            ok_counts = np.add.reduceat(
+                span_ok.astype(np.int64), np.minimum(starts, len(span_ok) - 1)
+            )
+        else:
+            ok_counts = np.zeros(len(n), np.int64)
+        seq_ok = ((n == 4) & (ok_counts == n)).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": doc_id,
+                "n_spans": pa.array(n, pa.int64()),
+                "seq_ok": pa.array(seq_ok, pa.int64()),
+            }
+        )
+
+    return docs.map_batches(audit, batch_format="pyarrow", zero_copy_batch=True).sort("doc_id")

@@ -526,6 +526,19 @@ def q_order_dist_stats(sf_dir: str):
     )
 
 
+def q_latest_events(sf_dir: str):
+    return events.latest_events(sf_dir)
+
+
+def q_span_audit(sf_dir: str):
+    """Span-sequence integrity audit of the interleaved document table
+    (the input_hint per-row invariant, queryable)."""
+    from spatialjoincountovershells_ray.pipelines.multimodal import span_audit
+
+    hpath, _ = spatial_document_paths(sf_dir)
+    return span_audit(ray.data.read_parquet(hpath))
+
+
 def q_event_rolling_median(sf_dir: str):
     return events.event_rolling_median(sf_dir)
 
@@ -2125,6 +2138,24 @@ _ROLLING_MAX_SQL = (
     "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS roll_max FROM events"
 )
 
+# latest-wins log compaction: QUALIFY twin of the decomposable
+# batch-fold + keyed-exchange plan in events.latest_events
+_LATEST_EVENTS_SQL = (
+    "SELECT user_id, event_id AS last_event_id, value AS last_value FROM events "
+    "QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1 "
+    "ORDER BY user_id"
+)
+
+# the span grammar is deterministic from the base table (FIXTURES.md:
+# every halo doc carries exactly the 4-span [text, halo_record, media,
+# text] layout), so the twin states the invariant the engine verifies
+# against the real file
+_SPAN_AUDIT_SQL = (
+    "SELECT 'halo-' || CAST(c_custkey AS VARCHAR) AS doc_id, "
+    "CAST(4 AS BIGINT) AS n_spans, CAST(1 AS BIGINT) AS seq_ok "
+    "FROM customer ORDER BY doc_id"
+)
+
 # windowed median over exact int64 cents: both engines compute the
 # even-count case as one correctly-rounded (lo+hi)/2 double, verified
 # bit-equal empirically (see events.event_rolling_median)
@@ -3401,6 +3432,8 @@ REGISTRY: dict[str, QueryDef] = {
     "event_window_agg": QueryDef(events.event_window_agg, _WINDOW_AGG_SQL),
     "event_rolling_max": QueryDef(events.event_rolling_max, _ROLLING_MAX_SQL),
     "event_rolling_median": QueryDef(q_event_rolling_median, _ROLLING_MEDIAN_SQL),
+    "latest_events": QueryDef(q_latest_events, _LATEST_EVENTS_SQL),
+    "span_audit": QueryDef(q_span_audit, _SPAN_AUDIT_SQL),
     "event_lead": QueryDef(q_event_lead, _EVENT_LEAD_SQL),
     "order_overlap_pairs": QueryDef(q_order_overlap_pairs, _ORDER_OVERLAP_SQL),
     "lineitem_unpivot": QueryDef(q_lineitem_unpivot, _UNPIVOT_SQL),

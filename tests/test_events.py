@@ -501,3 +501,30 @@ def test_event_lead_matches_duckdb():
         a, b = out[c].to_numpy(), exp[c].to_numpy()
         assert np.array_equal(np.isnan(a), np.isnan(b))
         assert np.array_equal(a[~np.isnan(a)], b[~np.isnan(b)])
+
+
+def test_latest_events_matches_duckdb():
+    import duckdb
+
+    rng = np.random.default_rng(33)
+    n = 4000
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": rng.integers(0, 50, n).astype(np.int64),
+            # coarse ts so ties force the event_id tie-break
+            "ts": pd.to_datetime(rng.integers(0, 100, n), unit="s"),
+            "value": rng.random(n) * 10,
+        }
+    )
+    ds = ray.data.from_pandas([d for d in np.array_split(df, 9)])
+    out = events.latest_events(ds).to_pandas().reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("events", df)
+    exp = con.execute(
+        "SELECT user_id, event_id AS last_event_id, value AS last_value FROM events "
+        "QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1 "
+        "ORDER BY user_id"
+    ).df()
+    exp[["user_id", "last_event_id"]] = exp[["user_id", "last_event_id"]].astype("int64")
+    pd.testing.assert_frame_equal(out[exp.columns.tolist()], exp)

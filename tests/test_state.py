@@ -140,3 +140,68 @@ class TestMultimodal:
         assert per.apply(lambda s: s.is_unique).all()
         # per-span count = ceil(nframes/stride) <= 12 (nframes <= 120)
         assert per.count().max() <= 12
+
+
+class TestSpanAudit:
+    def _doc(self, did, spans):
+        from spatialjoincountovershells_ray.sources.documents import SPAN_TYPE
+
+        return {"doc_id": did, "spans": spans}
+
+    def test_grammar_violations_flagged(self):
+        import pyarrow as pa
+
+        from spatialjoincountovershells_ray.pipelines.multimodal import span_audit
+        from spatialjoincountovershells_ray.sources.documents import DOC_SCHEMA
+
+        def sp(kind, text="", mref="", off=0):
+            return {"kind": kind, "text": text, "media_ref": mref, "offset": off}
+
+        good = [
+            sp("text", "a", "", 0),
+            sp("halo_record", "1 2 3", "", 1),
+            sp("media", "", "s3://x/0.png", 2),
+            sp("text", "b", "", 3),
+        ]
+        bad_order = [good[1], good[0], good[2], good[3]]  # kinds swapped
+        bad_offset = [good[0], {**good[1], "offset": 9}, good[2], good[3]]
+        bad_media = [good[0], good[1], sp("media", "", "", 2), good[3]]
+        bad_ref_on_text = [{**good[0], "media_ref": "s3://y"}, good[1], good[2], good[3]]
+        short = good[:3]
+        rows = {
+            "ok": good,
+            "bad_order": bad_order,
+            "bad_offset": bad_offset,
+            "bad_media": bad_media,
+            "bad_ref_on_text": bad_ref_on_text,
+            "short": short,
+            "empty": [],
+        }
+        tbl = pa.Table.from_pydict(
+            {
+                "doc_id": list(rows.keys()),
+                "spans": pa.array(list(rows.values()), DOC_SCHEMA.field("spans").type),
+            }
+        )
+        out = (
+            span_audit(ray.data.from_arrow(tbl))
+            .to_pandas()
+            .set_index("doc_id")["seq_ok"]
+            .to_dict()
+        )
+        assert out == {
+            "ok": 1,
+            "bad_order": 0,
+            "bad_offset": 0,
+            "bad_media": 0,
+            "bad_ref_on_text": 0,
+            "short": 0,
+            "empty": 0,
+        }
+        ns = (
+            span_audit(ray.data.from_arrow(tbl))
+            .to_pandas()
+            .set_index("doc_id")["n_spans"]
+            .to_dict()
+        )
+        assert ns["empty"] == 0 and ns["short"] == 3 and ns["ok"] == 4
