@@ -250,6 +250,7 @@ BENCH_QUERIES = [
     "event_lead",
     "latest_events",
     "span_audit",
+    "orders_apply_cdc",
     "order_overlap_pairs",
     "lineitem_unpivot",
     "event_sliding_counts",

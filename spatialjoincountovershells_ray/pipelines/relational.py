@@ -671,3 +671,63 @@ def lineitem_unpivot(ds: "ray.data.Dataset") -> "ray.data.Dataset":
     return ds.select_columns(
         ["l_orderkey", "l_linenumber", *UNPIVOT_MEASURES]
     ).map_batches(melt, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# CDC apply (MERGE/upsert): snapshot_diff's inverse
+
+
+def apply_changes(
+    base: "ray.data.Dataset",
+    changes: "ray.data.Dataset",
+    key: str,
+    payload_cols: list[str],
+) -> "ray.data.Dataset":
+    """MERGE a CDC change table into a keyed snapshot: -> the new
+    snapshot (key + payload_cols, sorted by key). ``changes`` carries
+    {key, op, payload_cols} with op in ('upsert', 'delete'): upsert
+    replaces the keyed row or inserts it, delete removes it —
+    :func:`snapshot_diff`'s inverse, the lakehouse MERGE INTO shape.
+
+    Physical plan: tag each side, union, one key-hash bucket exchange
+    (each key's base row and its change meet in exactly one bucket),
+    then a vectorized per-bucket resolve: base rows whose key appears in
+    the change set drop, upsert rows emit as-is. The exchange carries
+    key + payload columns only; no side is broadcast, so the change
+    table may be arbitrarily large (a full-snapshot restatement is just
+    a big change table). Keys must be unique per side (asserted per
+    bucket — a fan-out MERGE is a bug, not a join)."""
+    from spatialjoincountovershells_ray.pipelines.window import keyed_partition_apply
+
+    cols = [key] + list(payload_cols)
+
+    def tag_base(batch: pa.Table) -> pa.Table:
+        t = batch.select(cols)
+        return t.append_column("_op", pa.repeat(pa.scalar("base", pa.string()), t.num_rows))
+
+    def tag_change(batch: pa.Table) -> pa.Table:
+        return batch.select(cols + ["_op"]) if "_op" in batch.column_names else batch.select(cols + ["op"]).rename_columns(cols + ["_op"])
+
+    tagged = base.map_batches(
+        tag_base, batch_format="pyarrow", zero_copy_batch=True
+    ).union(changes.map_batches(tag_change, batch_format="pyarrow", zero_copy_batch=True))
+
+    def resolve(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0 or tbl.num_columns == 0:
+            return pa.table(
+                {c: pa.array([], pa.int64() if c == key else pa.string()) for c in cols}
+            )
+        op = tbl.column("_op").to_numpy(zero_copy_only=False)
+        is_base = op == "base"
+        b = tbl.filter(pa.array(is_base)).select(cols)
+        ch = tbl.filter(pa.array(~is_base))
+        bk = b.column(key).to_numpy()
+        ck = ch.column(key).to_numpy()
+        for side_k, side in ((bk, "base"), (ck, "changes")):
+            if len(side_k) and len(np.unique(side_k)) != len(side_k):
+                raise ValueError(f"apply_changes: duplicate keys in {side}")
+        keep = ~np.isin(bk, ck)
+        ups = ch.filter(pa.compute.equal(ch.column("_op"), "upsert")).select(cols)
+        return pa.concat_tables([b.filter(pa.array(keep)), ups], promote_options="none")
+
+    return keyed_partition_apply(tagged, key, resolve).sort(key)

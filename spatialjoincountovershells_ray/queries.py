@@ -539,6 +539,56 @@ def q_span_audit(sf_dir: str):
     return span_audit(ray.data.read_parquet(hpath))
 
 
+def q_orders_apply_cdc(sf_dir: str):
+    """MERGE INTO (snapshot_diff's inverse): a deterministic change table
+    derived from orders — upsert prio='RUSH' for keys %10==0, delete
+    keys %10==1, insert mirrored -key rows for keys %10==2 — applied to
+    the base snapshot through the keyed bucket exchange."""
+    cols = ["o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice"]
+
+    def to_snapshot(batch: pa.Table) -> pa.Table:
+        cents = np.rint(batch.column("o_totalprice").to_numpy() * 100).astype(np.int64)
+        return pa.table(
+            {
+                "o_orderkey": batch.column("o_orderkey"),
+                "o_custkey": batch.column("o_custkey"),
+                "prio": batch.column("o_orderpriority"),
+                "cents": pa.array(cents, pa.int64()),
+            }
+        )
+
+    def to_changes(batch: pa.Table) -> pa.Table:
+        t = to_snapshot(batch)
+        k = t.column("o_orderkey").to_numpy()
+        m = k % 10
+        up = t.filter(pa.array(m == 0))
+        up = up.set_column(
+            up.schema.get_field_index("prio"),
+            "prio",
+            pa.repeat(pa.scalar("RUSH", pa.string()), up.num_rows),
+        )
+        rm = t.filter(pa.array(m == 1))
+        ins = t.filter(pa.array(m == 2))
+        ins = ins.set_column(
+            0, "o_orderkey", pa.compute.negate(ins.column("o_orderkey"))
+        )
+        ops = (
+            ["upsert"] * up.num_rows + ["delete"] * rm.num_rows + ["upsert"] * ins.num_rows
+        )
+        out = pa.concat_tables([up, rm, ins], promote_options="none")
+        return out.append_column("op", pa.array(ops, pa.string()))
+
+    base = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=cols).map_batches(
+        to_snapshot, batch_format="pyarrow", zero_copy_batch=True
+    )
+    changes = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=cols).map_batches(
+        to_changes, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return relational.apply_changes(
+        base, changes, "o_orderkey", ["o_custkey", "prio", "cents"]
+    )
+
+
 def q_event_rolling_median(sf_dir: str):
     return events.event_rolling_median(sf_dir)
 
@@ -2138,6 +2188,17 @@ _ROLLING_MAX_SQL = (
     "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS roll_max FROM events"
 )
 
+# MERGE INTO twin: restate the applied change set declaratively
+_APPLY_CDC_SQL = (
+    "WITH b AS (SELECT o_orderkey, o_custkey, o_orderpriority AS prio, "
+    "CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders) "
+    "SELECT o_orderkey, o_custkey, "
+    "CASE WHEN o_orderkey % 10 = 0 THEN 'RUSH' ELSE prio END AS prio, cents "
+    "FROM b WHERE o_orderkey % 10 <> 1 "
+    "UNION ALL SELECT -o_orderkey, o_custkey, prio, cents FROM b "
+    "WHERE o_orderkey % 10 = 2 ORDER BY o_orderkey"
+)
+
 # latest-wins log compaction: QUALIFY twin of the decomposable
 # batch-fold + keyed-exchange plan in events.latest_events
 _LATEST_EVENTS_SQL = (
@@ -3433,6 +3494,7 @@ REGISTRY: dict[str, QueryDef] = {
     "event_rolling_max": QueryDef(events.event_rolling_max, _ROLLING_MAX_SQL),
     "event_rolling_median": QueryDef(q_event_rolling_median, _ROLLING_MEDIAN_SQL),
     "latest_events": QueryDef(q_latest_events, _LATEST_EVENTS_SQL),
+    "orders_apply_cdc": QueryDef(q_orders_apply_cdc, _APPLY_CDC_SQL),
     "span_audit": QueryDef(q_span_audit, _SPAN_AUDIT_SQL),
     "event_lead": QueryDef(q_event_lead, _EVENT_LEAD_SQL),
     "order_overlap_pairs": QueryDef(q_order_overlap_pairs, _ORDER_OVERLAP_SQL),

@@ -748,3 +748,46 @@ class TestUnpivot:
             assert np.array_equal(
                 np.sort(sub["val"].to_numpy()), np.sort(df[m].to_numpy())
             )
+
+
+class TestApplyChanges:
+    def test_merge_semantics(self):
+        from spatialjoincountovershells_ray.pipelines import relational
+
+        base = pd.DataFrame(
+            {
+                "k": np.array([1, 2, 3, 4], np.int64),
+                "v": ["a", "b", "c", "d"],
+            }
+        )
+        changes = pd.DataFrame(
+            {
+                "k": np.array([2, 3, 9], np.int64),
+                "v": ["B", "ignored", "new"],
+                "op": ["upsert", "delete", "upsert"],
+            }
+        )
+        out = (
+            relational.apply_changes(
+                ray.data.from_pandas([base.iloc[:2], base.iloc[2:]]),
+                ray.data.from_pandas(changes),
+                "k",
+                ["v"],
+            )
+            .to_pandas()
+            .reset_index(drop=True)
+        )
+        assert out["k"].tolist() == [1, 2, 4, 9]
+        assert out["v"].tolist() == ["a", "B", "d", "new"]
+
+    def test_duplicate_keys_refused(self):
+        import pytest
+
+        from spatialjoincountovershells_ray.pipelines import relational
+
+        base = pd.DataFrame({"k": np.array([1, 1], np.int64), "v": ["a", "b"]})
+        ch = pd.DataFrame({"k": np.array([1], np.int64), "v": ["x"], "op": ["upsert"]})
+        with pytest.raises(Exception, match="duplicate keys"):
+            relational.apply_changes(
+                ray.data.from_pandas(base), ray.data.from_pandas(ch), "k", ["v"]
+            ).to_pandas()
