@@ -251,6 +251,7 @@ BENCH_QUERIES = [
     "latest_events",
     "span_audit",
     "orders_apply_cdc",
+    "zorder_box",
     "order_overlap_pairs",
     "lineitem_unpivot",
     "event_sliding_counts",

@@ -230,6 +230,20 @@ def point_in_polygons(
     return out.sort([id_col, "poly_id"]) if sort else out
 
 
+def _morton3(ix: np.ndarray, iy: np.ndarray, iz: np.ndarray, level: int) -> np.ndarray:
+    """Bit-interleave three level-bit cell indices into one Morton key
+    (x highest): the space-filling order both the shard audit and the
+    pruned box query partition by."""
+    m = np.zeros(len(ix), np.int64)
+    for i in range(level):
+        m |= (
+            (((ix >> i) & 1) << (3 * i + 2))
+            | (((iy >> i) & 1) << (3 * i + 1))
+            | (((iz >> i) & 1) << (3 * i))
+        )
+    return m
+
+
 def zorder_shard_stats(
     points: "ray.data.Dataset",
     box: float,
@@ -268,13 +282,7 @@ def zorder_shard_stats(
             or max(ix.max(), iy.max(), iz.max()) > hi
         ):
             raise ValueError("zorder_shard_stats: point outside [0, box)")
-        m = np.zeros(len(ix), np.int64)
-        for i in range(level):
-            m |= (
-                (((ix >> i) & 1) << (3 * i + 2))
-                | (((iy >> i) & 1) << (3 * i + 1))
-                | (((iz >> i) & 1) << (3 * i))
-            )
+        m = _morton3(ix, iy, iz, level)
         shard = m >> drop
         order = np.argsort(m, kind="stable")
         ms = m[order]
@@ -314,4 +322,129 @@ def zorder_shard_stats(
         .repartition(1)  # <= 2^shard_bits rows per input block by then
         .map_batches(fold, batch_format="pyarrow", zero_copy_batch=True)
         .sort("shard")
+    )
+
+
+def zorder_partitioned_copy(
+    points: "ray.data.Dataset",
+    out_dir: str,
+    box: float,
+    level: int = 4,
+    shard_bits: int = 6,
+    overwrite: bool = False,
+) -> dict:
+    """Materialize ``points`` as a Morton-sharded parquet layout
+    (``out_dir/bucket=S/``, S = top ``shard_bits`` bits of the level-grid
+    Morton key): the write-side half of range-prunable spatial storage.
+    Same manifest/tmp-rename resume contract as the hash sink
+    (sources.sinks.write_partitioned); returns the manifest."""
+    from spatialjoincountovershells_ray.sources.sinks import write_partitioned
+
+    cell = box / float(1 << level)
+    drop = 3 * level - shard_bits
+    hi = np.int64((1 << level) - 1)
+
+    def shard_fn(batch: pa.Table) -> np.ndarray:
+        ix = np.clip(np.floor(batch.column("x").to_numpy() / cell).astype(np.int64), 0, hi)
+        iy = np.clip(np.floor(batch.column("y").to_numpy() / cell).astype(np.int64), 0, hi)
+        iz = np.clip(np.floor(batch.column("z").to_numpy() / cell).astype(np.int64), 0, hi)
+        return _morton3(ix, iy, iz, level) >> drop
+
+    return write_partitioned(
+        points,
+        out_dir,
+        key=f"zorder:level={level}:bits={shard_bits}:box={box!r}",
+        nbuckets=1 << shard_bits,
+        overwrite=overwrite,
+        bucket_fn=shard_fn,
+    )
+
+
+def zorder_overlap_shards(
+    lo: np.ndarray, hi: np.ndarray, box: float, level: int = 4, shard_bits: int = 6
+) -> np.ndarray:
+    """The EXACT (cell-granular) shard set a half-open query box
+    [lo, hi) x3 can touch: enumerate the overlapped level-grid cells
+    (<= 2^(3*level), vectorized meshgrid), interleave, dedup the top
+    bits. Any point inside the box lies in an overlapped cell, so
+    reading only these shards loses nothing."""
+    cell = box / float(1 << level)
+    top = (1 << level) - 1
+    rng = []
+    for a, b in zip(lo, hi):
+        c0 = max(0, min(top, int(np.floor(a / cell))))
+        c1 = max(0, min(top, int(np.ceil(b / cell)) - 1))
+        rng.append(np.arange(c0, c1 + 1, dtype=np.int64))
+    ix, iy, iz = np.meshgrid(*rng, indexing="ij")
+    m = _morton3(ix.ravel(), iy.ravel(), iz.ravel(), level)
+    return np.unique(m >> (3 * level - shard_bits))
+
+
+def zorder_box_query(
+    part_dir: str,
+    lo,
+    hi,
+    box: float,
+    level: int = 4,
+    shard_bits: int = 6,
+    stats: dict | None = None,
+) -> "ray.data.Dataset":
+    """-> particle_id, x, y, z (sorted by particle_id) — all points in
+    the half-open box [lo, hi) x3, answered by a PRUNED scan of a
+    Morton-sharded layout: only the bucket directories whose shard
+    intersects the box are opened (the partitioner used as an index —
+    a full-scan filter gives the same rows and touches every file).
+    ``stats`` (optional dict) receives shards_read / shards_total /
+    files_read so callers can assert the pruning actually happened."""
+    import os
+
+    import pyarrow.compute as pc
+
+    lo = np.asarray(lo, np.float64)
+    hi = np.asarray(hi, np.float64)
+    shards = zorder_overlap_shards(lo, hi, box, level, shard_bits)
+    present = {
+        int(e.split("=", 1)[1])
+        for e in os.listdir(part_dir)
+        if e.startswith("bucket=")
+    }
+    dirs = [os.path.join(part_dir, f"bucket={s}") for s in shards if int(s) in present]
+    # expand to the parquet files (read_parquet takes a list of FILES;
+    # a list of directories is rejected by the arrow filesystem layer)
+    files = [
+        os.path.join(d, f)
+        for d in dirs
+        for f in sorted(os.listdir(d))
+        if f.endswith(".parquet")
+    ]
+    if stats is not None:
+        stats["shards_read"] = len(dirs)
+        stats["shards_total"] = len(present)
+        stats["files_read"] = len(files)
+    if not files:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "particle_id": pa.array([], pa.int64()),
+                    "x": pa.array([], pa.float64()),
+                    "y": pa.array([], pa.float64()),
+                    "z": pa.array([], pa.float64()),
+                }
+            )
+        )
+    ds = ray.data.read_parquet(files, columns=["particle_id", "x", "y", "z"])
+
+    def infilter(batch: pa.Table) -> pa.Table:
+        x = batch.column("x").to_numpy()
+        y = batch.column("y").to_numpy()
+        z = batch.column("z").to_numpy()
+        keep = (
+            (x >= lo[0]) & (x < hi[0])
+            & (y >= lo[1]) & (y < hi[1])
+            & (z >= lo[2]) & (z < hi[2])
+        )
+        return batch.select(["particle_id", "x", "y", "z"]).filter(pa.array(keep))
+
+    return ds.map_batches(infilter, batch_format="pyarrow", zero_copy_batch=True).sort(
+        "particle_id"
     )

@@ -539,6 +539,32 @@ def q_span_audit(sf_dir: str):
     return span_audit(ray.data.read_parquet(hpath))
 
 
+ZQ_LEVEL, ZQ_BITS = 4, 6
+ZQ_LO, ZQ_HI = (100.0, 150.0, 200.0), (300.0, 350.0, 400.0)
+
+
+def zorder_particles_dir(sf_dir: str) -> str:
+    """Build (cached, resumable via the sink manifest) the Morton-sharded
+    parquet copy of the derived particle table — the write-side of the
+    range-prunable spatial layout."""
+    tag = hashlib.sha1(f"{sf_dir}:z{ZQ_LEVEL}:{ZQ_BITS}".encode()).hexdigest()[:12]
+    out = f"/tmp/sjcs_zorder/{tag}/particles"
+    tiles.zorder_partitioned_copy(
+        synthetic.particles_dataset(sf_dir), out, box=BOX_SIZE, level=ZQ_LEVEL, shard_bits=ZQ_BITS
+    )
+    return out
+
+
+def q_zorder_box(sf_dir: str):
+    """Box query answered by a PRUNED scan of the Morton-sharded layout:
+    only bucket directories whose shard overlaps the box are opened
+    (~19% of shards for this box), then an exact in-box filter — the
+    z-order partitioner used as an index rather than only audited."""
+    return tiles.zorder_box_query(
+        zorder_particles_dir(sf_dir), ZQ_LO, ZQ_HI, box=BOX_SIZE, level=ZQ_LEVEL, shard_bits=ZQ_BITS
+    )
+
+
 def q_orders_apply_cdc(sf_dir: str):
     """MERGE INTO (snapshot_diff's inverse): a deterministic change table
     derived from orders — upsert prio='RUSH' for keys %10==0, delete
@@ -2188,6 +2214,18 @@ _ROLLING_MAX_SQL = (
     "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS roll_max FROM events"
 )
 
+# the pruned z-order scan must return exactly what a full-scan box
+# filter returns — the twin IS that full scan
+_ZORDER_BOX_SQL = (
+    f"WITH {synthetic.PARTICLES_CTE} "
+    "SELECT particle_id, x, y, z FROM particles WHERE "
+    + " AND ".join(
+        f"{c} >= {lo!r} AND {c} < {hi!r}"
+        for c, lo, hi in zip("xyz", ZQ_LO, ZQ_HI)
+    )
+    + " ORDER BY particle_id"
+)
+
 # MERGE INTO twin: restate the applied change set declaratively
 _APPLY_CDC_SQL = (
     "WITH b AS (SELECT o_orderkey, o_custkey, o_orderpriority AS prio, "
@@ -3495,6 +3533,7 @@ REGISTRY: dict[str, QueryDef] = {
     "event_rolling_median": QueryDef(q_event_rolling_median, _ROLLING_MEDIAN_SQL),
     "latest_events": QueryDef(q_latest_events, _LATEST_EVENTS_SQL),
     "orders_apply_cdc": QueryDef(q_orders_apply_cdc, _APPLY_CDC_SQL),
+    "zorder_box": QueryDef(q_zorder_box, _ZORDER_BOX_SQL),
     "span_audit": QueryDef(q_span_audit, _SPAN_AUDIT_SQL),
     "event_lead": QueryDef(q_event_lead, _EVENT_LEAD_SQL),
     "order_overlap_pairs": QueryDef(q_order_overlap_pairs, _ORDER_OVERLAP_SQL),

@@ -41,6 +41,7 @@ def write_partitioned(
     key: str,
     nbuckets: int = 64,
     overwrite: bool = False,
+    bucket_fn=None,
 ) -> dict:
     """Write ``ds`` as ``out_dir/bucket=N/*.parquet`` + a manifest.
 
@@ -49,7 +50,12 @@ def write_partitioned(
     the existing manifest returned — the resume contract. The write goes
     to a tmp sibling directory first and renames into place, so a killed
     run never leaves a half-written ``out_dir`` that a resume would
-    wrongly skip."""
+    wrongly skip.
+
+    ``bucket_fn`` overrides the default mix64 key hash with any
+    vectorized ``pa.Table -> int64 array`` layout (e.g. a Morton shard
+    for range-prunable spatial partitioning); pass a distinct ``key``
+    string naming the scheme so the manifest skip-check stays sound."""
     mpath = manifest_path(out_dir)
     if os.path.exists(mpath) and not overwrite:
         with open(mpath) as f:
@@ -61,7 +67,10 @@ def write_partitioned(
     shutil.rmtree(tmp, ignore_errors=True)
 
     def stamp(batch: pa.Table) -> pa.Table:
-        b = bucket_of(batch.column(key).to_numpy(), nbuckets)
+        if bucket_fn is not None:
+            b = bucket_fn(batch)
+        else:
+            b = bucket_of(batch.column(key).to_numpy(), nbuckets)
         return batch.append_column("bucket", pa.array(b, pa.int64()))
 
     ds.map_batches(stamp, batch_format="pyarrow", zero_copy_batch=True).write_parquet(

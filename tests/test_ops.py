@@ -1730,3 +1730,62 @@ class TestSemanticDedup:
         assert (got["cluster"].to_numpy() == cl).all()
         assert (got["kept"].to_numpy() == kept.astype(np.int64)).all()
         assert 0 < (~kept).sum() < len(ids)  # non-vacuous both ways
+
+
+class TestZorderBoxQuery:
+    def test_pruned_scan_matches_full_filter(self, tmp_path):
+        import numpy as np
+        import pandas as pd
+
+        from spatialjoincountovershells_ray.pipelines import tiles
+
+        rng = np.random.default_rng(77)
+        n = 20000
+        df = pd.DataFrame(
+            {
+                "particle_id": np.arange(n, dtype=np.int64),
+                "x": rng.random(n) * 1000.0,
+                "y": rng.random(n) * 1000.0,
+                "z": rng.random(n) * 1000.0,
+            }
+        )
+        ds = ray.data.from_pandas([d for d in np.array_split(df, 6)])
+        out_dir = str(tmp_path / "zparts")
+        m = tiles.zorder_partitioned_copy(ds, out_dir, box=1000.0)
+        assert m["rows"] == n and not m["skipped"]
+        # resume contract: second call skips
+        m2 = tiles.zorder_partitioned_copy(ds, out_dir, box=1000.0)
+        assert m2["skipped"]
+        lo, hi = (100.0, 150.0, 200.0), (300.0, 350.0, 400.0)
+        stats = {}
+        out = tiles.zorder_box_query(out_dir, lo, hi, box=1000.0, stats=stats).to_pandas()
+        keep = (
+            (df.x >= lo[0]) & (df.x < hi[0])
+            & (df.y >= lo[1]) & (df.y < hi[1])
+            & (df.z >= lo[2]) & (df.z < hi[2])
+        )
+        exp = df[keep].sort_values("particle_id").reset_index(drop=True)
+        assert out["particle_id"].tolist() == exp["particle_id"].tolist()
+        # the point of the layout: the scan opened a strict subset of shards
+        assert 0 < stats["shards_read"] < stats["shards_total"]
+
+    def test_empty_box(self, tmp_path):
+        import numpy as np
+        import pandas as pd
+
+        from spatialjoincountovershells_ray.pipelines import tiles
+
+        df = pd.DataFrame(
+            {
+                "particle_id": np.arange(10, dtype=np.int64),
+                "x": np.full(10, 900.0),
+                "y": np.full(10, 900.0),
+                "z": np.full(10, 900.0),
+            }
+        )
+        out_dir = str(tmp_path / "zp2")
+        tiles.zorder_partitioned_copy(ray.data.from_pandas(df), out_dir, box=1000.0)
+        out = tiles.zorder_box_query(
+            out_dir, (0.0, 0.0, 0.0), (10.0, 10.0, 10.0), box=1000.0
+        ).to_pandas()
+        assert len(out) == 0
