@@ -1496,8 +1496,20 @@ class _DupCoverageKernel:
         )
 
 
+def build_gram_pack(docs: "ray.data.Dataset", k: int = 32, min_docs: int = 2):
+    """Build the broadcastable dup-gram pack (hash vector + gram strings)
+    the coverage pass screens against — the artifact a production dedup
+    builds ONCE from the corpus and then applies in per-document
+    trim/drop decisions (the A2 cache shape). Returns an ObjectRef."""
+    dup = dup_substrings(docs, k=k, min_docs=min_docs)
+    refs = list(dup.materialize().to_arrow_refs())
+    if refs:
+        return _collect_gram_pack.remote(k, *refs)
+    return ray.put((np.empty(0, np.int64), pa.array([], pa.string())))
+
+
 def dup_span_coverage(
-    docs: "ray.data.Dataset", k: int = 32, min_docs: int = 2
+    docs: "ray.data.Dataset", k: int = 32, min_docs: int = 2, pack_ref=None
 ) -> "ray.data.Dataset":
     """-> doc_id, dup_bytes:int64, n_bytes:int64 — per document, how many
     of its bytes lie inside at least one k-byte substring that also
@@ -1514,12 +1526,8 @@ def dup_span_coverage(
     (sum of min(k, gap) over consecutive dup starts). Every doc comes
     back, zero-coverage and shorter-than-k docs included.
     """
-    dup = dup_substrings(docs, k=k, min_docs=min_docs)
-    refs = list(dup.materialize().to_arrow_refs())
-    if refs:
-        pack_ref = _collect_gram_pack.remote(k, *refs)
-    else:
-        pack_ref = ray.put((np.empty(0, np.int64), pa.array([], pa.string())))
+    if pack_ref is None:
+        pack_ref = build_gram_pack(docs, k=k, min_docs=min_docs)
 
     from spatialjoincountovershells_ray.config import default_pool
 
