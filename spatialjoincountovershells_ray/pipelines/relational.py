@@ -572,11 +572,15 @@ def dq_checks(
             }
         )
 
+    # ONE Dataset groupby merges every rule's partials at the end; the
+    # branches feed it raw (rule, n_bad) partial rows. (The previous plan
+    # aggregated each branch separately — 4 Dataset all-to-alls whose
+    # fixed barrier cost dominated a milliseconds-of-compute audit.)
     parts = [
         ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("rule")
-        .sum("n_bad")
     ] if rule_names else []
+
+    from spatialjoincountovershells_ray.pipelines.window import keyed_partition_apply
 
     for c in unique:
         def key_partial(batch: pa.Table, col=c) -> pa.Table:
@@ -588,26 +592,26 @@ def dq_checks(
             )
             return g
 
-        keyed = (
-            ds.map_batches(key_partial, batch_format="pyarrow", zero_copy_batch=True)
-            .groupby("k")
-            .sum("n")
-        )
-
-        def dup_fold(batch: pa.Table, col=c) -> pa.Table:
-            n = batch.column("sum(n)").to_numpy()
+        def bucket_dups(tbl: pa.Table, col=c) -> pa.Table:
+            # keys are whole inside a bucket: per-key totals via one
+            # sort+reduceat, fold straight to the bucket's n_bad partial
+            if tbl.num_rows == 0:
+                return pa.table(
+                    {"rule": pa.array([], pa.string()), "n_bad": pa.array([], pa.int64())}
+                )
+            k = tbl.column("k").to_numpy()
+            n = tbl.column("n").to_numpy()
+            order = np.argsort(k, kind="stable")
+            totals = np.add.reduceat(n[order], np.flatnonzero(np.r_[True, k[order][1:] != k[order][:-1]]))
             return pa.table(
                 {
                     "rule": pa.array([f"unique:{col}"], pa.string()),
-                    "n_bad": pa.array([int((n - 1).sum())], pa.int64()),
+                    "n_bad": pa.array([int((totals - 1).sum())], pa.int64()),
                 }
             )
 
-        parts.append(
-            keyed.map_batches(dup_fold, batch_format="pyarrow", zero_copy_batch=True)
-            .groupby("rule")
-            .sum("n_bad")
-        )
+        keyed = ds.map_batches(key_partial, batch_format="pyarrow", zero_copy_batch=True)
+        parts.append(keyed_partition_apply(keyed, "k", bucket_dups))
 
     merged = parts[0]
     for p in parts[1:]:
