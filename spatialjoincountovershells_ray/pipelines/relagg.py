@@ -1173,25 +1173,34 @@ def key_skew_report(ds: "ray.data.Dataset", key: str) -> "ray.data.Dataset":
     from which one driver read-off yields max and exact discrete
     quantiles. Raw rows never cross either exchange."""
 
+    from spatialjoincountovershells_ray.pipelines.window import keyed_partition_apply
+
     def partial(batch: pa.Table) -> pa.Table:
         u, n = np.unique(batch.column(key).to_numpy(), return_counts=True)
         return pa.table({"k": pa.array(u, pa.int64()), "n": pa.array(n.astype(np.int64))})
 
-    per_key = (
-        ds.select_columns([key])
-        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("k")
-        .sum("n")
+    def bucket_hist(tbl: pa.Table) -> pa.Table:
+        # keys are whole inside a bucket: per-key totals (sort+reduceat),
+        # folded straight to this bucket's count-of-counts partial — both
+        # former Dataset groupbys collapse into the one bucket exchange
+        # (their all-to-all barrier cost dominated this diagnostic)
+        if tbl.num_rows == 0:
+            return pa.table({"c": pa.array([], pa.int64()), "m": pa.array([], pa.int64())})
+        k = tbl.column("k").to_numpy()
+        n = tbl.column("n").to_numpy()
+        order = np.argsort(k, kind="stable")
+        ks, ns = k[order], n[order]
+        totals = np.add.reduceat(ns, np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]]))
+        u, m = np.unique(totals, return_counts=True)
+        return pa.table({"c": pa.array(u, pa.int64()), "m": pa.array(m.astype(np.int64))})
+
+    hist = keyed_partition_apply(
+        ds.select_columns([key]).map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        "k",
+        bucket_hist,
     )
-
-    def count_hist(batch: pa.Table) -> pa.Table:
-        cname = "sum(n)" if "sum(n)" in batch.schema.names else "n"
-        u, n = np.unique(batch.column(cname).to_numpy(), return_counts=True)
-        return pa.table({"c": pa.array(u, pa.int64()), "m": pa.array(n.astype(np.int64))})
-
-    hist = per_key.map_batches(
-        count_hist, batch_format="pyarrow", zero_copy_batch=True
-    ).groupby("c").sum("m")
     parts = [p for p in ray.get(hist.to_arrow_refs()) if p.num_rows and p.num_columns]
     if not parts:
         z = pa.array([], pa.int64())
@@ -1200,9 +1209,13 @@ def key_skew_report(ds: "ray.data.Dataset", key: str) -> "ray.data.Dataset":
         )
     tbl = pa.concat_tables(parts, promote_options="none")
     c = tbl.column("c").to_numpy()
-    m = tbl.column("sum(m)").to_numpy().astype(np.int64)
+    m = tbl.column("m").to_numpy().astype(np.int64)
     order = np.argsort(c, kind="stable")
     c, m = c[order], m[order]
+    # buckets emit independent partials: merge repeated counts by value
+    starts = np.flatnonzero(np.r_[True, c[1:] != c[:-1]])
+    c = c[starts]
+    m = np.add.reduceat(m, starts)
     cum = m.cumsum()
     nkeys = int(cum[-1])
 
