@@ -526,17 +526,47 @@ def dau_retention(ds: "ray.data.Dataset") -> "ray.data.Dataset":
         t = pa.table({"user_id": batch.column("user_id"), "day": pa.array(day, pa.int64())})
         return t.group_by(["user_id", "day"]).aggregate([])
 
-    def per_user(group: pd.DataFrame) -> pd.DataFrame:
-        d = np.unique(group["day"].to_numpy())
-        ret = np.zeros(len(d), dtype=np.int64)
-        ret[:-1] = (np.diff(d) == 1).astype(np.int64)
-        return pd.DataFrame({"day": d, "one": np.ones(len(d), np.int64), "ret": ret})
+    def bucket_ret(tbl: pa.Table) -> pa.Table:
+        # users are whole inside a bucket: one lexsort dedups the
+        # cross-batch (user, day) repeats AND yields each user's sorted
+        # day vector; the successor test and the per-day pre-aggregation
+        # are two reduceat passes — no per-group pandas calls, and the
+        # bucket emits O(distinct days) partials
+        if tbl.num_rows == 0:
+            return pa.table(
+                {"day": pa.array([], pa.int64()), "one": pa.array([], pa.int64()), "ret": pa.array([], pa.int64())}
+            )
+        u = tbl.column("user_id").to_numpy()
+        d = tbl.column("day").to_numpy()
+        order = np.lexsort((d, u))
+        u, d = u[order], d[order]
+        first = np.r_[True, (u[1:] != u[:-1]) | (d[1:] != d[:-1])]
+        u, d = u[first], d[first]
+        ret = np.zeros(len(d), np.int64)
+        if len(d) > 1:
+            ret[:-1] = ((u[1:] == u[:-1]) & (d[1:] - d[:-1] == 1)).astype(np.int64)
+        do = np.argsort(d, kind="stable")
+        ds_, rs = d[do], ret[do]
+        starts = np.flatnonzero(np.r_[True, ds_[1:] != ds_[:-1]])
+        runlen = np.diff(np.r_[starts, len(ds_)])
+        return pa.table(
+            {
+                "day": pa.array(ds_[starts], pa.int64()),
+                "one": pa.array(runlen.astype(np.int64)),
+                "ret": pa.array(np.add.reduceat(rs, starts), pa.int64()),
+            }
+        )
+
+    from spatialjoincountovershells_ray.pipelines.window import keyed_partition_apply
 
     agg = (
-        ds.select_columns(["user_id", "ts"])
-        .map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("user_id")
-        .map_groups(per_user, batch_format="pandas")
+        keyed_partition_apply(
+            ds.select_columns(["user_id", "ts"]).map_batches(
+                pairs, batch_format="pyarrow", zero_copy_batch=True
+            ),
+            "user_id",
+            bucket_ret,
+        )
         .groupby("day")
         .sum(["one", "ret"])
     )
