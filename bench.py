@@ -357,6 +357,9 @@ BENCH_QUERIES = [
     "pca_project",
     "orders_dq",
     "sink_roundtrip",
+    "doc_chunks",
+    "basket_pairs",
+    "order_percent_rank",
 ]
 
 

@@ -401,3 +401,141 @@ def part_components(sf_dir: str, iters: int = CC_NITER) -> "ray.data.Dataset":
         f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
     )
     return cc_labels(coorder_edges(li).materialize(), iters=iters)
+
+
+def basket_pairs(
+    lineitem: "ray.data.Dataset", min_support: int = 2
+) -> "ray.data.Dataset":
+    """-> part_a, part_b, pair_orders, a_orders, b_orders — market-basket
+    pair-support counts (the count side of association-rule mining;
+    engine extension, no reference counterpart): for every unordered
+    part pair carried by >= min_support distinct orders, the number of
+    orders containing both, plus each part's own distinct-order count
+    (the inputs to confidence / lift, left as exact integers).
+
+    Physical plan (same skeleton as ``coorder_edges``, but counting):
+
+    1. per-batch (order, part) dedup, then the keyed bucket exchange
+       co-locates WHOLE orders — so one pyarrow self-join per bucket
+       emits each order's pairs exactly once and bucket-level pair
+       counts are disjoint partials that sum globally without dedup.
+    2. pairs are packed to one int64 key; a second bucket exchange
+       sums partials and applies the min_support screen inside the
+       kernel, so the surviving table is O(frequent pairs).
+    3. per-part distinct-order counts fall out of the same bucketed
+       (order, part) sets (each order wholly in one bucket => bucket
+       counts are disjoint partials); the folded part-count table
+       (16 bytes/part) is broadcast for the final pair enrichment —
+       O(distinct parts), the standard bounded-dimension contract.
+
+    The exchange carries id pairs and counts, never rows; per-order pair
+    fan-out is C(items_per_order, 2), bounded by the basket size, not
+    the table size.
+    """
+    from spatialjoincountovershells_ray.pipelines.window import keyed_partition_apply
+
+    def dedupe(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {"o": batch.column("l_orderkey"), "p": batch.column("l_partkey")}
+        )
+        return t.group_by(["o", "p"]).aggregate([])
+
+    op = lineitem.select_columns(["l_orderkey", "l_partkey"]).map_batches(
+        dedupe, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def bucket_counts(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0 or tbl.num_columns == 0:
+            return pa.table(
+                {"k": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+            )
+        # whole orders per bucket; re-dedup because batch-level dedup
+        # above is not global
+        t = tbl.group_by(["o", "p"]).aggregate([])
+        j = t.join(t, keys=["o"], join_type="inner", right_suffix="_b")
+        j = j.filter(pc.less(j.column("p"), j.column("p_b")))
+        g = j.group_by(["p", "p_b"]).aggregate([("o", "count")])
+        a = g.column("p").cast(pa.int64()).to_numpy()
+        b = g.column("p_b").cast(pa.int64()).to_numpy()
+        if len(a) and (int(b.max()) >= 2**31 or int(a.min()) < 0):
+            raise ValueError("basket_pairs packs keys as 31-bit; part key out of range")
+        n = g.column("o_count").cast(pa.int64())
+        # per-part partial distinct-order counts ride along with pair
+        # partials in one table, tagged key = -(part+1) (pair keys are
+        # non-negative packed ints, so the tag spaces are disjoint)
+        gp = t.group_by("p").aggregate([("o", "count")])
+        pk = np.concatenate([(a << 32) | b, -(gp.column("p").cast(pa.int64()).to_numpy() + 1)])
+        pn = pa.concat_arrays(
+            [n.combine_chunks(), gp.column("o_count").cast(pa.int64()).combine_chunks()]
+        )
+        return pa.table({"k": pa.array(pk, pa.int64()), "n": pn})
+
+    partials = keyed_partition_apply(op, "o", bucket_counts)
+
+    def fold(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"k": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+        )
+        if tbl.num_rows == 0 or tbl.num_columns == 0:
+            return empty
+        k = tbl.column("k").to_numpy()
+        v = tbl.column("n").to_numpy()
+        order = np.argsort(k, kind="stable")
+        k, v = k[order], v[order]
+        starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+        tot = np.add.reduceat(v, starts)
+        ku = k[starts]
+        # part counts (k < 0) always survive; pairs face the screen
+        keep = (ku < 0) | (tot >= min_support)
+        return pa.table({"k": pa.array(ku[keep]), "n": pa.array(tot[keep])})
+
+    folded = keyed_partition_apply(partials, "k", fold).materialize()
+
+    # split the folded table: negative keys are part counts (broadcast),
+    # non-negative are the surviving pairs (stay distributed)
+    part_tbls = [
+        _filter_neg.remote(ref) for ref in folded.to_arrow_refs()
+    ]
+    part_counts = ray.get(_concat_tables.remote(*part_tbls))
+    pkeys = part_counts.column("part").cast(pa.int64()).to_numpy()
+    pvals = part_counts.column("n").cast(pa.int64()).to_numpy()
+    porder = np.argsort(pkeys)
+    cnt_ref = ray.put((pkeys[porder], pvals[porder]))
+
+    def enrich(batch: pa.Table) -> pa.Table:
+        k = batch.column("k").to_numpy()
+        pos = k >= 0
+        k = k[pos]
+        n = batch.column("n").to_numpy()[pos]
+        keys, vals = ray.get(cnt_ref)
+        a = (k >> 32).astype(np.int64)
+        b = (k & 0xFFFFFFFF).astype(np.int64)
+        ac = vals[np.searchsorted(keys, a)] if len(a) else np.empty(0, np.int64)
+        bc = vals[np.searchsorted(keys, b)] if len(b) else np.empty(0, np.int64)
+        return pa.table(
+            {
+                "part_a": pa.array(a),
+                "part_b": pa.array(b),
+                "pair_orders": pa.array(n),
+                "a_orders": pa.array(ac),
+                "b_orders": pa.array(bc),
+            }
+        )
+
+    return folded.map_batches(enrich, batch_format="pyarrow", zero_copy_batch=True)
+
+
+@ray.remote
+def _filter_neg(tbl: pa.Table) -> pa.Table:
+    neg = tbl.filter(pc.less(tbl.column("k"), 0))
+    return pa.table(
+        {
+            "part": pc.subtract(pc.negate(neg.column("k")), 1),
+            "n": neg.column("n"),
+        }
+    )
+
+
+@ray.remote
+def _concat_tables(*tbls: pa.Table) -> pa.Table:
+    return pa.concat_tables(tbls)

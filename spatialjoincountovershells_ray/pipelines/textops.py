@@ -1050,3 +1050,72 @@ def doc_pair_ngram_dot(
     )
     partials = keyed_partition_apply(tfds, "k", pair_kernel)
     return keyed_partition_apply(partials, "pair", fold).sort(["doc_a", "doc_b"])
+
+
+def doc_chunks(
+    docs: "ray.data.Dataset", size: int = 128, stride: int = 96
+) -> "ray.data.Dataset":
+    """-> doc_id, chunk_id:int64, chunk_start:int64, chunk:string — fixed-
+    size overlapping character chunks (the context-window chunking stage
+    of an embedding/RAG ingest pipeline; engine extension, no reference
+    counterpart).
+
+    Chunk i of a document covers characters [i*stride, i*stride+size);
+    chunks are emitted while i*stride < length(text), so the tail chunk
+    may be shorter and zero-length documents emit nothing — exactly the
+    rows of the ``unnest(range(0, length(text), stride)) + substr`` SQL
+    twin.
+
+    Physical plan: pure map — each batch loops over chunk LEVELS (a few
+    iterations, bounded by ceil(max_doc_len/stride)), not rows; level i
+    filters docs long enough and slices them with one vectorized
+    ``utf8_slice_codeunits`` kernel. No exchange, no driver state; at
+    100 TB this is a single streaming pass whose output is ~len/stride ×
+    the input and flows straight to the consumer with backpressure.
+    """
+    if stride <= 0 or size <= 0:
+        raise ValueError("doc_chunks: size and stride must be positive")
+    import pyarrow.compute as pc
+
+    def fn(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        doc_id = batch.column("doc_id")
+        nchars = pc.utf8_length(text)
+        parts = []
+        i = 0
+        while True:
+            start = i * stride
+            mask = pc.greater(nchars, start)
+            if not pc.any(mask).as_py():
+                break
+            sub_ids = pc.filter(doc_id, mask)
+            sub_txt = pc.filter(text, mask)
+            chunk = pc.utf8_slice_codeunits(sub_txt, start=start, stop=start + size)
+            n = len(sub_ids)
+            parts.append(
+                pa.table(
+                    {
+                        "doc_id": sub_ids,
+                        "chunk_id": pa.array(np.full(n, i, np.int64)),
+                        "chunk_start": pa.array(np.full(n, start, np.int64)),
+                        "chunk": chunk,
+                    }
+                )
+            )
+            i += 1
+        if not parts:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "chunk_id": pa.array([], pa.int64()),
+                    "chunk_start": pa.array([], pa.int64()),
+                    "chunk": pa.array([], pa.string()),
+                }
+            )
+        return pa.concat_tables(parts)
+
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True
+    )

@@ -453,3 +453,56 @@ def order_share(orders: "ray.data.Dataset") -> "ray.data.Dataset":
     customer's total spend (the SQL ratio-to-report window), via the
     keyed bucket exchange."""
     return keyed_partition_apply(orders, "o_custkey", _share_kernel)
+
+
+def _pct_rank_kernel(tbl: pa.Table) -> pa.Table:
+    """percent_rank() / cume_dist() over (partition by o_custkey order by
+    o_totalprice) — one lexsort + peer-run arithmetic. The divisions are
+    single IEEE ops on exactly-representable small integers, so the
+    float64 outputs are bit-identical to any engine computing the same
+    (rank-1)/(n-1) and peers_end/n definitions (DuckDB's)."""
+    empty = pa.table(
+        {
+            "o_orderkey": pa.array([], pa.int64()),
+            "pct_rank": pa.array([], pa.float64()),
+            "cume": pa.array([], pa.float64()),
+        }
+    )
+    if tbl.num_rows == 0 or tbl.num_columns == 0:
+        return empty
+    cust = tbl.column("o_custkey").to_numpy()
+    price = tbl.column("o_totalprice").to_numpy()
+    okey = tbl.column("o_orderkey").to_numpy()
+    order = np.lexsort((price, cust))
+    c, v, k = cust[order], price[order], okey[order]
+    n = len(c)
+    gstarts = np.flatnonzero(np.r_[True, c[1:] != c[:-1]])
+    glen = np.diff(np.r_[gstarts, n])
+    gstart_of = np.repeat(gstarts, glen)
+    n_of = np.repeat(glen, glen)
+    new_peer = np.r_[True, (v[1:] != v[:-1]) | (c[1:] != c[:-1])]
+    rstarts = np.flatnonzero(new_peer)
+    rlen = np.diff(np.r_[rstarts, n])
+    rank0 = np.repeat(rstarts, rlen) - gstart_of  # 0-based min rank
+    peers_end = np.repeat(rstarts + rlen, rlen) - gstart_of
+    pr = np.where(n_of > 1, rank0 / np.maximum(n_of - 1, 1), 0.0)
+    cd = peers_end / n_of
+    return pa.table(
+        {
+            "o_orderkey": pa.array(k),
+            "pct_rank": pa.array(pr, pa.float64()),
+            "cume": pa.array(cd, pa.float64()),
+        }
+    )
+
+
+def order_percent_rank(orders: "ray.data.Dataset") -> "ray.data.Dataset":
+    """-> o_orderkey, pct_rank, cume — percent_rank and cume_dist of each
+    order's totalprice within its customer (engine extension; the
+    relative-standing windows that complement rank_orders_per_customer's
+    row_number)."""
+    return keyed_partition_apply(
+        orders.select_columns(["o_custkey", "o_orderkey", "o_totalprice"]),
+        "o_custkey",
+        _pct_rank_kernel,
+    )

@@ -3490,6 +3490,69 @@ _DAU_SQL = (
 )
 
 
+# --- session-10 operators -------------------------------------------------
+
+_CHUNK_SIZE, _CHUNK_STRIDE = 128, 96
+
+
+def q_doc_chunks(sf_dir: str):
+    return textops.doc_chunks(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]),
+        size=_CHUNK_SIZE,
+        stride=_CHUNK_STRIDE,
+    )
+
+
+_DOC_CHUNKS_SQL = (
+    "WITH g AS (SELECT doc_id, text, "
+    f"unnest(range(0, CAST(length(text) AS BIGINT), {_CHUNK_STRIDE})) AS s "
+    "FROM documents WHERE length(text) > 0) "
+    f"SELECT doc_id, CAST(s // {_CHUNK_STRIDE} AS BIGINT) AS chunk_id, "
+    "CAST(s AS BIGINT) AS chunk_start, "
+    f"substr(text, CAST(s + 1 AS INTEGER), {_CHUNK_SIZE}) AS chunk FROM g"
+)
+
+_BASKET_MIN_SUPPORT = 2
+
+
+def q_basket_pairs(sf_dir: str):
+    return graph.basket_pairs(
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+        ),
+        min_support=_BASKET_MIN_SUPPORT,
+    )
+
+
+_BASKET_SQL = (
+    "WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem), "
+    "pcnt AS (SELECT p, CAST(count(*) AS BIGINT) AS n FROM op GROUP BY p), "
+    "pr AS (SELECT a.p AS pa, b.p AS pb, CAST(count(*) AS BIGINT) AS pair_orders "
+    "FROM op a JOIN op b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2 "
+    f"HAVING count(*) >= {_BASKET_MIN_SUPPORT}) "
+    "SELECT pr.pa AS part_a, pr.pb AS part_b, pr.pair_orders, "
+    "ca.n AS a_orders, cb.n AS b_orders "
+    "FROM pr JOIN pcnt ca ON ca.p = pr.pa JOIN pcnt cb ON cb.p = pr.pb"
+)
+
+
+def q_order_percent_rank(sf_dir: str):
+    return window.order_percent_rank(
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_custkey", "o_totalprice"],
+        )
+    )
+
+
+_PCT_RANK_SQL = (
+    "SELECT o_orderkey, "
+    "percent_rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice) AS pct_rank, "
+    "cume_dist() OVER (PARTITION BY o_custkey ORDER BY o_totalprice) AS cume "
+    "FROM orders"
+)
+
+
 REGISTRY: dict[str, QueryDef] = {
     "shell_count": QueryDef(q_shell_count, _shell_sql()),
     "shell_count_shuffle": QueryDef(q_shell_count_shuffle, _shell_sql()),
@@ -3654,4 +3717,7 @@ REGISTRY: dict[str, QueryDef] = {
     # so these carry full value-hashed HUGEINT twins
     "media_frames": QueryDef(q_media_frames, _media_frames_sql()),
     "media_features": QueryDef(q_media_features, _media_features_sql()),
+    "doc_chunks": QueryDef(q_doc_chunks, _DOC_CHUNKS_SQL),
+    "basket_pairs": QueryDef(q_basket_pairs, _BASKET_SQL),
+    "order_percent_rank": QueryDef(q_order_percent_rank, _PCT_RANK_SQL),
 }
