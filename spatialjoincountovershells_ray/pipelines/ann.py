@@ -33,6 +33,39 @@ from spatialjoincountovershells_ray.config import default_pool
 from spatialjoincountovershells_ray.functions.hashing import mix64
 
 
+def _bcast_map(
+    ds: "ray.data.Dataset",
+    cls,
+    ref,
+    ctor_kwargs: dict,
+    *,
+    concurrency=None,
+    batch_size=None,
+):
+    """Run a broadcast kernel class over ``ds``: task mode with the
+    per-worker kernel cache by default (no actor-pool spawn latency, no
+    concurrency cap — stages/join_kernels.run_cached_bcast), or a real
+    actor pool when the caller pins ``concurrency``."""
+    kw = dict(batch_format="pyarrow", zero_copy_batch=True)
+    if batch_size is not None:
+        kw["batch_size"] = batch_size
+    if concurrency is not None:
+        return ds.map_batches(
+            cls,
+            fn_constructor_args=([ref],),
+            fn_constructor_kwargs=ctor_kwargs,
+            concurrency=concurrency,
+            **kw,
+        )
+    from spatialjoincountovershells_ray.stages.join_kernels import run_cached_bcast
+
+    return ds.map_batches(
+        run_cached_bcast,
+        fn_kwargs={"cls": cls, "ref_list": [ref], "ctor_kwargs": ctor_kwargs},
+        **kw,
+    )
+
+
 def _norm_rows(m: np.ndarray) -> np.ndarray:
     n = np.linalg.norm(m, axis=1, keepdims=True)
     n[n == 0] = 1.0
@@ -77,16 +110,14 @@ def cosine_topk(
     exclude_self: bool = True,
 ) -> "ray.data.Dataset":
     """-> qid:int64, vec_id:int64, rnk:int64 (1-based by sim desc, vec_id asc)."""
-    if concurrency is None:
-        concurrency = default_pool()
     ref = ray.put({"ids": np.asarray(query_ids), "mat": _norm_rows(np.asarray(query_mat, dtype=np.float64))})
-    cands = embeddings.map_batches(
+    cands = _bcast_map(
+        embeddings,
         _TopkKernel,
-        fn_constructor_kwargs={"queries_ref": [ref], "k": k + (1 if exclude_self else 0)},
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        batch_size=batch_size,
+        ref,
+        {"k": k + (1 if exclude_self else 0)},
         concurrency=concurrency,
+        batch_size=batch_size,
     )
 
     def select(group: pd.DataFrame) -> pd.DataFrame:
@@ -123,8 +154,6 @@ def lsh_topk(
     """Bucketed ANN: probe only the query's hyperplane bucket and its
     Hamming-1 neighbours. Approximate (recall < 1); same output schema as
     cosine_topk."""
-    if concurrency is None:
-        concurrency = default_pool()
     qmat = _norm_rows(np.asarray(query_mat, dtype=np.float64))
     dim = qmat.shape[1]
     qcodes = hyperplane_codes(qmat, nbits, dim)
@@ -177,13 +206,7 @@ def lsh_topk(
                 {"qid": np.concatenate(out_q), "vec_id": np.concatenate(out_v), "sim": np.concatenate(out_s)}
             )
 
-    cands = embeddings.map_batches(
-        Kernel,
-        fn_constructor_kwargs={"ref": [ref], "k": k + 1},
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        concurrency=concurrency,
-    )
+    cands = _bcast_map(embeddings, Kernel, ref, {"k": k + 1}, concurrency=concurrency)
 
     def select(group: pd.DataFrame) -> pd.DataFrame:
         group = group[group["vec_id"] != group["qid"]]
@@ -292,8 +315,6 @@ def ivf_topk(
     vectors to lists inside ``map_batches``, probe each query's
     ``nprobe`` nearest lists. Approximate (recall < 1); same output
     schema as cosine_topk."""
-    if concurrency is None:
-        concurrency = default_pool()
     if sample is None:
         sample = train_sample(embeddings, train_rows)
     cents = kmeans_centroids(sample, nlist)
@@ -344,13 +365,7 @@ def ivf_topk(
                 {"qid": np.concatenate(out_q), "vec_id": np.concatenate(out_v), "sim": np.concatenate(out_s)}
             )
 
-    cands = embeddings.map_batches(
-        Kernel,
-        fn_constructor_kwargs={"ref": [ref], "k": k + 1},
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        concurrency=concurrency,
-    )
+    cands = _bcast_map(embeddings, Kernel, ref, {"k": k + 1}, concurrency=concurrency)
 
     def select(group: pd.DataFrame) -> pd.DataFrame:
         group = group[group["vec_id"] != group["qid"]]
@@ -484,8 +499,6 @@ def pq_topk(
     table streams once; per-batch partial top-k bounds the exchange to
     O(batches x Q x k). Approximate (recall < 1); same output schema as
     cosine_topk."""
-    if concurrency is None:
-        concurrency = default_pool()
     if sample is None:
         sample = train_sample(embeddings, train_rows)
     books = pq_train(sample, m, ksub)
@@ -531,13 +544,7 @@ def pq_topk(
                 }
             )
 
-    cands = embeddings.map_batches(
-        Kernel,
-        fn_constructor_kwargs={"ref": [ref], "k": k + 1},
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        concurrency=concurrency,
-    )
+    cands = _bcast_map(embeddings, Kernel, ref, {"k": k + 1}, concurrency=concurrency)
 
     def select(group: pd.DataFrame) -> pd.DataFrame:
         group = group[group["vec_id"] != group["qid"]]
@@ -572,8 +579,6 @@ def ivfpq_topk(
     table streams once. Approximate (recall < 1); same output schema as
     cosine_topk.
     """
-    if concurrency is None:
-        concurrency = default_pool()
     if sample is None:
         sample = train_sample(embeddings, train_rows)
     cents = kmeans_centroids(sample, nlist)
@@ -642,13 +647,7 @@ def ivfpq_topk(
                 {"qid": np.concatenate(out_q), "vec_id": np.concatenate(out_v), "sim": np.concatenate(out_s)}
             )
 
-    cands = embeddings.map_batches(
-        Kernel,
-        fn_constructor_kwargs={"ref": [ref], "k": k + 1},
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        concurrency=concurrency,
-    )
+    cands = _bcast_map(embeddings, Kernel, ref, {"k": k + 1}, concurrency=concurrency)
 
     def select(group: pd.DataFrame) -> pd.DataFrame:
         group = group[group["vec_id"] != group["qid"]]
@@ -762,6 +761,55 @@ def kmeans_assign(
 PCA_FP_SCALE = 1 << 16  # coarser than centroids: the moment fold squares it
 
 
+@ray.remote
+def _sum_moment_tables(*tbls: pa.Table) -> pa.Table:
+    """Elementwise-sum positionally-aligned (kind, idx, v) moment tables.
+
+    Each input block holds >= 0 stacked partials of one fixed period
+    (1 + d + d*d rows); the period is recovered from the kind column
+    (rows with kind == 0 start a partial) and every segment folds into
+    one, so blocks that concatenated several map partials are handled."""
+    base = None
+    acc = None
+    for t in tbls:
+        if t.num_rows == 0:
+            continue
+        kind = t.column("kind").to_numpy()
+        v = t.column("v").to_numpy()
+        m = int(np.flatnonzero(kind == 0)[1]) if (kind == 0).sum() > 1 else len(kind)
+        seg = v.reshape(-1, m).sum(0)
+        if acc is None:
+            acc = seg.copy()
+            base = t.slice(0, m)
+        else:
+            acc += seg
+    if acc is None:
+        return pa.table(
+            {
+                "kind": pa.array([], pa.int64()),
+                "idx": pa.array([], pa.int64()),
+                "v": pa.array([], pa.int64()),
+            }
+        )
+    return pa.table(
+        {"kind": base.column("kind"), "idx": base.column("idx"), "v": pa.array(acc)}
+    )
+
+
+def _tree_fold_moments(ds: "ray.data.Dataset", fanin: int = 8) -> pa.Table:
+    """Tree-reduce a Dataset of moment partials to ONE table without the
+    all-to-all groupby machinery (the partials are O(d^2) int64 rows per
+    block — a fixed-layout vector sum, not a real exchange; measured
+    ~2.5 s of Dataset-groupby fixed cost saved at any scale)."""
+    refs = list(ds.materialize().to_arrow_refs())
+    while len(refs) > 1:
+        refs = [
+            _sum_moment_tables.remote(*refs[i : i + fanin])
+            for i in range(0, len(refs), fanin)
+        ]
+    return ray.get(_sum_moment_tables.remote(*refs))
+
+
 def pca_project(
     ds: "ray.data.Dataset", ncomp: int = 8
 ) -> "tuple[ray.data.Dataset, np.ndarray, np.ndarray]":
@@ -820,26 +868,17 @@ def pca_project(
             }
         )
 
-    folded = (
-        ds.select_columns(["embedding"])
-        .map_batches(moments, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["kind", "idx"])
-        .sum("v")
-        .take_all()
+    folded = _tree_fold_moments(
+        ds.select_columns(["embedding"]).map_batches(
+            moments, batch_format="pyarrow", zero_copy_batch=True
+        )
     )  # D^2 + D + 1 rows — never the data
-    n = 0
-    sx: dict[int, int] = {}
-    sxx_d: dict[int, int] = {}
-    for r in folded:
-        if r["kind"] == 0:
-            n = int(r["sum(v)"])
-        elif r["kind"] == 1:
-            sx[int(r["idx"])] = int(r["sum(v)"])
-        else:
-            sxx_d[int(r["idx"])] = int(r["sum(v)"])
-    d = len(sx)
-    sum_x = np.array([sx[i] for i in range(d)], np.float64)
-    sum_xx = np.array([sxx_d[i] for i in range(d * d)], np.float64).reshape(d, d)
+    kind = folded.column("kind").to_numpy()
+    v = folded.column("v").to_numpy()
+    n = int(v[0])
+    d = int((kind == 1).sum())
+    sum_x = v[1 : 1 + d].astype(np.float64)
+    sum_xx = v[1 + d :].astype(np.float64).reshape(d, d)
     mean = sum_x / (n * S)
     cov = sum_xx / (n * S * S) - np.outer(mean, mean)
     eigvals, eigvecs = np.linalg.eigh(cov)

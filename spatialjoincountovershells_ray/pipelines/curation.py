@@ -104,8 +104,8 @@ class _ContaminationKernel:
     """Actor-pool stage: per batch, count each doc's distinct benchmark
     grams. The benchmark pack is fetched once per actor (``__init__``)."""
 
-    def __init__(self, bench_ref, n: int):
-        pack = ray.get(bench_ref[0]) if isinstance(bench_ref, list) else bench_ref
+    def __init__(self, ref_list, n: int):
+        pack = ray.get(ref_list[0]) if isinstance(ref_list, list) else ref_list
         self.hashes = pack["hashes"]  # sorted uint64
         self.strings = pack["strings"]  # hash -> set of exact gram strings
         self.n = n
@@ -175,14 +175,29 @@ def decontaminate(
             pa.table({"doc_id": pa.array([], pa.int64()), "n_hits": pa.array([], pa.int64())})
         )
     pack_ref = _collect_bench_grams.remote(*refs)
-    if concurrency is None:
-        concurrency = default_pool()
+    if concurrency is not None:
+        # explicit actor pool requested (e.g. to pin resources)
+        return train.map_batches(
+            _ContaminationKernel,
+            fn_constructor_kwargs={"ref_list": [pack_ref], "n": n},
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            concurrency=concurrency,
+        )
+    # task mode + per-worker kernel cache: actor-style amortized setup
+    # with no pool-spawn latency and no concurrency cap (see
+    # stages/join_kernels.run_cached_bcast)
+    from spatialjoincountovershells_ray.stages.join_kernels import run_cached_bcast
+
     return train.map_batches(
-        _ContaminationKernel,
-        fn_constructor_kwargs={"bench_ref": [pack_ref], "n": n},
+        run_cached_bcast,
+        fn_kwargs={
+            "cls": _ContaminationKernel,
+            "ref_list": [pack_ref],
+            "ctor_kwargs": {"n": n},
+        },
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=concurrency,
     )
 
 

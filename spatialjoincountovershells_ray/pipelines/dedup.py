@@ -1283,15 +1283,14 @@ def dup_substrings(
     else:
         dup_ref = _collect_dup_hashes.remote(*refs)
 
-    from spatialjoincountovershells_ray.config import default_pool
+    from spatialjoincountovershells_ray.stages.join_kernels import run_cached_bcast
 
     recovered = (
         docs.map_batches(
-            _DupGramKernel,
-            fn_constructor_kwargs={"dup_ref": [dup_ref], "k": k},
+            run_cached_bcast,
+            fn_kwargs={"cls": _DupGramKernel, "ref_list": [dup_ref], "ctor_kwargs": {"k": k}},
             batch_format="pyarrow",
             zero_copy_batch=True,
-            concurrency=default_pool(),
         )
         .groupby("gram")
         .aggregate(ray.data.aggregate.Sum("nd"), ray.data.aggregate.Sum("occ"))
@@ -1529,14 +1528,13 @@ def dup_span_coverage(
     if pack_ref is None:
         pack_ref = build_gram_pack(docs, k=k, min_docs=min_docs)
 
-    from spatialjoincountovershells_ray.config import default_pool
+    from spatialjoincountovershells_ray.stages.join_kernels import run_cached_bcast
 
     return docs.map_batches(
-        _DupCoverageKernel,
-        fn_constructor_kwargs={"pack_ref": [pack_ref], "k": k},
+        run_cached_bcast,
+        fn_kwargs={"cls": _DupCoverageKernel, "ref_list": [pack_ref], "ctor_kwargs": {"k": k}},
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=default_pool(),
     ).sort("doc_id")
 
 

@@ -846,6 +846,8 @@ _DAY_US_ = 86_400_000_000
 
 @ray.remote
 def _block_delta_sum(tbl: pa.Table) -> int:
+    if tbl.num_rows == 0 or "d" not in tbl.schema.names:
+        return 0
     return int(pc.sum(tbl.column("d")).as_py() or 0)
 
 
@@ -855,7 +857,7 @@ def _stamp_day_max(tbl: pa.Table, offset: int) -> pa.Table:
     the block's per-day max partials (exact: every ts is globally unique
     after the per-instant pre-aggregation, so offset + cumsum IS the
     RANGE-frame running sum)."""
-    if tbl.num_rows == 0:
+    if tbl.num_rows == 0 or "d" not in tbl.schema.names:
         return pa.table({"day_i": pa.array([], pa.int64()), "mx": pa.array([], pa.int64())})
     conc = offset + np.cumsum(tbl.column("d").to_numpy(), dtype=np.int64)
     day = tbl.column("ts_us").to_numpy() // _DAY_US_
@@ -881,6 +883,8 @@ def session_concurrency_daily(sf_dir_or_ds) -> "ray.data.Dataset":
     instant (a fully-inherited overnight plateau) do not appear —
     documented metric contract, mirrored by the SQL twin.
     """
+    from spatialjoincountovershells_ray.pipelines.window import keyed_partition_apply
+
     ds = (
         ray.data.read_parquet(
             f"{sf_dir_or_ds}/events.parquet", columns=["ts", "user_id", "event_id"]
@@ -889,61 +893,96 @@ def session_concurrency_daily(sf_dir_or_ds) -> "ray.data.Dataset":
         else sf_dir_or_ds
     )
 
-    def bounds(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["ts", "event_id"], kind="mergesort")
-        us = _epoch_us(g["ts"])
-        brk = np.zeros(len(us), bool)
-        brk[0] = True
-        if len(us) > 1:
-            brk[1:] = np.diff(us) > GAP_US
-        starts = us[brk]
-        ends = us[np.r_[brk[1:], True]]
-        return pd.DataFrame(
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
             {
-                "ts_us": np.concatenate([starts, ends + 1]),
-                "d": np.concatenate(
-                    [np.ones(len(starts), np.int64), -np.ones(len(ends), np.int64)]
-                ),
+                "user_id": batch.column("user_id"),
+                "event_id": batch.column("event_id"),
+                "ts_us": batch.column("ts").cast(pa.timestamp("us")).cast(pa.int64()),
             }
         )
 
-    def partial(batch: pa.Table) -> pa.Table:
-        g = batch.group_by("ts_us").aggregate([("d", "sum")])
-        return g.rename_columns(["ts_us", "d"])
-
-    per_instant = (
-        ds.groupby("user_id")
-        .map_groups(bounds, batch_format="pandas")
-        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("ts_us")
-        .sum("d")
-        .map_batches(
-            lambda b: pa.table(
-                {"ts_us": b.column("ts_us"), "d": b.column("sum(d)").cast(pa.int64())}
-            ),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
+    def bounds_kernel(tbl: pa.Table) -> pa.Table:
+        """All users of one bucket at once: one lexsort, vectorized gap
+        breaks, per-bucket per-instant delta fold (a partial — the same
+        instant can appear in other buckets via other users)."""
+        empty = pa.table(
+            {"ts_us": pa.array([], pa.int64()), "d": pa.array([], pa.int64())}
         )
-    )
+        if tbl.num_rows == 0 or tbl.num_columns == 0:
+            return empty
+        us = tbl.column("ts_us").to_numpy()
+        uid = tbl.column("user_id").to_numpy()
+        eid = tbl.column("event_id").to_numpy()
+        order = np.lexsort((eid, us, uid))
+        u, t = uid[order], us[order]
+        brk = np.r_[True, (u[1:] != u[:-1]) | (np.diff(t) > GAP_US)]
+        starts = t[brk]
+        ends = t[np.r_[brk[1:], True]]
+        ts_us = np.concatenate([starts, ends + 1])
+        d = np.concatenate(
+            [np.ones(len(starts), np.int64), -np.ones(len(ends), np.int64)]
+        )
+        o2 = np.argsort(ts_us, kind="stable")
+        ts_us, d = ts_us[o2], d[o2]
+        s = np.flatnonzero(np.r_[True, ts_us[1:] != ts_us[:-1]])
+        return pa.table(
+            {
+                "ts_us": pa.array(ts_us[s], pa.int64()),
+                "d": pa.array(np.add.reduceat(d, s), pa.int64()),
+            }
+        )
+
+    def instant_fold(tbl: pa.Table) -> pa.Table:
+        """Global per-instant sum (every ts_us now survives exactly once
+        — the precondition of the prefix sweep)."""
+        empty = pa.table(
+            {"ts_us": pa.array([], pa.int64()), "d": pa.array([], pa.int64())}
+        )
+        if tbl.num_rows == 0 or tbl.num_columns == 0:
+            return empty
+        ts_us = tbl.column("ts_us").to_numpy()
+        d = tbl.column("d").to_numpy()
+        o = np.argsort(ts_us, kind="stable")
+        ts_us, d = ts_us[o], d[o]
+        s = np.flatnonzero(np.r_[True, ts_us[1:] != ts_us[:-1]])
+        return pa.table(
+            {
+                "ts_us": pa.array(ts_us[s], pa.int64()),
+                "d": pa.array(np.add.reduceat(d, s), pa.int64()),
+            }
+        )
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    deltas = keyed_partition_apply(prepped, "user_id", bounds_kernel)
+    per_instant = keyed_partition_apply(deltas, "ts_us", instant_fold)
     sorted_ds = per_instant.sort("ts_us").materialize()
     refs = sorted_ds.to_arrow_refs()
     if not refs:
         return sorted_ds
     sums = ray.get([_block_delta_sum.remote(r) for r in refs])
     offsets = np.concatenate([[0], np.cumsum(sums[:-1], dtype=np.int64)])
-    parts = [_stamp_day_max.remote(r, int(off)) for r, off in zip(refs, offsets)]
-    agg = ray.data.from_arrow_refs(parts).groupby("day_i").max("mx")
-
-    def finish(batch: pa.Table) -> pa.Table:
-        day = pc.strftime(
-            pc.multiply(batch.column("day_i"), _DAY_US_).cast(pa.timestamp("us")),
-            format="%Y-%m-%d",
-        )
+    parts = ray.get(
+        [_stamp_day_max.remote(r, int(off)) for r, off in zip(refs, offsets)]
+    )
+    # O(blocks x days) tiny partials — fold on the driver, emit one block
+    folded = pa.concat_tables([p for p in parts if p.num_rows])
+    if folded.num_rows == 0:
         return pa.table(
-            {"day": day, "max_conc": batch.column("max(mx)").cast(pa.int64())}
+            {"day": pa.array([], pa.string()), "max_conc": pa.array([], pa.int64())}
         )
-
-    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True).sort("day")
+    day_i = folded.column("day_i").to_numpy()
+    mx = folded.column("mx").to_numpy()
+    o = np.argsort(day_i, kind="stable")
+    day_i, mx = day_i[o], mx[o]
+    s = np.flatnonzero(np.r_[True, day_i[1:] != day_i[:-1]])
+    day = pc.strftime(
+        pc.multiply(pa.array(day_i[s], pa.int64()), _DAY_US_).cast(pa.timestamp("us")),
+        format="%Y-%m-%d",
+    )
+    return pa.table(
+        {"day": day, "max_conc": pa.array(np.maximum.reduceat(mx, s), pa.int64())}
+    )
 
 
 def latest_events(sf_dir_or_ds) -> "ray.data.Dataset":

@@ -216,17 +216,27 @@ def point_in_polygons(
 ) -> "ray.data.Dataset":
     """Even-odd-rule containment join of a point stream against a
     broadcast polygon list [(poly_id, verts[V,2])]."""
-    if concurrency is None:
-        concurrency = default_pool()
     ref = ray.put(polygons)
-    out = points.map_batches(
-        _PolyJoin,
-        fn_constructor_kwargs={"polys_ref": [ref], "id_col": id_col},
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        batch_size=None,
-        concurrency=concurrency,
-    )
+    if concurrency is not None:
+        out = points.map_batches(
+            _PolyJoin,
+            fn_constructor_args=([ref],),
+            fn_constructor_kwargs={"id_col": id_col},
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=None,
+            concurrency=concurrency,
+        )
+    else:
+        from spatialjoincountovershells_ray.stages.join_kernels import run_cached_bcast
+
+        out = points.map_batches(
+            run_cached_bcast,
+            fn_kwargs={"cls": _PolyJoin, "ref_list": [ref], "ctor_kwargs": {"id_col": id_col}},
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=None,
+        )
     return out.sort([id_col, "poly_id"]) if sort else out
 
 
