@@ -1024,6 +1024,26 @@ def table_checksum(
 # robust (median/MAD) outliers — all-integer, no float anywhere
 
 
+@ray.remote
+def _merge_hists(*tbls: pa.Table) -> pa.Table:
+    """Merge (c, n) count-histogram partials: concat, sort, reduceat."""
+    live = [t for t in tbls if t.num_rows and t.num_columns]
+    if not live:
+        return pa.table({"c": pa.array([], pa.int64()), "n": pa.array([], pa.int64())})
+    t = pa.concat_tables(live, promote_options="none")
+    c = t.column("c").to_numpy()
+    n = t.column("n").to_numpy()
+    o = np.argsort(c, kind="stable")
+    c, n = c[o], n[o]
+    s = np.flatnonzero(np.r_[True, c[1:] != c[:-1]])
+    return pa.table(
+        {
+            "c": pa.array(c[s], pa.int64()),
+            "n": pa.array(np.add.reduceat(n, s), pa.int64()),
+        }
+    )
+
+
 def _median2_from_hist(vals: np.ndarray, cnts: np.ndarray) -> int:
     """2x the quantile_cont(0.5) median of a sorted value histogram —
     always an exact integer (odd n: 2*v[m]; even n: v[m-1]+v[m], which
@@ -1060,15 +1080,19 @@ def mad_outliers(
         u, n = np.unique(cents, return_counts=True)
         return pa.table({"c": pa.array(u, pa.int64()), "n": pa.array(n.astype(np.int64))})
 
-    hist = (
-        ds.select_columns([col])
-        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("c")
-        .sum("n")
+    hist_ds = ds.select_columns([col]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
     )
-    parts = [
-        p for p in ray.get(hist.to_arrow_refs()) if p.num_rows and p.num_columns
-    ]
+    # the partials are O(distinct cents) histogram rows per block — a
+    # remote tree-fold merges them without the Dataset groupby's
+    # all-to-all machinery (same rationale as ann._tree_fold_moments)
+    refs = list(hist_ds.materialize().to_arrow_refs())
+    while len(refs) > 1:
+        refs = [
+            _merge_hists.remote(*refs[i : i + 8]) for i in range(0, len(refs), 8)
+        ]
+    merged = ray.get(_merge_hists.remote(*refs)) if refs else None
+    parts = [merged] if merged is not None and merged.num_rows else []
     if not parts:
         return ray.data.from_arrow(
             pa.table(
@@ -1079,11 +1103,9 @@ def mad_outliers(
                 }
             )
         )
-    tbl = pa.concat_tables(parts, promote_options="none")
-    vals = tbl.column("c").to_numpy()
-    cnts = tbl.column("sum(n)").to_numpy().astype(np.int64)
-    order = np.argsort(vals, kind="stable")
-    vals, cnts = vals[order], cnts[order]
+    tbl = parts[0]
+    vals = tbl.column("c").to_numpy()  # sorted distinct (tree-fold output)
+    cnts = tbl.column("n").to_numpy().astype(np.int64)
     med2 = _median2_from_hist(vals, cnts)
     d2v = np.abs(2 * vals - med2)
     dorder = np.argsort(d2v, kind="stable")
