@@ -360,6 +360,8 @@ BENCH_QUERIES = [
     "doc_chunks",
     "basket_pairs",
     "order_percent_rank",
+    "snm_pairs",
+    "value_time_integral",
 ]
 
 

@@ -1062,3 +1062,74 @@ def latest_events(sf_dir_or_ds) -> "ray.data.Dataset":
     return merged.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True).sort(
         "user_id"
     )
+
+
+def value_time_integral(sf_dir_or_ds) -> "ray.data.Dataset":
+    """-> user_id, integral:int64, dur_us:int64, n_events:int64 — the
+    step-function time integral of each user's event value: value holds
+    from one event until the next (cents x microseconds, exact int64),
+    plus total observed span and event count. The sensor/metering rollup
+    (time-weighted averaging is integral / dur_us, left to the consumer
+    so every emitted quantity stays an exact integer).
+
+    One bucket exchange on user_id; per bucket a single lexsort and two
+    reduceat passes handle every user at once. Overflow contract:
+    |cents| * span_us per user must fit int64 (~1e4 cents x 3e12 us
+    here, 1e16 << 2^63)."""
+    ds = (
+        ray.data.read_parquet(
+            f"{sf_dir_or_ds}/events.parquet",
+            columns=["ts", "user_id", "event_id", "value"],
+        )
+        if isinstance(sf_dir_or_ds, str)
+        else sf_dir_or_ds
+    )
+    from spatialjoincountovershells_ray.pipelines.window import keyed_partition_apply
+
+    def prep(batch: pa.Table) -> pa.Table:
+        cents = np.rint(batch.column("value").to_numpy() * 100).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "event_id": batch.column("event_id"),
+                "us": batch.column("ts").cast(pa.timestamp("us")).cast(pa.int64()),
+                "cents": pa.array(cents, pa.int64()),
+            }
+        )
+
+    def kernel(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "integral": pa.array([], pa.int64()),
+                "dur_us": pa.array([], pa.int64()),
+                "n_events": pa.array([], pa.int64()),
+            }
+        )
+        if tbl.num_rows == 0 or tbl.num_columns == 0:
+            return empty
+        uid = tbl.column("user_id").to_numpy()
+        eid = tbl.column("event_id").to_numpy()
+        us = tbl.column("us").to_numpy()
+        cents = tbl.column("cents").to_numpy()
+        order = np.lexsort((eid, us, uid))
+        u, t, c = uid[order], us[order], cents[order]
+        n = len(u)
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        runlen = np.diff(np.r_[starts, n])
+        nxt_same = np.r_[u[1:] == u[:-1], False]
+        dt = np.r_[t[1:], np.int64(0)] - t
+        contrib = np.where(nxt_same, c * dt, np.int64(0))
+        integral = np.add.reduceat(contrib, starts)
+        ends = starts + runlen - 1
+        return pa.table(
+            {
+                "user_id": pa.array(u[starts], pa.int64()),
+                "integral": pa.array(integral, pa.int64()),
+                "dur_us": pa.array(t[ends] - t[starts], pa.int64()),
+                "n_events": pa.array(runlen, pa.int64()),
+            }
+        )
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    return keyed_partition_apply(prepped, "user_id", kernel)

@@ -3536,6 +3536,46 @@ _BASKET_SQL = (
 )
 
 
+_SNM_W, _SNM_NUM, _SNM_DEN = 4, 7, 10
+
+
+def q_snm_pairs(sf_dir: str):
+    return dedup.snm_pairs(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]),
+        window=_SNM_W,
+        tau_num=_SNM_NUM,
+        tau_den=_SNM_DEN,
+    )
+
+
+_SNM_SQL = (
+    "WITH r AS (SELECT doc_id, text, "
+    "row_number() OVER (ORDER BY text, doc_id) - 1 AS rn FROM documents), "
+    "tok AS (SELECT doc_id, rn, "
+    "list_distinct(regexp_extract_all(text, '\\S+')) AS ws FROM r), "
+    "p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+    "CAST(length(list_intersect(a.ws, b.ws)) AS BIGINT) AS inter, "
+    "CAST(length(a.ws) + length(b.ws) - length(list_intersect(a.ws, b.ws)) AS BIGINT) AS uni "
+    f"FROM tok a JOIN tok b ON b.rn > a.rn AND b.rn <= a.rn + {_SNM_W - 1}) "
+    f"SELECT doc_a, doc_b, inter, uni FROM p WHERE {_SNM_DEN} * inter >= {_SNM_NUM} * uni"
+)
+
+
+def q_value_time_integral(sf_dir: str):
+    return events.value_time_integral(sf_dir)
+
+
+_VTI_SQL = (
+    "WITH e AS (SELECT user_id, event_id, "
+    "CAST(round(value * 100) AS BIGINT) AS cents, epoch_us(ts) AS us FROM events), "
+    "w AS (SELECT user_id, cents, us, "
+    "lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS nxt FROM e) "
+    "SELECT user_id, CAST(COALESCE(SUM(cents * (nxt - us)), 0) AS BIGINT) AS integral, "
+    "CAST(max(us) - min(us) AS BIGINT) AS dur_us, "
+    "CAST(count(*) AS BIGINT) AS n_events FROM w GROUP BY user_id"
+)
+
+
 def q_order_percent_rank(sf_dir: str):
     return window.order_percent_rank(
         ray.data.read_parquet(
@@ -3720,4 +3760,6 @@ REGISTRY: dict[str, QueryDef] = {
     "doc_chunks": QueryDef(q_doc_chunks, _DOC_CHUNKS_SQL),
     "basket_pairs": QueryDef(q_basket_pairs, _BASKET_SQL),
     "order_percent_rank": QueryDef(q_order_percent_rank, _PCT_RANK_SQL),
+    "snm_pairs": QueryDef(q_snm_pairs, _SNM_SQL),
+    "value_time_integral": QueryDef(q_value_time_integral, _VTI_SQL),
 }

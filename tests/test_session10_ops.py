@@ -119,3 +119,92 @@ class TestPercentRank:
         # bit-exact: both sides are single IEEE divisions of small ints
         assert (out["pct_rank"].to_numpy() == exp["pct_rank"].to_numpy()).all()
         assert (out["cume"].to_numpy() == exp["cume"].to_numpy()).all()
+
+
+class TestSnmPairs:
+    def test_matches_window_join_oracle(self):
+        from spatialjoincountovershells_ray.pipelines import dedup
+
+        rng = np.random.default_rng(23)
+        vocab = [f"w{i}" for i in range(12)]
+        texts = [
+            " ".join(rng.choice(vocab, size=int(k)))
+            for k in rng.integers(3, 9, 300)
+        ]
+        df = pd.DataFrame({"doc_id": np.arange(300, dtype=np.int64), "text": texts})
+        w, num, den = 4, 1, 2
+        out = (
+            dedup.snm_pairs(_blocks(df, 6), window=w, tau_num=num, tau_den=den,
+                            bucket_rows=64)  # force multiple rank buckets
+            .to_pandas()
+            .sort_values(["doc_a", "doc_b"])
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("documents", df)
+        exp = con.execute(
+            "WITH r AS (SELECT doc_id, text, "
+            "row_number() OVER (ORDER BY text, doc_id) - 1 AS rn FROM documents), "
+            "tok AS (SELECT doc_id, rn, "
+            "list_distinct(regexp_extract_all(text, '\\S+')) AS ws FROM r), "
+            "p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+            "CAST(length(list_intersect(a.ws, b.ws)) AS BIGINT) AS inter, "
+            "CAST(length(a.ws) + length(b.ws) - length(list_intersect(a.ws, b.ws)) AS BIGINT) AS uni "
+            f"FROM tok a JOIN tok b ON b.rn > a.rn AND b.rn <= a.rn + {w - 1}) "
+            f"SELECT doc_a, doc_b, inter, uni FROM p WHERE {den} * inter >= {num} * uni "
+            "ORDER BY doc_a, doc_b"
+        ).df()
+        assert len(exp) > 0
+        pd.testing.assert_frame_equal(out[exp.columns.tolist()], exp)
+
+
+class TestValueTimeIntegral:
+    def test_matches_lead_oracle(self):
+        from spatialjoincountovershells_ray.pipelines import events as ev
+
+        rng = np.random.default_rng(31)
+        n = 2000
+        df = pd.DataFrame(
+            {
+                "event_id": np.arange(n, dtype=np.int64),
+                "user_id": rng.integers(0, 40, n).astype(np.int64),
+                "ts": pd.to_datetime(
+                    rng.integers(0, 10**9, n) * 1000, unit="us"
+                ).astype("datetime64[us]"),
+                "value": rng.uniform(0, 50, n).round(2),
+            }
+        )
+        out = (
+            ev.value_time_integral(_blocks(df, 5))
+            .to_pandas()
+            .sort_values("user_id")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("events", df)
+        exp = con.execute(
+            "WITH e AS (SELECT user_id, event_id, "
+            "CAST(round(value * 100) AS BIGINT) AS cents, epoch_us(ts) AS us FROM events), "
+            "w AS (SELECT user_id, cents, us, "
+            "lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS nxt FROM e) "
+            "SELECT user_id, CAST(COALESCE(SUM(cents * (nxt - us)), 0) AS BIGINT) AS integral, "
+            "CAST(max(us) - min(us) AS BIGINT) AS dur_us, "
+            "CAST(count(*) AS BIGINT) AS n_events FROM w GROUP BY user_id ORDER BY user_id"
+        ).df()
+        pd.testing.assert_frame_equal(out[exp.columns.tolist()], exp)
+
+    def test_single_event_user(self):
+        from spatialjoincountovershells_ray.pipelines import events as ev
+
+        df = pd.DataFrame(
+            {
+                "event_id": np.array([1], np.int64),
+                "user_id": np.array([7], np.int64),
+                "ts": pd.to_datetime([10**6], unit="us").astype("datetime64[us]"),
+                "value": [3.5],
+            }
+        )
+        out = ev.value_time_integral(ray.data.from_pandas(df)).to_pandas()
+        assert out["integral"].tolist() == [0]
+        assert out["dur_us"].tolist() == [0]
+        assert out["n_events"].tolist() == [1]
