@@ -362,6 +362,7 @@ BENCH_QUERIES = [
     "order_percent_rank",
     "snm_pairs",
     "value_time_integral",
+    "ann_index",
 ]
 
 

@@ -3536,6 +3536,23 @@ _BASKET_SQL = (
 )
 
 
+def q_ann_index(sf_dir: str):
+    """End-to-end IVF-PQ index lifecycle: resumable on-disk build (the
+    jobs/ann_index_job checkpoint units — re-runs skip), then ADC top-k
+    served from the stored codes with list_id predicate pushdown.
+    Deterministic (min-k-hash sample + seeded k-means) but not
+    SQL-expressible: rows-only gate."""
+    from jobs.ann_index_job import build_index, query_index
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    out = f"/tmp/sjcs_annidx/{tag}"
+    build_index(
+        [f"{sf_dir}/embeddings.parquet"], out, nlist=32, m=8, ksub=16, train_rows=1024
+    )
+    ids, mat = _query_vectors(sf_dir)
+    return query_index(out, ids, mat, ANN_K, nprobe=8)
+
+
 _SNM_W, _SNM_NUM, _SNM_DEN = 4, 7, 10
 
 
@@ -3762,4 +3779,5 @@ REGISTRY: dict[str, QueryDef] = {
     "order_percent_rank": QueryDef(q_order_percent_rank, _PCT_RANK_SQL),
     "snm_pairs": QueryDef(q_snm_pairs, _SNM_SQL),
     "value_time_integral": QueryDef(q_value_time_integral, _VTI_SQL),
+    "ann_index": QueryDef(q_ann_index, None),
 }
