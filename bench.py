@@ -363,6 +363,8 @@ BENCH_QUERIES = [
     "snm_pairs",
     "value_time_integral",
     "ann_index",
+    "value_lag1",
+    "label_cov",
 ]
 
 

@@ -1050,3 +1050,93 @@ def nearest_centroid(ds: "ray.data.Dataset") -> "ray.data.Dataset":
         batch_format="pyarrow",
         zero_copy_batch=True,
     ).sort("vec_id")
+
+
+def label_cov(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """-> label:int64, di:int64, dj:int64, n:int64, spp:int64 — the exact
+    per-class second-moment matrix of the embedding table (upper
+    triangle, di <= dj): spp = sum over the class of fp_i * fp_j with
+    the :func:`label_centroids` quantization (floor(v * S + 0.5), every
+    step one correctly-rounded IEEE op, so the SQL twin's identical
+    expression produces bit-equal integers). Together with
+    label_centroids' first moments this is everything LDA / whitening /
+    a Gaussian class model needs — covariance is one driver-side
+    division away, and staying integer keeps the gate value-exact.
+
+    Physical plan: per batch one int64 gram matrix per present label
+    (q_g.T @ q_g — exact, no float accumulation), flattened to
+    (packed key, value) rows; a remote tree-fold merges the partials
+    (O(labels x d^2/2) rows, never the data). Overflow contract:
+    class_rows * (4S)^2 must fit int64 (~2^19 rows at S = 2^20)."""
+    S = CENTROID_FP_SCALE
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lab = batch.column("label").to_numpy().astype(np.int64)
+        mat = np.stack(
+            batch.column("embedding").to_numpy(zero_copy_only=False)
+        ).astype(np.float64)
+        q = np.floor(mat * S + 0.5).astype(np.int64)
+        d = q.shape[1]
+        if d > 0xFF:
+            raise ValueError("label_cov packs dims as 8 bits; dim > 255")
+        ulab, inv = np.unique(lab, return_inverse=True)
+        if len(ulab) and int(ulab[0]) < 0:
+            raise ValueError("label_cov needs non-negative labels")
+        iu, ju = np.triu_indices(d)
+        keys, vals = [], []
+        for li, lv in enumerate(ulab):
+            qg = q[inv == li]
+            g = qg.T @ qg  # exact int64 gram
+            keys.append((int(lv) << 16) | (iu << 8) | ju)
+            vals.append(g[iu, ju])
+            # count rides along under the (255, 255) tag (dims are 8-bit
+            # and d <= 255, so the tag cannot collide with a real pair)
+            keys.append(np.array([(int(lv) << 16) | 0xFFFF], np.int64))
+            vals.append(np.array([len(qg)], np.int64))
+        return pa.table(
+            {
+                "c": pa.array(np.concatenate(keys).astype(np.int64), pa.int64()),
+                "n": pa.array(np.concatenate(vals).astype(np.int64), pa.int64()),
+            }
+        )
+
+    from spatialjoincountovershells_ray.pipelines.relagg import _merge_hists
+
+    refs = list(
+        ds.select_columns(["label", "embedding"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .materialize()
+        .to_arrow_refs()
+    )
+    while len(refs) > 1:
+        refs = [_merge_hists.remote(*refs[i : i + 8]) for i in range(0, len(refs), 8)]
+    merged = ray.get(_merge_hists.remote(*refs)) if refs else None
+    if merged is None or merged.num_rows == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "label": pa.array([], pa.int64()),
+                    "di": pa.array([], pa.int64()),
+                    "dj": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "spp": pa.array([], pa.int64()),
+                }
+            )
+        )
+    c = merged.column("c").to_numpy()
+    v = merged.column("n").to_numpy()
+    is_cnt = (c & 0xFFFF) == 0xFFFF
+    cnt_of = dict(zip((c[is_cnt] >> 16).tolist(), v[is_cnt].tolist()))
+    cp, vp = c[~is_cnt], v[~is_cnt]
+    lab = cp >> 16
+    n = np.array([cnt_of[int(x)] for x in lab], np.int64)
+    out = pa.table(
+        {
+            "label": pa.array(lab, pa.int64()),
+            "di": pa.array((cp >> 8) & 0xFF, pa.int64()),
+            "dj": pa.array(cp & 0xFF, pa.int64()),
+            "n": pa.array(n, pa.int64()),
+            "spp": pa.array(vp, pa.int64()),
+        }
+    )
+    return ray.data.from_arrow(out).sort(["label", "di", "dj"])

@@ -1133,3 +1133,72 @@ def value_time_integral(sf_dir_or_ds) -> "ray.data.Dataset":
 
     prepped = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
     return keyed_partition_apply(prepped, "user_id", kernel)
+
+
+def value_lag1_products(sf_dir_or_ds) -> "ray.data.Dataset":
+    """-> user_id, n:int64, sx:int64, sxx:int64, sxy:int64 — the exact
+    integer moment set of each user's value sequence in (ts, event_id)
+    order: count, sum, sum of squares, and the lag-1 product sum
+    sum(cents_i * cents_{i+1}). Everything an autocorrelation / AR(1)
+    fit needs, kept as exact int64 so the SQL twin hashes equal (the
+    float correlation itself is one driver-side division away).
+
+    Same physical plan as value_time_integral: one bucket exchange on
+    user_id, one lexsort + reduceat per bucket. Overflow contract:
+    n * max_cents^2 per user fits int64 (1e4 events x 1e8 here)."""
+    ds = (
+        ray.data.read_parquet(
+            f"{sf_dir_or_ds}/events.parquet",
+            columns=["ts", "user_id", "event_id", "value"],
+        )
+        if isinstance(sf_dir_or_ds, str)
+        else sf_dir_or_ds
+    )
+    from spatialjoincountovershells_ray.pipelines.window import keyed_partition_apply
+
+    def prep(batch: pa.Table) -> pa.Table:
+        cents = np.rint(batch.column("value").to_numpy() * 100).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "event_id": batch.column("event_id"),
+                "us": batch.column("ts").cast(pa.timestamp("us")).cast(pa.int64()),
+                "cents": pa.array(cents, pa.int64()),
+            }
+        )
+
+    def kernel(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "sx": pa.array([], pa.int64()),
+                "sxx": pa.array([], pa.int64()),
+                "sxy": pa.array([], pa.int64()),
+            }
+        )
+        if tbl.num_rows == 0 or tbl.num_columns == 0:
+            return empty
+        uid = tbl.column("user_id").to_numpy()
+        eid = tbl.column("event_id").to_numpy()
+        us = tbl.column("us").to_numpy()
+        cents = tbl.column("cents").to_numpy()
+        order = np.lexsort((eid, us, uid))
+        u, c = uid[order], cents[order]
+        n = len(u)
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        runlen = np.diff(np.r_[starts, n])
+        nxt_same = np.r_[u[1:] == u[:-1], False]
+        prod = np.where(nxt_same, c * np.r_[c[1:], np.int64(0)], np.int64(0))
+        return pa.table(
+            {
+                "user_id": pa.array(u[starts], pa.int64()),
+                "n": pa.array(runlen, pa.int64()),
+                "sx": pa.array(np.add.reduceat(c, starts), pa.int64()),
+                "sxx": pa.array(np.add.reduceat(c * c, starts), pa.int64()),
+                "sxy": pa.array(np.add.reduceat(prod, starts), pa.int64()),
+            }
+        )
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    return keyed_partition_apply(prepped, "user_id", kernel)

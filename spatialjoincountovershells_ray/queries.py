@@ -3593,6 +3593,48 @@ _VTI_SQL = (
 )
 
 
+def q_value_lag1(sf_dir: str):
+    return events.value_lag1_products(sf_dir)
+
+
+_VL1_SQL = (
+    "WITH e AS (SELECT user_id, event_id, "
+    "CAST(round(value * 100) AS BIGINT) AS cents, epoch_us(ts) AS us FROM events), "
+    "w AS (SELECT user_id, cents, "
+    "lead(cents) OVER (PARTITION BY user_id ORDER BY us, event_id) AS nxt FROM e) "
+    "SELECT user_id, CAST(count(*) AS BIGINT) AS n, "
+    "CAST(SUM(cents) AS BIGINT) AS sx, "
+    "CAST(SUM(cents * cents) AS BIGINT) AS sxx, "
+    "CAST(COALESCE(SUM(cents * nxt), 0) AS BIGINT) AS sxy "
+    "FROM w GROUP BY user_id"
+)
+
+
+def q_label_cov(sf_dir: str):
+    """Per-class exact second-moment (covariance numerator) matrix of the
+    embedding table — LDA/whitening prep, value-exact in int64."""
+    return ann.label_cov(
+        ray.data.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "label", "embedding"]
+        )
+    )
+
+
+def _label_cov_sql() -> str:
+    from spatialjoincountovershells_ray.pipelines.ann import CENTROID_FP_SCALE as S
+
+    return (
+        "WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label, "
+        "generate_subscripts(embedding, 1) - 1 AS dim, "
+        f"CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {S} + 0.5) AS BIGINT) AS fp "
+        "FROM embeddings) "
+        "SELECT a.label, CAST(a.dim AS BIGINT) AS di, CAST(b.dim AS BIGINT) AS dj, "
+        "CAST(count(*) AS BIGINT) AS n, CAST(SUM(a.fp * b.fp) AS BIGINT) AS spp "
+        "FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.dim <= b.dim "
+        "GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"
+    )
+
+
 def q_order_percent_rank(sf_dir: str):
     return window.order_percent_rank(
         ray.data.read_parquet(
@@ -3780,4 +3822,6 @@ REGISTRY: dict[str, QueryDef] = {
     "snm_pairs": QueryDef(q_snm_pairs, _SNM_SQL),
     "value_time_integral": QueryDef(q_value_time_integral, _VTI_SQL),
     "ann_index": QueryDef(q_ann_index, None),
+    "value_lag1": QueryDef(q_value_lag1, _VL1_SQL),
+    "label_cov": QueryDef(q_label_cov, _label_cov_sql()),
 }

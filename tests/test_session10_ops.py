@@ -208,3 +208,77 @@ class TestValueTimeIntegral:
         assert out["integral"].tolist() == [0]
         assert out["dur_us"].tolist() == [0]
         assert out["n_events"].tolist() == [1]
+
+
+class TestValueLag1:
+    def test_matches_lead_oracle(self):
+        from spatialjoincountovershells_ray.pipelines import events as ev
+
+        rng = np.random.default_rng(37)
+        n = 1500
+        df = pd.DataFrame(
+            {
+                "event_id": np.arange(n, dtype=np.int64),
+                "user_id": rng.integers(0, 30, n).astype(np.int64),
+                "ts": pd.to_datetime(
+                    rng.integers(0, 10**9, n) * 1000, unit="us"
+                ).astype("datetime64[us]"),
+                "value": rng.uniform(0, 50, n).round(2),
+            }
+        )
+        out = (
+            ev.value_lag1_products(_blocks(df, 4))
+            .to_pandas()
+            .sort_values("user_id")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("events", df)
+        exp = con.execute(
+            "WITH e AS (SELECT user_id, event_id, "
+            "CAST(round(value * 100) AS BIGINT) AS cents, epoch_us(ts) AS us FROM events), "
+            "w AS (SELECT user_id, cents, "
+            "lead(cents) OVER (PARTITION BY user_id ORDER BY us, event_id) AS nxt FROM e) "
+            "SELECT user_id, CAST(count(*) AS BIGINT) AS n, "
+            "CAST(SUM(cents) AS BIGINT) AS sx, "
+            "CAST(SUM(cents * cents) AS BIGINT) AS sxx, "
+            "CAST(COALESCE(SUM(cents * nxt), 0) AS BIGINT) AS sxy "
+            "FROM w GROUP BY user_id ORDER BY user_id"
+        ).df()
+        pd.testing.assert_frame_equal(out[exp.columns.tolist()], exp)
+
+
+class TestLabelCov:
+    def test_matches_pairwise_oracle(self):
+        from spatialjoincountovershells_ray.pipelines import ann
+        from spatialjoincountovershells_ray.pipelines.ann import CENTROID_FP_SCALE as S
+
+        import pyarrow as pa
+
+        rng = np.random.default_rng(41)
+        n, d = 300, 6
+        m = rng.normal(size=(n, d)).astype(np.float32)
+        lab = rng.integers(0, 3, n).astype(np.int32)
+        tbl = pa.table(
+            {
+                "vec_id": np.arange(n, dtype=np.int64),
+                "label": pa.array(lab, pa.int32()),
+                "embedding": pa.array(list(m), pa.list_(pa.float32())),
+            }
+        )
+        ds = ray.data.from_arrow(tbl)
+        out = ann.label_cov(ds).to_pandas()
+        # single-process exact replay
+        q = np.floor(m.astype(np.float64) * S + 0.5).astype(np.int64)
+        iu, ju = np.triu_indices(d)
+        rows = []
+        for lv in np.unique(lab):
+            qg = q[lab == lv]
+            g = qg.T @ qg
+            for i, j in zip(iu, ju):
+                rows.append((int(lv), int(i), int(j), len(qg), int(g[i, j])))
+        exp = pd.DataFrame(rows, columns=["label", "di", "dj", "n", "spp"])
+        exp = exp.sort_values(["label", "di", "dj"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            out[exp.columns.tolist()].astype("int64"), exp.astype("int64")
+        )
