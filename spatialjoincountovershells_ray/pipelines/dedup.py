@@ -1146,10 +1146,29 @@ def _dupgram_empty() -> pa.Table:
     return pa.table(
         {
             "gram": pa.array([], pa.string()),
+            "gk": pa.array([], pa.int64()),
             "nd": pa.array([], pa.int64()),
             "occ": pa.array([], pa.int64()),
         }
     )
+
+
+def _dupgram_out_empty() -> pa.Table:
+    return pa.table(
+        {
+            "gram": pa.array([], pa.string()),
+            "ndocs": pa.array([], pa.int64()),
+            "noccur": pa.array([], pa.int64()),
+        }
+    )
+
+
+@ray.remote
+def _concat_sorted_grams(*parts: pa.Table) -> pa.Table:
+    live = [p for p in parts if p.num_rows]
+    if not live:
+        return _dupgram_out_empty()
+    return pa.concat_tables(live).sort_by("gram")
 
 
 class _DupGramKernel:
@@ -1186,12 +1205,16 @@ class _DupGramKernel:
             len(sel), pa.py_buffer(offsets.tobytes()), pa.py_buffer(byte_mat.tobytes())
         )
         doc = b.column("doc_id").to_numpy()[row_of[sel]]
-        t = pa.table({"gram": gram_arr, "d": doc})
-        g = t.group_by(["gram", "d"]).aggregate([("d", "count")])
-        g2 = g.group_by("gram").aggregate([("d", "count"), ("d_count", "sum")])
+        # carry the shingle hash as the downstream bucket-routing key:
+        # it is a pure function of the gram bytes, so every partial of
+        # the same gram lands in the same exchange bucket for free
+        t = pa.table({"gram": gram_arr, "gk": pa.array(hs[sel], pa.int64()), "d": doc})
+        g = t.group_by(["gram", "gk", "d"]).aggregate([("d", "count")])
+        g2 = g.group_by(["gram", "gk"]).aggregate([("d", "count"), ("d_count", "sum")])
         return pa.table(
             {
                 "gram": g2.column("gram"),
+                "gk": g2.column("gk"),
                 "nd": pa.compute.cast(g2.column("d_count"), pa.int64()),
                 "occ": pa.compute.cast(g2.column("d_count_sum"), pa.int64()),
             }
@@ -1285,31 +1308,40 @@ def dup_substrings(
 
     from spatialjoincountovershells_ray.stages.join_kernels import run_cached_bcast
 
-    recovered = (
-        docs.map_batches(
-            run_cached_bcast,
-            fn_kwargs={"cls": _DupGramKernel, "ref_list": [dup_ref], "ctor_kwargs": {"k": k}},
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-        )
-        .groupby("gram")
-        .aggregate(ray.data.aggregate.Sum("nd"), ray.data.aggregate.Sum("occ"))
+    partials = docs.map_batches(
+        run_cached_bcast,
+        fn_kwargs={"cls": _DupGramKernel, "ref_list": [dup_ref], "ctor_kwargs": {"k": k}},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
     )
 
-    def finish(batch: pa.Table) -> pa.Table:
-        m = pa.compute.greater_equal(batch.column("sum(nd)"), min_docs)
-        b = batch.filter(m)
+    # merge the per-batch (gram, nd, occ) partials through the bucket
+    # exchange keyed on the gram's own shingle hash (carried from the
+    # kernel — no recomputation), instead of a string-keyed Dataset
+    # groupby: same all-to-all volume, none of the Dataset sort/groupby
+    # fixed overhead. Exact regroup by gram inside the bucket removes
+    # hash-collision false positives.
+    def merge_grams(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0 or "gram" not in tbl.schema.names:
+            return _dupgram_out_empty()
+        g = tbl.group_by("gram").aggregate([("nd", "sum"), ("occ", "sum")])
+        b = g.filter(pa.compute.greater_equal(g.column("nd_sum"), min_docs))
         return pa.table(
             {
                 "gram": b.column("gram"),
-                "ndocs": pa.compute.cast(b.column("sum(nd)"), pa.int64()),
-                "noccur": pa.compute.cast(b.column("sum(occ)"), pa.int64()),
+                "ndocs": pa.compute.cast(b.column("nd_sum"), pa.int64()),
+                "noccur": pa.compute.cast(b.column("occ_sum"), pa.int64()),
             }
         )
 
-    return recovered.map_batches(
-        finish, batch_format="pyarrow", zero_copy_batch=True
-    ).sort("gram")
+    merged = keyed_partition_apply(partials, "gk", merge_grams)
+    out_refs = list(merged.materialize().to_arrow_refs())
+    # the survivors are O(duplicated grams) — the same bound the dup-hash
+    # broadcast already assumes — so one remote task concat+sorts them
+    # (never via the driver); from_arrow_refs keeps it a Dataset
+    if not out_refs:
+        return ray.data.from_arrow_refs([ray.put(_dupgram_out_empty())])
+    return ray.data.from_arrow_refs([_concat_sorted_grams.remote(*out_refs)])
 
 
 # ---------------------------------------------------------------------------
