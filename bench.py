@@ -210,6 +210,7 @@ BENCH_QUERIES = [
     "shell_count_salted",
     "shell_count_docs",
     "shell_count_filtered",
+    "pair_correlation",
     "range_join",
     "range_join_shuffle",
     "geo_range_join",

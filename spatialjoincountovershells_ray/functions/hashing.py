@@ -19,11 +19,17 @@ import numpy as np
 
 from spatialjoincountovershells_ray.config import BOX_SIZE
 
-# odd 32-bit multipliers (Knuth / xxhash primes); per-axis (A, B)
+# odd 32-bit multipliers (Knuth / xxhash primes); per-axis (A, B).
+# Axes 0-2 are the data catalogs (halos/particles); axes 3-5 derive the
+# RANDOM catalog of the pair-correlation estimator from the same keys —
+# an independent pseudo-uniform draw with the same SQL-parity form.
 _AXIS_PARAMS = (
     (2654435761, 0),
     (2246822519, 1),
     (3266489917, 2),
+    (668265263, 3),
+    (374761393, 4),
+    (3042594569, 5),
 )
 _COORD_MOD = 1_000_000  # 3 fractional digits at box=1000
 _COORD_SCALE = 1000.0

@@ -306,3 +306,84 @@ def shell_count_from_documents(
         zero_copy_batch=True,
     ).select_columns(["particle_id", "x", "y", "z"])
     return shell_count(halos, particles, ladder, **kwargs)
+
+
+@ray.remote
+def _fold_corr_partials(nrads: int, *parts: pa.Table) -> pa.Table:
+    """Sum the fixed-size (shell, dd, dr) partials and attach the
+    Davis-Peebles estimate w = dd/dr - 1 (NULL where dr == 0). NR == ND
+    here (the random catalog re-derives one point per particle), so the
+    (NR/ND) factor is exactly 1."""
+    dd = np.zeros(nrads, dtype=np.int64)
+    dr = np.zeros(nrads, dtype=np.int64)
+    for t in parts:
+        if t.num_rows:
+            # a block may hold MANY concatenated nrads-row partials, so
+            # shell indices repeat: duplicate-safe scatter-add required
+            sh = t.column("shell").to_numpy()
+            np.add.at(dd, sh, t.column("dd").to_numpy())
+            np.add.at(dr, sh, t.column("dr").to_numpy())
+    with np.errstate(divide="ignore", invalid="ignore"):
+        w = dd.astype(np.float64) / dr.astype(np.float64) - 1.0
+    return pa.table(
+        {
+            "shell": pa.array(np.arange(nrads, dtype=np.int64)),
+            "dd": pa.array(dd),
+            "dr": pa.array(dr),
+            "w": pa.array(
+                [None if dr[i] == 0 else float(w[i]) for i in range(nrads)],
+                pa.float64(),
+            ),
+        }
+    )
+
+
+def pair_correlation(
+    halos: "ray.data.Dataset | pa.Table",
+    particles: "ray.data.Dataset",
+    ladder: RadiusLadder,
+    *,
+    grid: GridSpec | None = None,
+    box: float = BOX_SIZE,
+    batch_size: int = 16384,
+) -> "ray.data.Dataset":
+    """Two-point cross-correlation estimate per shell: shell:int64,
+    dd:int64, dr:int64, w:float64 — the Davis-Peebles w(r) = DD/DR - 1
+    over the halo x particle catalogs, with the random catalog derived
+    deterministically from the particle ids (hashing.derive_coord axes
+    3-5; never read, shuffled, or stored).
+
+    The domain estimator the reference's pair counts feed (its
+    MultiRangeCount histograms ARE the DD term, reference
+    src/objects/RTree/MultiRangeCount.c); this op adds the matching DR
+    term and the estimate in one particle pass. Both probes share one
+    broadcast halo index; partials are nrads fixed rows per batch, folded
+    by one remote task — no Dataset groupby/sort anywhere.
+    """
+    from spatialjoincountovershells_ray.stages.join_kernels import PairCorrTotals
+
+    grid = grid or GridSpec.for_radius(ladder.rmax, box=box, target_cells_per_r=3.0)
+    halos_tbl = halos if isinstance(halos, pa.Table) else dataset_to_table(halos)
+    hids = halos_tbl.column("halo_id").to_numpy()
+    hxyz = np.stack(
+        [halos_tbl.column(c).to_numpy().astype(ladder.dtype, copy=False) for c in "xyz"],
+        axis=1,
+    )
+    index_ref = ray.put(HaloIndex.build(hids, hxyz, ladder.rmax, grid, box))
+    partials = particles.map_batches(
+        run_broadcast_kernel,
+        fn_kwargs={
+            "cls": PairCorrTotals,
+            "ref_list": [index_ref],
+            "ladder": ladder,
+        },
+        batch_size=batch_size,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    refs = list(partials.materialize().to_arrow_refs())
+    if not refs:
+        refs = [ray.put(pa.table({"shell": pa.array([], pa.int64()),
+                                  "dd": pa.array([], pa.int64()),
+                                  "dr": pa.array([], pa.int64())}))]
+    return ray.data.from_arrow_refs([_fold_corr_partials.remote(ladder.nrads, *refs)])

@@ -72,6 +72,38 @@ def _shell_sql(extra_halo_where: str = "") -> str:
     )
 
 
+def _pair_corr_sql() -> str:
+    """Twin of pipelines.shell_count.pair_correlation: per-shell DD and
+    DR totals over the halo x particle / halo x random cross joins, plus
+    the Davis-Peebles w = dd/dr - 1 (one IEEE division — bit-equal)."""
+    r2 = LADDER.r2
+    nrads = LADDER.nrads
+    whens = " ".join(f"WHEN d2 < {float(r2[i])!r} THEN {i}" for i in range(nrads))
+    shell_case = f"CASE {whens} ELSE -1 END"
+    pid = "(l_orderkey * 8 + l_linenumber)"
+    randoms_cte = (
+        "randoms AS (SELECT "
+        f"{derive_coord_sql(pid, 3)} AS x, "
+        f"{derive_coord_sql(pid, 4)} AS y, "
+        f"{derive_coord_sql(pid, 5)} AS z FROM lineitem)"
+    )
+    return (
+        f"WITH {synthetic.HALOS_CTE}, {synthetic.PARTICLES_CTE}, {randoms_cte}, "
+        f"ddp AS (SELECT {shell_case} AS shell FROM "
+        f"(SELECT {synthetic.D2_SQL} AS d2 FROM halos h CROSS JOIN particles p)), "
+        f"drp AS (SELECT {shell_case} AS shell FROM "
+        f"(SELECT {synthetic.D2_SQL} AS d2 FROM halos h CROSS JOIN randoms p)), "
+        "ddc AS (SELECT shell, COUNT(*) AS n FROM ddp WHERE shell >= 0 GROUP BY shell), "
+        "drc AS (SELECT shell, COUNT(*) AS n FROM drp WHERE shell >= 0 GROUP BY shell), "
+        f"sh AS (SELECT CAST(range AS BIGINT) AS shell FROM range({nrads})) "
+        "SELECT sh.shell, COALESCE(ddc.n, 0) AS dd, COALESCE(drc.n, 0) AS dr, "
+        "CASE WHEN COALESCE(drc.n, 0) = 0 THEN NULL "
+        "ELSE CAST(COALESCE(ddc.n, 0) AS DOUBLE) / CAST(drc.n AS DOUBLE) - 1.0 END AS w "
+        "FROM sh LEFT JOIN ddc ON sh.shell = ddc.shell "
+        "LEFT JOIN drc ON sh.shell = drc.shell ORDER BY sh.shell"
+    )
+
+
 def _filter_halos(ds: "ray.data.Dataset", modulus: int) -> "ray.data.Dataset":
     """Halo-id filter semi-join (reference readAndFilterHalos,
     src/Gadget/BufHalo.c:121-214): broadcastable predicate on the id."""
@@ -140,6 +172,16 @@ def q_shell_count(sf_dir: str):
         synthetic.particles_dataset(sf_dir),
         LADDER,
         halo_index=halo_index_for(sf_dir, LADDER),
+    )
+
+
+def q_pair_correlation(sf_dir: str):
+    """Two-point cross-correlation estimate per shell (DD, DR, w) with a
+    derived random catalog — both probes share one broadcast halo index."""
+    return sc.pair_correlation(
+        synthetic.halos_dataset(sf_dir),
+        synthetic.particles_dataset(sf_dir),
+        LADDER,
     )
 
 
@@ -3658,6 +3700,7 @@ REGISTRY: dict[str, QueryDef] = {
     "shell_count_salted": QueryDef(q_shell_count_salted, _shell_sql()),
     "shell_count_docs": QueryDef(q_shell_count_docs, _shell_sql()),
     "shell_count_filtered": QueryDef(q_shell_count_filtered, _shell_sql("c_custkey % 7 = 0")),
+    "pair_correlation": QueryDef(q_pair_correlation, _pair_corr_sql()),
     "range_join": QueryDef(q_range_join, _RANGE_SQL),
     "range_join_shuffle": QueryDef(q_range_join_shuffle, _RANGE_SQL),
     "knn": QueryDef(q_knn, _KNN_SQL),

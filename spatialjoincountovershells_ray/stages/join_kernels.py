@@ -459,6 +459,57 @@ class BroadcastShellCount(_BroadcastKernel):
         return pa.table(cols)
 
 
+class PairCorrTotals(_BroadcastKernel):
+    """Particle batches -> per-shell TOTAL pair counts for the real
+    catalog (dd) and a derived random catalog (dr) in one pass.
+
+    The estimator kernel of the two-point cross-correlation function
+    (Davis & Peebles 1983): the same halo index and exact two-phase shell
+    binning as :class:`BroadcastShellCount`, but folded over ALL halos —
+    no per-halo histogram, so the accumulator is nrads+1 counters. The
+    random catalog is re-derived per batch from the particle ids via
+    ``derive_coord`` axes 3-5 (SQL-parity multiply-add-modulo), so it is
+    never read, shuffled, or stored anywhere.
+
+    Output per batch: shell:int64 (0..nrads-1), dd:int64, dr:int64 —
+    always exactly nrads rows (a fixed-size partial for the tree fold).
+    """
+
+    def _totals(self, p_cols) -> np.ndarray:
+        nrads = self.ladder.nrads
+        nr1 = nrads + 1
+        tot = np.zeros(nr1, dtype=np.int64)
+        psort, sorted_cols = self._sort_batch(p_cols)
+        sorted32 = (
+            tuple(c.astype(np.float32) for c in sorted_cols) if self.two_phase else None
+        )
+        ctx = self._shell_ctx(self.r2)
+        for pp, rep in self._iter_expanded(sorted_cols):
+            shell = self._shells(rep, pp, sorted_cols, sorted32, ctx)
+            tot += np.bincount(shell, minlength=nr1)
+        return tot[:nrads]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from spatialjoincountovershells_ray.functions.hashing import derive_coord
+
+        nrads = self.ladder.nrads
+        p_cols = _batch_cols(batch, self.dtype)
+        dd = self._totals(p_cols)
+        pid = batch.column("particle_id").to_numpy()
+        box = self.index.box
+        r_cols = tuple(
+            derive_coord(pid, ax + 3, box).astype(self.dtype, copy=False) for ax in range(3)
+        )
+        dr = self._totals(r_cols)
+        return pa.table(
+            {
+                "shell": np.arange(nrads, dtype=np.int64),
+                "dd": dd,
+                "dr": dr,
+            }
+        )
+
+
 class BroadcastRangeJoin(_BroadcastKernel):
     """Particle batches -> (halo_id, particle_id) pairs with d2 < r2_max.
 

@@ -405,3 +405,45 @@ def test_range_join_auto_picks_plan():
         )
     ).to_pandas()
     assert set(zip(res2.halo_id, res2.particle_id)) == want
+
+
+def test_pair_correlation_matches_shell_count_totals():
+    """DD per shell == column sums of the oracle-verified shell_count
+    histograms; DR == the same against the derived random catalog; w is
+    the single IEEE division dd/dr - 1 (NULL at dr == 0)."""
+    from spatialjoincountovershells_ray.functions.hashing import derive_coord
+    from spatialjoincountovershells_ray.pipelines.shell_count import pair_correlation
+
+    hxyz = uniform_coords(MT19937(1659533), 80)
+    pxyz = uniform_coords(MT19937(113), 1500)
+    lad = RadiusLadder.log2_spaced(1, 100, 8, dtype=np.float64)
+    halos, parts = _tables(hxyz, pxyz, np.float64)
+
+    got = dataset_to_table(pair_correlation(halos, parts, lad)).to_pandas()
+    got = got.sort_values("shell").reset_index(drop=True)
+
+    def totals(particle_tbl):
+        res = dataset_to_table(
+            shell_count(halos, ray.data.from_arrow(particle_tbl), lad)
+        ).to_pandas()
+        return res[[f"s{i}" for i in range(8)]].to_numpy().sum(axis=0)
+
+    pid = np.arange(len(pxyz), dtype=np.int64)
+    rand_tbl = pa.table(
+        {
+            "particle_id": pid,
+            "x": derive_coord(pid, 3),
+            "y": derive_coord(pid, 4),
+            "z": derive_coord(pid, 5),
+        }
+    )
+    dd = totals(dataset_to_table(parts))
+    dr = totals(rand_tbl)
+    np.testing.assert_array_equal(got["dd"].to_numpy(), dd)
+    np.testing.assert_array_equal(got["dr"].to_numpy(), dr)
+    w = got["w"].to_numpy()
+    for i in range(8):
+        if dr[i] == 0:
+            assert np.isnan(w[i])
+        else:
+            assert w[i] == dd[i] / dr[i] - 1.0
