@@ -41,14 +41,24 @@ def packed_counts(
             )
         return pa.table({"k": kk, "n": cnt.astype(np.int64)})
 
-    merged = (
-        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("k")
-        .sum("n")
-    )
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
 
-    def final(batch: pa.Table) -> pa.Table:
-        cname = "sum(n)" if "sum(n)" in batch.schema.names else "n"
-        return unpack(batch.column("k").to_numpy(), batch.column(cname))
+    # merge via the raw-task bucket exchange keyed on the packed key —
+    # the partials are already one row per distinct key per task, so the
+    # exchange is tiny and none of the Dataset-groupby fixed overhead
+    # (~1.5-3 s per all-to-all at 32 CPUs) is paid. Every op sharing this
+    # module (rasterize / pyramid / zonal / sliding windows / CMS) gets
+    # the cheaper merge at once.
+    from spatialjoincountovershells_ray.pipelines.window import keyed_partition_apply
 
-    return merged.map_batches(final, batch_format="pyarrow", zero_copy_batch=True)
+    def bucket(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0 or "k" not in tbl.schema.names:
+            return unpack(np.empty(0, np.int64), pa.array([], pa.int64()))
+        k = tbl.column("k").to_numpy()
+        n = tbl.column("n").to_numpy()
+        order = np.argsort(k, kind="stable")
+        ks, ns = k[order], n[order]
+        starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+        return unpack(ks[starts], pa.array(np.add.reduceat(ns, starts), pa.int64()))
+
+    return keyed_partition_apply(partials, "k", bucket)

@@ -118,13 +118,26 @@ def pyramid_counts(
             batch_format="pyarrow", zero_copy_batch=True,
         )
     ]
-    for lv in range(finest_level - 1, finest_level - nlevels, -1):
-        level_ds = (
-            level_ds.map_batches(halve, batch_format="pyarrow", zero_copy_batch=True)
-            .groupby("cell")
-            .sum("cnt")
-            .materialize()
+    from spatialjoincountovershells_ray.pipelines.window import keyed_partition_apply
+
+    def merge_cells(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0 or "cell" not in tbl.schema.names:
+            return pa.table({"cell": pa.array([], pa.int64()), "cnt": pa.array([], pa.int64())})
+        c = tbl.column("cell").to_numpy()
+        n = tbl.column("cnt").to_numpy()
+        order = np.argsort(c, kind="stable")
+        cs, ns = c[order], n[order]
+        starts = np.flatnonzero(np.r_[True, cs[1:] != cs[:-1]])
+        return pa.table(
+            {"cell": cs[starts], "cnt": np.add.reduceat(ns, starts).astype(np.int64)}
         )
+
+    for lv in range(finest_level - 1, finest_level - nlevels, -1):
+        halved = level_ds.map_batches(halve, batch_format="pyarrow", zero_copy_batch=True)
+        # per-level merge through the bucket exchange (not a Dataset
+        # groupby): each level's raster is grid-bounded, the exchange
+        # carries one (cell, cnt) row per distinct cell per block
+        level_ds = keyed_partition_apply(halved, "cell", merge_cells).materialize()
         outs.append(
             level_ds.map_batches(
                 unpack, fn_kwargs={"level": lv},
