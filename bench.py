@@ -211,6 +211,8 @@ BENCH_QUERIES = [
     "shell_count_docs",
     "shell_count_filtered",
     "pair_correlation",
+    "halo_autocorr",
+    "counts_in_cells",
     "range_join",
     "range_join_shuffle",
     "geo_range_join",

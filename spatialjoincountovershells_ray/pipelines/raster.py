@@ -209,3 +209,58 @@ def raster_to_vector(
 
     kept = raster.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
     return kept.groupby("cell_row").map_groups(_runs_in_row, batch_format="pyarrow")
+
+
+@ray.remote
+def _count_of_counts(total_cells: int, *parts: pa.Table) -> pa.Table:
+    """Occupancy table -> P(N) rows, with the empty-cell row derived from
+    the known grid size (occupied cells never ship a zero row)."""
+    live = [t for t in parts if t.num_rows]
+    occupied = 0
+    ns = []
+    for t in live:
+        occupied += t.num_rows
+        ns.append(t.column("n").to_numpy())
+    if ns:
+        uniq, cnt = np.unique(np.concatenate(ns), return_counts=True)
+    else:
+        uniq, cnt = np.empty(0, np.int64), np.empty(0, np.int64)
+    n_out = np.concatenate(([0], uniq.astype(np.int64)))
+    c_out = np.concatenate(([total_cells - occupied], cnt.astype(np.int64)))
+    return pa.table(
+        {"n_particles": pa.array(n_out, pa.int64()), "ncells_with": pa.array(c_out, pa.int64())}
+    )
+
+
+def counts_in_cells(
+    points: "ray.data.Dataset",
+    ncells: int,
+    box: float,
+    cols: tuple[str, str, str] = ("x", "y", "z"),
+) -> "ray.data.Dataset":
+    """Counts-in-cells distribution P(N): n_particles:int64,
+    ncells_with:int64 — for every occupancy N (including N = 0), how many
+    of the ncells^3 grid cells hold exactly N points.
+
+    The one-point statistic of large-scale-structure analysis (the
+    moments of P(N) estimate clustering amplitude), computed with the
+    packed-key combiner: the exchange carries one (cell, count) row per
+    distinct cell per task, and the count-of-counts + empty-cell row fold
+    in one remote task over the grid-bounded occupancy table.
+    """
+    from spatialjoincountovershells_ray.functions.combine import packed_counts
+
+    L = box / ncells
+    K = np.int64(ncells)
+
+    def pack(batch: pa.Table) -> np.ndarray:
+        ix = np.floor(batch.column(cols[0]).to_numpy() / L).astype(np.int64)
+        iy = np.floor(batch.column(cols[1]).to_numpy() / L).astype(np.int64)
+        iz = np.floor(batch.column(cols[2]).to_numpy() / L).astype(np.int64)
+        return (ix * K + iy) * K + iz
+
+    occ = packed_counts(points, pack, lambda k, c: pa.table({"cell": k, "n": c}))
+    refs = list(occ.materialize().to_arrow_refs())
+    if not refs:
+        refs = [ray.put(pa.table({"cell": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}))]
+    return ray.data.from_arrow_refs([_count_of_counts.remote(ncells**3, *refs)])

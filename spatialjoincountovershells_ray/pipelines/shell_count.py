@@ -387,3 +387,67 @@ def pair_correlation(
                                   "dd": pa.array([], pa.int64()),
                                   "dr": pa.array([], pa.int64())}))]
     return ray.data.from_arrow_refs([_fold_corr_partials.remote(ladder.nrads, *refs)])
+
+
+@ray.remote
+def _fold_autocorr(nrads: int, nhalos: int, *parts: pa.Table) -> pa.Table:
+    """Ordered-pair totals -> unordered i<j counts: every (i, j) pair was
+    counted in both orders and each halo paired with itself exactly once
+    at d2 == 0 (shell 0, since r2[0] > 0), so npairs = (tot - self)/2 —
+    exact integers (tot - self is even by symmetry of the wrapped d2)."""
+    tot = np.zeros(nrads, dtype=np.int64)
+    for t in parts:
+        if t.num_rows:
+            np.add.at(tot, t.column("shell").to_numpy(), t.column("cnt").to_numpy())
+    tot[0] -= nhalos
+    assert (tot % 2 == 0).all(), "ordered pair totals must be even after self-pair removal"
+    return pa.table(
+        {
+            "shell": pa.array(np.arange(nrads, dtype=np.int64)),
+            "npairs": pa.array(tot // 2),
+        }
+    )
+
+
+def halo_autocorr(
+    halos: "ray.data.Dataset | pa.Table",
+    ladder: RadiusLadder,
+    *,
+    grid: GridSpec | None = None,
+    box: float = BOX_SIZE,
+    batch_size: int = 16384,
+) -> "ray.data.Dataset":
+    """Halo-halo autocorrelation pair counts: shell:int64, npairs:int64 —
+    the number of UNORDERED halo pairs (i < j) per radial shell under the
+    periodic metric. The DD term of the two-point autocorrelation
+    function (the statistic SJCS's pair counting exists to feed).
+
+    One catalog plays both sides: the broadcast cell index is built over
+    the halos and probed BY the halos; the ordered totals are corrected
+    exactly for self-pairs and double counting in the final fold. Scales
+    like the flagship broadcast plan (index once, stream the probe side).
+    """
+    from spatialjoincountovershells_ray.stages.join_kernels import ShellTotals
+
+    grid = grid or GridSpec.for_radius(ladder.rmax, box=box, target_cells_per_r=3.0)
+    halos_tbl = halos if isinstance(halos, pa.Table) else dataset_to_table(halos)
+    hids = halos_tbl.column("halo_id").to_numpy()
+    hxyz = np.stack(
+        [halos_tbl.column(c).to_numpy().astype(ladder.dtype, copy=False) for c in "xyz"],
+        axis=1,
+    )
+    index_ref = ray.put(HaloIndex.build(hids, hxyz, ladder.rmax, grid, box))
+    probe = ray.data.from_arrow(halos_tbl)
+    partials = probe.map_batches(
+        run_broadcast_kernel,
+        fn_kwargs={"cls": ShellTotals, "ref_list": [index_ref], "ladder": ladder},
+        batch_size=batch_size,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    refs = list(partials.materialize().to_arrow_refs())
+    if not refs:
+        refs = [ray.put(pa.table({"shell": pa.array([], pa.int64()), "cnt": pa.array([], pa.int64())}))]
+    return ray.data.from_arrow_refs(
+        [_fold_autocorr.remote(ladder.nrads, len(hids), *refs)]
+    )

@@ -104,6 +104,42 @@ def _pair_corr_sql() -> str:
     )
 
 
+def _autocorr_sql() -> str:
+    """Twin of pipelines.shell_count.halo_autocorr: unordered (i < j)
+    halo-halo pair counts per shell."""
+    r2 = LADDER.r2
+    nrads = LADDER.nrads
+    whens = " ".join(f"WHEN d2 < {float(r2[i])!r} THEN {i}" for i in range(nrads))
+    return (
+        f"WITH {synthetic.HALOS_CTE}, "
+        f"pp AS (SELECT CASE {whens} ELSE -1 END AS shell FROM "
+        f"(SELECT {synthetic.D2_SQL} AS d2 FROM halos h CROSS JOIN halos p "
+        "WHERE h.halo_id < p.halo_id)), "
+        "cnts AS (SELECT shell, COUNT(*) AS n FROM pp WHERE shell >= 0 GROUP BY shell), "
+        f"sh AS (SELECT CAST(range AS BIGINT) AS shell FROM range({nrads})) "
+        "SELECT sh.shell, COALESCE(cnts.n, 0) AS npairs "
+        "FROM sh LEFT JOIN cnts ON sh.shell = cnts.shell ORDER BY sh.shell"
+    )
+
+
+def _cic_sql() -> str:
+    """Twin of pipelines.raster.counts_in_cells on the particle catalog."""
+    K = CIC_NCELLS
+    L = repr(BOX_SIZE / K)
+    cell = (
+        f"(CAST(floor(x / {L}) AS BIGINT) * {K} + CAST(floor(y / {L}) AS BIGINT)) * {K} "
+        f"+ CAST(floor(z / {L}) AS BIGINT)"
+    )
+    return (
+        f"WITH {synthetic.PARTICLES_CTE}, "
+        f"occ AS (SELECT {cell} AS cell, COUNT(*) AS n FROM particles GROUP BY 1), "
+        "coc AS (SELECT n AS n_particles, COUNT(*) AS ncells_with FROM occ GROUP BY n) "
+        "SELECT * FROM coc UNION ALL "
+        f"SELECT CAST(0 AS BIGINT), CAST({K**3} AS BIGINT) - (SELECT COUNT(*) FROM occ) "
+        "ORDER BY n_particles"
+    )
+
+
 def _filter_halos(ds: "ray.data.Dataset", modulus: int) -> "ray.data.Dataset":
     """Halo-id filter semi-join (reference readAndFilterHalos,
     src/Gadget/BufHalo.c:121-214): broadcastable predicate on the id."""
@@ -183,6 +219,23 @@ def q_pair_correlation(sf_dir: str):
         synthetic.particles_dataset(sf_dir),
         LADDER,
     )
+
+
+def q_halo_autocorr(sf_dir: str):
+    """Halo-halo autocorrelation: unordered pair counts per shell (the DD
+    term of the two-point autocorrelation function)."""
+    return sc.halo_autocorr(synthetic.halos_dataset(sf_dir), LADDER)
+
+
+CIC_NCELLS = 16  # counts-in-cells grid (box/16 = 62.5, exact in binary)
+
+
+def q_counts_in_cells(sf_dir: str):
+    """Counts-in-cells occupancy distribution P(N) over the particle
+    catalog, empty cells included."""
+    from spatialjoincountovershells_ray.pipelines.raster import counts_in_cells
+
+    return counts_in_cells(synthetic.particles_dataset(sf_dir), CIC_NCELLS, BOX_SIZE)
 
 
 def q_shell_count_shuffle(sf_dir: str):
@@ -3701,6 +3754,8 @@ REGISTRY: dict[str, QueryDef] = {
     "shell_count_docs": QueryDef(q_shell_count_docs, _shell_sql()),
     "shell_count_filtered": QueryDef(q_shell_count_filtered, _shell_sql("c_custkey % 7 = 0")),
     "pair_correlation": QueryDef(q_pair_correlation, _pair_corr_sql()),
+    "halo_autocorr": QueryDef(q_halo_autocorr, _autocorr_sql()),
+    "counts_in_cells": QueryDef(q_counts_in_cells, _cic_sql()),
     "range_join": QueryDef(q_range_join, _RANGE_SQL),
     "range_join_shuffle": QueryDef(q_range_join_shuffle, _RANGE_SQL),
     "knn": QueryDef(q_knn, _KNN_SQL),

@@ -510,6 +510,20 @@ class PairCorrTotals(_BroadcastKernel):
         )
 
 
+class ShellTotals(PairCorrTotals):
+    """Per-shell TOTAL pair counts of the batch against the broadcast
+    index (no random side) — the probe kernel of the halo
+    autocorrelation. Output per batch: shell:int64, cnt:int64 (always
+    exactly nrads rows)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        nrads = self.ladder.nrads
+        tot = self._totals(_batch_cols(batch, self.dtype))
+        return pa.table(
+            {"shell": np.arange(nrads, dtype=np.int64), "cnt": tot}
+        )
+
+
 class BroadcastRangeJoin(_BroadcastKernel):
     """Particle batches -> (halo_id, particle_id) pairs with d2 < r2_max.
 

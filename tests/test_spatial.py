@@ -447,3 +447,59 @@ def test_pair_correlation_matches_shell_count_totals():
             assert np.isnan(w[i])
         else:
             assert w[i] == dd[i] / dr[i] - 1.0
+
+
+def test_halo_autocorr_matches_brute_force():
+    """Unordered i<j pair counts per shell vs an O(n^2) numpy oracle
+    under the periodic min-image metric."""
+    from spatialjoincountovershells_ray.pipelines.shell_count import halo_autocorr
+
+    hxyz = uniform_coords(MT19937(77), 120)
+    lad = RadiusLadder.log2_spaced(1, 100, 8, dtype=np.float64)
+    halos, _ = _tables(hxyz, hxyz[:1], np.float64)
+
+    got = dataset_to_table(halo_autocorr(halos, lad)).to_pandas()
+    got = got.sort_values("shell").reset_index(drop=True)
+
+    d = hxyz[:, None, :] - hxyz[None, :, :]
+    d -= 1000.0 * np.floor(d / 1000.0 + 0.5)
+    d2 = (d * d).sum(axis=2)
+    iu = np.triu_indices(len(hxyz), k=1)
+    shell = np.searchsorted(lad.r2, d2[iu], side="right")
+    want = np.bincount(shell[shell < 8], minlength=8)
+    np.testing.assert_array_equal(got["npairs"].to_numpy(), want)
+    assert int(got["npairs"].sum()) > 0
+
+
+def test_counts_in_cells_matches_brute_force():
+    """P(N) including empty cells vs a numpy histogram oracle."""
+    from spatialjoincountovershells_ray.pipelines.raster import counts_in_cells
+
+    pxyz = uniform_coords(MT19937(31), 3000)
+    parts = pa.table(
+        {
+            "particle_id": np.arange(3000, dtype=np.int64),
+            "x": pxyz[:, 0].astype(np.float64),
+            "y": pxyz[:, 1].astype(np.float64),
+            "z": pxyz[:, 2].astype(np.float64),
+        }
+    )
+    K, box = 8, 1000.0
+    got = dataset_to_table(
+        counts_in_cells(ray.data.from_arrow(parts), K, box)
+    ).to_pandas().sort_values("n_particles").reset_index(drop=True)
+
+    L = box / K
+    cell = (
+        np.floor(pxyz[:, 0] / L).astype(np.int64) * K
+        + np.floor(pxyz[:, 1] / L).astype(np.int64)
+    ) * K + np.floor(pxyz[:, 2] / L).astype(np.int64)
+    occ = np.bincount(cell, minlength=K**3)
+    n, c = np.unique(occ, return_counts=True)
+    want = dict(zip(n.tolist(), c.tolist()))
+    got_map = dict(zip(got["n_particles"].tolist(), got["ncells_with"].tolist()))
+    # engine emits the N=0 row even when no cell is empty
+    if 0 not in want:
+        want[0] = 0
+    assert got_map == want
+    assert int(got["ncells_with"].sum()) == K**3
