@@ -418,6 +418,26 @@ def _ws_bigram_table(batch: pa.Table) -> pa.Table:
     )
 
 
+def _concat_group(parts, keys: list, sum_col: str) -> pa.Table:
+    """Concat partial tables and sum ``sum_col`` per ``keys`` (Arrow C++
+    group_by; for BOUNDED summaries merged in one task)."""
+    live = [t for t in parts if t.num_rows]
+    if not live:
+        return pa.table(
+            {**{k: pa.array([], pa.string()) for k in keys}, sum_col: pa.array([], pa.int64())}
+        )
+    t = pa.concat_tables(live, promote_options="none")
+    g = t.group_by(keys).aggregate([(sum_col, "sum")])
+    return pa.table(
+        {**{k: g.column(k) for k in keys}, sum_col: g.column(f"{sum_col}_sum").cast(pa.int64())}
+    )
+
+
+@ray.remote
+def _concat_group_sum(keys: list, sum_col: str, *parts: pa.Table) -> pa.Table:
+    return _concat_group(parts, keys, sum_col)
+
+
 def heavy_hitter_terms(
     docs: "ray.data.Dataset", phi: float = 0.01, k: int | None = None, *, terms_of=None
 ) -> "ray.data.Dataset":
@@ -467,15 +487,19 @@ def heavy_hitter_terms(
             }
         )
 
-    merged = (
+    # merge the <= batches * (k+1) counter rows in ONE remote task (the
+    # summary is bounded by construction — a Dataset groupby here paid
+    # ~1.5 s of all-to-all fixed overhead to merge a few thousand rows),
+    # then fetch only the merged summary driver-side as before
+    mg_refs = list(
         docs.select_columns(["text"])
         .map_batches(mg_partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("term")
-        .sum("n")
-        .to_pandas()  # <= batches * (k+1) counter rows, never the corpus
+        .materialize()
+        .to_arrow_refs()
     )
-    total = int(merged.loc[merged["term"] == "", "sum(n)"].sum())
-    cand = merged[(merged["term"] != "") & (merged["sum(n)"] >= 0.5 * phi * total)]
+    merged = ray.get(_concat_group_sum.remote(["term"], "n", *mg_refs)).to_pandas()
+    total = int(merged.loc[merged["term"] == "", "n"].sum())
+    cand = merged[(merged["term"] != "") & (merged["n"] >= 0.5 * phi * total)]
     cand_terms = pa.array(sorted(cand["term"].tolist()), pa.string())
 
     def count_candidates(batch: pa.Table) -> pa.Table:
@@ -484,21 +508,25 @@ def heavy_hitter_terms(
         g = hits.group_by("term").aggregate([([], "count_all")])
         return pa.table({"term": g.column("term"), "n": g.column("count_all").cast(pa.int64())})
 
-    exact = (
+    exact_refs = list(
         docs.select_columns(["text"])
         .map_batches(count_candidates, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("term")
-        .sum("n")
+        .materialize()
+        .to_arrow_refs()
     )
 
-    def final(batch: pa.Table) -> pa.Table:
-        n = batch.column("sum(n)").to_numpy()
+    @ray.remote
+    def finish(*parts: pa.Table) -> pa.Table:
+        t = _concat_group(parts, ["term"], "n")
+        n = t.column("n").to_numpy()
         keep = n >= phi * total  # same double product the SQL HAVING computes
         return pa.table(
-            {"term": batch.column("term").filter(pa.array(keep)), "n": pa.array(n[keep], pa.int64())}
-        )
+            {"term": t.column("term").filter(pa.array(keep)), "n": pa.array(n[keep], pa.int64())}
+        ).sort_by("term")
 
-    return exact.map_batches(final, batch_format="pyarrow", zero_copy_batch=True).sort("term")
+    # the candidate-count partials are <= candidates * batches rows — the
+    # same bounded summary the broadcast already assumes fits one task
+    return ray.data.from_arrow_refs([finish.remote(*exact_refs)])
 
 
 def heavy_hitter_bigrams(
@@ -517,10 +545,11 @@ def heavy_hitter_bigrams(
 def source_vocab(docs: "ray.data.Dataset") -> "ray.data.Dataset":
     """-> source, n_terms:int64 — exact distinct-token count per source
     (vocabulary richness). Two-level distinct: each batch dedups its own
-    (source, term) pairs, one groupby finishes the global dedup, and a
-    per-batch combiner counts pairs per source so the final exchange is
-    O(sources x batches) — the standard exact COUNT(DISTINCT) GROUP BY
-    decomposition (hll_registers_grouped is the sketched sibling)."""
+    (source, term) pairs, a bucket exchange keyed on the pair hash
+    finishes the global dedup in-bucket, and each bucket emits O(sources)
+    count rows merged by one remote task — the standard exact
+    COUNT(DISTINCT) GROUP BY decomposition (hll_registers_grouped is the
+    sketched sibling)."""
     import pyarrow.compute as pc
 
     def pairs(batch: pa.Table) -> pa.Table:
@@ -534,29 +563,43 @@ def source_vocab(docs: "ray.data.Dataset") -> "ray.data.Dataset":
         t = pa.table({"source": src, "term": pc.filter(flat, keep)})
         return t.group_by(["source", "term"]).aggregate([])
 
-    distinct = (
-        docs.select_columns(["source", "text"])
-        .map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["source", "term"])
-        .count()
-    )
+    def pairs_keyed(batch: pa.Table) -> pa.Table:
+        t = pairs(batch)
+        import pyarrow.compute as _pc
 
-    def partial_count(batch: pa.Table) -> pa.Table:
-        g = batch.select(["source"]).group_by("source").aggregate([([], "count_all")])
+        joined = _pc.binary_join_element_wise(t.column("source"), t.column("term"), "\x1f")
+        return t.append_column("k", pa.array(T.rolling_fingerprint_col(joined), pa.int64()))
+
+    # co-locate (source, term) pairs by hash of the pair string so the
+    # global distinct happens inside buckets (one bucket exchange instead
+    # of two string-keyed Dataset groupbys); each bucket emits O(sources)
+    # rows, merged + sorted by one remote task
+    from spatialjoincountovershells_ray.pipelines.window import keyed_partition_apply
+
+    def bucket(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0 or "source" not in tbl.schema.names:
+            return pa.table({"source": pa.array([], pa.string()), "n": pa.array([], pa.int64())})
+        d = tbl.select(["source", "term"]).group_by(["source", "term"]).aggregate([])
+        g = d.select(["source"]).group_by("source").aggregate([([], "count_all")])
         return g.rename_columns(["source", "n"])
 
-    agg = (
-        distinct.map_batches(partial_count, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("source")
-        .sum("n")
+    per_bucket = keyed_partition_apply(
+        docs.select_columns(["source", "text"]).map_batches(
+            pairs_keyed, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        "k",
+        bucket,
     )
+    refs = list(per_bucket.materialize().to_arrow_refs())
 
-    def final(batch: pa.Table) -> pa.Table:
+    @ray.remote
+    def finish(*parts: pa.Table) -> pa.Table:
+        t = _concat_group(parts, ["source"], "n")
         return pa.table(
-            {"source": batch.column("source"), "n_terms": batch.column("sum(n)").cast(pa.int64())}
-        )
+            {"source": t.column("source"), "n_terms": t.column("n")}
+        ).sort_by("source")
 
-    return agg.map_batches(final, batch_format="pyarrow", zero_copy_batch=True).sort("source")
+    return ray.data.from_arrow_refs([finish.remote(*refs)])
 
 
 def source_diversity(docs: "ray.data.Dataset") -> "ray.data.Dataset":
@@ -875,19 +918,55 @@ def term_cooccurrence(
         t = pa.table({"term": pc.filter(flat, keep), "doc_id": doc})
         return t.group_by(["term", "doc_id"]).aggregate([])
 
-    df_tbl = (
-        docs.select_columns(["doc_id", "text"])
-        .map_batches(doc_terms, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("term")
-        .count()
-        .to_pandas()
-    )
-    vocab = df_tbl.loc[
-        (df_tbl["count()"] >= df_lo) & (df_tbl["count()"] <= df_hi), "term"
-    ].tolist()
-    vocab_arr = pa.array(sorted(vocab), pa.string())
+    # pass-1 document frequencies through the bucket exchange keyed on
+    # the term hash, with the df band applied IN the bucket kernel: only
+    # band survivors (the documented scale knob) are ever collected; the
+    # full corpus vocabulary never lands anywhere whole
+    from spatialjoincountovershells_ray.pipelines.window import keyed_partition_apply
 
-    def pair_counts(batch: pa.Table) -> pa.Table:
+    def doc_terms_keyed(batch: pa.Table) -> pa.Table:
+        t = doc_terms(batch)
+        return t.append_column(
+            "k", pa.array(T.rolling_fingerprint_col(t.column("term")), pa.int64())
+        )
+
+    def df_bucket(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0 or "term" not in tbl.schema.names:
+            return pa.table({"term": pa.array([], pa.string())})
+        # rows are per-batch-distinct (term, doc) pairs and a doc lives in
+        # one batch, so the row count per term IS its document frequency
+        g = tbl.select(["term"]).group_by("term").aggregate([([], "count_all")])
+        n = g.column("count_all").to_numpy()
+        keep = (n >= df_lo) & (n <= df_hi)
+        return pa.table({"term": g.column("term").filter(pa.array(keep))})
+
+    vocab_blocks = keyed_partition_apply(
+        docs.select_columns(["doc_id", "text"]).map_batches(
+            doc_terms_keyed, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        "k",
+        df_bucket,
+    )
+
+    @ray.remote
+    def collect_vocab(*parts: pa.Table) -> pa.Array:
+        live = [t.column("term") for t in parts if t.num_rows]
+        if not live:
+            return pa.array([], pa.string())
+        return pa.concat_arrays(
+            [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c for c in live]
+        ).sort()
+
+    v_refs = list(vocab_blocks.materialize().to_arrow_refs())
+    vocab_ref = (
+        collect_vocab.remote(*v_refs) if v_refs else ray.put(pa.array([], pa.string()))
+    )
+
+    def pair_counts(batch: pa.Table, vocab_ref) -> pa.Table:
+        # list-wrapped ref: resolved worker-side from the local object
+        # store (zero-copy after the first fetch) — the band vocabulary
+        # never routes through the driver
+        vocab_arr = ray.get(vocab_ref[0])
         t = doc_terms(batch)
         t = t.filter(pc.is_in(t.column("term"), value_set=vocab_arr))
         j = t.join(t, keys=["doc_id"], join_type="inner", right_suffix="_b")
@@ -895,25 +974,26 @@ def term_cooccurrence(
         g = j.group_by(["term", "term_b"]).aggregate([([], "count_all")])
         return g.rename_columns(["term_a", "term_b", "n_docs"])
 
-    agg = (
+    pair_refs = list(
         docs.select_columns(["doc_id", "text"])
-        .map_batches(pair_counts, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["term_a", "term_b"])
-        .sum("n_docs")
-    )
-
-    def final(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "term_a": batch.column("term_a"),
-                "term_b": batch.column("term_b"),
-                "n_docs": batch.column("sum(n_docs)").cast(pa.int64()),
-            }
+        .map_batches(
+            pair_counts,
+            fn_kwargs={"vocab_ref": [vocab_ref]},
+            batch_format="pyarrow",
+            zero_copy_batch=True,
         )
-
-    return agg.map_batches(final, batch_format="pyarrow", zero_copy_batch=True).sort(
-        ["term_a", "term_b"]
+        .materialize()
+        .to_arrow_refs()
     )
+
+    @ray.remote
+    def finish(*parts: pa.Table) -> pa.Table:
+        # bounded by the band vocabulary squared — the same contract the
+        # vocabulary broadcast already assumes
+        t = _concat_group(parts, ["term_a", "term_b"], "n_docs")
+        return t.sort_by([("term_a", "ascending"), ("term_b", "ascending")])
+
+    return ray.data.from_arrow_refs([finish.remote(*pair_refs)])
 
 
 def _gram_tf(batch: pa.Table) -> pa.Table:
