@@ -203,14 +203,33 @@ def revenue_by_nation(sf_dir: str) -> "ray.data.Dataset":
     ).map_batches(rev_partial, batch_format="pyarrow", zero_copy_batch=True)
 
     joined = equi_join(rev, ord_nat, "l_orderkey", "o_orderkey", mode="shuffle")
-    agg = joined.groupby("n_name").sum("rev")
 
-    def final(batch: pa.Table) -> pa.Table:
+    # O(nations) final: pre-sum per batch (<= 25 rows each), merge + sort
+    # in one remote task — no Dataset groupby/sort for a 25-row result
+    def nat_partial(batch: pa.Table) -> pa.Table:
+        g = batch.select(["n_name", "rev"]).group_by("n_name").aggregate([("rev", "sum")])
+        return g.rename_columns(["n_name", "rev"])
+
+    refs = list(
+        joined.map_batches(nat_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .materialize()
+        .to_arrow_refs()
+    )
+
+    @ray.remote
+    def finish(*parts: pa.Table) -> pa.Table:
+        live = [t for t in parts if t.num_rows]
+        if not live:
+            return pa.table(
+                {"n_name": pa.array([], pa.string()), "revenue_e4": pa.array([], pa.int64())}
+            )
+        t = pa.concat_tables(live, promote_options="none")
+        g = t.group_by("n_name").aggregate([("rev", "sum")])
         return pa.table(
-            {"n_name": batch.column("n_name"), "revenue_e4": batch.column("sum(rev)").cast(pa.int64())}
-        )
+            {"n_name": g.column("n_name"), "revenue_e4": g.column("rev_sum").cast(pa.int64())}
+        ).sort_by("n_name")
 
-    return agg.map_batches(final, batch_format="pyarrow", zero_copy_batch=True).sort("n_name")
+    return ray.data.from_arrow_refs([finish.remote(*refs)])
 
 
 # ---------------------------------------------------------------------------
