@@ -212,6 +212,7 @@ BENCH_QUERIES = [
     "shell_count_filtered",
     "pair_correlation",
     "halo_autocorr",
+    "weighted_pairs",
     "counts_in_cells",
     "range_join",
     "range_join_shuffle",

@@ -451,3 +451,61 @@ def halo_autocorr(
     return ray.data.from_arrow_refs(
         [_fold_autocorr.remote(ladder.nrads, len(hids), *refs)]
     )
+
+
+@ray.remote
+def _fold_weighted(nrads: int, *parts: pa.Table) -> pa.Table:
+    cnt = np.zeros(nrads, dtype=np.int64)
+    wsum = np.zeros(nrads, dtype=np.int64)
+    for t in parts:
+        if t.num_rows:
+            sh = t.column("shell").to_numpy()
+            np.add.at(cnt, sh, t.column("npairs").to_numpy())
+            np.add.at(wsum, sh, t.column("wsum").to_numpy())
+    return pa.table(
+        {
+            "shell": pa.array(np.arange(nrads, dtype=np.int64)),
+            "npairs": pa.array(cnt),
+            "wsum": pa.array(wsum),
+        }
+    )
+
+
+def weighted_pair_counts(
+    halos: "ray.data.Dataset | pa.Table",
+    particles: "ray.data.Dataset",
+    ladder: RadiusLadder,
+    *,
+    grid: GridSpec | None = None,
+    box: float = BOX_SIZE,
+    batch_size: int = 16384,
+) -> "ray.data.Dataset":
+    """Marked (weighted) pair counts per shell: shell:int64, npairs:int64,
+    wsum:int64 — the numerator of the marked correlation function
+    M(r) = <w_h * w_p>_r / <w>^2, with integer marks derived from the ids
+    (exact BIGINT arithmetic on both sides of the gate). Same physical
+    plan as pair_correlation: one broadcast index, totals-only kernel,
+    fixed-size partials folded by one remote task."""
+    from spatialjoincountovershells_ray.stages.join_kernels import WeightedPairTotals
+
+    grid = grid or GridSpec.for_radius(ladder.rmax, box=box, target_cells_per_r=3.0)
+    halos_tbl = halos if isinstance(halos, pa.Table) else dataset_to_table(halos)
+    hids = halos_tbl.column("halo_id").to_numpy()
+    hxyz = np.stack(
+        [halos_tbl.column(c).to_numpy().astype(ladder.dtype, copy=False) for c in "xyz"],
+        axis=1,
+    )
+    index_ref = ray.put(HaloIndex.build(hids, hxyz, ladder.rmax, grid, box))
+    partials = particles.map_batches(
+        run_broadcast_kernel,
+        fn_kwargs={"cls": WeightedPairTotals, "ref_list": [index_ref], "ladder": ladder},
+        batch_size=batch_size,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    refs = list(partials.materialize().to_arrow_refs())
+    if not refs:
+        refs = [ray.put(pa.table({"shell": pa.array([], pa.int64()),
+                                  "npairs": pa.array([], pa.int64()),
+                                  "wsum": pa.array([], pa.int64())}))]
+    return ray.data.from_arrow_refs([_fold_weighted.remote(ladder.nrads, *refs)])

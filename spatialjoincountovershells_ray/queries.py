@@ -140,6 +140,26 @@ def _cic_sql() -> str:
     )
 
 
+def _weighted_pairs_sql() -> str:
+    """Twin of pipelines.shell_count.weighted_pair_counts: per-shell pair
+    counts + weight-product sums, marks (id % 97 + 1) * (id % 89 + 1)."""
+    r2 = LADDER.r2
+    nrads = LADDER.nrads
+    whens = " ".join(f"WHEN d2 < {float(r2[i])!r} THEN {i}" for i in range(nrads))
+    return (
+        f"WITH {synthetic.HALOS_CTE}, {synthetic.PARTICLES_CTE}, "
+        f"pp AS (SELECT CASE {whens} ELSE -1 END AS shell, w FROM "
+        f"(SELECT {synthetic.D2_SQL} AS d2, "
+        "(h.halo_id % 97 + 1) * (p.particle_id % 89 + 1) AS w "
+        "FROM halos h CROSS JOIN particles p)), "
+        "cnts AS (SELECT shell, COUNT(*) AS n, CAST(SUM(w) AS BIGINT) AS ws "
+        "FROM pp WHERE shell >= 0 GROUP BY shell), "
+        f"sh AS (SELECT CAST(range AS BIGINT) AS shell FROM range({nrads})) "
+        "SELECT sh.shell, COALESCE(cnts.n, 0) AS npairs, COALESCE(cnts.ws, 0) AS wsum "
+        "FROM sh LEFT JOIN cnts ON sh.shell = cnts.shell ORDER BY sh.shell"
+    )
+
+
 def _filter_halos(ds: "ray.data.Dataset", modulus: int) -> "ray.data.Dataset":
     """Halo-id filter semi-join (reference readAndFilterHalos,
     src/Gadget/BufHalo.c:121-214): broadcastable predicate on the id."""
@@ -236,6 +256,16 @@ def q_counts_in_cells(sf_dir: str):
     from spatialjoincountovershells_ray.pipelines.raster import counts_in_cells
 
     return counts_in_cells(synthetic.particles_dataset(sf_dir), CIC_NCELLS, BOX_SIZE)
+
+
+def q_weighted_pairs(sf_dir: str):
+    """Marked pair counts per shell: integer id-derived marks, exact
+    BIGINT weight-product sums (the marked-correlation numerator)."""
+    return sc.weighted_pair_counts(
+        synthetic.halos_dataset(sf_dir),
+        synthetic.particles_dataset(sf_dir),
+        LADDER,
+    )
 
 
 def q_shell_count_shuffle(sf_dir: str):
@@ -3755,6 +3785,7 @@ REGISTRY: dict[str, QueryDef] = {
     "shell_count_filtered": QueryDef(q_shell_count_filtered, _shell_sql("c_custkey % 7 = 0")),
     "pair_correlation": QueryDef(q_pair_correlation, _pair_corr_sql()),
     "halo_autocorr": QueryDef(q_halo_autocorr, _autocorr_sql()),
+    "weighted_pairs": QueryDef(q_weighted_pairs, _weighted_pairs_sql()),
     "counts_in_cells": QueryDef(q_counts_in_cells, _cic_sql()),
     "range_join": QueryDef(q_range_join, _RANGE_SQL),
     "range_join_shuffle": QueryDef(q_range_join_shuffle, _RANGE_SQL),

@@ -510,6 +510,50 @@ class PairCorrTotals(_BroadcastKernel):
         )
 
 
+class WeightedPairTotals(PairCorrTotals):
+    """Marked-correlation numerator: per-shell SUM of pair weight
+    products w_h * w_p plus plain pair counts, in one pass.
+
+    Weights are synthetic integer marks derived from the ids
+    (halo_id % 97 + 1, particle_id % 89 + 1) so the SQL twin reproduces
+    them with pure BIGINT arithmetic. Products are <= 97*89 and a
+    sub-chunk holds <= 2^16 pairs, so the float64 bincount accumulator
+    stays integral (< 2^53) before folding into int64 totals — exact.
+
+    Output per batch: shell:int64, npairs:int64, wsum:int64 (nrads rows).
+    """
+
+    def __init__(self, index_ref, ladder):
+        super().__init__(index_ref, ladder)
+        self.wh = (self.index.halo_ids % 97 + 1).astype(np.float64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        nrads = self.ladder.nrads
+        nr1 = nrads + 1
+        p_cols = _batch_cols(batch, self.dtype)
+        wp = (batch.column("particle_id").to_numpy() % 89 + 1).astype(np.float64)
+        cnt_tot = np.zeros(nr1, dtype=np.int64)
+        w_tot = np.zeros(nr1, dtype=np.int64)
+        psort, sorted_cols = self._sort_batch(p_cols)
+        wp_sorted = wp[psort]
+        sorted32 = (
+            tuple(c.astype(np.float32) for c in sorted_cols) if self.two_phase else None
+        )
+        ctx = self._shell_ctx(self.r2)
+        for pp, rep in self._iter_expanded(sorted_cols):
+            shell = self._shells(rep, pp, sorted_cols, sorted32, ctx)
+            w = self.wh[self._rep_rows_fold[rep]] * wp_sorted[pp]
+            cnt_tot += np.bincount(shell, minlength=nr1)
+            w_tot += np.bincount(shell, weights=w, minlength=nr1).astype(np.int64)
+        return pa.table(
+            {
+                "shell": np.arange(nrads, dtype=np.int64),
+                "npairs": cnt_tot[:nrads],
+                "wsum": w_tot[:nrads],
+            }
+        )
+
+
 class ShellTotals(PairCorrTotals):
     """Per-shell TOTAL pair counts of the batch against the broadcast
     index (no random side) — the probe kernel of the halo

@@ -503,3 +503,32 @@ def test_counts_in_cells_matches_brute_force():
         want[0] = 0
     assert got_map == want
     assert int(got["ncells_with"].sum()) == K**3
+
+
+def test_weighted_pairs_matches_brute_force():
+    """Per-shell weight-product sums vs an O(n*m) numpy oracle."""
+    from spatialjoincountovershells_ray.pipelines.shell_count import weighted_pair_counts
+
+    hxyz = uniform_coords(MT19937(5), 60)
+    pxyz = uniform_coords(MT19937(9), 900)
+    lad = RadiusLadder.log2_spaced(1, 100, 8, dtype=np.float64)
+    halos, parts = _tables(hxyz, pxyz, np.float64)
+
+    got = dataset_to_table(weighted_pair_counts(halos, parts, lad)).to_pandas()
+    got = got.sort_values("shell").reset_index(drop=True)
+
+    d = hxyz[:, None, :] - pxyz[None, :, :]
+    d -= 1000.0 * np.floor(d / 1000.0 + 0.5)
+    d2 = (d * d).sum(axis=2)
+    shell = np.searchsorted(lad.r2, d2, side="right")
+    wh = np.arange(60, dtype=np.int64) % 97 + 1
+    wp = np.arange(900, dtype=np.int64) % 89 + 1
+    w = wh[:, None] * wp[None, :]
+    want_n = np.zeros(8, np.int64)
+    want_w = np.zeros(8, np.int64)
+    m = shell < 8
+    np.add.at(want_n, shell[m], 1)
+    np.add.at(want_w, shell[m], w[m])
+    np.testing.assert_array_equal(got["npairs"].to_numpy(), want_n)
+    np.testing.assert_array_equal(got["wsum"].to_numpy(), want_w)
+    assert int(want_w.sum()) > 0
