@@ -213,6 +213,7 @@ BENCH_QUERIES = [
     "pair_correlation",
     "halo_autocorr",
     "weighted_pairs",
+    "pair_corr_jackknife",
     "counts_in_cells",
     "range_join",
     "range_join_shuffle",

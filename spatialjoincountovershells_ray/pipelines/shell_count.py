@@ -509,3 +509,81 @@ def weighted_pair_counts(
                                   "npairs": pa.array([], pa.int64()),
                                   "wsum": pa.array([], pa.int64())}))]
     return ray.data.from_arrow_refs([_fold_weighted.remote(ladder.nrads, *refs)])
+
+
+@ray.remote
+def _fold_jackknife(nrads: int, npatch: int, *parts: pa.Table) -> pa.Table:
+    """Per-(patch, shell) totals -> leave-one-out jackknife samples:
+    dd_loo = DD_total - DD_patch (likewise dr), w_loo = dd_loo/dr_loo - 1
+    (single IEEE division; NULL where dr_loo == 0). All counts exact
+    integers — the variance is the consumer's one-liner downstream."""
+    dd = np.zeros((npatch, nrads), dtype=np.int64)
+    dr = np.zeros((npatch, nrads), dtype=np.int64)
+    for t in parts:
+        if t.num_rows:
+            p = t.column("patch").to_numpy()
+            s = t.column("shell").to_numpy()
+            np.add.at(dd, (p, s), t.column("dd").to_numpy())
+            np.add.at(dr, (p, s), t.column("dr").to_numpy())
+    dd_loo = dd.sum(axis=0, keepdims=True) - dd
+    dr_loo = dr.sum(axis=0, keepdims=True) - dr
+    with np.errstate(divide="ignore", invalid="ignore"):
+        w = dd_loo.astype(np.float64) / dr_loo.astype(np.float64) - 1.0
+    patch = np.repeat(np.arange(npatch, dtype=np.int64), nrads)
+    shell = np.tile(np.arange(nrads, dtype=np.int64), npatch)
+    flat_dr = dr_loo.ravel()
+    return pa.table(
+        {
+            "patch": pa.array(patch),
+            "shell": pa.array(shell),
+            "dd_loo": pa.array(dd_loo.ravel()),
+            "dr_loo": pa.array(flat_dr),
+            "w_loo": pa.array(
+                [None if flat_dr[i] == 0 else float(w.ravel()[i]) for i in range(len(flat_dr))],
+                pa.float64(),
+            ),
+        }
+    )
+
+
+def pair_corr_jackknife(
+    halos: "ray.data.Dataset | pa.Table",
+    particles: "ray.data.Dataset",
+    ladder: RadiusLadder,
+    *,
+    grid: GridSpec | None = None,
+    box: float = BOX_SIZE,
+    batch_size: int = 16384,
+) -> "ray.data.Dataset":
+    """Jackknife samples of the pair-correlation estimate: patch, shell,
+    dd_loo, dr_loo (int64) and w_loo:float64 — the leave-one-patch-out
+    Davis-Peebles estimates whose spread is the standard jackknife error
+    bar on w(r). Patches are halo_id % NPATCH (deterministic and
+    SQL-reproducible); one particle pass computes every patch's DD and DR
+    simultaneously (NPATCH x nrads integer accumulators per batch)."""
+    from spatialjoincountovershells_ray.stages.join_kernels import PatchCorrTotals
+
+    grid = grid or GridSpec.for_radius(ladder.rmax, box=box, target_cells_per_r=3.0)
+    halos_tbl = halos if isinstance(halos, pa.Table) else dataset_to_table(halos)
+    hids = halos_tbl.column("halo_id").to_numpy()
+    hxyz = np.stack(
+        [halos_tbl.column(c).to_numpy().astype(ladder.dtype, copy=False) for c in "xyz"],
+        axis=1,
+    )
+    index_ref = ray.put(HaloIndex.build(hids, hxyz, ladder.rmax, grid, box))
+    partials = particles.map_batches(
+        run_broadcast_kernel,
+        fn_kwargs={"cls": PatchCorrTotals, "ref_list": [index_ref], "ladder": ladder},
+        batch_size=batch_size,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    refs = list(partials.materialize().to_arrow_refs())
+    if not refs:
+        refs = [ray.put(pa.table({"patch": pa.array([], pa.int64()),
+                                  "shell": pa.array([], pa.int64()),
+                                  "dd": pa.array([], pa.int64()),
+                                  "dr": pa.array([], pa.int64())}))]
+    return ray.data.from_arrow_refs(
+        [_fold_jackknife.remote(ladder.nrads, PatchCorrTotals.NPATCH, *refs)]
+    )

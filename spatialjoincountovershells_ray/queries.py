@@ -160,6 +160,48 @@ def _weighted_pairs_sql() -> str:
     )
 
 
+def _jackknife_sql() -> str:
+    """Twin of pipelines.shell_count.pair_corr_jackknife (NPATCH = 8)."""
+    r2 = LADDER.r2
+    nrads = LADDER.nrads
+    npatch = 8
+    whens = " ".join(f"WHEN d2 < {float(r2[i])!r} THEN {i}" for i in range(nrads))
+    pid = "(l_orderkey * 8 + l_linenumber)"
+    randoms_cte = (
+        "randoms AS (SELECT "
+        f"{derive_coord_sql(pid, 3)} AS x, "
+        f"{derive_coord_sql(pid, 4)} AS y, "
+        f"{derive_coord_sql(pid, 5)} AS z FROM lineitem)"
+    )
+    return (
+        f"WITH {synthetic.HALOS_CTE}, {synthetic.PARTICLES_CTE}, {randoms_cte}, "
+        f"ddp AS (SELECT patch, CASE {whens} ELSE -1 END AS shell FROM "
+        f"(SELECT h.halo_id % {npatch} AS patch, {synthetic.D2_SQL} AS d2 "
+        "FROM halos h CROSS JOIN particles p)), "
+        f"drp AS (SELECT patch, CASE {whens} ELSE -1 END AS shell FROM "
+        f"(SELECT h.halo_id % {npatch} AS patch, {synthetic.D2_SQL} AS d2 "
+        "FROM halos h CROSS JOIN randoms p)), "
+        "ddc AS (SELECT patch, shell, COUNT(*) AS n FROM ddp WHERE shell >= 0 GROUP BY patch, shell), "
+        "drc AS (SELECT patch, shell, COUNT(*) AS n FROM drp WHERE shell >= 0 GROUP BY patch, shell), "
+        "ddt AS (SELECT shell, SUM(n) AS n FROM ddc GROUP BY shell), "
+        "drt AS (SELECT shell, SUM(n) AS n FROM drc GROUP BY shell), "
+        f"grid AS (SELECT CAST(p.range AS BIGINT) AS patch, CAST(s.range AS BIGINT) AS shell "
+        f"FROM range({npatch}) p CROSS JOIN range({nrads}) s), "
+        "loo AS (SELECT grid.patch, grid.shell, "
+        "CAST(COALESCE(ddt.n, 0) - COALESCE(ddc.n, 0) AS BIGINT) AS dd_loo, "
+        "CAST(COALESCE(drt.n, 0) - COALESCE(drc.n, 0) AS BIGINT) AS dr_loo "
+        "FROM grid "
+        "LEFT JOIN ddc ON grid.patch = ddc.patch AND grid.shell = ddc.shell "
+        "LEFT JOIN drc ON grid.patch = drc.patch AND grid.shell = drc.shell "
+        "LEFT JOIN ddt ON grid.shell = ddt.shell "
+        "LEFT JOIN drt ON grid.shell = drt.shell) "
+        "SELECT patch, shell, dd_loo, dr_loo, "
+        "CASE WHEN dr_loo = 0 THEN NULL "
+        "ELSE CAST(dd_loo AS DOUBLE) / CAST(dr_loo AS DOUBLE) - 1.0 END AS w_loo "
+        "FROM loo ORDER BY patch, shell"
+    )
+
+
 def _filter_halos(ds: "ray.data.Dataset", modulus: int) -> "ray.data.Dataset":
     """Halo-id filter semi-join (reference readAndFilterHalos,
     src/Gadget/BufHalo.c:121-214): broadcastable predicate on the id."""
@@ -262,6 +304,16 @@ def q_weighted_pairs(sf_dir: str):
     """Marked pair counts per shell: integer id-derived marks, exact
     BIGINT weight-product sums (the marked-correlation numerator)."""
     return sc.weighted_pair_counts(
+        synthetic.halos_dataset(sf_dir),
+        synthetic.particles_dataset(sf_dir),
+        LADDER,
+    )
+
+
+def q_pair_corr_jackknife(sf_dir: str):
+    """Leave-one-patch-out jackknife samples of the pair-correlation
+    estimate (patch = halo_id % 8); the spread of w_loo is the error bar."""
+    return sc.pair_corr_jackknife(
         synthetic.halos_dataset(sf_dir),
         synthetic.particles_dataset(sf_dir),
         LADDER,
@@ -3786,6 +3838,7 @@ REGISTRY: dict[str, QueryDef] = {
     "pair_correlation": QueryDef(q_pair_correlation, _pair_corr_sql()),
     "halo_autocorr": QueryDef(q_halo_autocorr, _autocorr_sql()),
     "weighted_pairs": QueryDef(q_weighted_pairs, _weighted_pairs_sql()),
+    "pair_corr_jackknife": QueryDef(q_pair_corr_jackknife, _jackknife_sql()),
     "counts_in_cells": QueryDef(q_counts_in_cells, _cic_sql()),
     "range_join": QueryDef(q_range_join, _RANGE_SQL),
     "range_join_shuffle": QueryDef(q_range_join_shuffle, _RANGE_SQL),

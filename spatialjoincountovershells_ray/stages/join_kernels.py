@@ -554,6 +554,53 @@ class WeightedPairTotals(PairCorrTotals):
         )
 
 
+class PatchCorrTotals(PairCorrTotals):
+    """Jackknife-resolution pair-correlation kernel: per-(patch, shell)
+    DD and DR totals, patch = halo_id % NPATCH (a deterministic,
+    SQL-reproducible resampling partition). Accumulators are
+    NPATCH x (nrads+1) histograms — still O(1) per batch.
+
+    Output per batch: patch, shell, dd, dr (NPATCH * nrads rows)."""
+
+    NPATCH = 8
+
+    def __init__(self, index_ref, ladder):
+        super().__init__(index_ref, ladder)
+        self.patch = (self.index.halo_ids % self.NPATCH).astype(np.int64)
+
+    def _patch_totals(self, p_cols) -> np.ndarray:
+        nrads = self.ladder.nrads
+        nr1 = nrads + 1
+        hist = np.zeros(self.NPATCH * nr1, dtype=np.int64)
+        psort, sorted_cols = self._sort_batch(p_cols)
+        sorted32 = (
+            tuple(c.astype(np.float32) for c in sorted_cols) if self.two_phase else None
+        )
+        ctx = self._shell_ctx(self.r2)
+        for pp, rep in self._iter_expanded(sorted_cols):
+            shell = self._shells(rep, pp, sorted_cols, sorted32, ctx)
+            pr = self.patch[self._rep_rows_fold[rep]]
+            hist += np.bincount(pr * nr1 + shell, minlength=self.NPATCH * nr1)
+        return hist.reshape(self.NPATCH, nr1)[:, :nrads]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from spatialjoincountovershells_ray.functions.hashing import derive_coord
+
+        nrads = self.ladder.nrads
+        dd = self._patch_totals(_batch_cols(batch, self.dtype))
+        pid = batch.column("particle_id").to_numpy()
+        box = self.index.box
+        r_cols = tuple(
+            derive_coord(pid, ax + 3, box).astype(self.dtype, copy=False) for ax in range(3)
+        )
+        dr = self._patch_totals(r_cols)
+        patch = np.repeat(np.arange(self.NPATCH, dtype=np.int64), nrads)
+        shell = np.tile(np.arange(nrads, dtype=np.int64), self.NPATCH)
+        return pa.table(
+            {"patch": patch, "shell": shell, "dd": dd.ravel(), "dr": dr.ravel()}
+        )
+
+
 class ShellTotals(PairCorrTotals):
     """Per-shell TOTAL pair counts of the batch against the broadcast
     index (no random side) — the probe kernel of the halo

@@ -532,3 +532,38 @@ def test_weighted_pairs_matches_brute_force():
     np.testing.assert_array_equal(got["npairs"].to_numpy(), want_n)
     np.testing.assert_array_equal(got["wsum"].to_numpy(), want_w)
     assert int(want_w.sum()) > 0
+
+
+def test_pair_corr_jackknife_matches_brute_force():
+    """Leave-one-out counts vs a numpy oracle over the same derived
+    random catalog; the full-sample identity sum(dd_patch) = DD holds."""
+    from spatialjoincountovershells_ray.functions.hashing import derive_coord
+    from spatialjoincountovershells_ray.pipelines.shell_count import pair_corr_jackknife
+
+    hxyz = uniform_coords(MT19937(21), 64)
+    pxyz = uniform_coords(MT19937(43), 800)
+    lad = RadiusLadder.log2_spaced(1, 100, 8, dtype=np.float64)
+    halos, parts = _tables(hxyz, pxyz, np.float64)
+
+    got = dataset_to_table(pair_corr_jackknife(halos, parts, lad)).to_pandas()
+    got = got.sort_values(["patch", "shell"]).reset_index(drop=True)
+    assert len(got) == 64
+
+    def hist(pts):
+        d = hxyz[:, None, :] - pts[None, :, :]
+        d -= 1000.0 * np.floor(d / 1000.0 + 0.5)
+        sh = np.searchsorted(lad.r2, (d * d).sum(axis=2), side="right")
+        out = np.zeros((8, 8), np.int64)  # (patch, shell)
+        patch = np.arange(64, dtype=np.int64) % 8
+        m = sh < 8
+        hh, ss = np.broadcast_arrays(patch[:, None], sh)
+        np.add.at(out, (hh[m], ss[m]), 1)
+        return out
+
+    pid = np.arange(800, dtype=np.int64)
+    rxyz = np.stack([derive_coord(pid, 3), derive_coord(pid, 4), derive_coord(pid, 5)], axis=1)
+    dd, dr = hist(pxyz), hist(rxyz)
+    dd_loo = dd.sum(axis=0, keepdims=True) - dd
+    dr_loo = dr.sum(axis=0, keepdims=True) - dr
+    np.testing.assert_array_equal(got["dd_loo"].to_numpy().reshape(8, 8), dd_loo)
+    np.testing.assert_array_equal(got["dr_loo"].to_numpy().reshape(8, 8), dr_loo)
