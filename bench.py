@@ -214,6 +214,8 @@ BENCH_QUERIES = [
     "halo_autocorr",
     "weighted_pairs",
     "pair_corr_jackknife",
+    "fof_groups",
+    "fof_multiplicity",
     "counts_in_cells",
     "range_join",
     "range_join_shuffle",

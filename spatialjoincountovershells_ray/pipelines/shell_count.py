@@ -587,3 +587,91 @@ def pair_corr_jackknife(
     return ray.data.from_arrow_refs(
         [_fold_jackknife.remote(ladder.nrads, PatchCorrTotals.NPATCH, *refs)]
     )
+
+
+def fof_groups(
+    halos: "ray.data.Dataset | pa.Table",
+    linking_length: float,
+    *,
+    box: float = BOX_SIZE,
+) -> "ray.data.Dataset":
+    """Friends-of-friends group finder: halo_id:int64, group_id:int64 —
+    every halo labeled with the MIN halo_id of its FoF group (connected
+    component of the pairs-within-linking-length graph under the periodic
+    metric; singletons label themselves).
+
+    THE halo/group finder of simulation post-processing (Davis et al.
+    1985): the link pairs come from the broadcast-index range join, the
+    components from the shared union-find assignment. Scale contract
+    (assign_dup_clusters): the pair list is id pairs only and stays O(N)
+    while the linking length is below the percolation threshold (the
+    standard b ~ 0.2x mean separation regime); past it, move to the
+    iterative min-label propagation of graph.cc_labels.
+    """
+    from spatialjoincountovershells_ray.pipelines.dedup import assign_dup_clusters
+    from spatialjoincountovershells_ray.pipelines.range_join import range_join
+
+    halos_tbl = halos if isinstance(halos, pa.Table) else dataset_to_table(halos)
+    hids = halos_tbl.column("halo_id")
+    probe = ray.data.from_arrow(
+        pa.table(
+            {
+                "particle_id": hids,
+                "x": halos_tbl.column("x"),
+                "y": halos_tbl.column("y"),
+                "z": halos_tbl.column("z"),
+            }
+        )
+    )
+    pairs = range_join(halos_tbl, probe, linking_length, box=box, sort=False)
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        a = t.column("halo_id").to_numpy()
+        b = t.column("particle_id").to_numpy()
+        m = a < b  # one direction, self-pairs dropped
+        return pa.table({"id_a": pa.array(a[m], pa.int64()), "id_b": pa.array(b[m], pa.int64())})
+
+    edges = pairs.map_batches(to_edges, batch_format="pyarrow", zero_copy_batch=True)
+    labeled = assign_dup_clusters(
+        ray.data.from_arrow(pa.table({"doc_id": hids})), edges
+    )
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"halo_id": t.column("doc_id"), "group_id": t.column("cluster_id")}
+        )
+
+    return labeled.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def fof_multiplicity(
+    halos: "ray.data.Dataset | pa.Table",
+    linking_length: float,
+    *,
+    box: float = BOX_SIZE,
+) -> "ray.data.Dataset":
+    """FoF multiplicity function: group_size:int64, n_groups:int64 — how
+    many FoF groups have exactly N members (the group mass function's
+    count-space form). Derived from :func:`fof_groups` with two tiny
+    folds (labels are O(halos) — the broadcast-side contract)."""
+    labeled = fof_groups(halos, linking_length, box=box)
+    refs = list(labeled.materialize().to_arrow_refs())
+
+    @ray.remote
+    def fold(*parts: pa.Table) -> pa.Table:
+        live = [t for t in parts if t.num_rows]
+        if not live:
+            return pa.table(
+                {"group_size": pa.array([], pa.int64()), "n_groups": pa.array([], pa.int64())}
+            )
+        g = np.concatenate([t.column("group_id").to_numpy() for t in live])
+        _, sizes = np.unique(g, return_counts=True)
+        size, ngroups = np.unique(sizes, return_counts=True)
+        return pa.table(
+            {
+                "group_size": pa.array(size.astype(np.int64)),
+                "n_groups": pa.array(ngroups.astype(np.int64)),
+            }
+        )
+
+    return ray.data.from_arrow_refs([fold.remote(*refs)])

@@ -202,6 +202,36 @@ def _jackknife_sql() -> str:
     )
 
 
+FOF_B = 46.0  # linking length: groups form at sf0.01+ (the derived lattice's nn distance is ~44.7 there; sf0.001 is sparser than b everywhere)
+
+
+def _fof_ctes() -> str:
+    """Shared recursive-closure CTE body for the FoF twins (the
+    _NGRAM_CLUSTERS_SQL pattern over distance edges)."""
+    return (
+        f"{synthetic.HALOS_CTE}, "
+        f"lp AS (SELECT h.halo_id AS id_a, p.halo_id AS id_b FROM halos h "
+        f"CROSS JOIN halos p WHERE h.halo_id < p.halo_id AND {synthetic.D2_SQL} < {FOF_B * FOF_B!r}), "
+        "edges AS (SELECT id_a AS u, id_b AS v FROM lp UNION SELECT id_b, id_a FROM lp), "
+        "reach(u, v) AS (SELECT u, v FROM edges "
+        "UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u), "
+        "lbl AS (SELECT u AS halo_id, LEAST(u, MIN(v)) AS group_id FROM reach GROUP BY u), "
+        "grp AS (SELECT h.halo_id, CAST(COALESCE(l.group_id, h.halo_id) AS BIGINT) AS group_id "
+        "FROM halos h LEFT JOIN lbl l ON h.halo_id = l.halo_id)"
+    )
+
+
+_FOF_GROUPS_SQL = (
+    "WITH RECURSIVE " + _fof_ctes() + " SELECT halo_id, group_id FROM grp ORDER BY halo_id"
+)
+
+_FOF_MULT_SQL = (
+    "WITH RECURSIVE " + _fof_ctes() + ", "
+    "sizes AS (SELECT group_id, COUNT(*) AS sz FROM grp GROUP BY group_id) "
+    "SELECT sz AS group_size, COUNT(*) AS n_groups FROM sizes GROUP BY sz ORDER BY group_size"
+)
+
+
 def _filter_halos(ds: "ray.data.Dataset", modulus: int) -> "ray.data.Dataset":
     """Halo-id filter semi-join (reference readAndFilterHalos,
     src/Gadget/BufHalo.c:121-214): broadcastable predicate on the id."""
@@ -318,6 +348,17 @@ def q_pair_corr_jackknife(sf_dir: str):
         synthetic.particles_dataset(sf_dir),
         LADDER,
     )
+
+
+def q_fof_groups(sf_dir: str):
+    """Friends-of-friends group labels over the halo catalog (periodic
+    metric, min-id group labels)."""
+    return sc.fof_groups(synthetic.halos_dataset(sf_dir), FOF_B)
+
+
+def q_fof_multiplicity(sf_dir: str):
+    """FoF multiplicity function: number of groups per group size."""
+    return sc.fof_multiplicity(synthetic.halos_dataset(sf_dir), FOF_B)
 
 
 def q_shell_count_shuffle(sf_dir: str):
@@ -3839,6 +3880,8 @@ REGISTRY: dict[str, QueryDef] = {
     "halo_autocorr": QueryDef(q_halo_autocorr, _autocorr_sql()),
     "weighted_pairs": QueryDef(q_weighted_pairs, _weighted_pairs_sql()),
     "pair_corr_jackknife": QueryDef(q_pair_corr_jackknife, _jackknife_sql()),
+    "fof_groups": QueryDef(q_fof_groups, _FOF_GROUPS_SQL),
+    "fof_multiplicity": QueryDef(q_fof_multiplicity, _FOF_MULT_SQL),
     "counts_in_cells": QueryDef(q_counts_in_cells, _cic_sql()),
     "range_join": QueryDef(q_range_join, _RANGE_SQL),
     "range_join_shuffle": QueryDef(q_range_join_shuffle, _RANGE_SQL),

@@ -567,3 +567,50 @@ def test_pair_corr_jackknife_matches_brute_force():
     dr_loo = dr.sum(axis=0, keepdims=True) - dr
     np.testing.assert_array_equal(got["dd_loo"].to_numpy().reshape(8, 8), dd_loo)
     np.testing.assert_array_equal(got["dr_loo"].to_numpy().reshape(8, 8), dr_loo)
+
+
+def test_fof_groups_matches_brute_force():
+    """FoF labels + multiplicity vs a brute-force union-find oracle on a
+    genuinely uniform catalog (rich group structure at b ~ mean sep/2)."""
+    from spatialjoincountovershells_ray.pipelines.shell_count import (
+        fof_groups,
+        fof_multiplicity,
+    )
+
+    hxyz = uniform_coords(MT19937(101), 200)
+    ids = np.arange(200, dtype=np.int64)
+    halos = pa.table(
+        {"halo_id": ids, "x": hxyz[:, 0], "y": hxyz[:, 1], "z": hxyz[:, 2]}
+    )
+    b = 90.0
+    got = dataset_to_table(fof_groups(halos, b)).to_pandas()
+    got = got.sort_values("halo_id").reset_index(drop=True)
+
+    d = hxyz[:, None, :] - hxyz[None, :, :]
+    d -= 1000.0 * np.floor(d / 1000.0 + 0.5)
+    adj = (d * d).sum(axis=2) < b * b
+    parent = ids.copy()
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i in range(200):
+        for j in range(i + 1, 200):
+            if adj[i, j]:
+                ri, rj = find(i), find(j)
+                if ri != rj:
+                    parent[rj] = ri
+    roots = np.array([find(i) for i in range(200)])
+    lbl = np.full(200, np.iinfo(np.int64).max)
+    np.minimum.at(lbl, roots, ids)
+    want = lbl[roots]
+    np.testing.assert_array_equal(got["group_id"].to_numpy(), want)
+    assert (want != ids).any()  # non-vacuous: real multi-member groups
+
+    mult = dataset_to_table(fof_multiplicity(halos, b)).to_pandas()
+    _, sizes = np.unique(want, return_counts=True)
+    ws, wc = np.unique(sizes, return_counts=True)
+    assert mult.sort_values("group_size")["n_groups"].tolist() == wc.tolist()
