@@ -215,6 +215,7 @@ BENCH_QUERIES = [
     "weighted_pairs",
     "pair_corr_jackknife",
     "fof_groups",
+    "cylindrical_pairs",
     "fof_multiplicity",
     "counts_in_cells",
     "range_join",

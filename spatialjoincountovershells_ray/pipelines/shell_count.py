@@ -675,3 +675,68 @@ def fof_multiplicity(
         )
 
     return ray.data.from_arrow_refs([fold.remote(*refs)])
+
+
+@ray.remote
+def _fold_cyl(nperp: int, npi: int, *parts: pa.Table) -> pa.Table:
+    cnt = np.zeros((nperp, npi), dtype=np.int64)
+    for t in parts:
+        if t.num_rows:
+            rp = t.column("rp_shell").to_numpy()
+            pb = t.column("pi_bin").to_numpy()
+            np.add.at(cnt, (rp, pb), t.column("npairs").to_numpy())
+    return pa.table(
+        {
+            "rp_shell": pa.array(np.repeat(np.arange(nperp, dtype=np.int64), npi)),
+            "pi_bin": pa.array(np.tile(np.arange(npi, dtype=np.int64), nperp)),
+            "npairs": pa.array(cnt.ravel()),
+        }
+    )
+
+
+def cylindrical_pairs(
+    halos: "ray.data.Dataset | pa.Table",
+    particles: "ray.data.Dataset",
+    rp_ladder: RadiusLadder,
+    *,
+    box: float = BOX_SIZE,
+    batch_size: int = 16384,
+) -> "ray.data.Dataset":
+    """Cylindrical pair counts: rp_shell, pi_bin, npairs (int64) — pairs
+    binned by transverse (x, y) separation shell and line-of-sight |z|
+    bin under the periodic metric: the count table the projected
+    correlation function wp(rp) integrates. The index ball cover uses
+    the cylinder's circumscribed radius hypot(rp_max, pi_max) so the
+    candidate expansion is complete for every counted bin."""
+    import math
+
+    from spatialjoincountovershells_ray.stages.join_kernels import (
+        CYL_PI_EDGES,
+        CylPairTotals,
+    )
+
+    pi_max = float(CYL_PI_EDGES[-1])
+    r_cover = math.hypot(rp_ladder.rmax, pi_max)
+    grid = GridSpec.for_radius(r_cover, box=box, target_cells_per_r=3.0)
+    halos_tbl = halos if isinstance(halos, pa.Table) else dataset_to_table(halos)
+    hids = halos_tbl.column("halo_id").to_numpy()
+    hxyz = np.stack(
+        [halos_tbl.column(c).to_numpy().astype(rp_ladder.dtype, copy=False) for c in "xyz"],
+        axis=1,
+    )
+    index_ref = ray.put(HaloIndex.build(hids, hxyz, r_cover, grid, box))
+    partials = particles.map_batches(
+        run_broadcast_kernel,
+        fn_kwargs={"cls": CylPairTotals, "ref_list": [index_ref], "ladder": rp_ladder},
+        batch_size=batch_size,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    refs = list(partials.materialize().to_arrow_refs())
+    if not refs:
+        refs = [ray.put(pa.table({"rp_shell": pa.array([], pa.int64()),
+                                  "pi_bin": pa.array([], pa.int64()),
+                                  "npairs": pa.array([], pa.int64())}))]
+    return ray.data.from_arrow_refs(
+        [_fold_cyl.remote(rp_ladder.nrads, len(CYL_PI_EDGES), *refs)]
+    )

@@ -202,6 +202,41 @@ def _jackknife_sql() -> str:
     )
 
 
+def _cyl_sql() -> str:
+    """Twin of pipelines.shell_count.cylindrical_pairs: transverse-shell x
+    line-of-sight-bin pair counts, wrap terms mirrored per axis."""
+    from spatialjoincountovershells_ray.stages.join_kernels import CYL_PI_EDGES
+
+    r2 = LADDER.r2
+    nperp = LADDER.nrads
+    npi = len(CYL_PI_EDGES)
+    wx = "((h.x - p.x) - 1000.0 * floor((h.x - p.x) / 1000.0 + 0.5))"
+    wy = "((h.y - p.y) - 1000.0 * floor((h.y - p.y) / 1000.0 + 0.5))"
+    wz = "((h.z - p.z) - 1000.0 * floor((h.z - p.z) / 1000.0 + 0.5))"
+    rp_case = (
+        "CASE "
+        + " ".join(f"WHEN d2p < {float(r2[i])!r} THEN {i}" for i in range(nperp))
+        + " ELSE -1 END"
+    )
+    pi_case = (
+        "CASE "
+        + " ".join(f"WHEN dpar < {float(CYL_PI_EDGES[i])!r} THEN {i}" for i in range(npi))
+        + " ELSE -1 END"
+    )
+    return (
+        f"WITH {synthetic.HALOS_CTE}, {synthetic.PARTICLES_CTE}, "
+        f"pp AS (SELECT {rp_case} AS rp, {pi_case} AS pib FROM "
+        f"(SELECT {wx} * {wx} + {wy} * {wy} AS d2p, ABS({wz}) AS dpar "
+        "FROM halos h CROSS JOIN particles p)), "
+        "cnts AS (SELECT rp, pib, COUNT(*) AS n FROM pp WHERE rp >= 0 AND pib >= 0 GROUP BY rp, pib), "
+        f"grid AS (SELECT CAST(a.range AS BIGINT) AS rp, CAST(b.range AS BIGINT) AS pib "
+        f"FROM range({nperp}) a CROSS JOIN range({npi}) b) "
+        "SELECT grid.rp AS rp_shell, grid.pib AS pi_bin, COALESCE(cnts.n, 0) AS npairs "
+        "FROM grid LEFT JOIN cnts ON grid.rp = cnts.rp AND grid.pib = cnts.pib "
+        "ORDER BY rp_shell, pi_bin"
+    )
+
+
 FOF_B = 46.0  # linking length: groups form at sf0.01+ (the derived lattice's nn distance is ~44.7 there; sf0.001 is sparser than b everywhere)
 
 
@@ -359,6 +394,15 @@ def q_fof_groups(sf_dir: str):
 def q_fof_multiplicity(sf_dir: str):
     """FoF multiplicity function: number of groups per group size."""
     return sc.fof_multiplicity(synthetic.halos_dataset(sf_dir), FOF_B)
+
+
+def q_cylindrical_pairs(sf_dir: str):
+    """Cylindrical (r_perp, pi) pair-count table — the wp(rp) binning."""
+    return sc.cylindrical_pairs(
+        synthetic.halos_dataset(sf_dir),
+        synthetic.particles_dataset(sf_dir),
+        LADDER,
+    )
 
 
 def q_shell_count_shuffle(sf_dir: str):
@@ -3881,6 +3925,7 @@ REGISTRY: dict[str, QueryDef] = {
     "weighted_pairs": QueryDef(q_weighted_pairs, _weighted_pairs_sql()),
     "pair_corr_jackknife": QueryDef(q_pair_corr_jackknife, _jackknife_sql()),
     "fof_groups": QueryDef(q_fof_groups, _FOF_GROUPS_SQL),
+    "cylindrical_pairs": QueryDef(q_cylindrical_pairs, _cyl_sql()),
     "fof_multiplicity": QueryDef(q_fof_multiplicity, _FOF_MULT_SQL),
     "counts_in_cells": QueryDef(q_counts_in_cells, _cic_sql()),
     "range_join": QueryDef(q_range_join, _RANGE_SQL),

@@ -601,6 +601,60 @@ class PatchCorrTotals(PairCorrTotals):
         )
 
 
+# transverse/line-of-sight bin edges of the cylindrical pair counts (the
+# wp(rp) decomposition); plain upper bounds, strict-< binning like shells
+CYL_PI_EDGES = np.array([40.0, 80.0, 120.0, 160.0])
+
+
+class CylPairTotals(_BroadcastKernel):
+    """Cylindrical pair decomposition: per-(rp_shell, pi_bin) pair counts
+    where rp is the transverse (x, y) separation and pi the line-of-sight
+    |z| separation, both under the periodic wrap — the binning of the
+    projected correlation function wp(rp).
+
+    The ladder carries the SQUARED transverse boundaries; CYL_PI_EDGES
+    the plain line-of-sight bounds. The wrap/square expressions mirror
+    the SQL twin term for term in float64 (no two-phase screen — both
+    components are needed anyway, so phase-1 pruning buys nothing).
+    NOTE: the index must be built with rmax = hypot(rp_max, pi_max) so
+    the cell cover is complete for the cylinder's circumscribed ball.
+
+    Output per batch: rp_shell, pi_bin, npairs (fixed-size partial).
+    """
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        idx = self.index
+        r2 = self.r2
+        pe = CYL_PI_EDGES
+        nperp, npi = len(r2), len(pe)
+        K = (nperp + 1) * (npi + 1)
+        hist = np.zeros(K, dtype=np.int64)
+        p_cols = _batch_cols(batch, self.dtype)
+        psort, sorted_cols = self._sort_batch(p_cols)
+        box = idx.box
+        rc = idx.rep_cols
+        for pp, rep in self._iter_expanded(sorted_cols):
+            wx = rc[0][rep] - sorted_cols[0][pp]
+            wx -= box * np.floor(wx / box + 0.5)
+            wy = rc[1][rep] - sorted_cols[1][pp]
+            wy -= box * np.floor(wy / box + 0.5)
+            d2p = wx * wx + wy * wy
+            wz = rc[2][rep] - sorted_cols[2][pp]
+            wz -= box * np.floor(wz / box + 0.5)
+            dpar = np.abs(wz)
+            perp = np.searchsorted(r2, d2p, side="right")
+            pib = np.searchsorted(pe, dpar, side="right")
+            hist += np.bincount(perp * (npi + 1) + pib, minlength=K)
+        h2 = hist.reshape(nperp + 1, npi + 1)[:nperp, :npi]
+        return pa.table(
+            {
+                "rp_shell": np.repeat(np.arange(nperp, dtype=np.int64), npi),
+                "pi_bin": np.tile(np.arange(npi, dtype=np.int64), nperp),
+                "npairs": h2.ravel(),
+            }
+        )
+
+
 class ShellTotals(PairCorrTotals):
     """Per-shell TOTAL pair counts of the batch against the broadcast
     index (no random side) — the probe kernel of the halo

@@ -614,3 +614,31 @@ def test_fof_groups_matches_brute_force():
     _, sizes = np.unique(want, return_counts=True)
     ws, wc = np.unique(sizes, return_counts=True)
     assert mult.sort_values("group_size")["n_groups"].tolist() == wc.tolist()
+
+
+def test_cylindrical_pairs_matches_brute_force():
+    """(rp, pi) binned counts vs a numpy oracle with per-axis wraps."""
+    from spatialjoincountovershells_ray.pipelines.shell_count import cylindrical_pairs
+    from spatialjoincountovershells_ray.stages.join_kernels import CYL_PI_EDGES
+
+    hxyz = uniform_coords(MT19937(3), 50)
+    pxyz = uniform_coords(MT19937(7), 1200)
+    lad = RadiusLadder.log2_spaced(1, 100, 8, dtype=np.float64)
+    halos, parts = _tables(hxyz, pxyz, np.float64)
+
+    got = dataset_to_table(cylindrical_pairs(halos, parts, lad)).to_pandas()
+    got = got.sort_values(["rp_shell", "pi_bin"]).reset_index(drop=True)
+
+    d = hxyz[:, None, :] - pxyz[None, :, :]
+    d -= 1000.0 * np.floor(d / 1000.0 + 0.5)
+    d2p = d[:, :, 0] ** 2 + d[:, :, 1] ** 2
+    dpar = np.abs(d[:, :, 2])
+    rp = np.searchsorted(lad.r2, d2p.ravel(), side="right")
+    pib = np.searchsorted(CYL_PI_EDGES, dpar.ravel(), side="right")
+    want = np.zeros((8, len(CYL_PI_EDGES)), np.int64)
+    m = (rp < 8) & (pib < len(CYL_PI_EDGES))
+    np.add.at(want, (rp[m], pib[m]), 1)
+    np.testing.assert_array_equal(
+        got["npairs"].to_numpy().reshape(8, len(CYL_PI_EDGES)), want
+    )
+    assert int(want.sum()) > 0
