@@ -216,6 +216,7 @@ BENCH_QUERIES = [
     "pair_corr_jackknife",
     "fof_groups",
     "cylindrical_pairs",
+    "rect_join",
     "fof_multiplicity",
     "counts_in_cells",
     "range_join",

@@ -458,3 +458,120 @@ def zorder_box_query(
     return ds.map_batches(infilter, batch_format="pyarrow", zero_copy_batch=True).sort(
         "particle_id"
     )
+
+
+def _rect_cells(lo: np.ndarray, hi: np.ndarray, cell: float, pad: float) -> tuple:
+    """Explode rects to the grid cells their boxes cover (vectorized):
+    returns (row_index, flat_cell_key). Coordinates are shifted by +pad
+    so cell indices stay non-negative for off-box rects."""
+    ix0 = np.floor((lo[:, 0] + pad) / cell).astype(np.int64)
+    ix1 = np.floor((hi[:, 0] + pad) / cell).astype(np.int64)
+    iy0 = np.floor((lo[:, 1] + pad) / cell).astype(np.int64)
+    iy1 = np.floor((hi[:, 1] + pad) / cell).astype(np.int64)
+    nx = ix1 - ix0 + 1
+    ny = iy1 - iy0 + 1
+    reps = nx * ny
+    row = np.repeat(np.arange(len(lo), dtype=np.int64), reps)
+    # per-replica local ordinal within its rect's nx*ny block
+    starts = np.zeros(len(lo), dtype=np.int64)
+    np.cumsum(reps[:-1], out=starts[1:])
+    local = np.arange(int(reps.sum()), dtype=np.int64) - starts[row]
+    cx = ix0[row] + local // ny[row]
+    cy = iy0[row] + local % ny[row]
+    KEY = np.int64(1) << 21
+    return row, cx * KEY + cy
+
+
+def rect_join(
+    rects_a: "ray.data.Dataset",
+    rects_b: "ray.data.Dataset",
+    *,
+    cell: float = 200.0,
+    pad: float = 1024.0,
+) -> "ray.data.Dataset":
+    """Distributed rectangle-overlap join: id_a, id_b (int64) — every
+    (a, b) pair whose axis-aligned boxes STRICTLY overlap on both axes
+    (max(lo) < min(hi); touching edges do not join).
+
+    Both inputs need columns (id, lox, loy, hix, hiy). The canonical GIS
+    spatial-join plan: each rect replicates to the grid cells its box
+    covers (replication bounded by (extent/cell + 1)^2 — pick ``cell``
+    near the larger side's max extent), one bucket exchange co-locates
+    cell-mates, and a vectorized per-cell kernel tests candidate pairs.
+    Exactly-once emission via the responsibility rule: a pair is emitted
+    only by the cell containing its intersection's min corner.
+    """
+    from spatialjoincountovershells_ray.pipelines.window import keyed_partition_apply
+
+    def prep(role: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            lo = np.stack([batch.column("lox").to_numpy(), batch.column("loy").to_numpy()], axis=1)
+            hi = np.stack([batch.column("hix").to_numpy(), batch.column("hiy").to_numpy()], axis=1)
+            row, key = _rect_cells(lo, hi, cell, pad)
+            return pa.table(
+                {
+                    "k": pa.array(key, pa.int64()),
+                    "id": batch.column("id").to_numpy()[row],
+                    "lox": lo[row, 0],
+                    "loy": lo[row, 1],
+                    "hix": hi[row, 0],
+                    "hiy": hi[row, 1],
+                    "role": pa.array(np.full(len(row), role, np.int8)),
+                }
+            )
+
+        return fn
+
+    both = rects_a.map_batches(prep(0), batch_format="pyarrow", zero_copy_batch=True).union(
+        rects_b.map_batches(prep(1), batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+    KEY = np.int64(1) << 21
+
+    def kernel(tbl: pa.Table) -> pa.Table:
+        empty = pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())})
+        if tbl.num_rows == 0 or "k" not in tbl.schema.names:
+            return empty
+        k = tbl.column("k").to_numpy()
+        order = np.argsort(k, kind="stable")
+        k = k[order]
+        ids = tbl.column("id").to_numpy()[order]
+        lox = tbl.column("lox").to_numpy()[order]
+        loy = tbl.column("loy").to_numpy()[order]
+        hix = tbl.column("hix").to_numpy()[order]
+        hiy = tbl.column("hiy").to_numpy()[order]
+        role = tbl.column("role").to_numpy()[order]
+        starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+        ends = np.r_[starts[1:], len(k)]
+        out_a, out_b = [], []
+        for s, e in zip(starts, ends):
+            ra = np.flatnonzero(role[s:e] == 0) + s
+            rb = np.flatnonzero(role[s:e] == 1) + s
+            if not len(ra) or not len(rb):
+                continue
+            # candidate cross product within the cell (cells are bounded
+            # by the replication grid; the matrices stay small)
+            ox = np.maximum(lox[ra][:, None], lox[rb][None, :])
+            cxm = np.minimum(hix[ra][:, None], hix[rb][None, :])
+            oy = np.maximum(loy[ra][:, None], loy[rb][None, :])
+            cym = np.minimum(hiy[ra][:, None], hiy[rb][None, :])
+            hit = (ox < cxm) & (oy < cym)
+            # responsibility: intersection min corner must lie in THIS cell
+            cellx = k[s] // KEY
+            celly = k[s] % KEY
+            respx = np.floor((ox + pad) / cell).astype(np.int64) == cellx
+            respy = np.floor((oy + pad) / cell).astype(np.int64) == celly
+            hit &= respx & respy
+            ai, bi = np.nonzero(hit)
+            out_a.append(ids[ra][ai])
+            out_b.append(ids[rb][bi])
+        if not out_a:
+            return empty
+        return pa.table(
+            {
+                "id_a": pa.array(np.concatenate(out_a), pa.int64()),
+                "id_b": pa.array(np.concatenate(out_b), pa.int64()),
+            }
+        )
+
+    return keyed_partition_apply(both, "k", kernel)

@@ -550,6 +550,57 @@ def _rect_arrays(sf_dir: str):
     return keys, lo, hi
 
 
+def _rect_set(sf_dir: str, table: str, key_col: str, wmod: int, wbase: int):
+    """Derived rect Dataset (id, lox, loy, hix, hiy) from a key column —
+    same multiply-mod arithmetic the SQL twin evaluates."""
+    from spatialjoincountovershells_ray.functions.hashing import derive_coord
+
+    def fn(batch: pa.Table) -> pa.Table:
+        k = batch.column(key_col).to_numpy().astype(np.int64)
+        cx = derive_coord(k, 0)
+        cy = derive_coord(k, 1)
+        w = ((k * np.int64(2654435761)) % np.int64(wmod) + np.int64(wbase)).astype(np.float64)
+        return pa.table(
+            {"id": k, "lox": cx - w, "loy": cy - w, "hix": cx + w, "hiy": cy + w}
+        )
+
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=[key_col]).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def q_rect_join(sf_dir: str):
+    """Rectangle-overlap spatial join: supplier boxes x customer boxes,
+    exactly-once grid-bucketed pair emission."""
+    from spatialjoincountovershells_ray.pipelines.tiles import rect_join
+
+    return rect_join(
+        _rect_set(sf_dir, "supplier", "s_suppkey", 150, 50),
+        _rect_set(sf_dir, "customer", "c_custkey", 20, 5),
+    )
+
+
+def _rect_join_sql() -> str:
+    def side(table: str, key: str, wmod: int, wbase: int, out: str) -> str:
+        return (
+            f"{out} AS (SELECT {key} AS id, "
+            f"{derive_coord_sql(key, 0)} - CAST(({key} * 2654435761) % {wmod} + {wbase} AS DOUBLE) AS lox, "
+            f"{derive_coord_sql(key, 1)} - CAST(({key} * 2654435761) % {wmod} + {wbase} AS DOUBLE) AS loy, "
+            f"{derive_coord_sql(key, 0)} + CAST(({key} * 2654435761) % {wmod} + {wbase} AS DOUBLE) AS hix, "
+            f"{derive_coord_sql(key, 1)} + CAST(({key} * 2654435761) % {wmod} + {wbase} AS DOUBLE) AS hiy "
+            f"FROM {table})"
+        )
+
+    return (
+        f"WITH {side('supplier', 's_suppkey', 150, 50, 'ra')}, "
+        f"{side('customer', 'c_custkey', 20, 5, 'rb')} "
+        "SELECT a.id AS id_a, b.id AS id_b FROM ra a CROSS JOIN rb b "
+        "WHERE GREATEST(a.lox, b.lox) < LEAST(a.hix, b.hix) "
+        "AND GREATEST(a.loy, b.loy) < LEAST(a.hiy, b.hiy) "
+        "ORDER BY id_a, id_b"
+    )
+
+
 def q_point_in_rects(sf_dir: str):
     keys, lo, hi = _rect_arrays(sf_dir)
     return tiles.point_in_rects(synthetic.particles_dataset(sf_dir), keys, lo, hi)
@@ -3926,6 +3977,7 @@ REGISTRY: dict[str, QueryDef] = {
     "pair_corr_jackknife": QueryDef(q_pair_corr_jackknife, _jackknife_sql()),
     "fof_groups": QueryDef(q_fof_groups, _FOF_GROUPS_SQL),
     "cylindrical_pairs": QueryDef(q_cylindrical_pairs, _cyl_sql()),
+    "rect_join": QueryDef(q_rect_join, _rect_join_sql()),
     "fof_multiplicity": QueryDef(q_fof_multiplicity, _FOF_MULT_SQL),
     "counts_in_cells": QueryDef(q_counts_in_cells, _cic_sql()),
     "range_join": QueryDef(q_range_join, _RANGE_SQL),

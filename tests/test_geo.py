@@ -170,3 +170,54 @@ class TestGeoNearest:
         )
         exp = pid[order][np.argmin(a, axis=1)]
         assert (got["place_id"].to_numpy() == exp).all()
+
+
+class TestRectJoin:
+    def test_matches_brute_force_and_exactly_once(self):
+        import numpy as np
+        import pyarrow as pa
+        import ray
+
+        from spatialjoincountovershells_ray.pipelines.shell_count import dataset_to_table
+        from spatialjoincountovershells_ray.pipelines.tiles import rect_join
+
+        rng = np.random.default_rng(11)
+
+        def rects(n, wmax, seed_off):
+            c = rng.uniform(-50, 1050, size=(n, 2))  # off-box rects included
+            w = rng.uniform(1, wmax, size=(n, 1))
+            return pa.table(
+                {
+                    "id": np.arange(seed_off, seed_off + n, dtype=np.int64),
+                    "lox": c[:, 0] - w[:, 0],
+                    "loy": c[:, 1] - w[:, 0],
+                    "hix": c[:, 0] + w[:, 0],
+                    "hiy": c[:, 1] + w[:, 0],
+                }
+            )
+
+        A = rects(80, 180, 0)
+        B = rects(400, 25, 1000)
+        got = dataset_to_table(
+            rect_join(
+                ray.data.from_arrow(A).repartition(5),
+                ray.data.from_arrow(B).repartition(7),
+                cell=150.0,
+            )
+        ).to_pandas()
+        # exactly-once: no duplicate pairs even though rects span many cells
+        assert not got.duplicated().any()
+
+        a = A.to_pandas()
+        b = B.to_pandas()
+        want = set()
+        for _, ra in a.iterrows():
+            ox = np.maximum(ra.lox, b.lox)
+            cx = np.minimum(ra.hix, b.hix)
+            oy = np.maximum(ra.loy, b.loy)
+            cy = np.minimum(ra.hiy, b.hiy)
+            hit = (ox < cx) & (oy < cy)
+            for bid in b.id[hit]:
+                want.add((int(ra.id), int(bid)))
+        assert set(zip(got.id_a, got.id_b)) == want
+        assert len(want) > 0
