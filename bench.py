@@ -217,6 +217,7 @@ BENCH_QUERIES = [
     "fof_groups",
     "cylindrical_pairs",
     "rect_join",
+    "power_spectrum",
     "fof_multiplicity",
     "counts_in_cells",
     "range_join",

@@ -405,6 +405,15 @@ def q_cylindrical_pairs(sf_dir: str):
     )
 
 
+def q_power_spectrum(sf_dir: str):
+    """Matter power spectrum P(k) of the particle catalog (NGP + FFT;
+    genuinely non-SQL-expressible — rows-only at the driver gate, the
+    pytest oracle is an independent direct DFT)."""
+    from spatialjoincountovershells_ray.pipelines.raster import power_spectrum
+
+    return power_spectrum(synthetic.particles_dataset(sf_dir), ngrid=32, box=BOX_SIZE)
+
+
 def q_shell_count_shuffle(sf_dir: str):
     return sc.shell_count(
         synthetic.halos_dataset(sf_dir),
@@ -3978,6 +3987,7 @@ REGISTRY: dict[str, QueryDef] = {
     "fof_groups": QueryDef(q_fof_groups, _FOF_GROUPS_SQL),
     "cylindrical_pairs": QueryDef(q_cylindrical_pairs, _cyl_sql()),
     "rect_join": QueryDef(q_rect_join, _rect_join_sql()),
+    "power_spectrum": QueryDef(q_power_spectrum, None),
     "fof_multiplicity": QueryDef(q_fof_multiplicity, _FOF_MULT_SQL),
     "counts_in_cells": QueryDef(q_counts_in_cells, _cic_sql()),
     "range_join": QueryDef(q_range_join, _RANGE_SQL),

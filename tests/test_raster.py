@@ -155,3 +155,59 @@ class TestPyramid:
             )
             g = got[got.level == lv][["ix", "iy", "cnt"]].reset_index(drop=True)
             pd.testing.assert_frame_equal(g, exp, check_dtype=False)
+
+
+class TestPowerSpectrum:
+    def test_matches_direct_dft(self):
+        """Independent oracle: explicit direct DFT of the gridded
+        overdensity on a tiny grid, same NGP/shell-binning convention."""
+        import numpy as np
+        import pyarrow as pa
+        import ray
+
+        from spatialjoincountovershells_ray.functions.mt19937 import MT19937, uniform_coords
+        from spatialjoincountovershells_ray.pipelines.raster import power_spectrum
+        from spatialjoincountovershells_ray.pipelines.shell_count import dataset_to_table
+
+        ngrid, box, nkbins = 8, 1000.0, 4
+        pxyz = uniform_coords(MT19937(17), 4000)
+        parts = pa.table(
+            {
+                "particle_id": np.arange(4000, dtype=np.int64),
+                "x": pxyz[:, 0],
+                "y": pxyz[:, 1],
+                "z": pxyz[:, 2],
+            }
+        )
+        got = dataset_to_table(
+            power_spectrum(
+                ray.data.from_arrow(parts).repartition(5), ngrid, box, nkbins
+            )
+        ).to_pandas().sort_values("kbin").reset_index(drop=True)
+
+        # oracle: NGP grid -> direct full-cube DFT -> same integer shells
+        L = box / ngrid
+        idx = (
+            np.floor(pxyz[:, 0] / L).astype(int) * ngrid
+            + np.floor(pxyz[:, 1] / L).astype(int)
+        ) * ngrid + np.floor(pxyz[:, 2] / L).astype(int)
+        dense = np.bincount(idx, minlength=ngrid**3).astype(float).reshape(ngrid, ngrid, ngrid)
+        delta = dense / dense.mean() - 1.0
+        n = np.fft.fftfreq(ngrid, d=1.0 / ngrid)
+        # explicit DFT (matmul per axis) — independent of rfftn
+        w = np.exp(-2j * np.pi * np.outer(n, np.arange(ngrid)) / ngrid)
+        fk = np.einsum("ax,by,cz,xyz->abc", w, w, w, delta) / ngrid**3
+        p3 = (box**3) * np.abs(fk) ** 2
+        nn = np.sqrt(n[:, None, None] ** 2 + n[None, :, None] ** 2 + n[None, None, :] ** 2)
+        kidx = np.rint(nn).astype(int)
+        want = {}
+        for kb in range(1, nkbins + 1):
+            m = kidx == kb
+            if m.sum():
+                want[kb] = (int(m.sum()), p3[m].mean())
+        assert got["kbin"].tolist() == sorted(want)
+        for _, row in got.iterrows():
+            nm, pk = want[int(row.kbin)]
+            assert int(row.nmodes) == nm
+            np.testing.assert_allclose(row.pk, pk, rtol=1e-10)
+        assert len(got) == nkbins
