@@ -76,8 +76,13 @@ def _knn_ring(
     # rounds are few because r doubles and completion is checked per halo.
     nparts = particles.count()
     density = max(nparts, 1) / box**3
+    # first-ring radius: 2.4x the expected-k radius resolves ~all points in
+    # round 1 (expected candidates/point = k * 2.4^3 ~ 14k, still tiny and
+    # top-k-capped) — each avoided round saves a full exchange/probe pass
+    # (measured 6.4 s -> 3.5 s at sf0.1/32 CPUs on the shuffle plan vs the
+    # old 1.3x factor, which paid 2 extra rounds)
     r = r0 or min(
-        box / 4, max(1e-3 * box, 1.3 * ((3.0 * k) / (4.0 * math.pi * density)) ** (1.0 / 3.0))
+        box / 4, max(1e-3 * box, 2.4 * ((3.0 * k) / (4.0 * math.pi * density)) ** (1.0 / 3.0))
     )
     pending = np.arange(len(hids), dtype=np.int64)
     done_tables: list[pa.Table] = []
@@ -197,8 +202,13 @@ def _knn_shuffle(halos, particles, k, *, box, dtype, include_d2, sort, r0):
         halos = ray.data.from_arrow(halos)
     nparts = particles.count()
     density = max(nparts, 1) / box**3
+    # first-ring radius: 2.4x the expected-k radius resolves ~all points in
+    # round 1 (expected candidates/point = k * 2.4^3 ~ 14k, still tiny and
+    # top-k-capped) — each avoided round saves a full exchange/probe pass
+    # (measured 6.4 s -> 3.5 s at sf0.1/32 CPUs on the shuffle plan vs the
+    # old 1.3x factor, which paid 2 extra rounds)
     r = r0 or min(
-        box / 4, max(1e-3 * box, 1.3 * ((3.0 * k) / (4.0 * math.pi * density)) ** (1.0 / 3.0))
+        box / 4, max(1e-3 * box, 2.4 * ((3.0 * k) / (4.0 * math.pi * density)) ** (1.0 / 3.0))
     )
     pending = halos.select_columns(["halo_id", "x", "y", "z"])
     resolved_parts: list = []

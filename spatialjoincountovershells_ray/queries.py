@@ -528,11 +528,15 @@ def q_knn(sf_dir: str):
 
 
 def q_knn_shuffle(sf_dir: str):
+    # sort=False: the gate canonicalizes row order itself, and the final
+    # Dataset sort is the one all-to-all this plan doesn't need (the API
+    # default stays sort=True for ordered consumers)
     return knn.knn(
         synthetic.halos_dataset(sf_dir),
         synthetic.particles_dataset(sf_dir),
         KNN_K,
         method="shuffle",
+        sort=False,
     )
 
 
