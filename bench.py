@@ -218,6 +218,7 @@ BENCH_QUERIES = [
     "cylindrical_pairs",
     "rect_join",
     "power_spectrum",
+    "shell_profile",
     "fof_multiplicity",
     "counts_in_cells",
     "range_join",

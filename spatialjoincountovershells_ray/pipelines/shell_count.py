@@ -740,3 +740,70 @@ def cylindrical_pairs(
     return ray.data.from_arrow_refs(
         [_fold_cyl.remote(rp_ladder.nrads, len(CYL_PI_EDGES), *refs)]
     )
+
+
+@ray.remote
+def _merge_profile_blocks(cols: list, *tables: pa.Table) -> pa.Table:
+    live = [t for t in tables if t.num_rows]
+    if not live:
+        return pa.table({n: pa.array([], pa.int64()) for n in ["halo_id"] + cols})
+    t = pa.concat_tables(live, promote_options="none")
+    g = t.group_by("halo_id").aggregate([(c, "sum") for c in cols])
+    return pa.table(
+        {"halo_id": g.column("halo_id"), **{c: g.column(f"{c}_sum") for c in cols}}
+    )
+
+
+def shell_d2_profile(
+    halos: "ray.data.Dataset | pa.Table",
+    particles: "ray.data.Dataset",
+    ladder: RadiusLadder,
+    *,
+    grid: GridSpec | None = None,
+    box: float = BOX_SIZE,
+    batch_size: int = 16384,
+    fanin: int = 8,
+) -> "ray.data.Dataset":
+    """Per-halo radial profile moments: halo_id, c0..c{n-1} (pair counts
+    per shell) and m0..m{n-1} (per-shell sums of floor(d2*100) — exact
+    int64 quantized squared-distance moments, so mean-d2-per-shell
+    profiles derive exactly). The aggregate-pushdown demonstration of
+    the kernel surface: one particle pass computes both statistics;
+    dense zero rows for untouched halos; tree-merged like shell_count."""
+    from spatialjoincountovershells_ray.stages.join_kernels import ShellProfileKernel
+
+    grid = grid or GridSpec.for_radius(ladder.rmax, box=box, target_cells_per_r=3.0)
+    nrads = ladder.nrads
+    halos_tbl = halos if isinstance(halos, pa.Table) else dataset_to_table(halos)
+    hids = halos_tbl.column("halo_id").to_numpy()
+    hxyz = np.stack(
+        [halos_tbl.column(c).to_numpy().astype(ladder.dtype, copy=False) for c in "xyz"],
+        axis=1,
+    )
+    index_ref = ray.put(HaloIndex.build(hids, hxyz, ladder.rmax, grid, box))
+    partials = particles.map_batches(
+        run_broadcast_kernel,
+        fn_kwargs={"cls": ShellProfileKernel, "ref_list": [index_ref], "ladder": ladder},
+        batch_size=batch_size,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    cols = [f"c{i}" for i in range(nrads)] + [f"m{i}" for i in range(nrads)]
+    zeros = pa.table(
+        {
+            "halo_id": pa.array(hids, pa.int64()),
+            **{c: pa.array(np.zeros(len(hids), np.int64)) for c in cols},
+        }
+    )
+    refs = [r for r in partials.materialize().to_arrow_refs()]
+    refs.append(ray.put(zeros))
+    merged = False
+    while len(refs) > 1:
+        refs = [
+            _merge_profile_blocks.remote(cols, *refs[i : i + fanin])
+            for i in range(0, len(refs), fanin)
+        ]
+        merged = True
+    if not merged:
+        refs = [_merge_profile_blocks.remote(cols, refs[0])]
+    return ray.data.from_arrow_refs(refs)

@@ -405,6 +405,37 @@ def q_cylindrical_pairs(sf_dir: str):
     )
 
 
+def q_shell_profile(sf_dir: str):
+    """Per-halo per-shell pair counts + exact quantized-d2 moment sums
+    (radial density-profile moments pushed into the spatial kernel)."""
+    return sc.shell_d2_profile(
+        synthetic.halos_dataset(sf_dir),
+        synthetic.particles_dataset(sf_dir),
+        LADDER,
+    )
+
+
+def _profile_sql() -> str:
+    r2 = LADDER.r2
+    cases = []
+    for i in range(LADDER.nrads):
+        lo = "0" if i == 0 else repr(float(r2[i - 1]))
+        cond = f"d2 >= {lo} AND d2 < {float(r2[i])!r}"
+        cases.append(f"CAST(SUM(CASE WHEN {cond} THEN 1 ELSE 0 END) AS BIGINT) AS c{i}")
+    for i in range(LADDER.nrads):
+        lo = "0" if i == 0 else repr(float(r2[i - 1]))
+        cond = f"d2 >= {lo} AND d2 < {float(r2[i])!r}"
+        cases.append(
+            f"CAST(SUM(CASE WHEN {cond} THEN CAST(floor(d2 * 100.0) AS BIGINT) ELSE 0 END) AS BIGINT) AS m{i}"
+        )
+    return (
+        f"WITH {synthetic.HALOS_CTE}, {synthetic.PARTICLES_CTE}, "
+        f"pairs AS (SELECT h.halo_id, {synthetic.D2_SQL} AS d2 "
+        "FROM halos h CROSS JOIN particles p) "
+        f"SELECT halo_id, {', '.join(cases)} FROM pairs GROUP BY halo_id ORDER BY halo_id"
+    )
+
+
 def q_power_spectrum(sf_dir: str):
     """Matter power spectrum P(k) of the particle catalog (NGP + FFT;
     genuinely non-SQL-expressible — rows-only at the driver gate, the
@@ -3992,6 +4023,7 @@ REGISTRY: dict[str, QueryDef] = {
     "cylindrical_pairs": QueryDef(q_cylindrical_pairs, _cyl_sql()),
     "rect_join": QueryDef(q_rect_join, _rect_join_sql()),
     "power_spectrum": QueryDef(q_power_spectrum, None),
+    "shell_profile": QueryDef(q_shell_profile, _profile_sql()),
     "fof_multiplicity": QueryDef(q_fof_multiplicity, _FOF_MULT_SQL),
     "counts_in_cells": QueryDef(q_counts_in_cells, _cic_sql()),
     "range_join": QueryDef(q_range_join, _RANGE_SQL),

@@ -601,6 +601,72 @@ class PatchCorrTotals(PairCorrTotals):
         )
 
 
+class ShellProfileKernel(_BroadcastKernel):
+    """Aggregate pushdown into the spatial kernel: per-halo per-shell
+    pair counts AND quantized squared-distance sums in one pass — the
+    radial density-profile moments (mean d2 per shell = profile shape).
+
+    The d2 moment is exact end to end: floor(d2 * 100) of the bit-exact
+    float64 pair distance is an integer both engines compute identically,
+    and integer sums are order-free. Uses the pure-f64 pair path (the
+    moment needs d2 anyway, so the two-phase screen buys nothing).
+
+    Output per batch: halo_id, c0..c{n-1} (counts), m0..m{n-1} (sums) —
+    touched halos only.
+    """
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        idx = self.index
+        nrads = self.ladder.nrads
+        nr1 = nrads + 1
+        nhalos = len(idx.halo_ids)
+        p_cols = _batch_cols(batch, self.dtype)
+        cnt = np.zeros((nhalos, nr1), dtype=np.int64)
+        qs = np.zeros((nhalos, nr1), dtype=np.int64)
+        any_pairs = False
+        s = self.scratch
+        psort, sorted_cols = self._sort_batch(p_cols)
+        for pp, rep in self._iter_expanded(sorted_cols):
+            any_pairs = True
+            n = len(pp)
+            d2 = self.d2k(idx.rep_cols, sorted_cols, rep, pp, idx.box, out=s.d2[:n])
+            shell = np.searchsorted(self.r2, d2, side="right")
+            # quantized moment: floor(d2*100) is an integer both engines
+            # compute identically; per-(replica, shell) partial sums stay
+            # < 2^53 under the subchunk pair bound, so the weighted
+            # bincount is exact before the int64 fold
+            np.multiply(d2, 100.0, out=d2)
+            np.floor(d2, out=d2)
+            # replica-span bincount (the BroadcastShellCount trick): bin
+            # in contiguous replica space, then one dup-safe scatter-add
+            # of the span histograms into halo rows per sub-chunk
+            lo = int(rep[0])
+            hi = int(rep[-1])
+            span = hi - lo + 1
+            key = rep.astype(np.int64) * nr1
+            np.add(key, shell, out=key)
+            key -= lo * nr1
+            bc = np.bincount(key, minlength=span * nr1).reshape(span, nr1)
+            bw = np.bincount(key, weights=d2, minlength=span * nr1).reshape(span, nr1)
+            rows = self._rep_rows_fold[lo : hi + 1]
+            np.add.at(cnt, rows, bc)
+            np.add.at(qs, rows, bw.astype(np.int64))
+        names = (
+            ["halo_id"]
+            + [f"c{i}" for i in range(nrads)]
+            + [f"m{i}" for i in range(nrads)]
+        )
+        if not any_pairs:
+            return pa.table({n: pa.array([], pa.int64()) for n in names})
+        touched = np.nonzero(cnt[:, :nrads].any(axis=1))[0]
+        cols = {"halo_id": idx.halo_ids[touched]}
+        for i in range(nrads):
+            cols[f"c{i}"] = cnt[touched, i]
+        for i in range(nrads):
+            cols[f"m{i}"] = qs[touched, i]
+        return pa.table(cols)
+
+
 # transverse/line-of-sight bin edges of the cylindrical pair counts (the
 # wp(rp) decomposition); plain upper bounds, strict-< binning like shells
 CYL_PI_EDGES = np.array([40.0, 80.0, 120.0, 160.0])

@@ -100,3 +100,50 @@ def test_packed_counts_rejects_negative_keys():
             lambda batch: batch.column("k").to_numpy(),
             lambda k, c: pa.table({"key": k, "cnt": c}),
         ).materialize()
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    seed=st.integers(0, 10_000),
+    cell=st.sampled_from([60.0, 150.0, 333.0]),
+    na=st.integers(1, 40),
+    nb=st.integers(1, 120),
+)
+def test_rect_join_exactly_once_any_cell_size(seed, cell, na, nb):
+    """rect_join emits every strictly-overlapping pair exactly once for
+    ANY cell size (responsibility rule), including off-box rects."""
+    import pyarrow as pa
+    import ray
+
+    from spatialjoincountovershells_ray.pipelines.shell_count import dataset_to_table
+    from spatialjoincountovershells_ray.pipelines.tiles import rect_join
+
+    rng = np.random.default_rng(seed)
+
+    def rects(n, wmax, off):
+        c = rng.uniform(-100, 1100, size=(n, 2))
+        w = rng.uniform(0.5, wmax, size=n)
+        return pa.table(
+            {
+                "id": np.arange(off, off + n, dtype=np.int64),
+                "lox": c[:, 0] - w,
+                "loy": c[:, 1] - w,
+                "hix": c[:, 0] + w,
+                "hiy": c[:, 1] + w,
+            }
+        )
+
+    A, B = rects(na, 200, 0), rects(nb, 40, 10_000)
+    got = dataset_to_table(
+        rect_join(ray.data.from_arrow(A), ray.data.from_arrow(B), cell=cell)
+    ).to_pandas()
+    assert not got.duplicated().any()
+    a, b = A.to_pandas(), B.to_pandas()
+    want = set()
+    for _, ra in a.iterrows():
+        hit = (
+            (np.maximum(ra.lox, b.lox) < np.minimum(ra.hix, b.hix))
+            & (np.maximum(ra.loy, b.loy) < np.minimum(ra.hiy, b.hiy))
+        )
+        want.update((int(ra.id), int(x)) for x in b.id[hit])
+    assert set(zip(got.id_a, got.id_b)) == want

@@ -642,3 +642,31 @@ def test_cylindrical_pairs_matches_brute_force():
         got["npairs"].to_numpy().reshape(8, len(CYL_PI_EDGES)), want
     )
     assert int(want.sum()) > 0
+
+
+def test_shell_profile_matches_brute_force():
+    """Counts equal shell_count; m sums equal exact quantized-d2 bins."""
+    from spatialjoincountovershells_ray.pipelines.shell_count import shell_d2_profile
+
+    hxyz = uniform_coords(MT19937(57), 40)
+    pxyz = uniform_coords(MT19937(91), 900)
+    lad = RadiusLadder.log2_spaced(1, 100, 8, dtype=np.float64)
+    halos, parts = _tables(hxyz, pxyz, np.float64)
+
+    got = dataset_to_table(shell_d2_profile(halos, parts, lad)).to_pandas()
+    got = got.sort_values("halo_id").reset_index(drop=True)
+    assert len(got) == 40  # dense zero rows included
+
+    hxyz = hxyz.astype(np.float64)  # oracle must run in the query precision
+    pxyz = pxyz.astype(np.float64)
+    d = hxyz[:, None, :] - pxyz[None, :, :]
+    d -= 1000.0 * np.floor(d / 1000.0 + 0.5)
+    d2 = (d * d).sum(axis=2)
+    shell = np.searchsorted(lad.r2, d2, side="right")
+    q = np.floor(d2 * 100.0).astype(np.int64)
+    for i in range(8):
+        m = shell == i
+        want_c = m.sum(axis=1)
+        want_m = np.where(m, q, 0).sum(axis=1)
+        np.testing.assert_array_equal(got[f"c{i}"].to_numpy(), want_c)
+        np.testing.assert_array_equal(got[f"m{i}"].to_numpy(), want_m)
