@@ -219,6 +219,7 @@ BENCH_QUERIES = [
     "rect_join",
     "power_spectrum",
     "shell_profile",
+    "density_peaks",
     "fof_multiplicity",
     "counts_in_cells",
     "range_join",

@@ -436,6 +436,36 @@ def _profile_sql() -> str:
     )
 
 
+def q_density_peaks(sf_dir: str):
+    """Strict periodic 26-neighborhood local maxima of the particle
+    occupancy grid (the overdensity-seed step of halo finding)."""
+    from spatialjoincountovershells_ray.pipelines.raster import density_peaks
+
+    return density_peaks(synthetic.particles_dataset(sf_dir), CIC_NCELLS, BOX_SIZE)
+
+
+def _peaks_sql() -> str:
+    K = CIC_NCELLS
+    L = repr(BOX_SIZE / K)
+    return (
+        f"WITH {synthetic.PARTICLES_CTE}, "
+        "occ AS (SELECT ix, iy, iz, COUNT(*) AS n FROM "
+        f"(SELECT CAST(floor(x / {L}) AS BIGINT) AS ix, "
+        f"CAST(floor(y / {L}) AS BIGINT) AS iy, "
+        f"CAST(floor(z / {L}) AS BIGINT) AS iz FROM particles) GROUP BY ix, iy, iz), "
+        "offs AS (SELECT a.range AS dx, b.range AS dy, c.range AS dz "
+        "FROM range(-1, 2) a CROSS JOIN range(-1, 2) b CROSS JOIN range(-1, 2) c "
+        "WHERE NOT (a.range = 0 AND b.range = 0 AND c.range = 0)), "
+        "nbr AS (SELECT o.ix, o.iy, o.iz, o.n, COALESCE(MAX(q.n), 0) AS mx "
+        "FROM occ o CROSS JOIN offs "
+        f"LEFT JOIN occ q ON q.ix = (o.ix + offs.dx + {K}) % {K} "
+        f"AND q.iy = (o.iy + offs.dy + {K}) % {K} "
+        f"AND q.iz = (o.iz + offs.dz + {K}) % {K} "
+        "GROUP BY o.ix, o.iy, o.iz, o.n) "
+        "SELECT ix, iy, iz, n AS cnt FROM nbr WHERE n > mx ORDER BY ix, iy, iz"
+    )
+
+
 def q_power_spectrum(sf_dir: str):
     """Matter power spectrum P(k) of the particle catalog (NGP + FFT;
     genuinely non-SQL-expressible — rows-only at the driver gate, the
@@ -4024,6 +4054,7 @@ REGISTRY: dict[str, QueryDef] = {
     "rect_join": QueryDef(q_rect_join, _rect_join_sql()),
     "power_spectrum": QueryDef(q_power_spectrum, None),
     "shell_profile": QueryDef(q_shell_profile, _profile_sql()),
+    "density_peaks": QueryDef(q_density_peaks, _peaks_sql()),
     "fof_multiplicity": QueryDef(q_fof_multiplicity, _FOF_MULT_SQL),
     "counts_in_cells": QueryDef(q_counts_in_cells, _cic_sql()),
     "range_join": QueryDef(q_range_join, _RANGE_SQL),

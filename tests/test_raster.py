@@ -211,3 +211,50 @@ class TestPowerSpectrum:
             assert int(row.nmodes) == nm
             np.testing.assert_allclose(row.pk, pk, rtol=1e-10)
         assert len(got) == nkbins
+
+
+class TestDensityPeaks:
+    def test_matches_brute_force_periodic(self):
+        import numpy as np
+        import pyarrow as pa
+        import ray
+
+        from spatialjoincountovershells_ray.functions.mt19937 import MT19937, uniform_coords
+        from spatialjoincountovershells_ray.pipelines.raster import density_peaks
+        from spatialjoincountovershells_ray.pipelines.shell_count import dataset_to_table
+
+        ngrid, box = 6, 1000.0
+        pxyz = uniform_coords(MT19937(23), 2500).astype(np.float64)
+        parts = pa.table(
+            {
+                "particle_id": np.arange(2500, dtype=np.int64),
+                "x": pxyz[:, 0],
+                "y": pxyz[:, 1],
+                "z": pxyz[:, 2],
+            }
+        )
+        got = dataset_to_table(
+            density_peaks(ray.data.from_arrow(parts).repartition(4), ngrid, box)
+        ).to_pandas().sort_values(["ix", "iy", "iz"]).reset_index(drop=True)
+
+        L = box / ngrid
+        idx = (
+            np.floor(pxyz[:, 0] / L).astype(int) * ngrid
+            + np.floor(pxyz[:, 1] / L).astype(int)
+        ) * ngrid + np.floor(pxyz[:, 2] / L).astype(int)
+        g = np.bincount(idx, minlength=ngrid**3).reshape(ngrid, ngrid, ngrid)
+        want = []
+        for i in range(ngrid):
+            for j in range(ngrid):
+                for k in range(ngrid):
+                    nb = [
+                        g[(i + a) % ngrid, (j + b) % ngrid, (k + c) % ngrid]
+                        for a in (-1, 0, 1)
+                        for b in (-1, 0, 1)
+                        for c in (-1, 0, 1)
+                        if not (a == b == c == 0)
+                    ]
+                    if g[i, j, k] > max(nb):
+                        want.append((i, j, k, int(g[i, j, k])))
+        assert list(zip(got.ix, got.iy, got.iz, got.cnt)) == want
+        assert len(want) > 0
