@@ -220,6 +220,7 @@ BENCH_QUERIES = [
     "power_spectrum",
     "shell_profile",
     "density_peaks",
+    "catalog_xmatch",
     "fof_multiplicity",
     "counts_in_cells",
     "range_join",

@@ -92,3 +92,137 @@ def range_join(
             concurrency=concurrency,
         )
     return pairs.sort(["halo_id", "particle_id"]) if sort else pairs
+
+
+@ray.remote
+def _xmatch_nearest_per_halo(*tables: "pa.Table") -> dict:
+    """Fold per-halo best-candidate partials into the exact nearest table
+    (O(halos) — the broadcast-side contract)."""
+    live = []
+    for t in tables:
+        if t.num_rows:
+            m = t.filter(pa.compute.equal(t.column("role"), 1))
+            if m.num_rows:
+                live.append(m)
+    if not live:
+        return {"ids": np.empty(0, np.int64), "best": np.empty(0, np.int64)}
+    t = pa.concat_tables(live, promote_options="none")
+    a = t.column("id_a").to_numpy()
+    b = t.column("id_b").to_numpy()
+    d = t.column("d2").to_numpy()
+    order = np.lexsort((b, d, a))
+    a, b = a[order], b[order]
+    first = np.r_[True, a[1:] != a[:-1]]
+    return {"ids": a[first], "best": b[first]}
+
+
+def catalog_xmatch(
+    halos: "ray.data.Dataset | pa.Table",
+    particles: "ray.data.Dataset",
+    rmax: float,
+    *,
+    box: float = BOX_SIZE,
+    batch_size: int = 16384,
+) -> "ray.data.Dataset":
+    """Mutual-nearest catalog cross-match: halo_id, particle_id,
+    d2:float64 — pairs within ``rmax`` where each is the other's nearest
+    neighbor (lexicographic (d2, id) tie-break — deterministic and
+    SQL-reproducible). THE astronomy catalog-matching join.
+
+    One probe pass computes both directions: each probe row's nearest
+    halo is final per batch (its candidate set is complete within rmax
+    and never splits), while per-halo bests fold into an O(halos) table
+    one remote task broadcasts back for the mutuality filter — no second
+    scan, no big-side exchange."""
+    from spatialjoincountovershells_ray.stages.join_kernels import (
+        HaloIndex,
+        XMatchKernel,
+        run_broadcast_kernel,
+    )
+
+    ladder = RadiusLadder(radii=np.array([rmax]), dtype=np.dtype(np.float64))
+    grid = GridSpec.for_radius(rmax, box=box)
+    halos_tbl = halos if isinstance(halos, pa.Table) else dataset_to_table(halos)
+    hids = halos_tbl.column("halo_id").to_numpy()
+    hxyz = np.stack(
+        [halos_tbl.column(c).to_numpy().astype(np.float64, copy=False) for c in "xyz"],
+        axis=1,
+    )
+    index_ref = ray.put(HaloIndex.build(hids, hxyz, rmax, grid, box))
+    both = particles.map_batches(
+        run_broadcast_kernel,
+        fn_kwargs={"cls": XMatchKernel, "ref_list": [index_ref], "ladder": ladder},
+        batch_size=batch_size,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()
+    refs = list(both.to_arrow_refs())
+    near_a = (
+        _xmatch_nearest_per_halo.remote(*refs)
+        if refs
+        else ray.put({"ids": np.empty(0, np.int64), "best": np.empty(0, np.int64)})
+    )
+
+    def mutual(batch: pa.Table, near_ref) -> pa.Table:
+        na = ray.get(near_ref[0])
+        t = batch.filter(pa.compute.equal(batch.column("role"), 0))
+        empty = pa.table(
+            {
+                "halo_id": pa.array([], pa.int64()),
+                "particle_id": pa.array([], pa.int64()),
+                "d2": pa.array([], pa.float64()),
+            }
+        )
+        if t.num_rows == 0 or len(na["ids"]) == 0:
+            return empty
+        a = t.column("id_a").to_numpy()
+        b = t.column("id_b").to_numpy()
+        pos = np.searchsorted(na["ids"], a)
+        pos_c = np.minimum(pos, len(na["ids"]) - 1)
+        keep = (na["ids"][pos_c] == a) & (na["best"][pos_c] == b)
+        return pa.table(
+            {
+                "halo_id": pa.array(a[keep], pa.int64()),
+                "particle_id": pa.array(b[keep], pa.int64()),
+                "d2": t.column("d2").to_numpy()[keep],
+            }
+        )
+
+    pairs = both.map_batches(
+        mutual,
+        fn_kwargs={"near_ref": [near_a]},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    @ray.remote
+    def _distinct_sorted(*tables: pa.Table) -> pa.Table:
+        # duplicate probe ids (same id, identical derived coords — the
+        # synthetic lineitem repeats (orderkey, linenumber) keys) emit
+        # identical mutual rows once per duplicate row; the SQL twin's
+        # PARTITION BY particle_id keeps one. The mutual output is
+        # <= nhalos rows (one per halo), so one remote distinct task is
+        # inside the broadcast-side bound by construction.
+        live = [t for t in tables if t.num_rows]
+        if not live:
+            return pa.table(
+                {
+                    "halo_id": pa.array([], pa.int64()),
+                    "particle_id": pa.array([], pa.int64()),
+                    "d2": pa.array([], pa.float64()),
+                }
+            )
+        t = pa.concat_tables(live, promote_options="none")
+        g = t.group_by(["halo_id", "particle_id"]).aggregate([("d2", "min")])
+        return pa.table(
+            {
+                "halo_id": g.column("halo_id"),
+                "particle_id": g.column("particle_id"),
+                "d2": g.column("d2_min"),
+            }
+        ).sort_by("halo_id")
+
+    prefs = list(pairs.materialize().to_arrow_refs())
+    if not prefs:
+        return pairs
+    return ray.data.from_arrow_refs([_distinct_sorted.remote(*prefs)])

@@ -466,6 +466,38 @@ def _peaks_sql() -> str:
     )
 
 
+XMATCH_R = 40.0
+
+
+def q_catalog_xmatch(sf_dir: str):
+    """Mutual-nearest cross-match of the halo and particle catalogs
+    within r=40 (the astronomy catalog-matching join)."""
+    return range_join.catalog_xmatch(
+        synthetic.halos_dataset(sf_dir),
+        synthetic.particles_dataset(sf_dir),
+        XMATCH_R,
+    )
+
+
+def _xmatch_sql() -> str:
+    r2 = XMATCH_R * XMATCH_R
+    return (
+        f"WITH {synthetic.HALOS_CTE}, {synthetic.PARTICLES_CTE}, "
+        f"pairs AS (SELECT h.halo_id, p.particle_id, {synthetic.D2_SQL} AS d2 "
+        f"FROM halos h CROSS JOIN particles p), "
+        f"close AS (SELECT * FROM pairs WHERE d2 < {r2!r}), "
+        "nb AS (SELECT halo_id, particle_id, d2 FROM "
+        "(SELECT *, row_number() OVER (PARTITION BY particle_id ORDER BY d2, halo_id) AS rn FROM close) "
+        "WHERE rn = 1), "
+        "na AS (SELECT halo_id, particle_id FROM "
+        "(SELECT halo_id, particle_id, row_number() OVER (PARTITION BY halo_id ORDER BY d2, particle_id) AS rn FROM close) "
+        "WHERE rn = 1) "
+        "SELECT nb.halo_id, nb.particle_id, nb.d2 FROM nb "
+        "JOIN na ON na.halo_id = nb.halo_id AND na.particle_id = nb.particle_id "
+        "ORDER BY nb.halo_id"
+    )
+
+
 def q_power_spectrum(sf_dir: str):
     """Matter power spectrum P(k) of the particle catalog (NGP + FFT;
     genuinely non-SQL-expressible — rows-only at the driver gate, the
@@ -4055,6 +4087,7 @@ REGISTRY: dict[str, QueryDef] = {
     "power_spectrum": QueryDef(q_power_spectrum, None),
     "shell_profile": QueryDef(q_shell_profile, _profile_sql()),
     "density_peaks": QueryDef(q_density_peaks, _peaks_sql()),
+    "catalog_xmatch": QueryDef(q_catalog_xmatch, _xmatch_sql()),
     "fof_multiplicity": QueryDef(q_fof_multiplicity, _FOF_MULT_SQL),
     "counts_in_cells": QueryDef(q_counts_in_cells, _cic_sql()),
     "range_join": QueryDef(q_range_join, _RANGE_SQL),

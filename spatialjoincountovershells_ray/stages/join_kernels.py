@@ -764,6 +764,66 @@ class BroadcastRangeJoin(_BroadcastKernel):
         )
 
 
+class XMatchKernel(_BroadcastKernel):
+    """Catalog cross-match probe: one particle pass emits BOTH nearest
+    tables — the exact nearest indexed point (halo) per probe row (final:
+    a probe row lives in one batch) and the per-halo best-candidate
+    partial (merged downstream). Nearness is lexicographic (d2, id), so
+    ties are deterministic and SQL-reproducible.
+
+    Output per batch: role:int8 (0 = final per-probe row, 1 = per-halo
+    partial), id_a:int64 (halo), id_b:int64 (probe), d2:float64.
+    """
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        idx = self.index
+        rmax2 = float(self.r2[-1])
+        p_cols = _batch_cols(batch, self.dtype)
+        pids = batch.column("particle_id").to_numpy()
+        ha, pb, dd = [], [], []
+        for pp, ph, d2 in self._iter_pair_chunks(p_cols):
+            keep = d2 < rmax2
+            ha.append(idx.halo_ids[ph[keep]])
+            pb.append(pids[pp[keep]])
+            dd.append(d2[keep].copy())
+        empty = pa.table(
+            {
+                "role": pa.array([], pa.int8()),
+                "id_a": pa.array([], pa.int64()),
+                "id_b": pa.array([], pa.int64()),
+                "d2": pa.array([], pa.float64()),
+            }
+        )
+        if not ha:
+            return empty
+        a = np.concatenate(ha)
+        b = np.concatenate(pb)
+        d = np.concatenate(dd)
+        if not len(a):
+            return empty
+        # nearest halo per probe row (exact: the probe row's candidate set
+        # is complete within rmax and lives wholly in this batch)
+        ob = np.lexsort((a, d, b))
+        bs, ds_, as_ = b[ob], d[ob], a[ob]
+        first_b = np.r_[True, bs[1:] != bs[:-1]]
+        # per-halo best candidate in this batch (a partial)
+        oa = np.lexsort((b, d, a))
+        aa, da, ba = a[oa], d[oa], b[oa]
+        first_a = np.r_[True, aa[1:] != aa[:-1]]
+        return pa.table(
+            {
+                "role": pa.array(
+                    np.concatenate(
+                        [np.zeros(int(first_b.sum()), np.int8), np.ones(int(first_a.sum()), np.int8)]
+                    )
+                ),
+                "id_a": pa.array(np.concatenate([as_[first_b], aa[first_a]]), pa.int64()),
+                "id_b": pa.array(np.concatenate([bs[first_b], ba[first_a]]), pa.int64()),
+                "d2": pa.array(np.concatenate([ds_[first_b], da[first_a]]), pa.float64()),
+            }
+        )
+
+
 class BroadcastRangeTopK(_BroadcastKernel):
     """Range join emitting per-batch per-halo top-k (halo_id, particle_id,
     d2) rows with d2 < rmax^2 — the per-round kernel of the expanding-ring

@@ -670,3 +670,37 @@ def test_shell_profile_matches_brute_force():
         want_m = np.where(m, q, 0).sum(axis=1)
         np.testing.assert_array_equal(got[f"c{i}"].to_numpy(), want_c)
         np.testing.assert_array_equal(got[f"m{i}"].to_numpy(), want_m)
+
+
+def test_catalog_xmatch_matches_brute_force():
+    """Mutual-nearest pairs vs an O(n*m) numpy oracle with (d2, id)
+    lexicographic tie-break; blocking-independence via repartition."""
+    from spatialjoincountovershells_ray.pipelines.range_join import catalog_xmatch
+
+    hxyz = uniform_coords(MT19937(71), 60).astype(np.float64)
+    pxyz = uniform_coords(MT19937(29), 700).astype(np.float64)
+    halos, parts = _tables(hxyz, pxyz, np.float64)
+    rmax = 120.0
+
+    got = dataset_to_table(
+        catalog_xmatch(halos, parts.repartition(6), rmax)
+    ).to_pandas().sort_values("halo_id").reset_index(drop=True)
+
+    d = hxyz[:, None, :] - pxyz[None, :, :]
+    d -= 1000.0 * np.floor(d / 1000.0 + 0.5)
+    d2 = (d * d).sum(axis=2)
+    close = d2 < rmax * rmax
+    want = []
+    for a in range(60):
+        js = np.flatnonzero(close[a])
+        if not len(js):
+            continue
+        jbest = js[np.lexsort((js, d2[a, js]))[0]]
+        # mutual: a must be jbest's nearest halo
+        hs = np.flatnonzero(close[:, jbest])
+        abest = hs[np.lexsort((hs, d2[hs, jbest]))[0]]
+        if abest == a:
+            want.append((a, int(jbest), d2[a, jbest]))
+    assert len(want) > 0
+    assert list(zip(got.halo_id, got.particle_id)) == [(a, b) for a, b, _ in want]
+    np.testing.assert_array_equal(got.d2.to_numpy(), np.array([w[2] for w in want]))
