@@ -221,6 +221,7 @@ BENCH_QUERIES = [
     "shell_profile",
     "density_peaks",
     "catalog_xmatch",
+    "void_fraction",
     "fof_multiplicity",
     "counts_in_cells",
     "range_join",

@@ -422,3 +422,65 @@ def density_peaks(
     if not refs:
         refs = [ray.put(pa.table({"cell": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}))]
     return ray.data.from_arrow_refs([_find_peaks.remote(ngrid, min_count, *refs)])
+
+
+@ray.remote
+def _void_levels(ngrid: int, nlevels: int, *parts: pa.Table) -> pa.Table:
+    """Occupancy partials -> per-coarsening-level empty-cell counts."""
+    dense = np.zeros(ngrid * ngrid * ngrid, dtype=np.int64)
+    for t in parts:
+        if t.num_rows:
+            dense[t.column("cell").to_numpy()] += t.column("n").to_numpy()
+    g = dense.reshape(ngrid, ngrid, ngrid)
+    levels, ncells, nempty = [], [], []
+    for lv in range(nlevels):
+        n = g.shape[0]
+        levels.append(lv)
+        ncells.append(n**3)
+        nempty.append(int((g == 0).sum()))
+        if n % 2 or n < 2:
+            break
+        g = (
+            g.reshape(n // 2, 2, n // 2, 2, n // 2, 2)
+            .sum(axis=(1, 3, 5))
+        )
+    return pa.table(
+        {
+            "level": pa.array(np.array(levels, np.int64)),
+            "ncells": pa.array(np.array(ncells, np.int64)),
+            "n_empty": pa.array(np.array(nempty, np.int64)),
+        }
+    )
+
+
+def void_fraction(
+    points: "ray.data.Dataset",
+    ngrid: int,
+    box: float,
+    nlevels: int = 4,
+    cols: tuple[str, str, str] = ("x", "y", "z"),
+) -> "ray.data.Dataset":
+    """Void probability statistics: level:int64 (0 = finest, each next
+    level halves the grid), ncells:int64, n_empty:int64 — how many cells
+    of side box/(ngrid>>level) hold zero points. n_empty/ncells is the
+    counts-in-cells estimate of the void probability function P0(R), the
+    standard emptiness statistic of large-scale structure. One
+    distributed mass-assignment pass (packed-key combiner); the
+    grid-bounded coarsening ladder folds in one remote task (integer
+    2x2x2 sums — exact)."""
+    from spatialjoincountovershells_ray.functions.combine import packed_counts
+
+    L = box / ngrid
+    K = np.int64(ngrid)
+
+    def pack(batch: pa.Table) -> np.ndarray:
+        ix = np.floor(batch.column(cols[0]).to_numpy() / L).astype(np.int64)
+        iy = np.floor(batch.column(cols[1]).to_numpy() / L).astype(np.int64)
+        iz = np.floor(batch.column(cols[2]).to_numpy() / L).astype(np.int64)
+        return (ix * K + iy) * K + iz
+
+    occ = packed_counts(points, pack, lambda k, c: pa.table({"cell": k, "n": c}))
+    refs = list(occ.materialize().to_arrow_refs())
+    if not refs:
+        refs = [ray.put(pa.table({"cell": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}))]
+    return ray.data.from_arrow_refs([_void_levels.remote(ngrid, nlevels, *refs)])

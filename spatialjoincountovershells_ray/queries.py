@@ -498,6 +498,35 @@ def _xmatch_sql() -> str:
     )
 
 
+def q_void_fraction(sf_dir: str):
+    """Void probability statistics over a coarsening grid ladder (empty
+    cells per level — the P0(R) emptiness estimate)."""
+    from spatialjoincountovershells_ray.pipelines.raster import void_fraction
+
+    return void_fraction(synthetic.particles_dataset(sf_dir), CIC_NCELLS, BOX_SIZE, nlevels=4)
+
+
+def _void_sql() -> str:
+    K = CIC_NCELLS
+    L = repr(BOX_SIZE / K)
+    parts = []
+    for lv in range(4):
+        n = K >> lv
+        cell = f"(((ix >> {lv}) * {n} + (iy >> {lv})) * {n} + (iz >> {lv}))"
+        parts.append(
+            f"SELECT CAST({lv} AS BIGINT) AS level, CAST({n**3} AS BIGINT) AS ncells, "
+            f"CAST({n**3} AS BIGINT) - (SELECT COUNT(DISTINCT {cell}) FROM gridded) AS n_empty"
+        )
+    return (
+        f"WITH {synthetic.PARTICLES_CTE}, "
+        f"gridded AS (SELECT CAST(floor(x / {L}) AS BIGINT) AS ix, "
+        f"CAST(floor(y / {L}) AS BIGINT) AS iy, "
+        f"CAST(floor(z / {L}) AS BIGINT) AS iz FROM particles) "
+        + " UNION ALL ".join(parts)
+        + " ORDER BY level"
+    )
+
+
 def q_power_spectrum(sf_dir: str):
     """Matter power spectrum P(k) of the particle catalog (NGP + FFT;
     genuinely non-SQL-expressible — rows-only at the driver gate, the
@@ -4088,6 +4117,7 @@ REGISTRY: dict[str, QueryDef] = {
     "shell_profile": QueryDef(q_shell_profile, _profile_sql()),
     "density_peaks": QueryDef(q_density_peaks, _peaks_sql()),
     "catalog_xmatch": QueryDef(q_catalog_xmatch, _xmatch_sql()),
+    "void_fraction": QueryDef(q_void_fraction, _void_sql()),
     "fof_multiplicity": QueryDef(q_fof_multiplicity, _FOF_MULT_SQL),
     "counts_in_cells": QueryDef(q_counts_in_cells, _cic_sql()),
     "range_join": QueryDef(q_range_join, _RANGE_SQL),

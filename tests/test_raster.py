@@ -258,3 +258,37 @@ class TestDensityPeaks:
                         want.append((i, j, k, int(g[i, j, k])))
         assert list(zip(got.ix, got.iy, got.iz, got.cnt)) == want
         assert len(want) > 0
+
+
+class TestVoidFraction:
+    def test_matches_brute_force_ladder(self):
+        import numpy as np
+        import pyarrow as pa
+        import ray
+
+        from spatialjoincountovershells_ray.functions.mt19937 import MT19937, uniform_coords
+        from spatialjoincountovershells_ray.pipelines.raster import void_fraction
+        from spatialjoincountovershells_ray.pipelines.shell_count import dataset_to_table
+
+        ngrid, box = 8, 1000.0
+        pxyz = uniform_coords(MT19937(41), 300).astype(np.float64)
+        parts = pa.table(
+            {
+                "particle_id": np.arange(300, dtype=np.int64),
+                "x": pxyz[:, 0],
+                "y": pxyz[:, 1],
+                "z": pxyz[:, 2],
+            }
+        )
+        got = dataset_to_table(
+            void_fraction(ray.data.from_arrow(parts).repartition(3), ngrid, box, nlevels=3)
+        ).to_pandas().sort_values("level").reset_index(drop=True)
+
+        L = box / ngrid
+        ig = np.floor(pxyz / L).astype(int)
+        for lv in range(3):
+            n = ngrid >> lv
+            cells = set(map(tuple, ig >> lv))
+            assert int(got.loc[lv, "ncells"]) == n**3
+            assert int(got.loc[lv, "n_empty"]) == n**3 - len(cells)
+        assert got.loc[0, "n_empty"] > 0  # sparse fixture: voids exist
