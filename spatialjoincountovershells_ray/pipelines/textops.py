@@ -1199,3 +1199,143 @@ def doc_chunks(
     return docs.select_columns(["doc_id", "text"]).map_batches(
         fn, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def lm_bigram_score(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """-> doc_id, n_bigrams, sum_count, n_hapax (all int64, sorted by
+    doc_id) — the CCNet-style "train an n-gram LM on the corpus, score
+    every document against it" quality filter, reduced to exact integer
+    statistics: for each document, the number of positional word bigrams,
+    the sum over those bigram occurrences of the CORPUS-WIDE count of
+    that bigram (the integer numerator of the average bigram
+    probability), and how many of its bigram occurrences are corpus
+    hapaxes (count == 1 — the doc is the only place the transition
+    occurs; a high hapax share flags gibberish, a high sum_count share
+    flags boilerplate). Train and score are ONE pass each over the
+    corpus and the model is never collected anywhere whole.
+
+    Plan: per-batch positional-bigram extraction (Arrow split +
+    list_parent_indices; adjacency = consecutive flat slots with the
+    same parent), pre-aggregated to (doc_id, gram, cnt) rows; ONE bucket
+    exchange keyed on the gram hash co-locates every occurrence of a
+    bigram, so each bucket computes its grams' corpus totals AND joins
+    them back to the per-doc rows locally (train + score in the same
+    kernel — the model shard never leaves its bucket); buckets emit
+    O(docs-per-bucket) partial triples, finished by a doc_id-keyed
+    exchange unioned with a zero row per document so docs with < 2
+    tokens survive the left-join semantics."""
+    import pyarrow.compute as pc
+
+    from spatialjoincountovershells_ray.pipelines.window import keyed_partition_apply
+
+    def doc_bigrams(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(batch.column("text"), r"[ \t\n\r\x0b\x0c]+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        keep = pc.not_equal(flat, "")
+        flat = pc.filter(flat, keep).combine_chunks() if isinstance(flat, pa.ChunkedArray) else pc.filter(flat, keep)
+        par = pc.filter(parent, keep).to_numpy(zero_copy_only=False)
+        if len(par) < 2:
+            t = pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "gram": pa.array([], pa.string()),
+                    "cnt": pa.array([], pa.int64()),
+                }
+            )
+        else:
+            adj = par[1:] == par[:-1]
+            idx = np.flatnonzero(adj)
+            w1 = flat.take(pa.array(idx, pa.int64()))
+            w2 = flat.take(pa.array(idx + 1, pa.int64()))
+            gram = pc.binary_join_element_wise(w1, w2, "\x1f")
+            doc = batch.column("doc_id").take(pa.array(par[idx], pa.int64()))
+            t = (
+                pa.table({"doc_id": doc, "gram": gram})
+                .group_by(["doc_id", "gram"])
+                .aggregate([([], "count_all")])
+                .rename_columns(["doc_id", "gram", "cnt"])
+            )
+        return t.append_column(
+            "k", pa.array(T.rolling_fingerprint_col(t.column("gram")), pa.int64())
+        )
+
+    def score_bucket(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "n_bigrams": pa.array([], pa.int64()),
+                "sum_count": pa.array([], pa.int64()),
+                "n_hapax": pa.array([], pa.int64()),
+            }
+        )
+        if tbl.num_rows == 0 or "gram" not in tbl.schema.names:
+            return empty
+        # a bigram lives wholly inside this bucket: totals here ARE the
+        # corpus counts; join them straight back to the per-doc rows
+        totals = (
+            tbl.select(["gram", "cnt"])
+            .group_by("gram")
+            .aggregate([("cnt", "sum")])
+            .rename_columns(["gram", "total"])
+        )
+        j = tbl.select(["doc_id", "gram", "cnt"]).join(totals, keys=["gram"])
+        cnt = j.column("cnt").to_numpy(zero_copy_only=False)
+        tot = j.column("total").to_numpy(zero_copy_only=False)
+        scored = pa.table(
+            {
+                "doc_id": j.column("doc_id"),
+                "n_bigrams": pa.array(cnt, pa.int64()),
+                "sum_count": pa.array(cnt * tot, pa.int64()),
+                "n_hapax": pa.array(np.where(tot == 1, cnt, 0).astype(np.int64), pa.int64()),
+            }
+        )
+        g = scored.group_by("doc_id").aggregate(
+            [("n_bigrams", "sum"), ("sum_count", "sum"), ("n_hapax", "sum")]
+        )
+        return g.rename_columns(["doc_id", "n_bigrams", "sum_count", "n_hapax"])
+
+    keyed = docs.select_columns(["doc_id", "text"]).map_batches(
+        doc_bigrams, batch_format="pyarrow", zero_copy_batch=True
+    )
+    partials = keyed_partition_apply(keyed, "k", score_bucket)
+
+    # zero partial per document: docs with < 2 tokens produce no bigram
+    # rows anywhere, yet must appear in the output (left-join semantics)
+    def zero_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        z = pa.array(np.zeros(n, np.int64), pa.int64())
+        return pa.table(
+            {"doc_id": batch.column("doc_id"), "n_bigrams": z, "sum_count": z, "n_hapax": z}
+        )
+
+    zeros = docs.select_columns(["doc_id"]).map_batches(
+        zero_rows, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def merge_bucket(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0 or "doc_id" not in tbl.schema.names:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_bigrams": pa.array([], pa.int64()),
+                    "sum_count": pa.array([], pa.int64()),
+                    "n_hapax": pa.array([], pa.int64()),
+                }
+            )
+        g = tbl.select(["doc_id", "n_bigrams", "sum_count", "n_hapax"]).group_by(
+            "doc_id"
+        ).aggregate([("n_bigrams", "sum"), ("sum_count", "sum"), ("n_hapax", "sum")])
+        return g.rename_columns(["doc_id", "n_bigrams", "sum_count", "n_hapax"]).sort_by(
+            "doc_id"
+        )
+
+    both = partials.union(zeros)
+
+    def tag_doc(batch: pa.Table) -> pa.Table:
+        return batch.append_column("k2", batch.column("doc_id"))
+
+    tagged = both.map_batches(tag_doc, batch_format="pyarrow", zero_copy_batch=True)
+    return keyed_partition_apply(tagged, "k2", merge_bucket).sort("doc_id")

@@ -4100,6 +4100,36 @@ _PCT_RANK_SQL = (
 )
 
 
+
+
+def q_lm_bigram_score(sf_dir: str):
+    """Bigram-LM train + score in one engine pass pair: corpus bigram
+    counts co-located by gram hash, joined back to per-doc occurrences
+    inside the bucket (pipelines.textops.lm_bigram_score)."""
+    return textops.lm_bigram_score(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    )
+
+
+# Exact DuckDB twin of pipelines.textops.lm_bigram_score: positional
+# (non-distinct) word bigrams joined with chr(31), corpus counts per
+# gram, per-doc (n_bigrams, sum of corpus counts, hapax occurrences),
+# left-joined so < 2-token docs emit zero rows.
+_LM_BIGRAM_SQL = (
+    "WITH t AS (SELECT doc_id, " + _WS_SPLIT + " AS w FROM documents), "
+    "bg AS (SELECT doc_id, unnest(CASE WHEN len(w) < 2 THEN []::VARCHAR[] "
+    "ELSE list_transform(generate_series(1, len(w) - 1), "
+    "i -> w[i] || chr(31) || w[i+1]) END) AS gram FROM t), "
+    "c AS (SELECT gram, count(*) AS total FROM bg GROUP BY gram), "
+    "s AS (SELECT bg.doc_id, count(*) AS nb, sum(total) AS sc, "
+    "count(*) FILTER (total = 1) AS nh FROM bg JOIN c USING (gram) GROUP BY bg.doc_id) "
+    "SELECT d.doc_id, CAST(COALESCE(nb, 0) AS BIGINT) AS n_bigrams, "
+    "CAST(COALESCE(sc, 0) AS BIGINT) AS sum_count, "
+    "CAST(COALESCE(nh, 0) AS BIGINT) AS n_hapax "
+    "FROM documents d LEFT JOIN s USING (doc_id) ORDER BY d.doc_id"
+)
+
+
 REGISTRY: dict[str, QueryDef] = {
     "shell_count": QueryDef(q_shell_count, _shell_sql()),
     "shell_count_shuffle": QueryDef(q_shell_count_shuffle, _shell_sql()),
@@ -4286,4 +4316,5 @@ REGISTRY: dict[str, QueryDef] = {
     "ann_index": QueryDef(q_ann_index, None),
     "value_lag1": QueryDef(q_value_lag1, _VL1_SQL),
     "label_cov": QueryDef(q_label_cov, _label_cov_sql()),
+    "lm_bigram_score": QueryDef(q_lm_bigram_score, _LM_BIGRAM_SQL),
 }

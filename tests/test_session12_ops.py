@@ -1,0 +1,72 @@
+"""Session-12 operators vs exact DuckDB/pandas oracles on multi-block
+synthetic inputs (edge cases the sf fixtures don't stress: empty docs,
+single-token docs, repeated bigrams inside one doc, cross-block grams)."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import ray
+
+from spatialjoincountovershells_ray.pipelines import textops
+
+
+def _blocks(df, nblocks=5):
+    return ray.data.from_pandas([d for d in np.array_split(df, nblocks)])
+
+
+class TestLmBigramScore:
+    def test_matches_duckdb_oracle(self):
+        rng = np.random.default_rng(12)
+        vocab = ["alpha", "beta", "gamma", "delta", "x"]
+        texts = []
+        for n in rng.integers(0, 12, 300):
+            texts.append(" ".join(rng.choice(vocab, size=int(n))))
+        # edge cases: empty, whitespace-only, single token, heavy repeat
+        texts[:4] = ["", "   \t  ", "solo", "a b a b a b a b"]
+        df = pd.DataFrame({"doc_id": np.arange(300, dtype=np.int64), "text": texts})
+
+        out = (
+            textops.lm_bigram_score(_blocks(df))
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+
+        con = duckdb.connect()
+        con.register("documents", df)
+        exp = con.execute(
+            "WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(text, "
+            "'[ \\t\\n\\r\\x0b\\x0c]+'), x -> x <> '') AS w FROM documents), "
+            "bg AS (SELECT doc_id, unnest(CASE WHEN len(w) < 2 THEN []::VARCHAR[] "
+            "ELSE list_transform(generate_series(1, len(w) - 1), "
+            "i -> w[i] || chr(31) || w[i+1]) END) AS gram FROM t), "
+            "c AS (SELECT gram, count(*) AS total FROM bg GROUP BY gram), "
+            "s AS (SELECT bg.doc_id, count(*) AS nb, sum(total) AS sc, "
+            "count(*) FILTER (total = 1) AS nh FROM bg JOIN c USING (gram) "
+            "GROUP BY bg.doc_id) "
+            "SELECT d.doc_id, CAST(COALESCE(nb, 0) AS BIGINT) AS n_bigrams, "
+            "CAST(COALESCE(sc, 0) AS BIGINT) AS sum_count, "
+            "CAST(COALESCE(nh, 0) AS BIGINT) AS n_hapax "
+            "FROM documents d LEFT JOIN s USING (doc_id) ORDER BY d.doc_id"
+        ).df()
+        pd.testing.assert_frame_equal(out, exp)
+
+    def test_hapax_and_boilerplate_signal(self):
+        # one doc repeating a corpus-common bigram, one doc of unique noise
+        df = pd.DataFrame(
+            {
+                "doc_id": np.arange(4, dtype=np.int64),
+                "text": [
+                    "the cat sat",
+                    "the cat ran",
+                    "the cat slept",
+                    "zq xv qqq unique gibberish",
+                ],
+            }
+        )
+        out = textops.lm_bigram_score(_blocks(df, 2)).to_pandas().set_index("doc_id")
+        # "the cat" occurs 3x corpus-wide -> each of docs 0-2 gets 3 for it
+        assert out.loc[0, "sum_count"] == 3 + 1  # "the cat"(3) + "cat sat"(1)
+        assert out.loc[0, "n_hapax"] == 1
+        # gibberish doc: every bigram is a hapax
+        assert out.loc[3, "n_hapax"] == out.loc[3, "n_bigrams"] == 4
