@@ -1084,12 +1084,39 @@ def simhash_near_dups(
             f"banding is lossless only for hamming_max < nbands "
             f"(got {hamming_max} >= {nbands}) — raise nbands"
         )
+    return hamming_band_pairs(
+        simhash64(docs), "doc_id", "simhash", hamming_max, nbands, max_group
+    )
+
+
+def hamming_band_pairs(
+    hashes: "ray.data.Dataset",
+    id_col: str,
+    hash_col: str,
+    hamming_max: int = 3,
+    nbands: int = 4,
+    max_group: int = 4096,
+) -> "ray.data.Dataset":
+    """Generic EXACT Hamming-<=d pair finder over any (int64 id, int64
+    64-bit hash) table via lossless banding (pigeonhole: d < nbands).
+    Shared physical plan of simhash_near_dups (text) and
+    multimodal.media_phash_dups (images): band rows -> hash-bucket
+    exchange on band_key -> vectorized xor+popcount within band groups
+    -> log-depth distinct merge. Band width is the scale dial: wider
+    bands (fewer, tighter groups) for bigger corpora."""
+    if 64 % nbands:
+        raise ValueError("nbands must divide 64")
+    if hamming_max >= nbands:
+        raise ValueError(
+            f"banding is lossless only for hamming_max < nbands "
+            f"(got {hamming_max} >= {nbands}) — raise nbands"
+        )
     width = 64 // nbands
-    sims = simhash64(docs)
+    sims = hashes
 
     def band_rows(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_numpy()
-        h = batch.column("simhash").to_numpy().view(np.uint64)
+        ids = batch.column(id_col).to_numpy()
+        h = batch.column(hash_col).to_numpy().view(np.uint64)
         keys, out_ids, out_h = [], [], []
         mask = np.uint64((1 << width) - 1)
         for j in range(nbands):

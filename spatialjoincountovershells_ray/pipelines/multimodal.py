@@ -21,6 +21,7 @@ from spatialjoincountovershells_ray.config import default_pool
 from spatialjoincountovershells_ray.functions.hashing import hash_bytes_rows, mix64
 
 FEATURE_DIM = 16
+THUMB_SUFFIX = "_thumb.png"
 
 
 class MediaFeatureExtractor:
@@ -108,7 +109,14 @@ class MediaDecodeStub:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         refs = batch.column("media_ref").to_pylist()
-        h0 = hash_bytes_rows([r.encode() for r in refs])
+        # a "_thumb" variant is the SAME underlying image re-encoded:
+        # seed (and therefore dims + pixel stream) comes from the
+        # canonical ref; the re-encode artifact is a deterministic
+        # perturbation of the first pixel (the fake-codec analogue of
+        # thumbnailing loss) so near-dup stages see true positives
+        canon = [r.replace(THUMB_SUFFIX, ".png") for r in refs]
+        thumb = np.array([r.endswith(THUMB_SUFFIX) for r in refs], dtype=bool)
+        h0 = hash_bytes_rows([r.encode() for r in canon])
         hts = (8 + (h0 % np.uint64(9))).astype(np.int32)  # 8..16
         wds = (8 + (mix64(h0) % np.uint64(9))).astype(np.int32)
         chans = np.full(len(refs), 3, dtype=np.int32)
@@ -118,7 +126,11 @@ class MediaDecodeStub:
         for i, seed in enumerate(h0):
             n = int(hts[i]) * int(wds[i]) * 3
             words = mix64(np.uint64(seed) + np.arange((n + 7) // 8, dtype=np.uint64))
-            pix.append(words.view(np.uint8)[:n].tobytes())
+            raw = words.view(np.uint8)[:n]
+            if thumb[i]:
+                raw = raw.copy()
+                raw[:3] = 255
+            pix.append(raw.tobytes())
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
@@ -177,7 +189,12 @@ def decode_resize(docs: "ray.data.Dataset", out_h: int = 8, out_w: int = 8,
     3 GB; keep it small and let the object store stream)."""
     if concurrency is None:
         concurrency = default_pool()
-    decoded = media_spans(docs).map_batches(
+    return _decode_resize_spans(media_spans(docs), out_h, out_w, concurrency)
+
+
+def _decode_resize_spans(spans: "ray.data.Dataset", out_h: int, out_w: int,
+                         concurrency) -> "ray.data.Dataset":
+    decoded = spans.map_batches(
         MediaDecodeStub,
         fn_constructor_kwargs={"fake": True},
         batch_format="pyarrow",
@@ -294,3 +311,95 @@ def span_audit(docs: "ray.data.Dataset", record_kinds=("halo_record", "particle_
         )
 
     return docs.map_batches(audit, batch_format="pyarrow", zero_copy_batch=True).sort("doc_id")
+
+
+def media_variants(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Media spans plus one "_thumb" re-encode variant per span — the
+    shape of a real corpus where the same image circulates at several
+    encodes/sizes (the content-dup population a perceptual-hash dedup
+    stage exists to catch). Vectorized: one replace over the ref column,
+    concat, no per-row Python."""
+    import pyarrow.compute as pc
+
+    def add_variants(batch: pa.Table) -> pa.Table:
+        thumbs = pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "media_ref": pc.replace_substring(
+                    batch.column("media_ref"), ".png", THUMB_SUFFIX
+                ),
+            }
+        )
+        return pa.concat_tables([batch.select(["doc_id", "media_ref"]), thumbs])
+
+    return media_spans(docs).map_batches(
+        add_variants, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+class AHash64:
+    """Average-hash over 8x8-resized RGB pixels: per cell the integer
+    channel sum g (0..765), bit t set iff 64*g_t > sum(g) (strict,
+    integer — no float mean). The perceptual-hash family's simplest
+    member; the whole stage is two numpy reductions per batch."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch.column("pixels")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        n = batch.num_rows
+        flat = col.flatten().to_numpy(zero_copy_only=False).reshape(n, 64, 3)
+        g = flat.astype(np.int32).sum(axis=2)  # (n, 64)
+        total = g.sum(axis=1, dtype=np.int64)  # (n,)
+        bits = (64 * g.astype(np.int64)) > total[:, None]
+        weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
+        phash = (bits.astype(np.uint64) * weights).sum(axis=1, dtype=np.uint64)
+        media_id = hash_bytes_rows(
+            [r.encode() for r in batch.column("media_ref").to_pylist()]
+        )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "media_ref": batch.column("media_ref"),
+                "media_id": pa.array(media_id.view(np.int64), pa.int64()),
+                "phash": pa.array(phash.view(np.int64), pa.int64()),
+            }
+        )
+
+
+def media_phash(spans: "ray.data.Dataset", concurrency=None) -> "ray.data.Dataset":
+    """(doc_id, media_ref) spans -> (doc_id, media_ref, media_id, phash).
+
+    decode (stub) -> 8x8 nearest-neighbour resize (real) -> average-hash
+    (real); media_id is the 64-bit FNV-1a content address of the ref —
+    the join key the pair stage emits, so pairs never carry strings
+    through the exchange."""
+    if concurrency is None:
+        concurrency = default_pool()
+    resized = _decode_resize_spans(spans, 8, 8, concurrency)
+    return resized.map_batches(AHash64, batch_size=1024, concurrency=concurrency,
+                               batch_format="pyarrow", zero_copy_batch=True)
+
+
+def media_phash_dups(
+    docs: "ray.data.Dataset",
+    hamming_max: int = 5,
+    nbands: int = 8,
+    max_group: int = 4096,
+) -> "ray.data.Dataset":
+    """-> id_a, id_b, hamming — EXACT perceptual near-dup pairs over the
+    media-variant population: every pair of media whose average-hashes
+    differ in <= hamming_max of 64 bits, found by the shared lossless
+    banding plan (dedup.hamming_band_pairs — pigeonhole over
+    64/nbands-bit bands, xor+popcount verify inside band buckets). ids
+    are the FNV-1a content addresses from media_phash. 8-bit bands +
+    threshold 5 is the demo parameterization for the fixture's
+    orig/thumb variants; a 100-TB corpus wants nbands=4 (16-bit bands)
+    so band-group sizes stay sub-quadratic — the max_group guard refuses
+    degenerate groups either way."""
+    from spatialjoincountovershells_ray.pipelines.dedup import hamming_band_pairs
+
+    hashes = media_phash(media_variants(docs))
+    return hamming_band_pairs(
+        hashes, "media_id", "phash", hamming_max, nbands, max_group
+    )

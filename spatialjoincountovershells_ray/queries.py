@@ -4130,6 +4130,125 @@ _LM_BIGRAM_SQL = (
 )
 
 
+
+
+def _fnv_sql(col: str) -> str:
+    """FNV-1a 64 of a VARCHAR column in HUGEINT (the media content
+    address — same list_reduce idiom as _MEDIA_BASE)."""
+    return (
+        "list_reduce(list_prepend(14695981039346656037::HUGEINT, "
+        f"list_transform(generate_series(1, length({col})), i -> ord({col}[i])::HUGEINT)), "
+        f"(h, c) -> (xor(h, c) * 1099511628211::HUGEINT) % {_M64})"
+    )
+
+
+def _mix64_ctes(tag: str, src_cte: str, in_col: str, out_col: str) -> tuple[str, str]:
+    """CTE chain computing functions.hashing.mix64 (xorshift33 / mul M1 /
+    xorshift33 / mul M2 / xorshift33) of ``in_col`` as ``out_col``;
+    returns (ctes_sql, final_cte_name)."""
+    m1, m2 = 0xFF51AFD7ED558CCD, 0xC4CEB9FE1A85EC53
+    a, b, c, d = f"{tag}_a", f"{tag}_b", f"{tag}_c", f"{tag}_d"
+    ctes = (
+        f"{tag}1 AS (SELECT *, {_xorshift33_sql(in_col)} AS {a} FROM {src_cte}), "
+        f"{tag}2 AS (SELECT *, {_mul64_sql(a, m1)} AS {b} FROM {tag}1), "
+        f"{tag}3 AS (SELECT *, {_xorshift33_sql(b)} AS {c} FROM {tag}2), "
+        f"{tag}4 AS (SELECT *, {_mul64_sql(c, m2)} AS {d} FROM {tag}3), "
+        f"{tag}5 AS (SELECT *, {_xorshift33_sql(d)} AS {out_col} FROM {tag}4)"
+    )
+    return ctes, f"{tag}5"
+
+
+def _media_phash_ctes() -> tuple[str, str]:
+    """CTE stack reproducing multimodal.media_phash over the variant
+    population in exact HUGEINT arithmetic: FNV content addresses, stub
+    dims (8 + h % 9 by 8 + mix64(h) % 9), the splitmix-style pixel
+    stream with little-endian byte extraction, the thumb first-pixel
+    perturbation, nearest-neighbour 8x8 sampling as pure integer floor
+    ((2t+1)*dim)//16, channel-sum cells and the strict 64*g > total
+    average-hash bit rule. Returns (ctes, final_cte) where final_cte has
+    (doc_id, media_ref, media_id BIGINT, phash BIGINT)."""
+    mixd_ctes, mixd_last = _mix64_ctes("mxd", "pb", "hc", "hw")
+    mixw_ctes, mixw_last = _mix64_ctes("mxw", "wseed", "ws", "wv")
+    wrap = lambda x: (
+        f"CAST({x} - CASE WHEN {x} >= (1::HUGEINT << 63) "
+        f"THEN {_M64} ELSE 0::HUGEINT END AS BIGINT)"
+    )
+    ctes = (
+        f"{synthetic.HALOS_CTE}, "
+        "media AS (SELECT 'halo-' || CAST(halo_id AS VARCHAR) AS doc_id, "
+        "'s3://fixtures/halo-' || CAST(halo_id AS VARCHAR) || '/0.png' AS media_ref "
+        "FROM halos), "
+        "media2 AS (SELECT doc_id, media_ref, media_ref AS canon, 0 AS is_thumb FROM media "
+        "UNION ALL SELECT doc_id, replace(media_ref, '.png', '_thumb.png'), media_ref, 1 FROM media), "
+        "pb AS (SELECT doc_id, media_ref, is_thumb, "
+        + _fnv_sql("media_ref") + " AS mid, " + _fnv_sql("canon") + " AS hc FROM media2), "
+        + mixd_ctes + ", "
+        f"dims AS (SELECT doc_id, media_ref, is_thumb, mid, hc, "
+        f"8::HUGEINT + hc % 9 AS ht, 8::HUGEINT + hw % 9 AS wd FROM {mixd_last}), "
+        "cells AS (SELECT d.*, tt.t, cc.ch FROM dims d, "
+        "(SELECT unnest(generate_series(0, 63)) AS t) tt, "
+        "(SELECT unnest(generate_series(0, 2)) AS ch) cc), "
+        "pos AS (SELECT *, ((2*(t//8)+1)*ht)//16 AS sy, ((2*(t%8)+1)*wd)//16 AS sx FROM cells), "
+        "wseed AS (SELECT *, (sy*wd+sx)*3 + ch AS p, "
+        f"(hc + ((sy*wd+sx)*3 + ch)//8) % {_M64} AS ws FROM pos), "
+        + mixw_ctes + ", "
+        f"bytes AS (SELECT doc_id, media_ref, mid, t, "
+        "CASE WHEN is_thumb = 1 AND p < 3 THEN 255::HUGEINT "
+        f"ELSE (wv >> CAST(8*(p % 8) AS BIGINT)) & 255 END AS byte FROM {mixw_last}), "
+        "cellg AS (SELECT doc_id, media_ref, mid, t, sum(byte) AS g FROM bytes "
+        "GROUP BY doc_id, media_ref, mid, t), "
+        "tots AS (SELECT doc_id, media_ref, mid, sum(g) AS total FROM cellg "
+        "GROUP BY doc_id, media_ref, mid), "
+        "phu AS (SELECT c.doc_id, c.media_ref, c.mid, "
+        "sum(CASE WHEN 64*c.g > tt.total THEN (1::HUGEINT << CAST(c.t AS BIGINT)) "
+        "ELSE 0::HUGEINT END) AS ph FROM cellg c JOIN tots tt "
+        "ON c.doc_id = tt.doc_id AND c.media_ref = tt.media_ref "
+        "GROUP BY c.doc_id, c.media_ref, c.mid), "
+        "phf AS (SELECT doc_id, media_ref, " + wrap("mid") + " AS media_id, "
+        + wrap("ph") + " AS phash FROM phu)"
+    )
+    return ctes, "phf"
+
+
+def _media_phash_sql() -> str:
+    ctes, last = _media_phash_ctes()
+    return (
+        f"WITH {ctes} SELECT doc_id, media_ref, media_id, phash FROM {last} "
+        "ORDER BY doc_id, media_ref"
+    )
+
+
+def _media_phash_dups_sql(hamming_max: int = 5) -> str:
+    ctes, last = _media_phash_ctes()
+    return (
+        f"WITH {ctes} SELECT a.media_id AS id_a, b.media_id AS id_b, "
+        "CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming "
+        f"FROM {last} a JOIN {last} b ON a.media_id < b.media_id "
+        f"AND bit_count(xor(a.phash, b.phash)) <= {hamming_max} "
+        "ORDER BY id_a, id_b"
+    )
+
+
+def q_media_phash(sf_dir: str):
+    """Perceptual-hash table over the media-variant population: decode
+    stub -> real 8x8 resize -> integer average-hash, value-hash gated
+    against the full HUGEINT pixel-stream twin."""
+    from spatialjoincountovershells_ray.pipelines import multimodal as MM
+
+    hpath, _ = spatial_document_paths(sf_dir)
+    docs = ray.data.read_parquet(hpath)
+    return MM.media_phash(MM.media_variants(docs)).sort(["doc_id", "media_ref"])
+
+
+def q_media_phash_dups(sf_dir: str):
+    """Exact perceptual near-dup pairs (Hamming <= 5, lossless 8x8-bit
+    banding) over media + their _thumb re-encode variants."""
+    from spatialjoincountovershells_ray.pipelines import multimodal as MM
+
+    hpath, _ = spatial_document_paths(sf_dir)
+    return MM.media_phash_dups(ray.data.read_parquet(hpath))
+
+
 REGISTRY: dict[str, QueryDef] = {
     "shell_count": QueryDef(q_shell_count, _shell_sql()),
     "shell_count_shuffle": QueryDef(q_shell_count_shuffle, _shell_sql()),
@@ -4317,4 +4436,6 @@ REGISTRY: dict[str, QueryDef] = {
     "value_lag1": QueryDef(q_value_lag1, _VL1_SQL),
     "label_cov": QueryDef(q_label_cov, _label_cov_sql()),
     "lm_bigram_score": QueryDef(q_lm_bigram_score, _LM_BIGRAM_SQL),
+    "media_phash": QueryDef(q_media_phash, _media_phash_sql()),
+    "media_phash_dups": QueryDef(q_media_phash_dups, _media_phash_dups_sql()),
 }

@@ -70,3 +70,44 @@ class TestLmBigramScore:
         assert out.loc[0, "n_hapax"] == 1
         # gibberish doc: every bigram is a hapax
         assert out.loc[3, "n_hapax"] == out.loc[3, "n_bigrams"] == 4
+
+
+class TestMediaPhash:
+    def _docs(self, n=40):
+        from spatialjoincountovershells_ray.sources.documents import halo_documents
+
+        rng = np.random.default_rng(3)
+        xyz = rng.uniform(0, 100, (n, 3))
+        return ray.data.from_arrow(halo_documents(np.arange(n, dtype=np.int64), xyz))
+
+    def test_variant_pairs_are_orig_thumb(self):
+        from spatialjoincountovershells_ray.pipelines import multimodal as MM
+
+        docs = self._docs()
+        ph = MM.media_phash(MM.media_variants(docs)).to_pandas()
+        assert len(ph) == 80  # one orig + one thumb per doc
+        by_id = ph.set_index("media_id")["media_ref"].to_dict()
+        pairs = MM.media_phash_dups(docs).to_pandas()
+        # every emitted pair must be an (orig, thumb) of the SAME image:
+        # random 64-bit hashes collide within hamming<=5 with p ~ 5e-13
+        for _, r in pairs.iterrows():
+            a, b = by_id[r.id_a], by_id[r.id_b]
+            assert a.replace("_thumb.png", ".png") == b.replace("_thumb.png", ".png")
+        assert len(pairs) >= 30  # most thumbs land within hamming 5
+
+    def test_banding_matches_bruteforce(self):
+        from spatialjoincountovershells_ray.pipelines import multimodal as MM
+        from spatialjoincountovershells_ray.functions.hashing import popcount64
+
+        docs = self._docs(25)
+        ph = MM.media_phash(MM.media_variants(docs)).to_pandas()
+        h = ph["phash"].to_numpy().view(np.uint64)
+        ids = ph["media_id"].to_numpy()
+        ia, ib = np.triu_indices(len(h), 1)
+        ham = popcount64(h[ia] ^ h[ib])
+        keep = ham <= 5
+        lo = np.minimum(ids[ia][keep], ids[ib][keep])
+        hi = np.maximum(ids[ia][keep], ids[ib][keep])
+        want = sorted(zip(lo.tolist(), hi.tolist()))
+        got = MM.media_phash_dups(docs).to_pandas()
+        assert sorted(zip(got.id_a.tolist(), got.id_b.tolist())) == want
