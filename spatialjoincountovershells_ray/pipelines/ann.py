@@ -1140,3 +1140,96 @@ def label_cov(ds: "ray.data.Dataset") -> "ray.data.Dataset":
         }
     )
     return ray.data.from_arrow(out).sort(["label", "di", "dj"])
+
+
+class _HardNegKernel:
+    """Broadcast kernel: exact int64 squared distances from each base
+    batch to the sampled query matrix on the CENTROID_FP_SCALE grid,
+    same-label candidates masked out, per-query per-batch partial top-k
+    (the exchange carries queries x k rows per block, never the batch)."""
+
+    def __init__(self, ref_list, k: int):
+        q = ray.get(ref_list[0])
+        self.qids = q["ids"]
+        self.qlabs = q["labels"]
+        self.qfp = q["mat"]  # (Q, D) int64
+        self.qsq = (self.qfp * self.qfp).sum(axis=1)  # (Q,)
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_numpy()
+        labs = batch.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+        mat = np.stack(batch.column("embedding").to_numpy(zero_copy_only=False)).astype(
+            np.float64
+        )
+        fp = np.floor(mat * CENTROID_FP_SCALE + 0.5).astype(np.int64)  # (N, D)
+        nsq = (fp * fp).sum(axis=1)
+        # exact: all values bounded by D * (2 S |v|max)^2 << 2^63
+        d2 = nsq[:, None] + self.qsq[None, :] - 2 * (fp @ self.qfp.T)  # (N, Q)
+        same = labs[:, None] == self.qlabs[None, :]
+        d2 = np.where(same, np.iinfo(np.int64).max, d2)
+        k = min(self.k, d2.shape[0])
+        part = np.argpartition(d2, k - 1, axis=0)[:k]  # (k, Q) row indices
+        qidx = np.broadcast_to(np.arange(d2.shape[1]), (k, d2.shape[1]))
+        dd = d2[part, qidx]
+        keep = dd != np.iinfo(np.int64).max
+        return pa.table(
+            {
+                "qid": pa.array(np.broadcast_to(self.qids, (k, len(self.qids)))[keep], pa.int64()),
+                "neg_id": pa.array(ids[part][keep], pa.int64()),
+                "d2": pa.array(dd[keep], pa.int64()),
+            }
+        )
+
+
+def hard_negatives(
+    embeddings: "ray.data.Dataset",
+    k: int = 5,
+    sample_mod: int = 5,
+    *,
+    concurrency=None,
+) -> "ray.data.Dataset":
+    """-> qid, neg_id, rnk (1-based), d2 — hard-negative mining: for each
+    sampled anchor vector, its k nearest neighbours with a DIFFERENT
+    label by exact integer squared distance on the shared fixed-point
+    grid (the contrastive-training data op: anchors broadcast bounded by
+    ``sample_mod``, base streamed once, ties broken by neg_id so the
+    result is value-hash deterministic). The ANN family (lsh/ivf/pq) is
+    the scale path when the anchor set stops fitting a broadcast."""
+    import pyarrow.compute as pc
+
+    # anchor collection: one filtered scan, folded by a single remote task
+    def pick(batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_numpy()
+        return batch.filter(pa.array(ids % sample_mod == 0))
+
+    a_refs = list(
+        embeddings.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
+        .materialize()
+        .to_arrow_refs()
+    )
+
+    @ray.remote
+    def collect(*parts: pa.Table) -> dict:
+        t = pa.concat_tables([p for p in parts if p.num_rows], promote_options="none")
+        mat = np.stack(t.column("embedding").to_numpy(zero_copy_only=False)).astype(
+            np.float64
+        )
+        return {
+            "ids": t.column("vec_id").to_numpy(),
+            "labels": t.column("label").to_numpy(zero_copy_only=False).astype(np.int64),
+            "mat": np.floor(mat * CENTROID_FP_SCALE + 0.5).astype(np.int64),
+        }
+
+    ref = collect.remote(*a_refs)
+    cands = _bcast_map(embeddings, _HardNegKernel, ref, {"k": k}, concurrency=concurrency)
+
+    def select(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["d2", "neg_id"], kind="mergesort").head(k)
+        return g.assign(rnk=np.arange(1, len(g) + 1, dtype=np.int64))[
+            ["qid", "neg_id", "rnk", "d2"]
+        ]
+
+    return cands.groupby("qid").map_groups(select, batch_format="pandas").sort(
+        ["qid", "rnk"]
+    )

@@ -4249,6 +4249,40 @@ def q_media_phash_dups(sf_dir: str):
     return MM.media_phash_dups(ray.data.read_parquet(hpath))
 
 
+
+
+def q_hard_negatives(sf_dir: str):
+    """Contrastive hard-negative mining: per sampled anchor, the 5
+    nearest different-label embeddings by exact fixed-point squared
+    distance (pipelines.ann.hard_negatives)."""
+    return ann.hard_negatives(
+        ray.data.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "label", "embedding"]
+        ),
+        k=5,
+        sample_mod=5,
+    )
+
+
+def _hard_negatives_sql(k: int = 5, sample_mod: int = 5) -> str:
+    from spatialjoincountovershells_ray.pipelines.ann import CENTROID_FP_SCALE as S
+
+    return (
+        "WITH e AS (SELECT vec_id, label, generate_subscripts(embedding, 1) - 1 AS dim, "
+        "unnest(embedding) AS v FROM embeddings), "
+        f"q AS (SELECT vec_id, label, dim, CAST(floor(CAST(v AS DOUBLE) * {S} + 0.5) "
+        "AS BIGINT) AS fp FROM e), "
+        f"d AS (SELECT a.vec_id AS qid, b.vec_id AS neg_id, "
+        "SUM((a.fp - b.fp) * (a.fp - b.fp)) AS d2 "
+        f"FROM q a JOIN q b ON a.dim = b.dim AND a.vec_id % {sample_mod} = 0 "
+        "AND a.label <> b.label GROUP BY 1, 2), "
+        "r AS (SELECT qid, neg_id, d2, row_number() OVER "
+        "(PARTITION BY qid ORDER BY d2, neg_id) AS rn FROM d) "
+        f"SELECT qid, neg_id, CAST(rn AS BIGINT) AS rnk, CAST(d2 AS BIGINT) AS d2 "
+        f"FROM r WHERE rn <= {k} ORDER BY qid, rnk"
+    )
+
+
 REGISTRY: dict[str, QueryDef] = {
     "shell_count": QueryDef(q_shell_count, _shell_sql()),
     "shell_count_shuffle": QueryDef(q_shell_count_shuffle, _shell_sql()),
@@ -4438,4 +4472,5 @@ REGISTRY: dict[str, QueryDef] = {
     "lm_bigram_score": QueryDef(q_lm_bigram_score, _LM_BIGRAM_SQL),
     "media_phash": QueryDef(q_media_phash, _media_phash_sql()),
     "media_phash_dups": QueryDef(q_media_phash_dups, _media_phash_dups_sql()),
+    "hard_negatives": QueryDef(q_hard_negatives, _hard_negatives_sql()),
 }

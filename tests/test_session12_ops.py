@@ -111,3 +111,33 @@ class TestMediaPhash:
         want = sorted(zip(lo.tolist(), hi.tolist()))
         got = MM.media_phash_dups(docs).to_pandas()
         assert sorted(zip(got.id_a.tolist(), got.id_b.tolist())) == want
+
+
+class TestHardNegatives:
+    def test_matches_bruteforce(self):
+        from spatialjoincountovershells_ray.pipelines import ann
+
+        rng = np.random.default_rng(5)
+        n, d = 120, 8
+        mat = rng.normal(size=(n, d)).astype(np.float32)
+        labs = rng.integers(0, 4, n).astype(np.int32)
+        df = pd.DataFrame(
+            {
+                "vec_id": np.arange(n, dtype=np.int64),
+                "label": labs,
+                "embedding": list(mat),
+            }
+        )
+        out = ann.hard_negatives(_blocks(df, 6), k=3, sample_mod=10).to_pandas()
+
+        S = ann.CENTROID_FP_SCALE
+        fp = np.floor(mat.astype(np.float64) * S + 0.5).astype(np.int64)
+        for q in range(0, n, 10):
+            d2 = ((fp - fp[q]) ** 2).sum(axis=1)
+            d2[labs == labs[q]] = np.iinfo(np.int64).max
+            order = np.lexsort((np.arange(n), d2))[:3]
+            got = out[out.qid == q].sort_values("rnk")
+            assert got.neg_id.tolist() == order.tolist()
+            assert got.d2.tolist() == d2[order].tolist()
+            # every mined negative really has a different label
+            assert (labs[got.neg_id.to_numpy()] != labs[q]).all()
