@@ -330,3 +330,95 @@ def knn(
     if sort:
         final = final.sort_by([("halo_id", "ascending"), ("rnk", "ascending")])
     return ray.data.from_arrow(final)
+
+
+def halo_nn(
+    halos: "ray.data.Dataset",
+    r2_ladder: np.ndarray,
+    *,
+    box: float = BOX_SIZE,
+    method: str = "ring",
+) -> "ray.data.Dataset":
+    """-> halo_id, nn_id, shell:int64 — each halo's nearest OTHER halo
+    (periodic min-image) and the radius-ladder shell its NN distance
+    lands in (shell = #{r2 <= d2}; past the ladder -> nrads). The
+    nearest-neighbour function G(r) input — the void/cluster diagnostic
+    complementary to counts-in-cells — as a self-kNN: reuse the exact
+    expanding-ring kNN with k=2 against the halo table itself (rank 1 is
+    self at d2 = 0), so cost tracks the NN density radius, never the
+    H x H cross product."""
+    import pyarrow.compute as pc
+
+    r2l = np.asarray(r2_ladder, dtype=np.float64)
+
+    def as_particles(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "particle_id": batch.column("halo_id"),
+                "x": batch.column("x"),
+                "y": batch.column("y"),
+                "z": batch.column("z"),
+            }
+        )
+
+    base = halos.map_batches(as_particles, batch_format="pyarrow", zero_copy_batch=True)
+    nn2 = knn(halos, base, 2, box=box, include_d2=True, sort=False, method=method)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.not_equal(batch.column("particle_id"), batch.column("halo_id")))
+        # after dropping self, the surviving lower rank IS the true NN;
+        # within a batch each halo carries exactly rows rnk 1..2
+        hid = t.column("halo_id").to_numpy()
+        rnk = t.column("rnk").to_numpy()
+        order = np.lexsort((rnk, hid))
+        hid_s = hid[order]
+        first = np.flatnonzero(np.r_[True, hid_s[1:] != hid_s[:-1]])
+        take = pa.array(order[first], pa.int64())
+        d2 = t.column("d2").to_numpy()[order[first]]
+        shell = np.searchsorted(r2l, d2, side="right").astype(np.int64)
+        return pa.table(
+            {
+                "halo_id": pa.array(hid_s[first], pa.int64()),
+                "nn_id": t.column("particle_id").take(take),
+                "shell": pa.array(shell, pa.int64()),
+            }
+        )
+
+    # kNN emits each halo's rows contiguously inside one merged block, so
+    # the self-drop + rank-min is a per-batch kernel, not another shuffle
+    return nn2.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True).sort(
+        "halo_id"
+    )
+
+
+def nn_shell_hist(nn: "ray.data.Dataset", nrads: int) -> "ray.data.Dataset":
+    """-> shell:int64, n:int64 — histogram of NN shells (every shell row
+    0..nrads emitted, zeros included). One bincount per batch + a single
+    remote fold: the exchange carries (nrads+1)-long partials only."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c = np.bincount(batch.column("shell").to_numpy(), minlength=nrads + 1)
+        return pa.table(
+            {
+                "shell": pa.array(np.arange(nrads + 1, dtype=np.int64), pa.int64()),
+                "n": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    parts = nn.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    refs = list(parts.materialize().to_arrow_refs())
+
+    @ray.remote
+    def fold(*tbls: pa.Table) -> pa.Table:
+        tot = np.zeros(nrads + 1, dtype=np.int64)
+        for t in tbls:
+            if t.num_rows:
+                np.add.at(tot, t.column("shell").to_numpy(), t.column("n").to_numpy())
+        return pa.table(
+            {
+                "shell": pa.array(np.arange(nrads + 1, dtype=np.int64), pa.int64()),
+                "n": pa.array(tot, pa.int64()),
+            }
+        )
+
+    return ray.data.from_arrow_refs([fold.remote(*refs)])

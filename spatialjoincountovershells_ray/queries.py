@@ -4283,6 +4283,52 @@ def _hard_negatives_sql(k: int = 5, sample_mod: int = 5) -> str:
     )
 
 
+
+
+def q_halo_nn(sf_dir: str):
+    """Nearest-neighbour catalog: each halo's closest other halo and the
+    ladder shell of the NN distance (pipelines.knn.halo_nn — exact
+    self-kNN with k=2, periodic min-image)."""
+    return knn.halo_nn(synthetic.halos_dataset(sf_dir), LADDER.r2)
+
+
+def q_nn_dist_hist(sf_dir: str):
+    """G(r) input histogram: halo count per NN-distance shell."""
+    return knn.nn_shell_hist(
+        knn.halo_nn(synthetic.halos_dataset(sf_dir), LADDER.r2), LADDER.nrads
+    )
+
+
+def _nn_ctes() -> str:
+    r2 = LADDER.r2
+    shell_expr = " + ".join(
+        f"(CASE WHEN d2 >= {float(v)!r} THEN 1 ELSE 0 END)" for v in r2
+    )
+    return (
+        f"{synthetic.HALOS_CTE}, h2 AS (SELECT * FROM halos), "
+        f"pairs AS (SELECT h.halo_id, p.halo_id AS nn_id, {synthetic.D2_SQL} AS d2 "
+        "FROM halos h JOIN h2 p ON h.halo_id <> p.halo_id), "
+        "nn AS (SELECT halo_id, nn_id, d2, row_number() OVER "
+        "(PARTITION BY halo_id ORDER BY d2, nn_id) AS rn FROM pairs), "
+        f"sh AS (SELECT halo_id, nn_id, CAST({shell_expr} AS BIGINT) AS shell "
+        "FROM nn WHERE rn = 1)"
+    )
+
+
+_HALO_NN_SQL = (
+    f"WITH {_nn_ctes()} SELECT halo_id, nn_id, shell FROM sh ORDER BY halo_id"
+)
+
+_NN_HIST_SQL = (
+    f"WITH {_nn_ctes()}, "
+    f"grid AS (SELECT unnest(generate_series(0, {LADDER.nrads})) AS shell) "
+    "SELECT CAST(g.shell AS BIGINT) AS shell, "
+    "CAST(count(s.halo_id) AS BIGINT) AS n "
+    "FROM grid g LEFT JOIN sh s ON s.shell = g.shell "
+    "GROUP BY g.shell ORDER BY shell"
+)
+
+
 REGISTRY: dict[str, QueryDef] = {
     "shell_count": QueryDef(q_shell_count, _shell_sql()),
     "shell_count_shuffle": QueryDef(q_shell_count_shuffle, _shell_sql()),
@@ -4473,4 +4519,6 @@ REGISTRY: dict[str, QueryDef] = {
     "media_phash": QueryDef(q_media_phash, _media_phash_sql()),
     "media_phash_dups": QueryDef(q_media_phash_dups, _media_phash_dups_sql()),
     "hard_negatives": QueryDef(q_hard_negatives, _hard_negatives_sql()),
+    "halo_nn": QueryDef(q_halo_nn, _HALO_NN_SQL),
+    "nn_dist_hist": QueryDef(q_nn_dist_hist, _NN_HIST_SQL),
 }

@@ -141,3 +141,52 @@ class TestHardNegatives:
             assert got.d2.tolist() == d2[order].tolist()
             # every mined negative really has a different label
             assert (labs[got.neg_id.to_numpy()] != labs[q]).all()
+
+
+class TestHaloNN:
+    def test_matches_bruteforce_min_image(self):
+        from spatialjoincountovershells_ray.config import BOX_SIZE
+        from spatialjoincountovershells_ray.pipelines import knn as K
+
+        rng = np.random.default_rng(9)
+        n = 200
+        xyz = rng.uniform(0, BOX_SIZE, (n, 3))
+        # plant a cross-boundary pair: min-image must see them as close
+        xyz[0] = [1.0, 1.0, 1.0]
+        xyz[1] = [BOX_SIZE - 1.0, BOX_SIZE - 1.0, BOX_SIZE - 1.0]
+        df = pd.DataFrame(
+            {"halo_id": np.arange(n, dtype=np.int64), "x": xyz[:, 0], "y": xyz[:, 1], "z": xyz[:, 2]}
+        )
+        r2l = (np.array([2.0, 8.0, 32.0, 128.0]) ** 2).astype(np.float64)
+        out = K.halo_nn(_blocks(df, 4), r2l).to_pandas()
+
+        d = xyz[:, None, :] - xyz[None, :, :]
+        d -= BOX_SIZE * np.floor(d / BOX_SIZE + 0.5)
+        d2 = (d * d).sum(-1)
+        np.fill_diagonal(d2, np.inf)
+        want_nn = np.lexsort((np.arange(n)[None, :].repeat(n, 0), d2), axis=1)[:, 0]
+        assert out.halo_id.tolist() == list(range(n))
+        assert out.nn_id.tolist() == want_nn.tolist()
+        want_shell = np.searchsorted(r2l, d2[np.arange(n), want_nn], side="right")
+        assert out.shell.tolist() == want_shell.tolist()
+        # the planted wrap-around pair found each other
+        assert out.nn_id[0] == 1 and out.nn_id[1] == 0
+
+    def test_hist_sums_to_halos(self):
+        from spatialjoincountovershells_ray.config import BOX_SIZE
+        from spatialjoincountovershells_ray.pipelines import knn as K
+
+        rng = np.random.default_rng(2)
+        n = 100
+        df = pd.DataFrame(
+            {
+                "halo_id": np.arange(n, dtype=np.int64),
+                "x": rng.uniform(0, BOX_SIZE, n),
+                "y": rng.uniform(0, BOX_SIZE, n),
+                "z": rng.uniform(0, BOX_SIZE, n),
+            }
+        )
+        r2l = (np.array([5.0, 50.0, 500.0]) ** 2).astype(np.float64)
+        hist = K.nn_shell_hist(K.halo_nn(_blocks(df, 3), r2l), 3).to_pandas()
+        assert hist.shell.tolist() == [0, 1, 2, 3]
+        assert hist.n.sum() == n
