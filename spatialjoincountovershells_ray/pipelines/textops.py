@@ -1339,3 +1339,29 @@ def lm_bigram_score(docs: "ray.data.Dataset") -> "ray.data.Dataset":
 
     tagged = both.map_batches(tag_doc, batch_format="pyarrow", zero_copy_batch=True)
     return keyed_partition_apply(tagged, "k2", merge_bucket).sort("doc_id")
+
+
+def redact_patterns(
+    docs: "ray.data.Dataset", patterns: "list[tuple[str, str, str]]"
+) -> "ray.data.Dataset":
+    """-> doc_id, n_<name>:int64 per pattern, fp:int64 — sequential
+    regex redaction (the PII-scrub stage of a curation pipeline): for
+    each (name, regex, replacement) in order, count non-overlapping
+    matches in the CURRENT text, then replace them, so later patterns
+    see earlier redactions (the auditable semantics a compliance scrub
+    needs). fp is the rolling fingerprint of the fully redacted text —
+    the cheap equality witness for the scrubbed corpus. Map-only, RE2
+    vectorized, one pass; the redacted text itself stays worker-side
+    (emit it instead of fp when feeding a sink)."""
+    import pyarrow.compute as pc
+
+    def fn(batch: pa.Table) -> pa.Table:
+        red = batch.column("text")
+        cols: dict = {"doc_id": batch.column("doc_id")}
+        for name, pat, repl in patterns:
+            cols[f"n_{name}"] = pc.cast(pc.count_substring_regex(red, pat), pa.int64())
+            red = pc.replace_substring_regex(red, pat, repl)
+        cols["fp"] = pa.array(T.rolling_fingerprint_col(red), pa.int64())
+        return pa.table(cols)
+
+    return docs.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

@@ -4329,6 +4329,73 @@ _NN_HIST_SQL = (
 )
 
 
+
+
+_PII_EMAIL = r"[a-z0-9]+@[a-z0-9]+\.[a-z]+"
+_PII_PHONE = r"555-[0-9]+"
+
+
+def q_redact_pii(sf_dir: str):
+    """PII redaction audit over a deterministically PII-injected view of
+    the documents table (the orders_dq pattern: the fixture corpus
+    carries no emails/phones, so the view plants them reproducibly):
+    sequential email-then-phone scrub, per-doc match counts and the
+    fingerprint of the fully redacted text."""
+    import pyarrow.compute as pc
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def inject(batch: pa.Table) -> pa.Table:
+        did = batch.column("doc_id")
+        did_np = did.to_numpy()
+        did_s = pc.cast(did, pa.string())
+        ref_s = pc.cast(pa.array(did_np * 7 % 10000, pa.int64()), pa.string())
+        email = pc.if_else(
+            pc.not_equal(pa.array(did_np % 3, pa.int64()), 0),
+            pc.binary_join_element_wise(" contact user", "@example.com", did_s),
+            "",
+        )
+        phone = pc.if_else(
+            pc.equal(pa.array(did_np % 2, pa.int64()), 0),
+            pc.binary_join_element_wise(" call 555-", "", ref_s),
+            "",
+        )
+        t1 = pc.binary_join_element_wise(batch.column("text"), email, "")
+        t2 = pc.binary_join_element_wise(t1, phone, "")
+        return pa.table({"doc_id": did, "text": t2})
+
+    view = ds.map_batches(inject, batch_format="pyarrow", zero_copy_batch=True)
+    return textops.redact_patterns(
+        view,
+        [("email", _PII_EMAIL, "<EMAIL>"), ("phone", _PII_PHONE, "<PHONE>")],
+    ).sort("doc_id")
+
+
+def _redact_pii_sql() -> str:
+    horner = (
+        "CAST(list_reduce(list_prepend(0::HUGEINT, "
+        "list_transform(generate_series(1, length(red2)), i -> ord(red2[i])::HUGEINT)), "
+        "(h, c) -> (h * 1315423911::HUGEINT + c) % 2305843009213693951::HUGEINT"
+        ") AS BIGINT)"
+    )
+    email = _PII_EMAIL.replace("\\", "\\")
+    return (
+        "WITH v AS (SELECT doc_id, text || "
+        "CASE WHEN doc_id % 3 <> 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) "
+        "|| '@example.com' ELSE '' END || "
+        "CASE WHEN doc_id % 2 = 0 THEN ' call 555-' || "
+        "CAST((doc_id * 7) % 10000 AS VARCHAR) ELSE '' END AS t FROM documents), "
+        f"r1 AS (SELECT doc_id, len(regexp_extract_all(t, '{email}')) AS n_email, "
+        f"regexp_replace(t, '{email}', '<EMAIL>', 'g') AS red1 FROM v), "
+        f"r2 AS (SELECT doc_id, n_email, len(regexp_extract_all(red1, '{_PII_PHONE}')) AS n_phone, "
+        f"regexp_replace(red1, '{_PII_PHONE}', '<PHONE>', 'g') AS red2 FROM r1) "
+        f"SELECT doc_id, CAST(n_email AS BIGINT) AS n_email, "
+        f"CAST(n_phone AS BIGINT) AS n_phone, {horner} AS fp FROM r2 ORDER BY doc_id"
+    )
+
+
 REGISTRY: dict[str, QueryDef] = {
     "shell_count": QueryDef(q_shell_count, _shell_sql()),
     "shell_count_shuffle": QueryDef(q_shell_count_shuffle, _shell_sql()),
@@ -4521,4 +4588,5 @@ REGISTRY: dict[str, QueryDef] = {
     "hard_negatives": QueryDef(q_hard_negatives, _hard_negatives_sql()),
     "halo_nn": QueryDef(q_halo_nn, _HALO_NN_SQL),
     "nn_dist_hist": QueryDef(q_nn_dist_hist, _NN_HIST_SQL),
+    "redact_pii": QueryDef(q_redact_pii, _redact_pii_sql()),
 }

@@ -190,3 +190,42 @@ class TestHaloNN:
         hist = K.nn_shell_hist(K.halo_nn(_blocks(df, 3), r2l), 3).to_pandas()
         assert hist.shell.tolist() == [0, 1, 2, 3]
         assert hist.n.sum() == n
+
+
+class TestRedactPatterns:
+    def test_sequential_semantics_and_counts(self):
+        df = pd.DataFrame(
+            {
+                "doc_id": np.arange(4, dtype=np.int64),
+                "text": [
+                    "mail bob@corp.io and sue@h.org now",
+                    "call 555-123 or 555-9 twice",
+                    "nothing to scrub here",
+                    "x@y.z then 555-42",
+                ],
+            }
+        )
+        out = (
+            textops.redact_patterns(
+                _blocks(df, 2),
+                [
+                    ("email", r"[a-z0-9]+@[a-z0-9]+\.[a-z]+", "<EMAIL>"),
+                    ("phone", r"555-[0-9]+", "<PHONE>"),
+                ],
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert out.n_email.tolist() == [2, 0, 0, 1]
+        assert out.n_phone.tolist() == [0, 2, 0, 1]
+        # fp equals the fingerprint of the manually redacted text
+        from spatialjoincountovershells_ray.functions.text import rolling_fingerprint
+
+        import re
+
+        red = [
+            re.sub(r"555-[0-9]+", "<PHONE>", re.sub(r"[a-z0-9]+@[a-z0-9]+\.[a-z]+", "<EMAIL>", t))
+            for t in df.text
+        ]
+        assert out.fp.tolist() == rolling_fingerprint(red).tolist()
