@@ -506,3 +506,84 @@ def order_percent_rank(orders: "ray.data.Dataset") -> "ray.data.Dataset":
         "o_custkey",
         _pct_rank_kernel,
     )
+
+
+@ray.remote
+def _shard_partial(tbl: pa.Table, offset: int, k: int, size_name: str) -> pa.Table:
+    """Rows offset..offset+n-1 of the global size order live in this
+    block: fold their round-robin shard assignment straight to K
+    partial (shard, n_docs, total) rows — the rank column never
+    materializes."""
+    n = tbl.num_rows
+    shard = (offset + np.arange(n, dtype=np.int64)) % k
+    sizes = tbl.column(size_name).to_numpy().astype(np.int64)
+    cnt = np.bincount(shard, minlength=k).astype(np.int64)
+    tot = np.bincount(shard, weights=sizes, minlength=k).astype(np.int64)
+    return pa.table(
+        {
+            "shard": pa.array(np.arange(k, dtype=np.int64), pa.int64()),
+            "n_docs": pa.array(cnt, pa.int64()),
+            "total_chars": pa.array(tot, pa.int64()),
+        }
+    )
+
+
+def balance_shards(
+    ds: "ray.data.Dataset", size_col: str, id_col: str, k: int
+) -> "ray.data.Dataset":
+    """-> shard, n_docs, total_chars (K rows) — deterministic
+    size-balanced shard assignment: global order by (size DESC, id),
+    round-robin rank % K (the sorted-greedy balancer: each shard gets
+    every K-th document of the size order, so totals differ by at most
+    one document per size stratum). The audit table a training-data
+    sink uses to size output files evenly; the assignment itself is
+    (rank - 1) % K, reproducible anywhere from the same inputs.
+
+    Plan: one range-partitioned sort, O(blocks) row counts prefix-summed
+    driver-side, then each block folds its own round-robin slice to K
+    partial rows — the exchange after the sort is K x blocks tiny rows,
+    and no rank column is ever materialized."""
+    import pyarrow.compute as pc
+
+    def norm(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                size_col: batch.column(size_col),
+                "_negsize": pc.negate_checked(
+                    pc.cast(batch.column(size_col), pa.int64())
+                ),
+            }
+        )
+
+    sorted_ds = (
+        ds.map_batches(norm, batch_format="pyarrow", zero_copy_batch=True)
+        .sort(["_negsize", id_col])
+        .materialize()
+    )
+    refs = sorted_ds.to_arrow_refs()
+    if not refs:
+        return sorted_ds
+    counts = ray.get([_block_nrows.remote(r) for r in refs])
+    offsets = np.concatenate([[0], np.cumsum(counts[:-1], dtype=np.int64)])
+    parts = [
+        _shard_partial.remote(r, int(off), k, size_col)
+        for r, off in zip(refs, offsets)
+    ]
+
+    @ray.remote
+    def fold(*tbls: pa.Table) -> pa.Table:
+        cnt = np.zeros(k, np.int64)
+        tot = np.zeros(k, np.int64)
+        for t in tbls:
+            cnt += t.column("n_docs").to_numpy()
+            tot += t.column("total_chars").to_numpy()
+        return pa.table(
+            {
+                "shard": pa.array(np.arange(k, dtype=np.int64), pa.int64()),
+                "n_docs": pa.array(cnt, pa.int64()),
+                "total_chars": pa.array(tot, pa.int64()),
+            }
+        )
+
+    return ray.data.from_arrow_refs([fold.remote(*parts)])

@@ -4396,6 +4396,35 @@ def _redact_pii_sql() -> str:
     )
 
 
+
+
+BALANCE_K = 16
+
+
+def q_balance_shards(sf_dir: str):
+    """Size-balanced output sharding audit: documents round-robined over
+    the global (n_chars DESC, doc_id) order into 16 shards
+    (pipelines.window.balance_shards)."""
+    return window.balance_shards(
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+        ),
+        "n_chars",
+        "doc_id",
+        BALANCE_K,
+    )
+
+
+_BALANCE_SQL = (
+    "WITH r AS (SELECT doc_id, n_chars, row_number() OVER "
+    "(ORDER BY n_chars DESC, doc_id) AS rn FROM documents) "
+    f"SELECT CAST((rn - 1) % {BALANCE_K} AS BIGINT) AS shard, "
+    "CAST(count(*) AS BIGINT) AS n_docs, "
+    "CAST(sum(n_chars) AS BIGINT) AS total_chars "
+    "FROM r GROUP BY 1 ORDER BY 1"
+)
+
+
 REGISTRY: dict[str, QueryDef] = {
     "shell_count": QueryDef(q_shell_count, _shell_sql()),
     "shell_count_shuffle": QueryDef(q_shell_count_shuffle, _shell_sql()),
@@ -4589,4 +4618,5 @@ REGISTRY: dict[str, QueryDef] = {
     "halo_nn": QueryDef(q_halo_nn, _HALO_NN_SQL),
     "nn_dist_hist": QueryDef(q_nn_dist_hist, _NN_HIST_SQL),
     "redact_pii": QueryDef(q_redact_pii, _redact_pii_sql()),
+    "balance_shards": QueryDef(q_balance_shards, _BALANCE_SQL),
 }

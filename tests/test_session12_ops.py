@@ -229,3 +229,24 @@ class TestRedactPatterns:
             for t in df.text
         ]
         assert out.fp.tolist() == rolling_fingerprint(red).tolist()
+
+
+class TestBalanceShards:
+    def test_roundrobin_over_size_order(self):
+        from spatialjoincountovershells_ray.pipelines import window as W
+
+        rng = np.random.default_rng(11)
+        n, k = 500, 7
+        sizes = rng.integers(1, 10_000, n).astype(np.int64)
+        df = pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64), "n_chars": sizes})
+        out = W.balance_shards(_blocks(df, 5), "n_chars", "doc_id", k).to_pandas()
+
+        order = np.lexsort((np.arange(n), -sizes))
+        shard = np.arange(n) % k
+        want_cnt = np.bincount(shard, minlength=k)
+        want_tot = np.bincount(shard, weights=sizes[order], minlength=k).astype(np.int64)
+        assert out.shard.tolist() == list(range(k))
+        assert out.n_docs.tolist() == want_cnt.tolist()
+        assert out.total_chars.tolist() == want_tot.tolist()
+        # the balancer actually balances: totals within ~ one max doc
+        assert out.total_chars.max() - out.total_chars.min() <= sizes.max()
