@@ -754,3 +754,148 @@ def apply_changes(
         return pa.concat_tables([b.filter(pa.array(keep)), ups], promote_options="none")
 
     return keyed_partition_apply(tagged, key, resolve).sort(key)
+
+
+def maintain_group_agg(
+    base: "ray.data.Dataset",
+    changes: "ray.data.Dataset",
+    key: str,
+    group_col: str,
+    val_col: str,
+) -> "ray.data.Dataset":
+    """-> group_col, n:int64, s:int64 — incremental maintenance of a
+    grouped (count, sum) aggregate under a compacted CDC change table
+    (at most one change per key — latest_events is the compactor):
+    agg(apply_changes(base, changes)) computed WITHOUT re-aggregating
+    unchanged rows through the group exchange twice. The lakehouse
+    materialized-view maintenance shape: at scale the base aggregate is
+    the stored MV (O(groups)), and the only per-change work is the
+    keyed lookup of old rows — here one key-hash bucket exchange where
+    each changed key meets its base row.
+
+    changes schema: {key, op in ('upsert','delete'), group_col, val_col}
+    — an upsert of an existing key retracts the old row's contribution
+    (possibly from a DIFFERENT group: group moves are handled) and adds
+    the new one; an insert adds; a delete of a missing key is a no-op.
+    Groups whose count reaches zero drop from the output, matching the
+    full-recompute GROUP BY."""
+    from spatialjoincountovershells_ray.pipelines.window import keyed_partition_apply
+
+    def base_partial(batch: pa.Table) -> pa.Table:
+        g = (
+            batch.select([group_col, val_col])
+            .group_by(group_col)
+            .aggregate([([], "count_all"), (val_col, "sum")])
+        )
+        return pa.table(
+            {
+                group_col: g.column(group_col),
+                "dn": pc.cast(g.column("count_all"), pa.int64()),
+                "ds": pc.cast(g.column(f"{val_col}_sum"), pa.int64()),
+            }
+        )
+
+    agg_parts = base.map_batches(base_partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    # delta side: co-locate each changed key with its base row
+    def tag_base(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                key: batch.column(key),
+                group_col: batch.column(group_col),
+                val_col: pc.cast(batch.column(val_col), pa.int64()),
+                "_op": pa.array(np.zeros(batch.num_rows, np.int64), pa.int64()),
+            }
+        )
+
+    def tag_change(batch: pa.Table) -> pa.Table:
+        op = pc.if_else(
+            pc.equal(batch.column("op"), "delete"),
+            pa.scalar(2, pa.int64()),
+            pa.scalar(1, pa.int64()),
+        )
+        return pa.table(
+            {
+                key: batch.column(key),
+                group_col: batch.column(group_col),
+                val_col: pc.cast(batch.column(val_col), pa.int64()),
+                "_op": op,
+            }
+        )
+
+    tagged = base.map_batches(
+        tag_base, batch_format="pyarrow", zero_copy_batch=True
+    ).union(changes.map_batches(tag_change, batch_format="pyarrow", zero_copy_batch=True))
+
+    def delta_kernel(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                group_col: pa.array([], pa.int64()),
+                "dn": pa.array([], pa.int64()),
+                "ds": pa.array([], pa.int64()),
+            }
+        )
+        if tbl.num_rows == 0 or "_op" not in tbl.schema.names:
+            return empty
+        op = tbl.column("_op").to_numpy()
+        k = tbl.column(key).to_numpy()
+        g = tbl.column(group_col).to_numpy()
+        v = tbl.column(val_col).to_numpy()
+        bmask = op == 0
+        bk, bg, bv = k[bmask], g[bmask], v[bmask]
+        order = np.argsort(bk, kind="stable")
+        bk, bg, bv = bk[order], bg[order], bv[order]
+        gs, dns, dss = [], [], []
+        for m, sign_new in ((1, 1), (2, 0)):  # upsert adds new row, delete doesn't
+            cm = op == m
+            if not cm.any():
+                continue
+            ck, cg, cv = k[cm], g[cm], v[cm]
+            pos = np.searchsorted(bk, ck)
+            pos_c = np.minimum(pos, max(len(bk) - 1, 0))
+            hit = (bk[pos_c] == ck) if len(bk) else np.zeros(len(ck), bool)
+            # retract old contributions of matched keys
+            gs.append(bg[pos_c[hit]])
+            dns.append(np.full(hit.sum(), -1, np.int64))
+            dss.append(-bv[pos_c[hit]])
+            if sign_new:  # upserts (matched -> replace; unmatched -> insert)
+                gs.append(cg)
+                dns.append(np.ones(len(ck), np.int64))
+                dss.append(cv)
+        if not gs:
+            return empty
+        return pa.table(
+            {
+                group_col: pa.array(np.concatenate(gs), pa.int64()),
+                "dn": pa.array(np.concatenate(dns), pa.int64()),
+                "ds": pa.array(np.concatenate(dss), pa.int64()),
+            }
+        )
+
+    deltas = keyed_partition_apply(tagged, key, delta_kernel)
+
+    def merge_kernel(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0 or group_col not in tbl.schema.names:
+            return pa.table(
+                {
+                    group_col: pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "s": pa.array([], pa.int64()),
+                }
+            )
+        g = (
+            tbl.select([group_col, "dn", "ds"])
+            .group_by(group_col)
+            .aggregate([("dn", "sum"), ("ds", "sum")])
+        )
+        out = pa.table(
+            {
+                group_col: g.column(group_col),
+                "n": pc.cast(g.column("dn_sum"), pa.int64()),
+                "s": pc.cast(g.column("ds_sum"), pa.int64()),
+            }
+        )
+        return out.filter(pc.greater(out.column("n"), 0))
+
+    merged = keyed_partition_apply(agg_parts.union(deltas), group_col, merge_kernel)
+    return merged.sort(group_col)

@@ -1063,6 +1063,60 @@ def q_orders_apply_cdc(sf_dir: str):
     )
 
 
+def q_maintain_group_agg(sf_dir: str):
+    """Incremental materialized-view maintenance: per-custkey (count,
+    sum-of-cents) over the orders snapshot under a compacted change
+    table — upserts for keys %10==0 MOVE the row to group custkey+1 and
+    bump cents by 7 (exercising the cross-group retract+add path),
+    deletes for %10==1, inserts of mirrored -key rows for %10==2. The
+    engine touches only O(changes) base rows through the keyed
+    exchange; the twin is the full recompute GROUP BY."""
+    cols = ["o_orderkey", "o_custkey", "o_totalprice"]
+
+    def to_snapshot(batch: pa.Table) -> pa.Table:
+        cents = np.rint(batch.column("o_totalprice").to_numpy() * 100).astype(np.int64)
+        return pa.table(
+            {
+                "o_orderkey": batch.column("o_orderkey"),
+                "o_custkey": batch.column("o_custkey"),
+                "cents": pa.array(cents, pa.int64()),
+            }
+        )
+
+    def to_changes(batch: pa.Table) -> pa.Table:
+        t = to_snapshot(batch)
+        k = t.column("o_orderkey").to_numpy()
+        m = k % 10
+        up = t.filter(pa.array(m == 0))
+        up = pa.table(
+            {
+                "o_orderkey": up.column("o_orderkey"),
+                "o_custkey": pc.add(up.column("o_custkey"), 1),
+                "cents": pc.add(up.column("cents"), 7),
+            }
+        )
+        rm = t.filter(pa.array(m == 1))
+        ins = t.filter(pa.array(m == 2))
+        ins = ins.set_column(
+            0, "o_orderkey", pa.compute.negate(ins.column("o_orderkey"))
+        )
+        ops = (
+            ["upsert"] * up.num_rows + ["delete"] * rm.num_rows + ["upsert"] * ins.num_rows
+        )
+        out = pa.concat_tables([up, rm, ins], promote_options="none")
+        return out.append_column("op", pa.array(ops, pa.string()))
+
+    base = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=cols).map_batches(
+        to_snapshot, batch_format="pyarrow", zero_copy_batch=True
+    )
+    changes = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=cols).map_batches(
+        to_changes, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return relational.maintain_group_agg(
+        base, changes, "o_orderkey", "o_custkey", "cents"
+    )
+
+
 def q_event_rolling_median(sf_dir: str):
     return events.event_rolling_median(sf_dir)
 
@@ -2698,6 +2752,20 @@ _APPLY_CDC_SQL = (
     "FROM b WHERE o_orderkey % 10 <> 1 "
     "UNION ALL SELECT -o_orderkey, o_custkey, prio, cents FROM b "
     "WHERE o_orderkey % 10 = 2 ORDER BY o_orderkey"
+)
+
+# incremental MV maintenance twin: the full-recompute GROUP BY over the
+# applied change table (same deterministic recipe as q_maintain_group_agg)
+_MAINTAIN_AGG_SQL = (
+    "WITH b AS (SELECT o_orderkey, o_custkey, "
+    "CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders), "
+    "applied AS ("
+    "SELECT CASE WHEN o_orderkey % 10 = 0 THEN o_custkey + 1 ELSE o_custkey END AS grp, "
+    "CASE WHEN o_orderkey % 10 = 0 THEN cents + 7 ELSE cents END AS cents "
+    "FROM b WHERE o_orderkey % 10 <> 1 "
+    "UNION ALL SELECT o_custkey AS grp, cents FROM b WHERE o_orderkey % 10 = 2) "
+    "SELECT grp AS o_custkey, CAST(count(*) AS BIGINT) AS n, "
+    "CAST(sum(cents) AS BIGINT) AS s FROM applied GROUP BY grp ORDER BY o_custkey"
 )
 
 # latest-wins log compaction: QUALIFY twin of the decomposable
@@ -4619,4 +4687,5 @@ REGISTRY: dict[str, QueryDef] = {
     "nn_dist_hist": QueryDef(q_nn_dist_hist, _NN_HIST_SQL),
     "redact_pii": QueryDef(q_redact_pii, _redact_pii_sql()),
     "balance_shards": QueryDef(q_balance_shards, _BALANCE_SQL),
+    "maintain_group_agg": QueryDef(q_maintain_group_agg, _MAINTAIN_AGG_SQL),
 }

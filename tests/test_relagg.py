@@ -791,3 +791,42 @@ class TestApplyChanges:
             relational.apply_changes(
                 ray.data.from_pandas(base), ray.data.from_pandas(ch), "k", ["v"]
             ).to_pandas()
+
+
+class TestMaintainGroupAgg:
+    def test_incremental_matches_recompute(self):
+        from spatialjoincountovershells_ray.pipelines import relational
+
+        base = pd.DataFrame(
+            {
+                "k": np.array([1, 2, 3, 4, 5], np.int64),
+                "g": np.array([10, 10, 20, 20, 30], np.int64),
+                "v": np.array([100, 200, 300, 400, 500], np.int64),
+            }
+        )
+        # upsert k=1 MOVES it 10->20 with new value; delete k=5 empties
+        # group 30; insert k=9 creates group 40; delete k=77 is a no-op
+        changes = pd.DataFrame(
+            {
+                "k": np.array([1, 5, 9, 77], np.int64),
+                "op": ["upsert", "delete", "upsert", "delete"],
+                "g": np.array([20, 0, 40, 0], np.int64),
+                "v": np.array([111, 0, 900, 0], np.int64),
+            }
+        )
+        out = (
+            relational.maintain_group_agg(
+                ray.data.from_pandas([base.iloc[:3], base.iloc[3:]]),
+                ray.data.from_pandas(changes),
+                "k",
+                "g",
+                "v",
+            )
+            .to_pandas()
+            .reset_index(drop=True)
+        )
+        # recompute oracle: applied = {2:(10,200), 3:(20,300), 4:(20,400),
+        # 1:(20,111), 9:(40,900)}
+        assert out["g"].tolist() == [10, 20, 40]
+        assert out["n"].tolist() == [1, 3, 1]
+        assert out["s"].tolist() == [200, 300 + 400 + 111, 900]
