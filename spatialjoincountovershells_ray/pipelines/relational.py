@@ -636,28 +636,25 @@ def dq_checks(
     for p in parts[1:]:
         merged = merged.union(p)
 
-    def final(batch: pa.Table) -> pa.Table:
-        col = "sum(n_bad)" if "sum(n_bad)" in batch.column_names else "n_bad"
-        return pa.table(
-            {
-                "rule": batch.column("rule"),
-                "n_bad": batch.column(col).cast(pa.int64()),
-            }
-        )
+    # O(rules) final: the audit result is a handful of (rule, n_bad)
+    # rows, so merge + sort in ONE remote task instead of paying a
+    # Dataset groupby + sort barrier pair (same plan as revenue_by_nation)
+    refs = list(merged.materialize().to_arrow_refs())
 
-    return (
-        merged.map_batches(final, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("rule")
-        .sum("n_bad")
-        .map_batches(
-            lambda b: pa.table(
-                {"rule": b.column("rule"), "n_bad": b.column("sum(n_bad)").cast(pa.int64())}
-            ),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-        )
-        .sort("rule")
-    )
+    @ray.remote
+    def finish(*tabs: pa.Table) -> pa.Table:
+        live = [t for t in tabs if t.num_rows]
+        if not live:
+            return pa.table(
+                {"rule": pa.array([], pa.string()), "n_bad": pa.array([], pa.int64())}
+            )
+        t = pa.concat_tables(live, promote_options="none")
+        g = t.group_by("rule").aggregate([("n_bad", "sum")])
+        return pa.table(
+            {"rule": g.column("rule"), "n_bad": g.column("n_bad_sum").cast(pa.int64())}
+        ).sort_by("rule")
+
+    return ray.data.from_arrow_refs([finish.remote(*refs)])
 
 
 # ---------------------------------------------------------------------------
