@@ -366,3 +366,125 @@ def geo_range_join(
         batch_size=batch_size,
     )
     return out.sort(["point_id", "place_id"]) if sort else out
+
+
+class _GeoAngularKernel:
+    """Broadcast cover CSR; per-batch (point, place) angular-shell
+    bincount partials — the DD(theta) term of the angular two-point
+    correlation, the spherical sibling of the reference's radial
+    MultiRangeCount (src/objects/RTree/MultiRangeCount.c): same
+    cover-lookup candidate generation as the range join, but pairs fold
+    to an O(nbins) histogram inside the batch, so the exchange carries
+    nbins rows per block instead of the pair set."""
+
+    def __init__(self, ref):
+        c = ray.get(ref[0]) if isinstance(ref, list) else ref
+        self.cells: np.ndarray = c["cells"]
+        self.place_of: np.ndarray = c["place_of"]
+        self.plat: np.ndarray = c["plat"]
+        self.plon: np.ndarray = c["plon"]
+        self.level: int = c["level"]
+        self.thrs: np.ndarray = c["thrs"]  # ascending a-term shell edges
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        nb = len(self.thrs)
+        lat = batch.column("lat").to_numpy()
+        lon = batch.column("lon").to_numpy()
+        cell = geo.latlon_cell(lat, lon, self.level)
+        lo = np.searchsorted(self.cells, cell, side="left")
+        hi = np.searchsorted(self.cells, cell, side="right")
+        cnt = hi - lo
+        total = int(cnt.sum())
+        if total == 0:
+            return pa.table(
+                {"bin": pa.array([], pa.int64()), "cnt": pa.array([], pa.int64())}
+            )
+        rows = np.repeat(np.arange(len(lat), dtype=np.int64), cnt)
+        bounds = np.zeros(len(lat) + 1, dtype=np.int64)
+        np.cumsum(cnt, out=bounds[1:])
+        within = np.arange(total, dtype=np.int64) - np.repeat(bounds[:-1], cnt)
+        cand = self.place_of[lo[rows] + within]
+        a = _a_term(lat[rows], lon[rows], self.plat[cand], self.plon[cand])
+        # bin = #{edge < a}; bin == nb means beyond the outermost shell
+        # (the cover is a superset of the outermost cap) — discarded
+        b = np.searchsorted(self.thrs, a, side="left")
+        b = b[b < nb]
+        h = np.bincount(b, minlength=nb).astype(np.int64)
+        return pa.table(
+            {
+                "bin": pa.array(np.arange(nb, dtype=np.int64)),
+                "cnt": pa.array(h),
+            }
+        )
+
+
+@ray.remote
+def _fold_angular(nb: int, *parts: pa.Table) -> pa.Table:
+    tot = np.zeros(nb, dtype=np.int64)
+    for t in parts:
+        if t.num_rows:
+            np.add.at(tot, t.column("bin").to_numpy(), t.column("cnt").to_numpy())
+    return pa.table(
+        {
+            "bin": pa.array(np.arange(nb, dtype=np.int64)),
+            "npairs": pa.array(tot),
+        }
+    )
+
+
+def geo_angular_hist(
+    places: "ray.data.Dataset | pa.Table",
+    points: "ray.data.Dataset",
+    radii_km: tuple,
+    *,
+    level: int | None = None,
+    batch_size: int = 8192,
+) -> "ray.data.Dataset":
+    """-> bin:int64, npairs:int64 (one row per shell, zeros kept) — the
+    angular pair histogram DD(theta): for each (point, place) pair the
+    shell index is the count of ladder edges strictly below its
+    haversine a-term, pairs beyond radii_km[-1] discarded. One cap-cover
+    broadcast (at the outermost radius) + one streaming point pass; the
+    result is O(nbins), folded by a single remote task."""
+    from spatialjoincountovershells_ray.pipelines.shell_count import dataset_to_table
+
+    radii = sorted(float(r) for r in radii_km)
+    tbl = places if isinstance(places, pa.Table) else dataset_to_table(places)
+    plat = tbl.column("lat").to_numpy().astype(np.float64, copy=False)
+    plon = tbl.column("lon").to_numpy().astype(np.float64, copy=False)
+    rmax = radii[-1]
+    level = auto_level(rmax) if level is None else level
+    cover_cells, cover_place = [], []
+    for i in range(len(plat)):
+        cells = geo.cap_cover(float(plat[i]), float(plon[i]), rmax, level)
+        cover_cells.append(cells)
+        cover_place.append(np.full(len(cells), i, dtype=np.int64))
+    cells = np.concatenate(cover_cells) if cover_cells else np.empty(0, np.int64)
+    place_of = np.concatenate(cover_place) if cover_place else np.empty(0, np.int64)
+    order = np.argsort(cells, kind="stable")
+    thrs = np.array([a_threshold(r) for r in radii], dtype=np.float64)
+    cover_ref = ray.put(
+        {
+            "cells": cells[order],
+            "place_of": place_of[order],
+            "plat": plat,
+            "plon": plon,
+            "level": level,
+            "thrs": thrs,
+        }
+    )
+    partials = points.map_batches(
+        run_cached_bcast,
+        fn_kwargs={"cls": _GeoAngularKernel, "ref_list": [cover_ref]},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+    )
+    refs = list(partials.materialize().to_arrow_refs())
+    if not refs:
+        refs = [
+            ray.put(
+                pa.table({"bin": pa.array([], pa.int64()), "cnt": pa.array([], pa.int64())})
+            )
+        ]
+    return ray.data.from_arrow_refs([_fold_angular.remote(len(radii), *refs)])

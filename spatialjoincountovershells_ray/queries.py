@@ -886,6 +886,19 @@ def q_geo_nearest_place(sf_dir: str):
 GEO_TOPK = 3
 
 
+GEO_ANG_RADII = (200.0, 400.0, 800.0, 1600.0)
+
+
+def q_geo_angular_hist(sf_dir: str):
+    """Angular two-point pair histogram DD(theta) over the lon-lat
+    layer: (point, place) pair counts per angular shell of the 4-radius
+    ladder — the spherical sibling of the radial shell count."""
+    from spatialjoincountovershells_ray.pipelines.geo_join import geo_angular_hist
+
+    places, points = _geo_inputs(sf_dir)
+    return geo_angular_hist(places, points, GEO_ANG_RADII)
+
+
 def q_geo_topk_places(sf_dir: str):
     """Geo-kNN (k=3): each point's three nearest places, ranked."""
     from spatialjoincountovershells_ray.pipelines.geo_join import geo_nearest_place
@@ -2844,6 +2857,37 @@ def _geo_sql() -> str:
     )
 
 
+def _geo_angular_sql() -> str:
+    """Twin of geo_angular_hist: bin = count of a-term edges strictly
+    below the pair's a (same float compares as the engine's
+    searchsorted side='left'), pairs beyond the outermost edge dropped,
+    empty shells restored by the range() left join."""
+    from spatialjoincountovershells_ray.pipelines.geo_join import RAD, a_threshold
+
+    thrs = [a_threshold(r) for r in sorted(GEO_ANG_RADII)]
+    nb = len(thrs)
+    case = " + ".join(
+        f"(CASE WHEN a > {t!r} THEN 1 ELSE 0 END)" for t in thrs[:-1]
+    )
+    return (
+        f"WITH places AS (SELECT s_suppkey AS place_id, {_lat_sql('s_suppkey')} AS lat, "
+        f"{_lon_sql('s_suppkey')} AS lon FROM supplier WHERE s_suppkey < {GEO_PLACE_MAX_KEY}), "
+        f"points AS (SELECT c_custkey AS point_id, {_lat_sql('c_custkey')} AS lat, "
+        f"{_lon_sql('c_custkey')} AS lon FROM customer), "
+        "t AS (SELECT "
+        f"SIN((p.lat*{RAD!r} - q.lat*{RAD!r})*0.5) AS sdlat, "
+        f"SIN((p.lon*{RAD!r} - q.lon*{RAD!r})*0.5) AS sdlon, "
+        f"COS(q.lat*{RAD!r}) AS c1, COS(p.lat*{RAD!r}) AS c2 "
+        "FROM points q CROSS JOIN places p), "
+        "v AS (SELECT sdlat*sdlat + c1*c2*(sdlon*sdlon) AS a FROM t), "
+        f"c AS (SELECT {case} AS bin, CAST(count(*) AS BIGINT) AS npairs "
+        f"FROM v WHERE a <= {thrs[-1]!r} GROUP BY 1) "
+        f"SELECT CAST(r.range AS BIGINT) AS bin, "
+        "CAST(COALESCE(c.npairs, 0) AS BIGINT) AS npairs "
+        f"FROM range({nb}) r LEFT JOIN c ON c.bin = r.range ORDER BY bin"
+    )
+
+
 def _geo_pyramid_sql() -> str:
     n = float(1 << PYRAMID_FINEST)
     f = (
@@ -4525,6 +4569,7 @@ REGISTRY: dict[str, QueryDef] = {
     "geo_range_join_shuffle": QueryDef(q_geo_range_join_shuffle, _geo_sql()),
     "geo_nearest_place": QueryDef(q_geo_nearest_place, _geo_nearest_sql()),
     "geo_topk_places": QueryDef(q_geo_topk_places, _geo_nearest_sql(GEO_TOPK)),
+    "geo_angular_hist": QueryDef(q_geo_angular_hist, _geo_angular_sql()),
     "geo_pyramid": QueryDef(q_geo_pyramid, _geo_pyramid_sql()),
     "token_count": QueryDef(q_token_count, _TOKEN_SQL),
     "quality_counts": QueryDef(q_quality_counts, _QUALITY_SQL),

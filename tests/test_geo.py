@@ -221,3 +221,47 @@ class TestRectJoin:
                 want.add((int(ra.id), int(bid)))
         assert set(zip(got.id_a, got.id_b)) == want
         assert len(want) > 0
+
+
+class TestGeoAngularHist:
+    def test_matches_bruteforce(self):
+        import pyarrow as pa
+        import ray
+
+        from spatialjoincountovershells_ray.pipelines.geo_join import (
+            _a_term,
+            a_threshold,
+            geo_angular_hist,
+        )
+
+        rng = np.random.default_rng(17)
+        # places include near-pole and antimeridian caps (cover edge cases)
+        plat = np.concatenate([rng.uniform(-80, 80, 18), [87.0, -5.0]])
+        plon = np.concatenate([rng.uniform(-180, 180, 18), [10.0, 179.8]])
+        places = pa.table(
+            {
+                "place_id": np.arange(20, dtype=np.int64),
+                "lat": plat,
+                "lon": plon,
+            }
+        )
+        qlat = rng.uniform(-89.9, 89.9, 3000)
+        qlon = rng.uniform(-180, 180, 3000)
+        points = ray.data.from_arrow(
+            pa.table(
+                {
+                    "point_id": np.arange(3000, dtype=np.int64),
+                    "lat": qlat,
+                    "lon": qlon,
+                }
+            )
+        ).repartition(6)
+        radii = (150.0, 500.0, 1200.0, 2500.0)
+        got = geo_angular_hist(places, points, radii).to_pandas()
+        thrs = np.array([a_threshold(r) for r in radii])
+        a = _a_term(qlat[:, None], qlon[:, None], plat[None, :], plon[None, :])
+        b = np.searchsorted(thrs, a.ravel(), side="left")
+        want = np.bincount(b[b < 4], minlength=4)
+        assert got["bin"].tolist() == [0, 1, 2, 3]
+        assert got["npairs"].tolist() == want.tolist()
+        assert want.sum() > 0
