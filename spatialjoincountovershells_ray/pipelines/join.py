@@ -25,6 +25,7 @@ matches on the real key, so hash collisions cannot produce wrong rows.
 from __future__ import annotations
 
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 
 from spatialjoincountovershells_ray.stages.exchange import split_by_key
@@ -452,3 +453,170 @@ def bloom_semi_join(
         join_type="left semi",
         nbuckets=nbuckets,
     )
+
+
+# ---------------------------------------------------------------------------
+# Sort-merge physical plan: sampled range partitioning + per-bucket
+# vectorized merge join. Third plan for the same logical equi-join —
+# what it buys over the hash-bucket shuffle is ORDER: buckets are key
+# RANGES in ascending order and each bucket emits rows sorted by the
+# left key, so the result is globally key-ordered with no Dataset.sort
+# barrier afterwards (the plan a sorted sink or a downstream merge
+# consumer wants). Same sample-based boundary selection Ray Data's own
+# sort uses; the driver sees only O(blocks * sample_cap) int64 samples.
+
+_SMJ_TYPES = frozenset({"inner", "left outer", "left semi", "left anti"})
+
+
+@ray.remote
+def _key_quantile_sample(block: pa.Table, key: str, cap: int) -> "object":
+    import numpy as np
+
+    k = block.column(key).to_numpy()
+    if len(k) == 0:
+        return np.empty(0, np.int64)
+    k = np.sort(np.asarray(k, np.int64))
+    if len(k) > cap:
+        idx = (np.arange(cap, dtype=np.int64) * len(k)) // cap
+        k = k[idx]  # per-block quantile sketch (deterministic stride)
+    return k
+
+
+@ray.remote
+def _split_by_range(block: pa.Table, col: str, bounds: "object") -> list:
+    """Range split: bucket i holds keys in (bounds[i-1], bounds[i]]."""
+    import numpy as np
+
+    nb = len(bounds) + 1
+    if block.num_rows == 0:
+        return [block.slice(0, 0)] * nb
+    k = np.asarray(block.column(col).to_numpy(), np.int64)
+    bucket = np.searchsorted(bounds, k, side="left")
+    order = np.argsort(bucket, kind="stable")
+    sorted_tbl = block.take(pa.array(order, pa.int64()))
+    sb = bucket[order]
+    cuts = np.searchsorted(sb, np.arange(nb + 1))
+    return [sorted_tbl.slice(cuts[i], cuts[i + 1] - cuts[i]) for i in range(nb)]
+
+
+@ray.remote
+def _merge_join_bucket(
+    left_key: str, right_key: str, join_type: str, nleft: int, *parts: pa.Table
+) -> pa.Table:
+    import numpy as np
+
+    left = pa.concat_tables(parts[:nleft], promote_options="none")
+    right = pa.concat_tables(parts[nleft:], promote_options="none")
+    lt, rt = left.column(left_key).type, right.column(right_key).type
+    if pa.types.is_null(lt):
+        left = _fix_null_key(left, left_key, rt if not pa.types.is_null(rt) else pa.int64())
+    if pa.types.is_null(rt):
+        right = _fix_null_key(right, right_key, lt if not pa.types.is_null(lt) else pa.int64())
+    lk = np.asarray(left.column(left_key).to_numpy(), np.int64)
+    rk = np.asarray(right.column(right_key).to_numpy(), np.int64)
+    lorder = np.argsort(lk, kind="stable")
+    rorder = np.argsort(rk, kind="stable")
+    ls, rs = lk[lorder], rk[rorder]
+    lo = np.searchsorted(rs, ls, side="left")
+    hi = np.searchsorted(rs, ls, side="right")
+    cnt = hi - lo
+
+    right_cols = [c for c in right.column_names if c != right_key]
+    if join_type == "left semi":
+        return left.take(pa.array(lorder[cnt > 0], pa.int64()))
+    if join_type == "left anti":
+        return left.take(pa.array(lorder[cnt == 0], pa.int64()))
+
+    emit = cnt if join_type == "inner" else np.maximum(cnt, 1)
+    total = int(emit.sum())
+    lpos = np.repeat(np.arange(len(ls), dtype=np.int64), emit)
+    bounds = np.zeros(len(ls) + 1, dtype=np.int64)
+    np.cumsum(emit, out=bounds[1:])
+    within = np.arange(total, dtype=np.int64) - np.repeat(bounds[:-1], emit)
+    ridx = np.repeat(lo, emit) + within
+    out = {c: pc.take(left.column(c), pa.array(lorder[lpos], pa.int64())) for c in left.column_names}
+    if join_type == "inner":
+        rtake = pa.array(rorder[ridx], pa.int64())
+    else:  # left outer: unmatched left rows take a null right index
+        matched = np.repeat(cnt > 0, emit)
+        safe = np.where(matched, ridx, 0)
+        phys = rorder[safe] if len(rorder) else np.zeros(total, np.int64)
+        rtake = pa.array(np.asarray(phys, np.int64), pa.int64(), mask=~matched)
+    for c in right_cols:
+        out[c] = pc.take(right.column(c), rtake)
+    return pa.table(out)
+
+
+def equi_join_sortmerge(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    left_key: str,
+    right_key: str,
+    *,
+    join_type: str = "inner",
+    nbuckets: int | None = None,
+    sample_cap: int = 1024,
+) -> "ray.data.Dataset":
+    """Sort-merge equi-join on int64 keys; output globally ordered by
+    the left key (ties keep left input order, then right key order).
+
+    Plan: per-block key quantile sketches -> global range boundaries ->
+    one range exchange per side -> per-bucket sort + vectorized merge.
+    Skew tolerance comes from the boundaries being key QUANTILES of the
+    actual data rather than hash buckets; a single repeated hot key
+    still lands in one bucket (use the hash plan + salt for that)."""
+    import numpy as np
+
+    if join_type not in _SMJ_TYPES:
+        raise ValueError(
+            f"sortmerge supports {sorted(_SMJ_TYPES)}, not {join_type!r}"
+        )
+    nbuckets = nbuckets or max(8, int(ray.cluster_resources().get("CPU", 8)))
+    lmat, rmat = left.materialize(), right.materialize()
+    lrefs, rrefs = lmat.to_arrow_refs(), rmat.to_arrow_refs()
+    if not lrefs or not rrefs:
+        kt = pa.int64()
+        if not lrefs:
+            lrefs = [ray.put(_typed_empty(lmat, left_key, kt))]
+        if not rrefs:
+            rrefs = [ray.put(_typed_empty(rmat, right_key, kt))]
+    samples = ray.get(
+        [_key_quantile_sample.remote(b, left_key, sample_cap) for b in lrefs]
+        + [_key_quantile_sample.remote(b, right_key, sample_cap) for b in rrefs]
+    )
+    live = [s for s in samples if len(s)]
+    allk = np.sort(np.concatenate(live)) if live else np.empty(0, np.int64)
+    if len(allk):
+        qidx = (np.arange(1, nbuckets, dtype=np.int64) * len(allk)) // nbuckets
+        bounds = np.unique(allk[qidx])
+    else:
+        bounds = np.empty(0, np.int64)
+    nb = len(bounds) + 1
+    if nb == 1:
+        return ray.data.from_arrow_refs(
+            [
+                _merge_join_bucket.remote(
+                    left_key, right_key, join_type, len(lrefs), *lrefs, *rrefs
+                )
+            ]
+        )
+    lsplits = [
+        _split_by_range.options(num_returns=nb).remote(b, left_key, bounds)
+        for b in lrefs
+    ]
+    rsplits = [
+        _split_by_range.options(num_returns=nb).remote(b, right_key, bounds)
+        for b in rrefs
+    ]
+    out = [
+        _merge_join_bucket.remote(
+            left_key,
+            right_key,
+            join_type,
+            len(lsplits),
+            *[s[bi] for s in lsplits],
+            *[s[bi] for s in rsplits],
+        )
+        for bi in range(nb)
+    ]
+    return ray.data.from_arrow_refs(out)

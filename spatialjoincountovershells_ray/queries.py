@@ -1829,6 +1829,21 @@ def q_orders_join_salted(sf_dir: str):
     return equi_join(orders, cust, "o_custkey", "c_custkey", mode="shuffle", salt=4)
 
 
+def q_orders_join_sortmerge(sf_dir: str):
+    """Sort-merge join plan (sampled range boundaries, per-bucket
+    vectorized merge): same logical result as the hash plans, output
+    globally key-ordered with no Dataset.sort barrier."""
+    from spatialjoincountovershells_ray.pipelines.join import equi_join_sortmerge
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    return equi_join_sortmerge(orders, cust, "o_custkey", "c_custkey")
+
+
 def q_lineitem_bloom_semi(sf_dir: str):
     """Bloom-prefiltered semi join: lineitem rows whose order is URGENT.
     The build side folds into a 1 MiB bitmap broadcast once; the big
@@ -4628,6 +4643,7 @@ REGISTRY: dict[str, QueryDef] = {
     "orders_join_bcast": QueryDef(q_orders_join_bcast, _ORDERS_JOIN_SQL),
     "orders_join_shuffle": QueryDef(q_orders_join_shuffle, _ORDERS_JOIN_SQL),
     "orders_join_salted": QueryDef(q_orders_join_salted, _ORDERS_JOIN_SQL),
+    "orders_join_sortmerge": QueryDef(q_orders_join_sortmerge, _ORDERS_JOIN_SQL),
     "customer_semi_join": QueryDef(q_customer_semi_join, _SEMI_JOIN_SQL),
     "orders_anti_join": QueryDef(q_orders_anti_join, _ANTI_JOIN_SQL),
     "lineitem_bloom_semi": QueryDef(q_lineitem_bloom_semi, _BLOOM_SEMI_SQL),

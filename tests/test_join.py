@@ -401,3 +401,74 @@ class TestSetOps:
         ds = ray.data.range(4)
         with pytest.raises(ValueError):
             set_op_distinct(ds, ds, ["id"], "minus")
+
+
+class TestSortMergeJoin:
+    def _sides(self):
+        import pandas as pd
+
+        rng = np.random.default_rng(23)
+        left = pd.DataFrame(
+            {
+                "k": rng.integers(0, 50, 400).astype(np.int64),
+                "lv": np.arange(400, dtype=np.int64),
+            }
+        )
+        right = pd.DataFrame(
+            {
+                "rk": np.concatenate(
+                    [rng.integers(0, 40, 60), np.arange(45, 60)]
+                ).astype(np.int64),
+                "rv": np.arange(75, dtype=np.int64) * 10,
+            }
+        )
+        return left, right
+
+    def test_all_types_match_pandas(self):
+        import pandas as pd
+
+        from spatialjoincountovershells_ray.pipelines.join import equi_join_sortmerge
+
+        left, right = self._sides()
+        lds = ray.data.from_pandas([d for d in np.array_split(left, 5)])
+        rds = ray.data.from_pandas([d for d in np.array_split(right, 3)])
+        for jt, how in (
+            ("inner", "inner"),
+            ("left outer", "left"),
+        ):
+            got = equi_join_sortmerge(lds, rds, "k", "rk", join_type=jt, nbuckets=4).to_pandas()
+            want = left.merge(right, left_on="k", right_on="rk", how=how).drop(columns=["rk"])
+            gs = got.sort_values(["k", "lv", "rv"], na_position="last").reset_index(drop=True)
+            ws = want.sort_values(["k", "lv", "rv"], na_position="last").reset_index(drop=True)
+            pd.testing.assert_frame_equal(
+                gs[["k", "lv", "rv"]].astype({"rv": "float64"}),
+                ws[["k", "lv", "rv"]].astype({"rv": "float64"}),
+            )
+        # semi / anti
+        got = equi_join_sortmerge(lds, rds, "k", "rk", join_type="left semi", nbuckets=4).to_pandas()
+        want = left[left.k.isin(right.rk)]
+        assert sorted(got.lv) == sorted(want.lv)
+        got = equi_join_sortmerge(lds, rds, "k", "rk", join_type="left anti", nbuckets=4).to_pandas()
+        want = left[~left.k.isin(right.rk)]
+        assert sorted(got.lv) == sorted(want.lv)
+
+    def test_output_globally_key_ordered(self):
+        from spatialjoincountovershells_ray.pipelines.join import equi_join_sortmerge
+
+        left, right = self._sides()
+        lds = ray.data.from_pandas([d for d in np.array_split(left, 5)])
+        rds = ray.data.from_pandas([d for d in np.array_split(right, 3)])
+        got = equi_join_sortmerge(lds, rds, "k", "rk", nbuckets=6).to_pandas()
+        assert (np.diff(got["k"].to_numpy()) >= 0).all()
+
+    def test_zero_block_right(self):
+        from spatialjoincountovershells_ray.pipelines.join import equi_join_sortmerge
+
+        left, _ = self._sides()
+        lds = ray.data.from_pandas(left)
+        empty = ray.data.from_pandas(
+            __import__("pandas").DataFrame({"rk": np.array([], np.int64), "rv": np.array([], np.int64)})
+        )
+        got = equi_join_sortmerge(lds, empty, "k", "rk", join_type="left outer").to_pandas()
+        assert len(got) == len(left)
+        assert got["rv"].isna().all()
