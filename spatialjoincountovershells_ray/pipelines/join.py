@@ -620,3 +620,111 @@ def equi_join_sortmerge(
         for bi in range(nb)
     ]
     return ray.data.from_arrow_refs(out)
+
+
+# ---------------------------------------------------------------------------
+# Validity-interval (SCD Type 2) dimension lookup: each fact row joins
+# the dimension VERSION whose [begin, end) window contains its
+# timestamp. The kernel is one searchsorted over an exact int64
+# composite (key * shift + (begin - base)): with non-overlapping
+# windows per key, the candidate is the rightmost dim row whose
+# composite <= the fact's composite, then one vectorized verify
+# (same key, ts < end). Dimension broadcast once; facts stream.
+
+
+class _ValidityKernel:
+    def __init__(self, ref, key: str, ts: str, id_col: str, payloads: tuple):
+        import numpy as np
+
+        d = ray.get(ref[0]) if isinstance(ref, list) else ref
+        self.c_dim: "object" = d["c_dim"]  # ascending composite keys
+        self.dkey: "object" = d["key"]
+        self.dend: "object" = d["end"]
+        self.pay = {p: d["pay"][p] for p in payloads}
+        self.base: int = d["base"]
+        self.shift: int = d["shift"]
+        self.key, self.ts, self.id_col, self.payloads = key, ts, id_col, payloads
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        u = np.asarray(batch.column(self.key).to_numpy(), np.int64)
+        t = np.asarray(batch.column(self.ts).to_numpy(), np.int64)
+        off = t - self.base
+        in_range = (off >= 0) & (off < self.shift)
+        c = u * self.shift + np.clip(off, 0, self.shift - 1)
+        pos = np.searchsorted(self.c_dim, c, side="right") - 1
+        posc = np.maximum(pos, 0)
+        ok = (
+            in_range
+            & (pos >= 0)
+            & (self.dkey[posc] == u)
+            & (t < self.dend[posc])
+        )
+        cols = {self.id_col: batch.column(self.id_col)}
+        for p in self.payloads:
+            v = self.pay[p][posc].astype(np.float64)
+            v[~ok] = np.nan
+            cols[p] = pa.array(v, pa.float64())
+        return pa.table(cols)
+
+
+def validity_lookup(
+    facts: "ray.data.Dataset",
+    dim: pa.Table,
+    *,
+    key: str,
+    ts: str,
+    id_col: str,
+    begin: str = "begin_us",
+    end: str = "end_us",
+    payloads: tuple = ("version",),
+    base_us: int,
+    shift: int = 1 << 44,
+) -> "ray.data.Dataset":
+    """-> id_col, *payloads (float64, NaN when no version is valid at
+    the fact's timestamp — the driver-canonical null). Precondition
+    (asserted): per key the dim windows are non-overlapping and every
+    begin offset fits [0, shift); facts outside [base, base+shift) miss."""
+    import numpy as np
+
+    dk = np.asarray(dim.column(key).to_numpy(), np.int64)
+    db = np.asarray(dim.column(begin).to_numpy(), np.int64)
+    de = np.asarray(dim.column(end).to_numpy(), np.int64)
+    offs = db - base_us
+    if len(offs) and not ((offs >= 0) & (offs < shift)).all():
+        raise ValueError("validity_lookup: begin offsets must fit [0, shift)")
+    order = np.lexsort((db, dk))
+    dk, db, de = dk[order], db[order], de[order]
+    # non-overlap check per key: each window must close before the next opens
+    same = dk[1:] == dk[:-1]
+    if same.any() and not (de[:-1][same] <= db[1:][same]).all():
+        raise ValueError("validity_lookup: overlapping windows for a key")
+    pay = {
+        p: np.asarray(dim.column(p).to_numpy(), np.float64)[order] for p in payloads
+    }
+    ref = ray.put(
+        {
+            "c_dim": dk * shift + (db - base_us),
+            "key": dk,
+            "end": de,
+            "pay": pay,
+            "base": int(base_us),
+            "shift": int(shift),
+        }
+    )
+    return facts.map_batches(
+        run_cached_bcast,
+        fn_kwargs={
+            "cls": _ValidityKernel,
+            "ref_list": [ref],
+            "ctor_kwargs": {
+                "key": key,
+                "ts": ts,
+                "id_col": id_col,
+                "payloads": tuple(payloads),
+            },
+        },
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )

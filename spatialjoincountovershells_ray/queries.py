@@ -1844,6 +1844,62 @@ def q_orders_join_sortmerge(sf_dir: str):
     return equi_join_sortmerge(orders, cust, "o_custkey", "c_custkey")
 
 
+SCD2_SEG_MOD = 100
+SCD2_BASE_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z in epoch-us
+SCD2_SPAN_US = 777_600_000_000  # 9-day version validity window
+SCD2_PHASE_US = 3_600_000_000  # 1-hour per-segment phase shift
+SCD2_NV = 3
+
+
+def q_scd2_lookup(sf_dir: str):
+    """SCD Type 2 dimension lookup: each event joins the segment
+    dimension VERSION valid at its timestamp ([begin, end) windows, 3
+    versions per user segment, phase-shifted per segment so early and
+    late events legitimately miss). Exact int64 composite searchsorted
+    against the broadcast dimension; facts stream."""
+    from spatialjoincountovershells_ray.pipelines.join import validity_lookup
+
+    seg = np.repeat(np.arange(SCD2_SEG_MOD, dtype=np.int64), SCD2_NV)
+    v = np.tile(np.arange(SCD2_NV, dtype=np.int64), SCD2_SEG_MOD)
+    begin = SCD2_BASE_US + seg * SCD2_PHASE_US + v * SCD2_SPAN_US
+    dim = pa.table(
+        {
+            "seg": pa.array(seg, pa.int64()),
+            "begin_us": pa.array(begin, pa.int64()),
+            "end_us": pa.array(begin + SCD2_SPAN_US, pa.int64()),
+            "version": pa.array(v, pa.int64()),
+            "tier": pa.array((seg * 31 + v * 7) % 5, pa.int64()),
+        }
+    )
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"]
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        # normalize to epoch-us BEFORE the int64 view (a ns-resolution
+        # block would silently shift every window — see ADVICE round 2)
+        ts = batch.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
+        u = batch.column("user_id").to_numpy()
+        return pa.table(
+            {
+                "event_id": batch.column("event_id"),
+                "seg": pa.array(u % SCD2_SEG_MOD, pa.int64()),
+                "ts_us": ts,
+            }
+        )
+
+    facts = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    return validity_lookup(
+        facts,
+        dim,
+        key="seg",
+        ts="ts_us",
+        id_col="event_id",
+        payloads=("version", "tier"),
+        base_us=SCD2_BASE_US,
+    )
+
+
 def q_lineitem_bloom_semi(sf_dir: str):
     """Bloom-prefiltered semi join: lineitem rows whose order is URGENT.
     The build side folds into a 1 MiB bitmap broadcast once; the big
@@ -3987,6 +4043,21 @@ _ORDERS_JOIN_SQL = (
     "JOIN customer ON o_custkey = c_custkey"
 )
 
+# SCD2 validity lookup twin: the windows are non-overlapping per
+# segment, so the LEFT JOIN matches at most one version per event and
+# row count stays exactly |events|
+_SCD2_SQL = (
+    f"WITH d AS (SELECT r.range AS seg, v.v AS v, "
+    f"{SCD2_BASE_US} + r.range*{SCD2_PHASE_US} + v.v*{SCD2_SPAN_US} AS begin_us "
+    f"FROM range({SCD2_SEG_MOD}) r CROSS JOIN "
+    "(VALUES (CAST(0 AS BIGINT)),(CAST(1 AS BIGINT)),(CAST(2 AS BIGINT))) v(v)) "
+    "SELECT e.event_id, CAST(d.v AS DOUBLE) AS version, "
+    "CAST((d.seg*31 + d.v*7) % 5 AS DOUBLE) AS tier "
+    "FROM events e LEFT JOIN d ON (e.user_id % "
+    f"{SCD2_SEG_MOD}) = d.seg AND epoch_us(e.ts) >= d.begin_us "
+    f"AND epoch_us(e.ts) < d.begin_us + {SCD2_SPAN_US} ORDER BY e.event_id"
+)
+
 _SEMI_JOIN_SQL = (
     "SELECT c_custkey, c_mktsegment FROM customer c "
     "WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)"
@@ -4644,6 +4715,7 @@ REGISTRY: dict[str, QueryDef] = {
     "orders_join_shuffle": QueryDef(q_orders_join_shuffle, _ORDERS_JOIN_SQL),
     "orders_join_salted": QueryDef(q_orders_join_salted, _ORDERS_JOIN_SQL),
     "orders_join_sortmerge": QueryDef(q_orders_join_sortmerge, _ORDERS_JOIN_SQL),
+    "scd2_lookup": QueryDef(q_scd2_lookup, _SCD2_SQL),
     "customer_semi_join": QueryDef(q_customer_semi_join, _SEMI_JOIN_SQL),
     "orders_anti_join": QueryDef(q_orders_anti_join, _ANTI_JOIN_SQL),
     "lineitem_bloom_semi": QueryDef(q_lineitem_bloom_semi, _BLOOM_SEMI_SQL),

@@ -472,3 +472,86 @@ class TestSortMergeJoin:
         got = equi_join_sortmerge(lds, empty, "k", "rk", join_type="left outer").to_pandas()
         assert len(got) == len(left)
         assert got["rv"].isna().all()
+
+
+class TestValidityLookup:
+    def test_matches_bruteforce(self):
+        import pyarrow as pa
+
+        from spatialjoincountovershells_ray.pipelines.join import validity_lookup
+
+        rng = np.random.default_rng(31)
+        base = 1_000_000
+        # 6 keys x up to 3 non-overlapping windows with gaps
+        dk, db, de, dv = [], [], [], []
+        for k in range(6):
+            t = base + int(rng.integers(0, 50))
+            for v in range(int(rng.integers(1, 4))):
+                b = t + int(rng.integers(0, 30))
+                e = b + int(rng.integers(5, 40))
+                dk.append(k); db.append(b); de.append(e); dv.append(v)
+                t = e + int(rng.integers(0, 20))
+        dim = pa.table(
+            {
+                "key": np.array(dk, np.int64),
+                "begin_us": np.array(db, np.int64),
+                "end_us": np.array(de, np.int64),
+                "version": np.array(dv, np.int64),
+            }
+        )
+        n = 2000
+        facts = pa.table(
+            {
+                "fid": np.arange(n, dtype=np.int64),
+                "key": rng.integers(0, 8, n).astype(np.int64),  # keys 6,7 never match
+                "ts_us": (base + rng.integers(-20, 400, n)).astype(np.int64),
+            }
+        )
+        got = (
+            validity_lookup(
+                ray.data.from_arrow(facts).repartition(5),
+                dim,
+                key="key",
+                ts="ts_us",
+                id_col="fid",
+                payloads=("version",),
+                base_us=base - 64,
+                shift=1 << 20,
+            )
+            .to_pandas()
+            .sort_values("fid")
+            .reset_index(drop=True)
+        )
+        want = np.full(n, np.nan)
+        for i in range(n):
+            for j in range(len(dk)):
+                if dk[j] == facts["key"][i].as_py() and db[j] <= facts["ts_us"][i].as_py() < de[j]:
+                    want[i] = dv[j]
+        assert len(got) == n
+        np.testing.assert_array_equal(np.isnan(got["version"]), np.isnan(want))
+        m = ~np.isnan(want)
+        np.testing.assert_array_equal(got["version"][m], want[m])
+        assert m.any() and (~m).any()
+
+    def test_overlap_refused(self):
+        import pyarrow as pa
+        import pytest
+
+        from spatialjoincountovershells_ray.pipelines.join import validity_lookup
+
+        dim = pa.table(
+            {
+                "key": np.array([1, 1], np.int64),
+                "begin_us": np.array([100, 150], np.int64),
+                "end_us": np.array([200, 260], np.int64),
+                "version": np.array([0, 1], np.int64),
+            }
+        )
+        facts = ray.data.from_pandas(
+            pd.DataFrame({"fid": [1], "key": np.array([1], np.int64), "ts_us": np.array([120], np.int64)})
+        )
+        with pytest.raises(ValueError, match="overlapping"):
+            validity_lookup(
+                facts, dim, key="key", ts="ts_us", id_col="fid",
+                payloads=("version",), base_us=0, shift=1 << 20,
+            )
