@@ -206,6 +206,10 @@ def run_scaling_workload(sf_dir: str, *, ntrials: int = 3, light_warmup: bool = 
 
 
 BENCH_QUERIES = [
+    "maintain_group_agg",
+    "geo_angular_hist",
+    "orders_join_sortmerge",
+    "scd2_lookup",
     "shell_count_shuffle",
     "shell_count_salted",
     "shell_count_docs",
