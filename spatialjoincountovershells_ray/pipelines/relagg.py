@@ -1555,3 +1555,68 @@ def table_profile(ds: "ray.data.Dataset", cols: list[str]) -> "ray.data.Dataset"
     return parts.repartition(1).map_batches(
         final, batch_format="pandas", batch_size=None, zero_copy_batch=True
     )
+
+
+def spend_gini(joined: "ray.data.Dataset", seg_col: str, cents_col: str) -> "ray.data.Dataset":
+    """-> seg:string, n:int64, sum_cents:int64, gini_num:int64 — the
+    exact-integer Gini concentration numerator per group:
+    ``sum((2*rank - n - 1) * x)`` over each group's values sorted
+    ascending (rank 1-based; ties contribute an order-invariant total,
+    so the result is deterministic without a tie-break). Gini itself is
+    gini_num / (n * sum_cents) — left to the consumer so every emitted
+    column stays integer-exact for the value-hash gate.
+
+    Plan: one slim (seg, cents) projection per batch, groups co-located
+    by a hash-keyed bucket exchange (the string segment rides along; the
+    int64 hash is ONLY for routing, the kernel groups by the real
+    string), one vectorized sort + reduceat per bucket. Overflow bound:
+    |gini_num| < n * max_cents * n — fits int64 up to ~10^9 rows of
+    10^9-cent values per group."""
+    from spatialjoincountovershells_ray.functions.text import text_hash128
+    from spatialjoincountovershells_ray.pipelines.window import keyed_partition_apply
+
+    def slim(batch: pa.Table) -> pa.Table:
+        h1, _ = text_hash128(batch.column(seg_col))
+        return pa.table(
+            {
+                "seg": batch.column(seg_col),
+                "cents": pc.cast(batch.column(cents_col), pa.int64()),
+                "_gk": pa.array(h1, pa.int64()),
+            }
+        )
+
+    tagged = joined.map_batches(slim, batch_format="pyarrow", zero_copy_batch=True)
+
+    def kernel(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "seg": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+                "sum_cents": pa.array([], pa.int64()),
+                "gini_num": pa.array([], pa.int64()),
+            }
+        )
+        if tbl.num_rows == 0 or "seg" not in tbl.schema.names:
+            return empty
+        srt = tbl.select(["seg", "cents"]).sort_by(
+            [("seg", "ascending"), ("cents", "ascending")]
+        )
+        seg = srt.column("seg")
+        cents = srt.column("cents").to_numpy()
+        # group runs over the sorted segment strings
+        neq = pc.not_equal(seg.slice(1), seg.slice(0, len(seg) - 1))
+        starts = np.r_[0, np.flatnonzero(neq.to_numpy(zero_copy_only=False)) + 1]
+        runlen = np.diff(np.r_[starts, len(cents)])
+        rn = np.arange(len(cents), dtype=np.int64) - np.repeat(starts, runlen) + 1
+        nrep = np.repeat(runlen.astype(np.int64), runlen)
+        contrib = (2 * rn - nrep - 1) * cents
+        return pa.table(
+            {
+                "seg": seg.take(pa.array(starts, pa.int64())),
+                "n": pa.array(runlen.astype(np.int64), pa.int64()),
+                "sum_cents": pa.array(np.add.reduceat(cents, starts), pa.int64()),
+                "gini_num": pa.array(np.add.reduceat(contrib, starts), pa.int64()),
+            }
+        )
+
+    return keyed_partition_apply(tagged, "_gk", kernel).sort("seg")

@@ -1844,6 +1844,33 @@ def q_orders_join_sortmerge(sf_dir: str):
     return equi_join_sortmerge(orders, cust, "o_custkey", "c_custkey")
 
 
+def q_spend_gini(sf_dir: str):
+    """Exact-integer Gini concentration of order spend per market
+    segment: broadcast segment lookup, hash-keyed group exchange, one
+    sorted reduceat per bucket. Ties contribute an order-invariant
+    total, so the integer numerator is deterministic."""
+    from spatialjoincountovershells_ray.pipelines.join import equi_join
+    from spatialjoincountovershells_ray.pipelines.relagg import spend_gini
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        cents = np.rint(batch.column("o_totalprice").to_numpy() * 100).astype(np.int64)
+        return pa.table(
+            {
+                "o_custkey": batch.column("o_custkey"),
+                "cents": pa.array(cents, pa.int64()),
+            }
+        )
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    ).map_batches(to_cents, batch_format="pyarrow", zero_copy_batch=True)
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    joined = equi_join(orders, cust, "o_custkey", "c_custkey", mode="broadcast")
+    return spend_gini(joined, "c_mktsegment", "cents")
+
+
 SCD2_SEG_MOD = 100
 SCD2_BASE_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z in epoch-us
 SCD2_SPAN_US = 777_600_000_000  # 9-day version validity window
@@ -4043,6 +4070,22 @@ _ORDERS_JOIN_SQL = (
     "JOIN customer ON o_custkey = c_custkey"
 )
 
+# exact-integer Gini numerator twin: ties get arbitrary row_number
+# order in both engines, but sum((2*rn - n - 1)*x) over a tied run is
+# invariant to the permutation, so the integers match bit-for-bit
+_SPEND_GINI_SQL = (
+    "WITH j AS (SELECT c_mktsegment AS seg, "
+    "CAST(round(o_totalprice * 100) AS BIGINT) AS cents "
+    "FROM orders JOIN customer ON o_custkey = c_custkey), "
+    "r AS (SELECT seg, cents, "
+    "row_number() OVER (PARTITION BY seg ORDER BY cents) AS rn, "
+    "count(*) OVER (PARTITION BY seg) AS n FROM j) "
+    "SELECT seg, CAST(max(n) AS BIGINT) AS n, "
+    "CAST(sum(cents) AS BIGINT) AS sum_cents, "
+    "CAST(sum((2*rn - n - 1) * cents) AS BIGINT) AS gini_num "
+    "FROM r GROUP BY seg ORDER BY seg"
+)
+
 # SCD2 validity lookup twin: the windows are non-overlapping per
 # segment, so the LEFT JOIN matches at most one version per event and
 # row count stays exactly |events|
@@ -4716,6 +4759,7 @@ REGISTRY: dict[str, QueryDef] = {
     "orders_join_salted": QueryDef(q_orders_join_salted, _ORDERS_JOIN_SQL),
     "orders_join_sortmerge": QueryDef(q_orders_join_sortmerge, _ORDERS_JOIN_SQL),
     "scd2_lookup": QueryDef(q_scd2_lookup, _SCD2_SQL),
+    "spend_gini": QueryDef(q_spend_gini, _SPEND_GINI_SQL),
     "customer_semi_join": QueryDef(q_customer_semi_join, _SEMI_JOIN_SQL),
     "orders_anti_join": QueryDef(q_orders_anti_join, _ANTI_JOIN_SQL),
     "lineitem_bloom_semi": QueryDef(q_lineitem_bloom_semi, _BLOOM_SEMI_SQL),

@@ -830,3 +830,35 @@ class TestMaintainGroupAgg:
         assert out["g"].tolist() == [10, 20, 40]
         assert out["n"].tolist() == [1, 3, 1]
         assert out["s"].tolist() == [200, 300 + 400 + 111, 900]
+
+
+class TestSpendGini:
+    def test_matches_bruteforce(self):
+        from spatialjoincountovershells_ray.pipelines.relagg import spend_gini
+
+        rng = np.random.default_rng(41)
+        n = 5000
+        segs = np.array(["AUTO", "BUILDING", "X"])[rng.integers(0, 3, n)]
+        cents = rng.integers(1, 10_000, n).astype(np.int64)
+        cents[segs == "X"] = 77  # an all-tied group; plus a singleton group
+        segs[0], cents[0] = "SOLO", 123
+        df = pd.DataFrame({"seg": segs, "cents": cents})
+        got = (
+            spend_gini(
+                ray.data.from_pandas([d for d in np.array_split(df, 7)]),
+                "seg",
+                "cents",
+            )
+            .to_pandas()
+            .set_index("seg")
+        )
+        for s, g in df.groupby("seg"):
+            x = np.sort(g["cents"].to_numpy())
+            m = len(x)
+            want = int(((2 * np.arange(1, m + 1) - m - 1) * x).sum())
+            assert got.loc[s, "n"] == m
+            assert got.loc[s, "sum_cents"] == x.sum()
+            assert got.loc[s, "gini_num"] == want
+        # all-tied group has zero concentration; singleton too
+        assert got.loc["X", "gini_num"] == 0
+        assert got.loc["SOLO", "gini_num"] == 0
