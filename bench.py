@@ -208,6 +208,7 @@ def run_scaling_workload(sf_dir: str, *, ntrials: int = 3, light_warmup: bool = 
 BENCH_QUERIES = [
     "maintain_group_agg",
     "spend_gini",
+    "char_diversity",
     "geo_angular_hist",
     "orders_join_sortmerge",
     "scd2_lookup",

@@ -1365,3 +1365,36 @@ def redact_patterns(
         return pa.table(cols)
 
     return docs.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def char_diversity(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """-> doc_id, n_chars:int64, n_distinct:int64, sumsq:int64 — the
+    exact Simpson repetitiveness statistics per document: sumsq is the
+    sum of squared per-character counts (collision mass; sumsq/n^2 is
+    the repeated-char probability — a boilerplate/repetition quality
+    signal), n_distinct the distinct-character count. Pure map: one
+    flat bincount over (row * 256 + byte) per batch, no exchange.
+    ASCII contract (the fixture corpus): chars == utf-8 bytes, which the
+    SQL twin relies on."""
+    import numpy as np
+
+    from spatialjoincountovershells_ray.functions.text import string_bytes
+
+    def fn(batch: pa.Table) -> pa.Table:
+        col = batch.column("text")
+        data, off = string_bytes(col)
+        nd = len(off) - 1
+        lens = np.diff(off)
+        row = np.repeat(np.arange(nd, dtype=np.int64), lens)
+        span = data[off[0] : off[-1]].astype(np.int64)
+        c = np.bincount(row * 256 + span, minlength=nd * 256).reshape(nd, 256)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_chars": pa.array(lens.astype(np.int64), pa.int64()),
+                "n_distinct": pa.array((c > 0).sum(axis=1).astype(np.int64), pa.int64()),
+                "sumsq": pa.array((c * c).sum(axis=1).astype(np.int64), pa.int64()),
+            }
+        )
+
+    return docs.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

@@ -915,6 +915,14 @@ def q_quality_counts(sf_dir: str):
     return textops.quality_counts(ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]))
 
 
+def q_char_diversity(sf_dir: str):
+    """Exact Simpson repetitiveness per document (squared char-count
+    mass + distinct chars) — map-only, one flat bincount per batch."""
+    return textops.char_diversity(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    )
+
+
 def q_lang_id(sf_dir: str):
     return textops.lang_id(ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]))
 
@@ -4070,6 +4078,20 @@ _ORDERS_JOIN_SQL = (
     "JOIN customer ON o_custkey = c_custkey"
 )
 
+# Simpson repetitiveness twin: per-char counts via unnest(string_split)
+# (chars == utf-8 bytes on the ASCII fixture corpus; empty texts are
+# excluded from the explode and restored by the LEFT JOIN as 0/0/0)
+_CHAR_DIVERSITY_SQL = (
+    "WITH e AS (SELECT doc_id, unnest(string_split(text, '')) AS ch "
+    "FROM documents WHERE length(text) > 0), "
+    "c AS (SELECT doc_id, ch, count(*) AS c FROM e GROUP BY doc_id, ch) "
+    "SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars, "
+    "CAST(COALESCE(count(c.ch), 0) AS BIGINT) AS n_distinct, "
+    "CAST(COALESCE(sum(c.c * c.c), 0) AS BIGINT) AS sumsq "
+    "FROM documents d LEFT JOIN c ON d.doc_id = c.doc_id "
+    "GROUP BY d.doc_id, d.text ORDER BY d.doc_id"
+)
+
 # exact-integer Gini numerator twin: ties get arbitrary row_number
 # order in both engines, but sum((2*rn - n - 1)*x) over a tied run is
 # invariant to the permutation, so the integers match bit-for-bit
@@ -4760,6 +4782,7 @@ REGISTRY: dict[str, QueryDef] = {
     "orders_join_sortmerge": QueryDef(q_orders_join_sortmerge, _ORDERS_JOIN_SQL),
     "scd2_lookup": QueryDef(q_scd2_lookup, _SCD2_SQL),
     "spend_gini": QueryDef(q_spend_gini, _SPEND_GINI_SQL),
+    "char_diversity": QueryDef(q_char_diversity, _CHAR_DIVERSITY_SQL),
     "customer_semi_join": QueryDef(q_customer_semi_join, _SEMI_JOIN_SQL),
     "orders_anti_join": QueryDef(q_orders_anti_join, _ANTI_JOIN_SQL),
     "lineitem_bloom_semi": QueryDef(q_lineitem_bloom_semi, _BLOOM_SEMI_SQL),

@@ -1789,3 +1789,28 @@ class TestZorderBoxQuery:
             out_dir, (0.0, 0.0, 0.0), (10.0, 10.0, 10.0), box=1000.0
         ).to_pandas()
         assert len(out) == 0
+
+
+class TestCharDiversity:
+    def test_exact_counts(self):
+        import pandas as pd
+        import pyarrow as pa
+
+        from spatialjoincountovershells_ray.pipelines import textops
+
+        docs = pd.DataFrame(
+            {
+                "doc_id": np.array([0, 1, 2, 3], np.int64),
+                "text": ["aaab", "", "abcd", "zz zz"],
+            }
+        )
+        got = (
+            textops.char_diversity(ray.data.from_pandas([docs.iloc[:2], docs.iloc[2:]]))
+            .to_pandas()
+            .set_index("doc_id")
+        )
+        # aaab: counts {a:3,b:1} -> sumsq 10; zz zz: {z:4,' ':1} -> 17
+        assert got.loc[0].tolist() == [4, 2, 10]
+        assert got.loc[1].tolist() == [0, 0, 0]
+        assert got.loc[2].tolist() == [4, 4, 4]
+        assert got.loc[3].tolist() == [5, 2, 17]
