@@ -24,7 +24,6 @@
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import ray
 
@@ -98,6 +97,55 @@ class _TopkKernel:
         )
 
 
+def _topk_finish(
+    cands: "ray.data.Dataset", k: int, *, exclude_self: bool = True, include_sim: bool = False
+) -> "ray.data.Dataset":
+    """Shared ANN finish stage: per-qid global top-k over the candidate
+    union (sim desc, vec_id asc; rnk 1-based).
+
+    Round-4 plan (verdict item 3): a hash-bucket exchange on qid
+    (window.keyed_partition_apply) + ONE vectorized lexsort/run-length
+    pass per bucket — the relagg.topk_per_group shape — replacing the
+    per-qid pandas ``map_groups`` callback, whose per-group Python cost
+    dominated at large query counts. Candidate volume is bounded
+    (queries x per-stage k x probe fan-out), so buckets stay small."""
+    from spatialjoincountovershells_ray.pipelines.window import keyed_partition_apply
+
+    def kernel(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0 or tbl.num_columns == 0:
+            cols = {
+                "qid": pa.array([], pa.int64()),
+                "vec_id": pa.array([], pa.int64()),
+                "rnk": pa.array([], pa.int64()),
+            }
+            if include_sim:
+                cols["sim"] = pa.array([], pa.float64())
+            return pa.table(cols)
+        q = tbl.column("qid").to_numpy()
+        v = tbl.column("vec_id").to_numpy()
+        s = tbl.column("sim").to_numpy()
+        if exclude_self:
+            m = v != q
+            q, v, s = q[m], v[m], s[m]
+        order = np.lexsort((v, -s, q))
+        q, v, s = q[order], v[order], s[order]
+        n = len(q)
+        starts = np.flatnonzero(np.r_[True, q[1:] != q[:-1]]) if n else np.array([], np.int64)
+        runlen = np.diff(np.r_[starts, n]) if n else np.array([], np.int64)
+        rnk = np.arange(n, dtype=np.int64) - np.repeat(starts, runlen) + 1
+        keep = rnk <= k
+        cols = {
+            "qid": pa.array(q[keep], pa.int64()),
+            "vec_id": pa.array(v[keep], pa.int64()),
+            "rnk": pa.array(rnk[keep], pa.int64()),
+        }
+        if include_sim:
+            cols["sim"] = pa.array(s[keep], pa.float64())
+        return pa.table(cols)
+
+    return keyed_partition_apply(cands, "qid", kernel).sort(["qid", "rnk"])
+
+
 def cosine_topk(
     embeddings: "ray.data.Dataset",
     query_ids: np.ndarray,
@@ -119,18 +167,7 @@ def cosine_topk(
         concurrency=concurrency,
         batch_size=batch_size,
     )
-
-    def select(group: pd.DataFrame) -> pd.DataFrame:
-        if exclude_self:
-            group = group[group["vec_id"] != group["qid"]]
-        g = group.sort_values(["sim", "vec_id"], ascending=[False, True], kind="mergesort").head(k)
-        g = g.assign(rnk=np.arange(1, len(g) + 1, dtype=np.int64))
-        cols = ["qid", "vec_id", "rnk"] + (["sim"] if include_sim else [])
-        return g[cols]
-
-    return (
-        cands.groupby("qid").map_groups(select, batch_format="pandas").sort(["qid", "rnk"])
-    )
+    return _topk_finish(cands, k, exclude_self=exclude_self, include_sim=include_sim)
 
 
 def hyperplane_codes(mat: np.ndarray, nbits: int, dim: int, seed: int = 7) -> np.ndarray:
@@ -208,13 +245,7 @@ def lsh_topk(
 
     cands = _bcast_map(embeddings, Kernel, ref, {"k": k + 1}, concurrency=concurrency)
 
-    def select(group: pd.DataFrame) -> pd.DataFrame:
-        group = group[group["vec_id"] != group["qid"]]
-        g = group.sort_values(["sim", "vec_id"], ascending=[False, True], kind="mergesort").head(k)
-        g = g.assign(rnk=np.arange(1, len(g) + 1, dtype=np.int64))
-        return g[["qid", "vec_id", "rnk"]]
-
-    return cands.groupby("qid").map_groups(select, batch_format="pandas").sort(["qid", "rnk"])
+    return _topk_finish(cands, k)
 
 
 def train_sample(embeddings: "ray.data.Dataset", train_rows: int) -> np.ndarray:
@@ -367,13 +398,7 @@ def ivf_topk(
 
     cands = _bcast_map(embeddings, Kernel, ref, {"k": k + 1}, concurrency=concurrency)
 
-    def select(group: pd.DataFrame) -> pd.DataFrame:
-        group = group[group["vec_id"] != group["qid"]]
-        g = group.sort_values(["sim", "vec_id"], ascending=[False, True], kind="mergesort").head(k)
-        g = g.assign(rnk=np.arange(1, len(g) + 1, dtype=np.int64))
-        return g[["qid", "vec_id", "rnk"]]
-
-    return cands.groupby("qid").map_groups(select, batch_format="pandas").sort(["qid", "rnk"])
+    return _topk_finish(cands, k)
 
 
 def subspace_kmeans(
@@ -546,13 +571,7 @@ def pq_topk(
 
     cands = _bcast_map(embeddings, Kernel, ref, {"k": k + 1}, concurrency=concurrency)
 
-    def select(group: pd.DataFrame) -> pd.DataFrame:
-        group = group[group["vec_id"] != group["qid"]]
-        g = group.sort_values(["sim", "vec_id"], ascending=[False, True], kind="mergesort").head(k)
-        g = g.assign(rnk=np.arange(1, len(g) + 1, dtype=np.int64))
-        return g[["qid", "vec_id", "rnk"]]
-
-    return cands.groupby("qid").map_groups(select, batch_format="pandas").sort(["qid", "rnk"])
+    return _topk_finish(cands, k)
 
 
 def ivfpq_topk(
@@ -649,13 +668,7 @@ def ivfpq_topk(
 
     cands = _bcast_map(embeddings, Kernel, ref, {"k": k + 1}, concurrency=concurrency)
 
-    def select(group: pd.DataFrame) -> pd.DataFrame:
-        group = group[group["vec_id"] != group["qid"]]
-        g = group.sort_values(["sim", "vec_id"], ascending=[False, True], kind="mergesort").head(k)
-        g = g.assign(rnk=np.arange(1, len(g) + 1, dtype=np.int64))
-        return g[["qid", "vec_id", "rnk"]]
-
-    return cands.groupby("qid").map_groups(select, batch_format="pandas").sort(["qid", "rnk"])
+    return _topk_finish(cands, k)
 
 
 KMEANS_FP_SCALE = 1 << 20  # fixed-point quantum for exact centroid sums
@@ -1224,12 +1237,36 @@ def hard_negatives(
     ref = collect.remote(*a_refs)
     cands = _bcast_map(embeddings, _HardNegKernel, ref, {"k": k}, concurrency=concurrency)
 
-    def select(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["d2", "neg_id"], kind="mergesort").head(k)
-        return g.assign(rnk=np.arange(1, len(g) + 1, dtype=np.int64))[
-            ["qid", "neg_id", "rnk", "d2"]
-        ]
+    from spatialjoincountovershells_ray.pipelines.window import keyed_partition_apply
 
-    return cands.groupby("qid").map_groups(select, batch_format="pandas").sort(
-        ["qid", "rnk"]
-    )
+    def finish(tbl: pa.Table) -> pa.Table:
+        # _topk_finish's lexsort/run-length plan, keyed (d2 asc, neg_id asc)
+        if tbl.num_rows == 0 or tbl.num_columns == 0:
+            return pa.table(
+                {
+                    "qid": pa.array([], pa.int64()),
+                    "neg_id": pa.array([], pa.int64()),
+                    "rnk": pa.array([], pa.int64()),
+                    "d2": pa.array([], pa.float64()),
+                }
+            )
+        q = tbl.column("qid").to_numpy()
+        v = tbl.column("neg_id").to_numpy()
+        d = tbl.column("d2").to_numpy()
+        order = np.lexsort((v, d, q))
+        q, v, d = q[order], v[order], d[order]
+        n = len(q)
+        starts = np.flatnonzero(np.r_[True, q[1:] != q[:-1]]) if n else np.array([], np.int64)
+        runlen = np.diff(np.r_[starts, n]) if n else np.array([], np.int64)
+        rnk = np.arange(n, dtype=np.int64) - np.repeat(starts, runlen) + 1
+        keep = rnk <= k
+        return pa.table(
+            {
+                "qid": pa.array(q[keep], pa.int64()),
+                "neg_id": pa.array(v[keep], pa.int64()),
+                "rnk": pa.array(rnk[keep], pa.int64()),
+                "d2": pa.array(d[keep], pa.float64()),
+            }
+        )
+
+    return keyed_partition_apply(cands, "qid", finish).sort(["qid", "rnk"])
