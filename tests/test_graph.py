@@ -85,3 +85,27 @@ class TestPartPagerank:
         df = pd.DataFrame({"l_orderkey": [1, 2], "l_partkey": [7, 9]})  # singleton orders
         out = graph.pagerank_scores(graph.coorder_edges(ray.data.from_pandas([df]))).to_pandas()
         assert len(out) == 0
+
+    def test_shuffle_mode_bit_equal_to_dense(self):
+        """Round-4 scale-out plan: the per-iteration score/edge exchange
+        (mode='shuffle', no driver score vector) must produce bit-identical
+        int64 scores to the dense plan — integer adds are associative."""
+        rng = np.random.default_rng(21)
+        df = _lineitem(rng, norders=80, nparts=23)
+        ds = ray.data.from_pandas([d for d in np.array_split(df, 9)])
+        edges = graph.coorder_edges(ds).materialize()
+        dense = graph.pagerank_scores(edges, iters=4, mode="dense").to_pandas()
+        shuf = graph.pagerank_scores(edges, iters=4, mode="shuffle").to_pandas()
+        assert dense["part_key"].tolist() == shuf["part_key"].tolist()
+        assert dense["pr"].tolist() == shuf["pr"].tolist()
+
+    def test_shuffle_mode_matches_replay(self):
+        rng = np.random.default_rng(5)
+        df = _lineitem(rng, norders=50)
+        ds = ray.data.from_pandas([d for d in np.array_split(df, 5)])
+        out = graph.pagerank_scores(
+            graph.coorder_edges(ds), iters=3, mode="shuffle"
+        ).to_pandas()
+        nodes, pr = _oracle(df, 3)
+        assert out["part_key"].tolist() == nodes
+        assert out["pr"].tolist() == pr.tolist()
