@@ -472,7 +472,16 @@ _SMJ_TYPES = frozenset({"inner", "left outer", "left semi", "left anti"})
 def _key_quantile_sample(block: pa.Table, key: str, cap: int) -> "object":
     import numpy as np
 
-    k = block.column(key).to_numpy()
+    col = block.column(key)
+    if col.null_count:
+        # a null key would surface as float64 NaN from to_numpy and blow
+        # up as an opaque ValueError deep in the remote task — fail with
+        # the contract instead (range-join keys are non-null int64)
+        raise ValueError(
+            f"range-join key column {key!r} contains {col.null_count} nulls; "
+            "the sort-merge plan requires non-null int64 keys"
+        )
+    k = col.to_numpy()
     if len(k) == 0:
         return np.empty(0, np.int64)
     k = np.sort(np.asarray(k, np.int64))
@@ -648,6 +657,11 @@ class _ValidityKernel:
     def __call__(self, batch: pa.Table) -> pa.Table:
         import numpy as np
 
+        if len(self.c_dim) == 0:  # empty dimension: every fact misses
+            cols = {self.id_col: batch.column(self.id_col)}
+            for p in self.payloads:
+                cols[p] = pa.array(np.full(batch.num_rows, np.nan), pa.float64())
+            return pa.table(cols)
         u = np.asarray(batch.column(self.key).to_numpy(), np.int64)
         t = np.asarray(batch.column(self.ts).to_numpy(), np.int64)
         off = t - self.base

@@ -52,10 +52,7 @@ def _topk_tree(cands: "ray.data.Dataset", k: int) -> pa.Table:
         return pa.table(
             {"halo_id": pa.array([], pa.int64()), "particle_id": pa.array([], pa.int64()), "d2": pa.array([], pa.float64())}
         )
-    t = ray.get(refs[0])
-    if "d2" not in t.schema.names:  # single-block path never merged
-        pass
-    return t
+    return ray.get(refs[0])
 
 
 def _knn_ring(

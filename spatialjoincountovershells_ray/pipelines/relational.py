@@ -767,8 +767,13 @@ def maintain_group_agg(
     unchanged rows through the group exchange twice. The lakehouse
     materialized-view maintenance shape: at scale the base aggregate is
     the stored MV (O(groups)), and the only per-change work is the
-    keyed lookup of old rows — here one key-hash bucket exchange where
-    each changed key meets its base row.
+    keyed lookup of old rows — a broadcast semi-filter (sorted change
+    keys via ray.put, one searchsorted membership per batch) drops
+    unchanged base rows BEFORE the key exchange, so the delta exchange
+    carries O(changes) base rows, not the snapshot. Precondition: the
+    distinct change-key set fits one task (the same broadcast-side
+    contract as the curation droplist; past that size, switch to its
+    shuffle anti-join pattern).
 
     changes schema: {key, op in ('upsert','delete'), group_col, val_col}
     — an upsert of an existing key retracts the old row's contribution
@@ -794,14 +799,42 @@ def maintain_group_agg(
 
     agg_parts = base.map_batches(base_partial, batch_format="pyarrow", zero_copy_batch=True)
 
-    # delta side: co-locate each changed key with its base row
+    # distinct change keys, folded per block then once on the driver
+    # (O(changes) ints — the broadcast-side contract), shipped via ray.put
+    @ray.remote
+    def _block_keys(tbl: pa.Table) -> np.ndarray:
+        if tbl.num_rows == 0 or key not in tbl.schema.names:
+            return np.empty(0, np.int64)
+        return np.unique(tbl.column(key).to_numpy())
+
+    ck_parts = ray.get(
+        [
+            _block_keys.remote(r)
+            for r in changes.select_columns([key]).materialize().to_arrow_refs()
+        ]
+    )
+    ckeys = (
+        np.unique(np.concatenate(ck_parts)) if ck_parts else np.empty(0, np.int64)
+    )
+    ck_ref = ray.put(ckeys)
+
+    # delta side: co-locate each changed key with its base row; the
+    # semi-filter keeps only base rows whose key is in the change set
     def tag_base(batch: pa.Table) -> pa.Table:
+        ck = ray.get(ck_ref)
+        k = batch.column(key).to_numpy()
+        if len(ck):
+            pos = np.searchsorted(ck, k)
+            hit = (pos < len(ck)) & (ck[np.minimum(pos, len(ck) - 1)] == k)
+        else:
+            hit = np.zeros(len(k), bool)
+        idx = pa.array(np.flatnonzero(hit), pa.int64())
         return pa.table(
             {
-                key: batch.column(key),
-                group_col: batch.column(group_col),
-                val_col: pc.cast(batch.column(val_col), pa.int64()),
-                "_op": pa.array(np.zeros(batch.num_rows, np.int64), pa.int64()),
+                key: batch.column(key).take(idx),
+                group_col: batch.column(group_col).take(idx),
+                val_col: pc.cast(batch.column(val_col).take(idx), pa.int64()),
+                "_op": pa.array(np.zeros(len(idx), np.int64), pa.int64()),
             }
         )
 

@@ -1397,4 +1397,9 @@ def char_diversity(docs: "ray.data.Dataset") -> "ray.data.Dataset":
             }
         )
 
-    return docs.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+    # explicit batch_size: the nd x 256 int64 bincount is ~2 KB/row of
+    # transient heap, so cap the rows per task instead of inheriting
+    # Ray's (much larger) default batch (geo_angular_hist's pattern)
+    return docs.map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True, batch_size=8192
+    )
