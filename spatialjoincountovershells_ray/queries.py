@@ -292,12 +292,17 @@ def spatial_document_paths(sf_dir: str) -> tuple[str, str]:
         pt = sc.dataset_to_table(synthetic.particles_dataset(sf_dir))
         hxyz = np.stack([ht.column(c).to_numpy() for c in "xyz"], axis=1)
         pxyz = np.stack([pt.column(c).to_numpy() for c in "xyz"], axis=1)
+        # sharded cache dirs: a monolithic file would serialize the fused
+        # read->extract->kernel chain into one task (documents.write_documents)
         write_documents(
-            halo_documents(ht.column("halo_id").to_numpy(), hxyz, precision="repr"), hpath
+            halo_documents(ht.column("halo_id").to_numpy(), hxyz, precision="repr"),
+            hpath,
+            shards=8,
         )
         write_documents(
             particle_documents(pt.column("particle_id").to_numpy(), pxyz, precision="repr"),
             ppath,
+            shards=32,
         )
     return hpath, ppath
 

@@ -97,9 +97,34 @@ def particle_documents(part_ids: np.ndarray, xyz: np.ndarray, precision: str = "
     return _doc_rows([f"part-{int(i)}" for i in part_ids], "particle_record", recs)
 
 
-def write_documents(table: pa.Table, path: str) -> str:
+def write_documents(
+    table: pa.Table,
+    path: str,
+    row_group_size: int = 50_000,
+    shards: int | None = None,
+) -> str:
+    """Write a document table with BOUNDED row groups, optionally as a
+    ``shards``-file directory at ``path``.
+
+    A single one-row-group file serializes ray.data.read_parquet into ONE
+    task — and Ray fuses downstream map stages into the read task, so a
+    read->extract->kernel chain over a monolithic file runs on one CPU no
+    matter the cluster size (measured: shell_count_docs 7.2 s fused vs
+    2.8 s staged at sf0.1/32cpus). Sharded files are both the fix and the
+    shape a production corpus arrives in ("never one giant file")."""
     os.makedirs(os.path.dirname(path), exist_ok=True)
-    pq.write_table(table, path)
+    if shards and shards > 1:
+        os.makedirs(path, exist_ok=True)
+        n = table.num_rows
+        bounds = [(i * n) // shards for i in range(shards + 1)]
+        for i in range(shards):
+            pq.write_table(
+                table.slice(bounds[i], bounds[i + 1] - bounds[i]),
+                f"{path}/shard-{i:05d}.parquet",
+                row_group_size=row_group_size,
+            )
+        return path
+    pq.write_table(table, path, row_group_size=row_group_size)
     return path
 
 
