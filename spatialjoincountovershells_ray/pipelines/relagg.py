@@ -235,29 +235,69 @@ def filter_above_group_quantile(
 
 
 def distinct_count_per_group(
-    ds: "ray.data.Dataset", group: str, member: str
+    ds: "ray.data.Dataset", group: str, member: str, keyed: bool = False
 ) -> "ray.data.Dataset":
     """-> group, n_distinct:int64 — exact COUNT(DISTINCT member) per group.
 
     Batches pre-dedup their own (group, member) pairs, so the exchange
     carries at most one row per pair per batch; the groupby counts
-    uniques across batches. For member cardinalities too large for one
-    reducer, hash-partition on (group, member) first and sum partial
-    distinct counts — same two-level shape, one more exchange."""
+    uniques across batches. Pass ``keyed=True`` when ``group`` is an
+    UNBOUNDED int64 key: the finish becomes a hash-bucket exchange + one
+    vectorized pass per bucket instead of a per-group callback. For
+    member cardinalities too large for one reducer, hash-partition on
+    (group, member) first and sum partial distinct counts — same
+    two-level shape, one more exchange."""
 
     def partial(batch: pa.Table) -> pa.Table:
         return batch.select([group, member]).group_by([group, member]).aggregate([])
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    if keyed:
+        # unbounded int64 group key (e.g. user_id): hash-bucket exchange +
+        # ONE dictionary-encode/lexsort/run-length pass per bucket instead
+        # of a per-group pandas callback (the round-4 vectorized-finish
+        # contract; groups are whole inside a bucket)
+        from spatialjoincountovershells_ray.pipelines.window import (
+            keyed_partition_apply,
+        )
+
+        def kernel(tbl: pa.Table) -> pa.Table:
+            if tbl.num_rows == 0 or tbl.num_columns == 0:
+                return pa.table(
+                    {
+                        group: pa.array([], pa.int64()),
+                        "n_distinct": pa.array([], pa.int64()),
+                    }
+                )
+            g = tbl.column(group).to_numpy()
+            mcol = tbl.column(member)
+            if isinstance(mcol, pa.ChunkedArray):
+                mcol = mcol.combine_chunks()
+            codes = pc.dictionary_encode(mcol).indices.to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            order = np.lexsort((codes, g))
+            gs, cs = g[order], codes[order]
+            uniq = np.r_[True, (gs[1:] != gs[:-1]) | (cs[1:] != cs[:-1])]
+            gs = gs[uniq]
+            starts = np.flatnonzero(np.r_[True, gs[1:] != gs[:-1]])
+            runlen = np.diff(np.r_[starts, len(gs)])
+            return pa.table(
+                {
+                    group: pa.array(gs[starts], pa.int64()),
+                    "n_distinct": pa.array(runlen.astype(np.int64), pa.int64()),
+                }
+            )
+
+        return keyed_partition_apply(parts, group, kernel)
 
     def final(g: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
             {group: [g[group].iloc[0]], "n_distinct": [np.int64(g[member].nunique())]}
         )
 
-    return (
-        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(group)
-        .map_groups(final, batch_format="pandas")
-    )
+    return parts.groupby(group).map_groups(final, batch_format="pandas")
 
 
 def daily_active_users(events: "ray.data.Dataset") -> "ray.data.Dataset":
@@ -284,7 +324,11 @@ def daily_active_users(events: "ray.data.Dataset") -> "ray.data.Dataset":
 
 
 def mode_per_group(
-    ds: "ray.data.Dataset", group: str, value: str, out_col: str = "top_value"
+    ds: "ray.data.Dataset",
+    group: str,
+    value: str,
+    out_col: str = "top_value",
+    keyed: bool = False,
 ) -> "ray.data.Dataset":
     """-> group, out_col, n:int64 — the most frequent ``value`` per group
     (ties to the smallest value), with its count.
@@ -308,6 +352,60 @@ def mode_per_group(
             ["cnt" if n == "count_all" else n for n in t.column_names]
         )
 
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    if keyed:
+        # unbounded int64 group key: one bucket kernel — value strings
+        # fold to LEXICOGRAPHICALLY-ORDERED codes (sort the per-bucket
+        # dictionary, remap), partial counts merge with one lexsort +
+        # reduceat, and the (count DESC, value ASC) winner per group is
+        # the first row after a second lexsort. No per-group callbacks.
+        from spatialjoincountovershells_ray.pipelines.window import (
+            keyed_partition_apply,
+        )
+
+        def kernel(tbl: pa.Table) -> pa.Table:
+            if tbl.num_rows == 0 or tbl.num_columns == 0:
+                return pa.table(
+                    {
+                        group: pa.array([], pa.int64()),
+                        out_col: pa.array([], pa.string()),
+                        "n": pa.array([], pa.int64()),
+                    }
+                )
+            g = tbl.column(group).to_numpy()
+            cnt = tbl.column("cnt").to_numpy()
+            vcol = tbl.column(value)
+            if isinstance(vcol, pa.ChunkedArray):
+                vcol = vcol.combine_chunks()
+            enc = pc.dictionary_encode(vcol)
+            raw = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            dic = enc.dictionary
+            sidx = pc.sort_indices(dic).to_numpy(zero_copy_only=False).astype(np.int64)
+            rank_of = np.empty(len(dic), np.int64)
+            rank_of[sidx] = np.arange(len(dic), dtype=np.int64)
+            sorted_dic = dic.take(pa.array(sidx, pa.int64()))  # rank -> string
+            code = rank_of[raw]
+            # merge partial counts per (group, code)
+            o = np.lexsort((code, g))
+            gs, cs, ns = g[o], code[o], cnt[o]
+            starts = np.flatnonzero(np.r_[True, (gs[1:] != gs[:-1]) | (cs[1:] != cs[:-1])])
+            gs, cs = gs[starts], cs[starts]
+            ns = np.add.reduceat(ns, starts)
+            # winner per group: count DESC then code ASC (== value ASC)
+            o2 = np.lexsort((cs, -ns, gs))
+            gw, cw, nw = gs[o2], cs[o2], ns[o2]
+            first = np.flatnonzero(np.r_[True, gw[1:] != gw[:-1]])
+            return pa.table(
+                {
+                    group: pa.array(gw[first], pa.int64()),
+                    out_col: sorted_dic.take(pa.array(cw[first], pa.int64())),
+                    "n": pa.array(nw[first], pa.int64()),
+                }
+            )
+
+        return keyed_partition_apply(parts, group, kernel)
+
     def final(g: pd.DataFrame) -> pd.DataFrame:
         s = g.groupby(value, sort=False)["cnt"].sum()
         s = s.sort_index(kind="mergesort")  # value ASC for the tie-break
@@ -320,11 +418,7 @@ def mode_per_group(
             }
         )
 
-    return (
-        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(group)
-        .map_groups(final, batch_format="pandas")
-    )
+    return parts.groupby(group).map_groups(final, batch_format="pandas")
 
 
 def _hll_bucket_rho(k: np.ndarray, p: int) -> tuple[np.ndarray, np.ndarray]:
