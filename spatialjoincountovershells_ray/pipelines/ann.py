@@ -1270,3 +1270,89 @@ def hard_negatives(
         )
 
     return keyed_partition_apply(cands, "qid", finish).sort(["qid", "rnk"])
+
+
+def ann_recall(
+    embeddings: "ray.data.Dataset",
+    query_ids: np.ndarray,
+    query_mat: np.ndarray,
+    k: int,
+    *,
+    nbits: int = 8,
+) -> "ray.data.Dataset":
+    """-> qid, n_exact, n_approx, hits:int64, recall:double — per-query
+    recall@k of the LSH index against the exact brute-force top-k (the
+    evaluation loop every ANN deployment runs before trusting an index).
+
+    Both result sets are bounded (Q x k rows); the compare still runs
+    distributed — results tagged by side, ONE qid-hash bucket exchange,
+    and per bucket a single packed-key searchsorted membership pass
+    counts the overlap for every query at once (no per-query Python,
+    no driver-side sets)."""
+    import pyarrow.compute as pc  # noqa: F401  (parity with module style)
+
+    from spatialjoincountovershells_ray.pipelines.window import keyed_partition_apply
+
+    exact = cosine_topk(embeddings, query_ids, query_mat, k)
+    approx = lsh_topk(embeddings, query_ids, query_mat, k, nbits=nbits)
+
+    def tag(src: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "qid": batch.column("qid"),
+                    "vec_id": batch.column("vec_id"),
+                    "src": pa.array(np.full(batch.num_rows, src, np.int8)),
+                }
+            )
+
+        return fn
+
+    both = exact.map_batches(tag(0), batch_format="pyarrow", zero_copy_batch=True).union(
+        approx.map_batches(tag(1), batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+    def kernel(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "qid": pa.array([], pa.int64()),
+                "n_exact": pa.array([], pa.int64()),
+                "n_approx": pa.array([], pa.int64()),
+                "hits": pa.array([], pa.int64()),
+                "recall": pa.array([], pa.float64()),
+            }
+        )
+        if tbl.num_rows == 0 or tbl.num_columns == 0:
+            return empty
+        q = tbl.column("qid").to_numpy()
+        v = tbl.column("vec_id").to_numpy()
+        src = tbl.column("src").to_numpy(zero_copy_only=False)
+        qs = np.unique(q)
+        qi = np.searchsorted(qs, q)
+        if len(v) and (int(v.min()) < 0 or int(v.max()) >= 1 << 40):
+            raise ValueError("ann_recall packs vec_id as 40-bit non-negative")
+        key = qi.astype(np.int64) * (np.int64(1) << 40) + v
+        ke = np.sort(key[src == 0])
+        ka = key[src == 1]
+        pos = np.searchsorted(ke, ka)
+        posc = np.minimum(pos, max(len(ke) - 1, 0))
+        hit = (
+            ((pos < len(ke)) & (ke[posc] == ka))
+            if len(ke)
+            else np.zeros(len(ka), bool)
+        )
+        n_exact = np.bincount(qi[src == 0], minlength=len(qs)).astype(np.int64)
+        n_approx = np.bincount(qi[src == 1], minlength=len(qs)).astype(np.int64)
+        hits = np.bincount(qi[src == 1][hit], minlength=len(qs)).astype(np.int64)
+        recall = hits / np.maximum(n_exact, 1)
+        return pa.table(
+            {
+                "qid": pa.array(qs, pa.int64()),
+                "n_exact": pa.array(n_exact, pa.int64()),
+                "n_approx": pa.array(n_approx, pa.int64()),
+                "hits": pa.array(hits, pa.int64()),
+                "recall": pa.array(recall, pa.float64()),
+            }
+        )
+
+    return keyed_partition_apply(both, "qid", kernel).sort("qid")

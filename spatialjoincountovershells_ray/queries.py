@@ -4713,6 +4713,53 @@ _BALANCE_SQL = (
 )
 
 
+
+
+# ---- distributed linear algebra + ANN evaluation (round 4) ---------------
+
+
+def q_gram_matrix(sf_dir: str):
+    """Exact fixed-point Gram matrix A^T A of the embedding column — one
+    D x D int64 matmul partial per block, associative tree fold, SQL twin
+    unrolls the identical floor(v*2^20 + 0.5) quantization (bit-exact)."""
+    from spatialjoincountovershells_ray.pipelines import linalg
+
+    return linalg.gram_matrix(
+        ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    )
+
+
+def q_fd_sketch(sf_dir: str):
+    """Frequent Directions sketch of the embedding matrix (rows-only:
+    the sketch is SVD-derived; the spectral guarantee is pytest-pinned)."""
+    from spatialjoincountovershells_ray.pipelines import linalg
+
+    return linalg.fd_sketch(
+        ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    )
+
+
+def q_ann_recall(sf_dir: str):
+    """Recall@k of the LSH index vs the exact top-k — the distributed
+    index-evaluation loop (rows-only: LSH recall is approximate by
+    design; pytest pins the kernel against a driver-side oracle)."""
+    ids, mat = _query_vectors(sf_dir)
+    return ann.ann_recall(
+        ray.data.read_parquet(f"{sf_dir}/embeddings.parquet"), ids, mat, ANN_K
+    )
+
+
+_GRAM_SQL = (
+    "WITH e AS (SELECT vec_id, "
+    "CAST(generate_subscripts(embedding, 1) AS BIGINT) - 1 AS idx, "
+    "CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT) AS fp "
+    "FROM embeddings) "
+    "SELECT a.idx AS i, b.idx AS j, CAST(SUM(a.fp * b.fp) AS BIGINT) AS dot_fp "
+    "FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.idx <= b.idx "
+    "GROUP BY 1, 2 ORDER BY 1, 2"
+)
+
+
 REGISTRY: dict[str, QueryDef] = {
     "shell_count": QueryDef(q_shell_count, _shell_sql()),
     "shell_count_shuffle": QueryDef(q_shell_count_shuffle, _shell_sql()),
@@ -4913,4 +4960,7 @@ REGISTRY: dict[str, QueryDef] = {
     "redact_pii": QueryDef(q_redact_pii, _redact_pii_sql()),
     "balance_shards": QueryDef(q_balance_shards, _BALANCE_SQL),
     "maintain_group_agg": QueryDef(q_maintain_group_agg, _MAINTAIN_AGG_SQL),
+    "gram_matrix": QueryDef(q_gram_matrix, _GRAM_SQL),
+    "fd_sketch": QueryDef(q_fd_sketch, None),
+    "ann_recall": QueryDef(q_ann_recall, None),
 }
