@@ -128,13 +128,18 @@ def event_window_agg(sf_dir_or_ds) -> "ray.data.Dataset":
     min_value, max_value.
 
     The combiner pattern: the window key is derived vectorized inside
-    ``map_batches`` and partially aggregated per batch, so the shuffle is
-    O(user×window groups), not O(events); count/min/max are accumulation-
-    order independent, keeping the result bit-exact vs any oracle."""
+    ``map_batches`` and partially aggregated per batch, so the exchange
+    is O(user×window groups), not O(events); count/min/max are
+    accumulation-order independent, keeping the result bit-exact vs any
+    oracle. Round 4: the two-key Dataset groupby barrier (sort-based
+    all-to-all, ~1.3 s fixed cost at sf0.1) is replaced by the packed
+    (user << 22 | win) bucket exchange + one lexsort/reduceat merge per
+    bucket — the event_sliding_counts plan generalized from counts to
+    (sum, min, max)."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    from ray.data.aggregate import Max, Min, Sum
+    from spatialjoincountovershells_ray.pipelines.window import keyed_partition_apply
 
     ds = (
         ray.data.read_parquet(
@@ -144,51 +149,58 @@ def event_window_agg(sf_dir_or_ds) -> "ray.data.Dataset":
         else sf_dir_or_ds
     )
 
+    K = np.int64(1) << 22  # windows-per-user packing headroom
+
     def partial(batch: pa.Table) -> pa.Table:
         # normalize resolution before the int64 cast (ns blocks would
         # otherwise land in nanosecond "hours" — silently wrong windows)
         us = batch.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
-        win = pc.floor(pc.divide(pc.cast(us, pa.float64()), float(WINDOW_US)))
-        keys = pa.table(
-            {
-                "user_id": batch.column("user_id"),
-                "win": pc.cast(win, pa.int64()),
-                "value": batch.column("value"),
-            }
-        )
-        g = keys.group_by(["user_id", "win"]).aggregate(
+        win = pc.cast(
+            pc.floor(pc.divide(pc.cast(us, pa.float64()), float(WINDOW_US))), pa.int64()
+        ).to_numpy()
+        if len(win) and (int(win.min()) < 0 or int(win.max()) >= K):
+            raise ValueError("event_window_agg window ordinal outside the packable range")
+        uw = batch.column("user_id").to_numpy() * K + win
+        keys = pa.table({"uw": pa.array(uw, pa.int64()), "value": batch.column("value")})
+        g = keys.group_by("uw").aggregate(
             [("value", "count"), ("value", "min"), ("value", "max")]
         )
-        out = {
-            "user_id": g.column("user_id"),
-            "win": g.column("win"),
-            "n_events": g.column("value_count"),
-            "min_value": g.column("value_min"),
-            "max_value": g.column("value_max"),
-        }
-        return pa.table(out)
+        return g.rename_columns(["uw", "n_events", "min_value", "max_value"])
 
-    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-    agg = partials.groupby(["user_id", "win"]).aggregate(
-        Sum("n_events", alias_name="n_events_f"),
-        Min("min_value", alias_name="min_value_f"),
-        Max("max_value", alias_name="max_value_f"),
-    )
-
-    def finish(batch: pa.Table) -> pa.Table:
+    def merge(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "win": pa.array([], pa.int64()),
+                "n_events": pa.array([], pa.int64()),
+                "min_value": pa.array([], pa.float64()),
+                "max_value": pa.array([], pa.float64()),
+            }
+        )
+        if tbl.num_rows == 0 or tbl.num_columns == 0:
+            return empty
+        uw = tbl.column("uw").to_numpy()
+        n = tbl.column("n_events").to_numpy()
+        mn = tbl.column("min_value").to_numpy()
+        mx = tbl.column("max_value").to_numpy()
+        o = np.argsort(uw, kind="stable")
+        uw, n, mn, mx = uw[o], n[o], mn[o], mx[o]
+        starts = np.flatnonzero(np.r_[True, uw[1:] != uw[:-1]])
+        uws = uw[starts]
         return pa.table(
             {
-                "user_id": batch.column("user_id"),
-                "win": batch.column("win"),
-                "n_events": batch.column("n_events_f"),
-                "min_value": batch.column("min_value_f"),
-                "max_value": batch.column("max_value_f"),
+                "user_id": pa.array(uws // K, pa.int64()),
+                "win": pa.array(uws % K, pa.int64()),
+                "n_events": pa.array(
+                    np.add.reduceat(n.astype(np.int64), starts), pa.int64()
+                ),
+                "min_value": pa.array(np.minimum.reduceat(mn, starts), pa.float64()),
+                "max_value": pa.array(np.maximum.reduceat(mx, starts), pa.float64()),
             }
         )
 
-    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True).sort(
-        ["user_id", "win"]
-    )
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return keyed_partition_apply(partials, "uw", merge).sort(["user_id", "win"])
 
 
 def event_asof_join(
