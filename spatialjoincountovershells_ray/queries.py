@@ -4760,6 +4760,32 @@ _GRAM_SQL = (
 )
 
 
+
+
+def q_streaming_dedup(sf_dir: str):
+    """Ingest-shape exact dedup: the document stream filtered against a
+    sharded ring of seen-set actors (state/streaming_dedup — the
+    shared-mutable-state drop-to-raw-Ray case). Output count ==
+    COUNT(DISTINCT text hash), deterministic; the surviving
+    representative follows task order, so the gate is rows-only
+    (pipelines.dedup.exact_dedup is the deterministic batch twin)."""
+    from spatialjoincountovershells_ray.functions import text as T
+    from spatialjoincountovershells_ray.state.streaming_dedup import (
+        streaming_exact_dedup,
+    )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def key(batch: pa.Table) -> pa.Table:
+        h1, _ = T.text_hash128(batch.column("text"))
+        return pa.table({"doc_id": batch.column("doc_id"), "k": h1})
+
+    keyed = ds.map_batches(key, batch_format="pyarrow", zero_copy_batch=True)
+    return streaming_exact_dedup(keyed, "k")
+
+
 REGISTRY: dict[str, QueryDef] = {
     "shell_count": QueryDef(q_shell_count, _shell_sql()),
     "shell_count_shuffle": QueryDef(q_shell_count_shuffle, _shell_sql()),
@@ -4963,4 +4989,5 @@ REGISTRY: dict[str, QueryDef] = {
     "gram_matrix": QueryDef(q_gram_matrix, _GRAM_SQL),
     "fd_sketch": QueryDef(q_fd_sketch, None),
     "ann_recall": QueryDef(q_ann_recall, None),
+    "streaming_dedup": QueryDef(q_streaming_dedup, None),
 }

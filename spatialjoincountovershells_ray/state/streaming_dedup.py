@@ -1,0 +1,135 @@
+"""Streaming ingest dedup: the shared-mutable-state stage.
+
+The batch engine's exact_dedup (pipelines/dedup.py) is a keyed exchange
+— correct and the right plan when the corpus is rereadable. An INGEST
+pipeline is different: batches arrive once, each must be filtered
+against EVERYTHING seen so far, and the seen-set must outlive any one
+task. That is per-key mutable state with cross-batch lifetime — the
+documented drop-to-raw-Ray case (`ray.data` map tasks are stateless;
+actor-pool map_batches state is per-worker, not shared).
+
+Design: a fixed ring of ``DedupShard`` actors, each owning a disjoint
+hash-slice of the key space (key % nshards). A driver-side helper
+routes each incoming block's keys to their shards (one `check_and_add`
+round-trip per shard per block, vectorized inside the actor over numpy
+arrays — never per-key RPCs) and emits the surviving rows. First
+arrival wins; output row COUNT equals the distinct-key count and is
+deterministic, while which duplicate survives follows arrival order
+(the ingest contract; the batch engine's min-id rule is the
+deterministic alternative when re-reading is possible).
+
+Scale shape: state is sharded (nshards actors ~ cluster size), the
+per-block traffic is O(block keys) int64s, and memory per shard is the
+distinct-key count / nshards — the same footprint a shuffle dedup's
+reducers would hold, but persistent and queryable mid-stream.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+
+@ray.remote
+class DedupShard:
+    """Owns one hash-slice of the key space; holds the seen-set as a
+    growing sorted-array index (amortized rebuilds, numpy membership)."""
+
+    def __init__(self) -> None:
+        self._sorted = np.empty(0, np.int64)  # consolidated, sorted
+        self._recent: list[np.ndarray] = []  # unconsolidated tail
+        self._recent_n = 0
+
+    def _consolidate(self) -> None:
+        if self._recent:
+            self._sorted = np.unique(
+                np.concatenate([self._sorted, *self._recent])
+            )
+            self._recent, self._recent_n = [], 0
+
+    def check_and_add(self, keys: np.ndarray) -> np.ndarray:
+        """Vectorized first-seen mask for ``keys`` (True = first sight,
+        dupes within the batch keep only their first instance), then
+        admits the new keys."""
+        if self._recent_n > max(65536, len(self._sorted) // 4):
+            self._consolidate()
+        # within-batch first instance
+        _, first_idx = np.unique(keys, return_index=True)
+        mask = np.zeros(len(keys), bool)
+        mask[first_idx] = True
+        # against consolidated set
+        pos = np.searchsorted(self._sorted, keys)
+        posc = np.minimum(pos, max(len(self._sorted) - 1, 0))
+        if len(self._sorted):
+            mask &= ~((pos < len(self._sorted)) & (self._sorted[posc] == keys))
+        # against the unconsolidated tail
+        for r in self._recent:
+            rp = np.searchsorted(r, keys)
+            rpc = np.minimum(rp, len(r) - 1)
+            mask &= ~((rp < len(r)) & (r[rpc] == keys))
+        fresh = np.unique(keys[mask])
+        if len(fresh):
+            self._recent.append(fresh)
+            self._recent_n += len(fresh)
+        return mask
+
+    def n_seen(self) -> int:
+        self._consolidate()
+        return int(len(self._sorted))
+
+
+class StreamingDeduper:
+    """Driver-side router over a DedupShard ring. Feed blocks in arrival
+    order with :meth:`filter_batch`; each returns the first-seen rows."""
+
+    def __init__(self, nshards: int = 8):
+        self.nshards = nshards
+        self.shards = [DedupShard.remote() for _ in range(nshards)]
+
+    def filter_batch(self, batch: pa.Table, key: str) -> pa.Table:
+        keys = batch.column(key).to_numpy()
+        shard = keys % self.nshards
+        masks = ray.get(
+            [
+                self.shards[s].check_and_add.remote(keys[shard == s])
+                for s in range(self.nshards)
+            ]
+        )
+        keep = np.zeros(len(keys), bool)
+        for s in range(self.nshards):
+            keep[shard == s] = masks[s]
+        return batch.filter(pa.array(keep))
+
+    def n_seen(self) -> int:
+        return sum(ray.get([s.n_seen.remote() for s in self.shards]))
+
+
+def streaming_exact_dedup(
+    ds: "ray.data.Dataset", key: str, nshards: int = 8
+) -> "ray.data.Dataset":
+    """Distributed ingest dedup: every map task routes its batch's keys
+    to the shard ring and keeps the first-seen rows. Rows never visit
+    the driver — only int64 keys travel to the owning shard, and the
+    actor serializes admissions so exactly-once holds under concurrent
+    tasks. Output row count == COUNT(DISTINCT key), deterministic; WHICH
+    duplicate survives follows task completion order (the ingest
+    contract — use pipelines.dedup.exact_dedup's min-id rule when a
+    deterministic representative matters and the input is rereadable)."""
+    shards = [DedupShard.remote() for _ in range(nshards)]
+
+    def fn(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key).to_numpy()
+        shard = keys % nshards
+        masks = ray.get(
+            [
+                shards[s].check_and_add.remote(keys[shard == s])
+                for s in range(nshards)
+            ]
+        )
+        keep = np.zeros(len(keys), bool)
+        for s in range(nshards):
+            keep[shard == s] = masks[s]
+        return batch.filter(pa.array(keep))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
