@@ -897,15 +897,41 @@ def user_event_paths(ds: "ray.data.Dataset") -> "ray.data.Dataset":
                     "path": pa.array([], pa.string()),
                 }
             )
-        df = tbl.to_pandas().sort_values(
-            ["user_id", "day", "us", "event_id"], kind="mergesort"
+        # fully vectorized ordered collect: one lexsort, run-length group
+        # offsets, ONE ListArray wrap + pc.binary_join — no per-group
+        # Python ".join" calls (round-4 finish contract). day is an
+        # int-coded YYYY-MM-DD so it lexsorts numerically.
+        u = tbl.column("user_id").to_numpy()
+        us = tbl.column("us").to_numpy()
+        eid = tbl.column("event_id").to_numpy()
+        day = tbl.column("day")
+        if isinstance(day, pa.ChunkedArray):
+            day = day.combine_chunks()
+        dcode = pc.dictionary_encode(day)
+        codes = dcode.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        dic = dcode.dictionary
+        sidx = pc.sort_indices(dic).to_numpy(zero_copy_only=False).astype(np.int64)
+        rank_of = np.empty(len(dic), np.int64)
+        rank_of[sidx] = np.arange(len(dic), dtype=np.int64)
+        sorted_dic = dic.take(pa.array(sidx, pa.int64()))
+        drank = rank_of[codes]
+        order = np.lexsort((eid, us, drank, u))
+        uo, dro = u[order], drank[order]
+        starts = np.flatnonzero(np.r_[True, (uo[1:] != uo[:-1]) | (dro[1:] != dro[:-1])])
+        offsets = np.r_[starts, len(uo)].astype(np.int32)
+        types = tbl.column("event_type").take(pa.array(order, pa.int64()))
+        if isinstance(types, pa.ChunkedArray):
+            types = types.combine_chunks()
+        paths = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), types), ">"
         )
-        g = (
-            df.groupby(["user_id", "day"], sort=True)["event_type"]
-            .agg(">".join)
-            .reset_index(name="path")
+        return pa.table(
+            {
+                "user_id": pa.array(uo[starts], pa.int64()),
+                "day": sorted_dic.take(pa.array(dro[starts], pa.int64())),
+                "path": paths,
+            }
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
 
     return keyed_partition_apply(
         ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
