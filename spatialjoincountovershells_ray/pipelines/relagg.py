@@ -1714,3 +1714,73 @@ def spend_gini(joined: "ray.data.Dataset", seg_col: str, cents_col: str) -> "ray
         )
 
     return keyed_partition_apply(tagged, "_gk", kernel).sort("seg")
+
+
+def grouped_ols_moments(
+    ds: "ray.data.Dataset", group: str, x: str, y: str
+) -> "ray.data.Dataset":
+    """-> group, n:int64, sx, sy, sxx, sxy:int64 — the exact integer
+    moment set of a per-group simple linear regression of ``y`` on ``x``
+    (both int64): everything slope/intercept/R² need, kept as exact
+    int64 so the SQL twin hashes bit-equal (the float fit itself is one
+    driver-side division away — the value_lag1 contract applied to the
+    cross-sectional regression shape).
+
+    Decomposable: each batch folds to one 6-int row per group it
+    contains (Arrow group_by combiner), the exchange carries
+    O(groups x batches) partials, and a remote fold finishes (groups are
+    bounded here; for unbounded keys route the partials through
+    keyed_partition_apply instead). Overflow contract:
+    n * max|x|*max|y| and n * max(x)^2 must fit int64."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        xs = batch.column(x).to_numpy()
+        t = pa.table(
+            {
+                group: batch.column(group),
+                "x": batch.column(x),
+                "y": batch.column(y),
+                "xx": pa.array(xs * xs, pa.int64()),
+                "xy": pa.array(xs * batch.column(y).to_numpy(), pa.int64()),
+            }
+        )
+        g = t.group_by(group).aggregate(
+            [([], "count_all"), ("x", "sum"), ("y", "sum"), ("xx", "sum"), ("xy", "sum")]
+        )
+        # select by NAME — pyarrow's key-column position varies by version
+        return pa.table(
+            {
+                group: g.column(group),
+                "n": pc.cast(g.column("count_all"), pa.int64()),
+                "sx": g.column("x_sum"),
+                "sy": g.column("y_sum"),
+                "sxx": g.column("xx_sum"),
+                "sxy": g.column("xy_sum"),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    @ray.remote
+    def fold(*tbls: pa.Table) -> pa.Table:
+        ne = [t for t in tbls if t.num_rows]
+        if not ne:
+            return tbls[0]
+        t = pa.concat_tables(ne, promote_options="none")
+        g = t.group_by(group).aggregate(
+            [("n", "sum"), ("sx", "sum"), ("sy", "sum"), ("sxx", "sum"), ("sxy", "sum")]
+        )
+        g = pa.table(
+            {
+                group: g.column(group),
+                "n": g.column("n_sum"),
+                "sx": g.column("sx_sum"),
+                "sy": g.column("sy_sum"),
+                "sxx": g.column("sxx_sum"),
+                "sxy": g.column("sxy_sum"),
+            }
+        )
+        return g.sort_by(group)
+
+    refs = parts.materialize().to_arrow_refs()
+    return ray.data.from_arrow_refs([fold.remote(*refs)])

@@ -4786,6 +4786,54 @@ def q_streaming_dedup(sf_dir: str):
     return streaming_exact_dedup(keyed, "k")
 
 
+
+
+def q_segment_ols(sf_dir: str):
+    """Per-market-segment OLS moment set of order spend vs order date
+    (exact int64 n/sx/sy/sxx/sxy over epoch-day x and cent y — the
+    regression fit is one driver division away; integers hash bit-equal
+    vs the twin). Broadcast segment lookup + per-batch moment combiner +
+    one remote fold (segments are bounded)."""
+    from spatialjoincountovershells_ray.pipelines.join import equi_join
+    from spatialjoincountovershells_ray.pipelines.relagg import grouped_ols_moments
+
+    def derive(batch: pa.Table) -> pa.Table:
+        day = (
+            batch.column("o_orderdate").cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
+            // 86_400_000_000
+        )
+        cents = np.rint(batch.column("o_totalprice").to_numpy() * 100).astype(np.int64)
+        return pa.table(
+            {
+                "o_custkey": batch.column("o_custkey"),
+                "day": pa.array(day, pa.int64()),
+                "cents": pa.array(cents, pa.int64()),
+            }
+        )
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate", "o_totalprice"]
+    ).map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    joined = equi_join(orders, cust, "o_custkey", "c_custkey", mode="broadcast")
+    return grouped_ols_moments(joined, "c_mktsegment", "day", "cents")
+
+
+_SEGMENT_OLS_SQL = (
+    "WITH t AS (SELECT c_mktsegment, "
+    "date_diff('day', TIMESTAMP '1970-01-01', o_orderdate) AS day, "
+    "CAST(round(o_totalprice * 100) AS BIGINT) AS cents "
+    "FROM orders JOIN customer ON o_custkey = c_custkey) "
+    "SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n, "
+    "CAST(SUM(day) AS BIGINT) AS sx, CAST(SUM(cents) AS BIGINT) AS sy, "
+    "CAST(SUM(day * day) AS BIGINT) AS sxx, "
+    "CAST(SUM(day * cents) AS BIGINT) AS sxy "
+    "FROM t GROUP BY 1 ORDER BY 1"
+)
+
+
 REGISTRY: dict[str, QueryDef] = {
     "shell_count": QueryDef(q_shell_count, _shell_sql()),
     "shell_count_shuffle": QueryDef(q_shell_count_shuffle, _shell_sql()),
@@ -4990,4 +5038,5 @@ REGISTRY: dict[str, QueryDef] = {
     "fd_sketch": QueryDef(q_fd_sketch, None),
     "ann_recall": QueryDef(q_ann_recall, None),
     "streaming_dedup": QueryDef(q_streaming_dedup, None),
+    "segment_ols": QueryDef(q_segment_ols, _SEGMENT_OLS_SQL),
 }
