@@ -688,24 +688,36 @@ def props_key_agg(ds: "ray.data.Dataset", pattern: str = r'"k":\s*(?P<v>-?\d+)')
         # pyarrow puts keys first, aggregates in declaration order
         return g.rename_columns(["event_type", "n", "sum_k", "min_k", "max_k"])
 
-    def final(g: pa.Table) -> pa.Table:
-        return pa.table(
+    @ray.remote
+    def fold(*tbls: pa.Table) -> pa.Table:
+        # O(types x blocks) partials -> one task (the revenue_by_nation /
+        # dq_checks remote-fold pattern; a Dataset groupby+sort barrier
+        # pair costs ~0.6 s fixed for this <=5-row result)
+        ne = [t for t in tbls if t.num_rows]
+        if not ne:
+            return tbls[0]
+        t = pa.concat_tables(ne, promote_options="none")
+        g = t.group_by("event_type").aggregate(
+            [("n", "sum"), ("sum_k", "sum"), ("min_k", "min"), ("max_k", "max")]
+        )
+        out = pa.table(
             {
-                "event_type": g.column("event_type").slice(0, 1),
-                "n": pa.array([int(pc.sum(g.column("n")).as_py())], pa.int64()),
-                "sum_k": pa.array([int(pc.sum(g.column("sum_k")).as_py())], pa.int64()),
-                "min_k": pa.array([int(pc.min(g.column("min_k")).as_py())], pa.int64()),
-                "max_k": pa.array([int(pc.max(g.column("max_k")).as_py())], pa.int64()),
+                "event_type": g.column("event_type"),
+                "n": g.column("n_sum").cast(pa.int64()),
+                "sum_k": g.column("sum_k_sum").cast(pa.int64()),
+                "min_k": g.column("min_k_min").cast(pa.int64()),
+                "max_k": g.column("max_k_max").cast(pa.int64()),
             }
         )
+        return out.sort_by("event_type")
 
-    return (
+    parts = (
         ds.select_columns(["event_type", "props"])
         .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("event_type")
-        .map_groups(final, batch_format="pyarrow")
-        .sort("event_type")
+        .materialize()
+        .to_arrow_refs()
     )
+    return ray.data.from_arrow_refs([fold.remote(*parts)])
 
 
 def dau_retention(ds: "ray.data.Dataset") -> "ray.data.Dataset":
