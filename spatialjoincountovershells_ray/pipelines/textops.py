@@ -79,6 +79,9 @@ def top_terms_per_source(docs: "ray.data.Dataset", k: int = 5) -> "ray.data.Data
     from leading/trailing separators are dropped on both sides."""
     import pyarrow.compute as pc
 
+    from spatialjoincountovershells_ray.functions.text import text_hash128
+    from spatialjoincountovershells_ray.pipelines.window import keyed_partition_apply
+
     def partial(batch: pa.Table) -> pa.Table:
         toks = pc.split_pattern_regex(batch.column("text"), r"[ \t\n\r\x0b\x0c]+")
         if isinstance(toks, pa.ChunkedArray):
@@ -90,32 +93,101 @@ def top_terms_per_source(docs: "ray.data.Dataset", k: int = 5) -> "ray.data.Data
         t = pa.table({"source": src, "term": pc.filter(flat, keep)})
         g = t.group_by(["source", "term"]).aggregate([([], "count_all")])
         g = g.rename_columns(["n" if c == "count_all" else c for c in g.column_names])
-        return g.select(["source", "term", "n"])
-
-    import pandas as pd
-
-    agg = (
-        docs.select_columns(["source", "text"])
-        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["source", "term"])
-        .sum("n")
-    )
-
-    def final(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.rename(columns={"sum(n)": "n"})
-        g = g.sort_values(["n", "term"], ascending=[False, True], kind="mergesort").head(k)
-        return pd.DataFrame(
+        pair = pc.binary_join_element_wise(
+            g.column("source").combine_chunks() if isinstance(g.column("source"), pa.ChunkedArray) else g.column("source"),
+            g.column("term").combine_chunks() if isinstance(g.column("term"), pa.ChunkedArray) else g.column("term"),
+            "\x1f",
+        )
+        h1, _ = text_hash128(pair)
+        return pa.table(
             {
-                "source": g["source"].to_numpy(),
-                "term": g["term"].to_numpy(),
-                "n": g["n"].astype(np.int64).to_numpy(),
-                "rnk": np.arange(1, len(g) + 1, dtype=np.int64),
+                "source": g.column("source"),
+                "term": g.column("term"),
+                "n": g.column("n"),
+                "h": h1,
             }
         )
 
-    return agg.groupby("source").map_groups(final, batch_format="pandas").sort(
-        ["source", "rnk"]
+    def _rank_topk(tbl: pa.Table, cut: int, with_rnk: bool) -> pa.Table:
+        """(source, term, n) -> per-source (count DESC, term ASC) top-cut,
+        fully vectorized: term/source strings fold to bucket-local
+        lexicographic dictionary ranks, one lexsort + run-length rank."""
+        src, term = tbl.column("source"), tbl.column("term")
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        if isinstance(term, pa.ChunkedArray):
+            term = term.combine_chunks()
+        n = tbl.column("n").to_numpy()
+
+        def lexranks(col):
+            enc = pc.dictionary_encode(col)
+            codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            dic = enc.dictionary
+            sidx = pc.sort_indices(dic).to_numpy(zero_copy_only=False).astype(np.int64)
+            rank_of = np.empty(len(dic), np.int64)
+            rank_of[sidx] = np.arange(len(dic), dtype=np.int64)
+            return rank_of[codes]
+
+        sr, tr = lexranks(src), lexranks(term)
+        o = np.lexsort((tr, -n, sr))
+        srs = sr[o]
+        starts = np.flatnonzero(np.r_[True, srs[1:] != srs[:-1]])
+        runlen = np.diff(np.r_[starts, len(srs)])
+        rnk = np.arange(len(srs), dtype=np.int64) - np.repeat(starts, runlen) + 1
+        keep = rnk <= cut
+        idx = pa.array(o[keep], pa.int64())
+        cols = {
+            "source": src.take(idx),
+            "term": term.take(idx),
+            "n": pa.array(n[o[keep]].astype(np.int64), pa.int64()),
+        }
+        if with_rnk:
+            cols["rnk"] = pa.array(rnk[keep], pa.int64())
+        return pa.table(cols)
+
+    def bucket_merge(tbl: pa.Table) -> pa.Table:
+        """Merge a bucket's (source, term) partial counts (pairs are
+        whole here — hashed to one bucket) and prune to the bucket-local
+        per-source top-k: the global per-source top-k is a subset of the
+        per-bucket winners, so the fold sees O(sources x k x buckets)."""
+        empty = pa.table(
+            {
+                "source": pa.array([], pa.string()),
+                "term": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+        if tbl.num_rows == 0 or tbl.num_columns == 0:
+            return empty
+        g = (
+            tbl.select(["source", "term", "n"])
+            .group_by(["source", "term"])
+            .aggregate([("n", "sum")])
+        )
+        g = pa.table(
+            {
+                "source": g.column("source"),
+                "term": g.column("term"),
+                "n": g.column("n_sum").cast(pa.int64()),
+            }
+        )
+        return _rank_topk(g, k, with_rnk=False)
+
+    @ray.remote
+    def fold(*tbls: pa.Table) -> pa.Table:
+        ne = [t for t in tbls if t.num_rows]
+        if not ne:
+            return tbls[0]
+        t = pa.concat_tables(ne, promote_options="none")
+        out = _rank_topk(t, k, with_rnk=True)
+        return out.sort_by([("source", "ascending"), ("rnk", "ascending")])
+
+    parts = docs.select_columns(["source", "text"]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
     )
+    pruned = keyed_partition_apply(parts, "h", bucket_merge)
+    refs = pruned.materialize().to_arrow_refs()
+    return ray.data.from_arrow_refs([fold.remote(*refs)])
 
 
 # BPE-style pre-tokenizer (GPT-2 shape, RE2-compatible: no lookahead):
