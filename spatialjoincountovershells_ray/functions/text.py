@@ -370,6 +370,224 @@ def jaccard(a: set, b: set) -> float:
     return inter / (len(a) + len(b) - inter)
 
 
+def gram_set_csr(
+    col: "pa.ChunkedArray | pa.Array", gram: str, k: int
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """Distinct-gram CSR of a string column with EXACT integer gram ids.
+
+    Returns ``(starts, codes, C)``: ``codes[starts[i]:starts[i+1]]`` is
+    row i's deduplicated, sorted gram-id set and ``C`` the number of
+    distinct grams in the column. Ids are exact — char grams are
+    dictionary-encoded gram STRINGS, word grams are unique TOKEN-ID
+    TUPLES (``np.unique`` over padded rows) — so two rows share an id
+    iff :func:`char_shingles` / :func:`word_ngrams` would put the same
+    element in both sets (no hash collisions anywhere). Short-row rules
+    match the scalar sets: a non-empty row shorter than the gram yields
+    one whole-row gram; an empty row yields the empty set.
+
+    Vectorized throughout: the ASCII char path is one uniform-stride
+    byte gather into a single StringArray (the dup_substrings gather,
+    dedup.py); non-ASCII rows fall back to one ``utf8_slice_codeunits``
+    pass per shingle position (still no per-row Python, exact codepoint
+    semantics). The word path rides ``utf8_split_whitespace`` +
+    ``dictionary_encode`` (the snm_pairs tokenizer).
+    """
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    starts0 = np.zeros(n + 1, dtype=np.int64)
+    if n == 0:
+        return starts0, np.empty(0, np.int64), 0
+    if gram == "word":
+        row_all, codes_g, C = _word_gram_rows(col, k)
+    else:
+        row_all, codes_g, C = _char_gram_rows(col, k)
+    if len(row_all) == 0:
+        return starts0, np.empty(0, np.int64), int(C)
+    o2 = np.lexsort((codes_g, row_all))
+    r, c = row_all[o2], codes_g[o2]
+    keep = np.r_[True, (r[1:] != r[:-1]) | (c[1:] != c[:-1])]
+    r, c = r[keep], c[keep]
+    sizes = np.bincount(r, minlength=n).astype(np.int64)
+    np.cumsum(sizes, out=starts0[1:])
+    return starts0, c, int(C)
+
+
+def _char_gram_rows(col: pa.Array, k: int) -> tuple[np.ndarray, np.ndarray, int]:
+    """(row_of, gram_code, C) for every char k-shingle occurrence."""
+    n = len(col)
+    clen = pc.utf8_length(col).to_numpy(zero_copy_only=False).astype(np.int64)
+    blen = pc.binary_length(col).to_numpy(zero_copy_only=False).astype(np.int64)
+    pieces: list[pa.Array] = []
+    rows: list[np.ndarray] = []
+    if (clen == blen).all():
+        # ASCII: bytes == codepoints — one gather builds every full shingle
+        data, off = string_bytes(col)
+        lens = blen
+        nst = np.where(lens == 0, 0, np.maximum(lens - k + 1, 1))
+        total = int(nst.sum())
+        if total == 0:
+            return np.empty(0, np.int64), np.empty(0, np.int64), 0
+        row_of = np.repeat(np.arange(n, dtype=np.int64), nst)
+        st_cum = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(nst, out=st_cum[1:])
+        within = np.arange(total, dtype=np.int64) - np.repeat(st_cum[:-1], nst)
+        gstart = off[:-1][row_of] + within
+        full = lens[row_of] >= k
+        fsel = np.flatnonzero(full)
+        if len(fsel):
+            gs = gstart[fsel]
+            byte_mat = data[gs[:, None] + np.arange(k, dtype=np.int64)]
+            offs = np.arange(0, (len(fsel) + 1) * k, k, dtype=np.int64)
+            arr = pa.Array.from_buffers(
+                pa.large_utf8(),
+                len(fsel),
+                [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(byte_mat.tobytes())],
+            )
+            pieces.append(arr)
+            rows.append(row_of[fsel])
+        ssel = np.flatnonzero(~full)
+        if len(ssel):
+            sr = row_of[ssel]
+            pieces.append(col.take(pa.array(sr, pa.int64())).cast(pa.large_utf8()))
+            rows.append(sr)
+    else:
+        # exact codepoint semantics for non-ASCII text: one Arrow slice
+        # kernel per shingle position over the still-active row prefix
+        nst = np.where(clen == 0, 0, np.maximum(clen - k + 1, 1))
+        if int(nst.sum()) == 0:
+            return np.empty(0, np.int64), np.empty(0, np.int64), 0
+        order = np.argsort(-nst, kind="stable")
+        sarr = col.take(pa.array(order, pa.int64()))
+        snst = nst[order]
+        maxst = int(snst[0])
+        counts = np.searchsorted(-snst, -np.arange(1, maxst + 1), side="right")
+        for j in range(maxst):
+            c = int(counts[j])
+            if c == 0:
+                break
+            sl = pc.utf8_slice_codeunits(sarr.slice(0, c), start=j, stop=j + k)
+            if isinstance(sl, pa.ChunkedArray):
+                sl = sl.combine_chunks()
+            pieces.append(sl.cast(pa.large_utf8()))
+            rows.append(order[:c])
+    grams = pa.concat_arrays(pieces)
+    row_all = np.concatenate(rows)
+    enc = pc.dictionary_encode(grams)
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    return row_all, codes, len(enc.dictionary)
+
+
+def _word_gram_rows(col: pa.Array, gn: int) -> tuple[np.ndarray, np.ndarray, int]:
+    """(row_of, gram_code, C) for every word n-gram occurrence; gram
+    identity = the token-id tuple (pad -1 for the short-row whole-doc
+    gram, which can never collide with a full n-token gram)."""
+    n = len(col)
+    toks = pc.utf8_split_whitespace(col)
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    tok_per_row = np.diff(toks.offsets.to_numpy().astype(np.int64))
+    flat = toks.flatten()
+    docidx = np.repeat(np.arange(n, dtype=np.int64), tok_per_row)
+    if len(flat):
+        codes_t = (
+            pc.dictionary_encode(flat).indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        nz = pc.utf8_length(flat).to_numpy(zero_copy_only=False) > 0
+        docidx, codes_t = docidx[nz], codes_t[nz]
+    else:
+        codes_t = np.empty(0, np.int64)
+    tcnt = np.bincount(docidx, minlength=n).astype(np.int64)
+    tstart = np.zeros(n, dtype=np.int64)
+    np.cumsum(tcnt[:-1], out=tstart[1:])
+    gcnt = np.where(tcnt >= gn, tcnt - gn + 1, 0)
+    tot = int(gcnt.sum())
+    mats: list[np.ndarray] = []
+    rows: list[np.ndarray] = []
+    if tot:
+        growof = np.repeat(np.arange(n, dtype=np.int64), gcnt)
+        gc_cum = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(gcnt, out=gc_cum[1:])
+        within = np.arange(tot, dtype=np.int64) - np.repeat(gc_cum[:-1], gcnt)
+        gfirst = tstart[growof] + within
+        mat = np.empty((tot, gn), dtype=np.int64)
+        for j in range(gn):
+            mat[:, j] = codes_t[gfirst + j]
+        mats.append(mat)
+        rows.append(growof)
+    srows = np.flatnonzero((tcnt > 0) & (tcnt < gn))
+    if len(srows):
+        srank = np.full(n, -1, dtype=np.int64)
+        srank[srows] = np.arange(len(srows), dtype=np.int64)
+        pos_in_doc = np.arange(len(docidx), dtype=np.int64) - tstart[docidx]
+        sel = srank[docidx] >= 0
+        mat_s = np.full((len(srows), gn), -1, dtype=np.int64)
+        mat_s[srank[docidx[sel]], pos_in_doc[sel]] = codes_t[sel]
+        mats.append(mat_s)
+        rows.append(srows)
+    if not mats:
+        return np.empty(0, np.int64), np.empty(0, np.int64), 0
+    mat_all = np.ascontiguousarray(np.vstack(mats))
+    row_all = np.concatenate(rows)
+    v = mat_all.view([("", np.int64)] * gn).ravel()
+    uniq, inv = np.unique(v, return_inverse=True)
+    return row_all, inv.astype(np.int64), len(uniq)
+
+
+def pair_intersections(
+    starts: np.ndarray,
+    codes: np.ndarray,
+    ua: np.ndarray,
+    ub: np.ndarray,
+    C: int,
+    chunk: int = 1 << 24,
+) -> np.ndarray:
+    """|set(ua[p]) ∩ set(ub[p])| for every pair p over a gram CSR.
+
+    One composite-key ``(row*C + code)`` searchsorted membership pass
+    per chunk — each pair expands to its a-side set, so total work is
+    Σ|S_a| fancy-indexed elements, chunked to bound peak memory. No
+    per-pair Python (the snm_pairs searchsorted plan generalized to
+    arbitrary pair lists).
+    """
+    sizes = np.diff(starts)
+    nrow = len(sizes)
+    P = len(ua)
+    inter = np.zeros(P, dtype=np.int64)
+    if P == 0 or len(codes) == 0:
+        return inter
+    if nrow * max(int(C), 1) >= (1 << 62):
+        raise ValueError("pair_intersections composite key would overflow int64")
+    Cw = np.int64(max(int(C), 1))
+    key = np.repeat(np.arange(nrow, dtype=np.int64), sizes) * Cw + codes
+    exp = sizes[ua]
+    cum = np.cumsum(exp)
+    lo = 0
+    while lo < P:
+        base = int(cum[lo - 1]) if lo else 0
+        hi = int(np.searchsorted(cum, base + chunk, side="left")) + 1
+        hi = min(max(hi, lo + 1), P)
+        e = exp[lo:hi]
+        tot = int(e.sum())
+        if tot:
+            rep = np.repeat(np.arange(hi - lo, dtype=np.int64), e)
+            ec = np.zeros(hi - lo + 1, dtype=np.int64)
+            np.cumsum(e, out=ec[1:])
+            gidx = (
+                np.repeat(starts[ua[lo:hi]], e)
+                + np.arange(tot, dtype=np.int64)
+                - np.repeat(ec[:-1], e)
+            )
+            target = ub[lo:hi][rep] * Cw + codes[gidx]
+            pos = np.searchsorted(key, target)
+            posc = np.minimum(pos, len(key) - 1)
+            found = (pos < len(key)) & (key[posc] == target)
+            if found.any():
+                inter[lo:hi] += np.bincount(rep[found], minlength=hi - lo)
+        lo = hi
+    return inter
+
+
 def rolling_fingerprint(texts: list[str]) -> np.ndarray:
     """Per-document polynomial rolling hash mod 2^61-1 (int64 >= 0).
 
