@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import hashlib
 import os
+import tempfile
 from dataclasses import dataclass
 from typing import Callable, Optional
 
@@ -31,7 +32,6 @@ from spatialjoincountovershells_ray.sources.documents import (
     halo_documents,
     particle_documents,
     read_documents,
-    write_documents,
 )
 from spatialjoincountovershells_ray.pipelines import ann, bpe, curation, dedup, events, graph, knn, range_join, raster, relagg, relational
 from spatialjoincountovershells_ray.pipelines import shell_count as sc
@@ -283,27 +283,47 @@ def _filter_halos(ds: "ray.data.Dataset", modulus: int) -> "ray.data.Dataset":
 
 def spatial_document_paths(sf_dir: str) -> tuple[str, str]:
     """Build (cached) the interleaved-document parquet twin of the derived
-    halo/particle tables for ``sf_dir`` (exact float64 repr round-trip)."""
+    halo/particle tables for ``sf_dir`` (exact float64 repr round-trip).
+
+    The sharded cache dirs go through the manifest-gated verify-and-skip
+    contract (sinks.write_sharded_copy, round-5): per-node scratch, any
+    node rebuilds independently, a killed build is never skippable. The
+    shard split itself is load-bearing — a monolithic file would
+    serialize the fused read->extract->kernel chain into one task."""
+    from spatialjoincountovershells_ray.sources.sinks import write_sharded_copy
+
     tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
-    base = f"/tmp/sjcs_docs/{tag}"
+    base = os.path.join(tempfile.gettempdir(), "sjcs_docs", tag)
     hpath, ppath = f"{base}/halo_docs.parquet", f"{base}/particle_docs.parquet"
-    if not (os.path.exists(hpath) and os.path.exists(ppath)):
-        ht = sc.dataset_to_table(synthetic.halos_dataset(sf_dir))
-        pt = sc.dataset_to_table(synthetic.particles_dataset(sf_dir))
-        hxyz = np.stack([ht.column(c).to_numpy() for c in "xyz"], axis=1)
-        pxyz = np.stack([pt.column(c).to_numpy() for c in "xyz"], axis=1)
-        # sharded cache dirs: a monolithic file would serialize the fused
-        # read->extract->kernel chain into one task (documents.write_documents)
-        write_documents(
-            halo_documents(ht.column("halo_id").to_numpy(), hxyz, precision="repr"),
-            hpath,
-            shards=8,
-        )
-        write_documents(
-            particle_documents(pt.column("particle_id").to_numpy(), pxyz, precision="repr"),
-            ppath,
-            shards=32,
-        )
+    os.makedirs(base, exist_ok=True)
+    state: dict = {}
+
+    def _derived() -> dict:
+        if not state:
+            ht = sc.dataset_to_table(synthetic.halos_dataset(sf_dir))
+            pt = sc.dataset_to_table(synthetic.particles_dataset(sf_dir))
+            state["h"] = (
+                ht.column("halo_id").to_numpy(),
+                np.stack([ht.column(c).to_numpy() for c in "xyz"], axis=1),
+            )
+            state["p"] = (
+                pt.column("particle_id").to_numpy(),
+                np.stack([pt.column(c).to_numpy() for c in "xyz"], axis=1),
+            )
+        return state
+
+    write_sharded_copy(
+        lambda: halo_documents(*_derived()["h"], precision="repr"),
+        hpath,
+        f"halo_docs:{sf_dir}",
+        nshards=8,
+    )
+    write_sharded_copy(
+        lambda: particle_documents(*_derived()["p"], precision="repr"),
+        ppath,
+        f"particle_docs:{sf_dir}",
+        nshards=32,
+    )
     return hpath, ppath
 
 
@@ -4252,10 +4272,16 @@ _BASKET_MIN_SUPPORT = 2
 
 
 def q_basket_pairs(sf_dir: str):
+    # sharded read: the monolithic one-row-group file is ONE read task
+    # and fusion pulls the per-batch dedupe into it (the round-4 fusion
+    # finding; this was the r4 bench's only regression)
+    from spatialjoincountovershells_ray.sources.sinks import sharded_columns
+
+    path = sharded_columns(
+        f"{sf_dir}/lineitem.parquet", ["l_orderkey", "l_partkey"], 32
+    )
     return graph.basket_pairs(
-        ray.data.read_parquet(
-            f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
-        ),
+        ray.data.read_parquet(path, override_num_blocks=32),
         min_support=_BASKET_MIN_SUPPORT,
     )
 

@@ -81,26 +81,14 @@ def particles_dataset(
     return ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def _sharded_lineitem_keys(sf_dir: str, nshards: int) -> list[str]:
-    """Build (once) an nshards-file copy of lineitem's key columns."""
-    import hashlib
-    import os
+def _sharded_lineitem_keys(sf_dir: str, nshards: int) -> str:
+    """nshards-file copy of lineitem's key columns through the
+    manifest-gated verify-and-skip contract (sinks.sharded_columns)."""
+    from spatialjoincountovershells_ray.sources.sinks import sharded_columns
 
-    import pyarrow.parquet as pq
-
-    tag = hashlib.sha1(f"{sf_dir}:{nshards}".encode()).hexdigest()[:12]
-    base = f"/tmp/sjcs_split/{tag}"
-    paths = [f"{base}/part-{i:04d}.parquet" for i in range(nshards)]
-    if not all(os.path.exists(p) for p in paths):
-        os.makedirs(base, exist_ok=True)
-        t = pq.read_table(
-            f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_linenumber"]
-        )
-        n = t.num_rows
-        per = -(-n // nshards)
-        for i, p in enumerate(paths):
-            pq.write_table(t.slice(i * per, per), p)
-    return paths
+    return sharded_columns(
+        f"{sf_dir}/lineitem.parquet", ["l_orderkey", "l_linenumber"], nshards
+    )
 
 
 # --- SQL twins (DuckDB oracle CTEs) ---------------------------------------

@@ -271,3 +271,51 @@ class TestPartitionedSink:
         # changed spec -> rewrite, not a wrong skip
         m3 = sinks.write_partitioned(ds, out, "k", nbuckets=4)
         assert not m3["skipped"] and len(m3["buckets"]) == 4
+
+    def test_sharded_copy_manifest_contract(self, tmp_path):
+        # round-5 (verdict item 3): the single-file-fusion pre-split copy
+        # rides the same verify-and-skip manifest as write_partitioned
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import ray
+
+        from spatialjoincountovershells_ray.sources import sinks
+
+        src = str(tmp_path / "mono.parquet")
+        t = pa.table(
+            {"a": np.arange(1000, dtype=np.int64), "b": np.arange(1000) * 3}
+        )
+        pq.write_table(t, src)  # one row group — the fusion-stall shape
+
+        calls = {"n": 0}
+
+        def build():
+            calls["n"] += 1
+            return t
+
+        out = str(tmp_path / "copy")
+        m1 = sinks.write_sharded_copy(build, out, "spec-a", nshards=4)
+        assert not m1["skipped"] and m1["rows"] == 1000 and calls["n"] == 1
+        assert len(m1["buckets"]) == 4 and sum(m1["buckets"].values()) == 1000
+        # skip does NOT call the (expensive) build thunk
+        m2 = sinks.write_sharded_copy(build, out, "spec-a", nshards=4)
+        assert m2["skipped"] and calls["n"] == 1
+        # changed spec rebuilds
+        m3 = sinks.write_sharded_copy(build, out, "spec-b", nshards=4)
+        assert not m3["skipped"] and calls["n"] == 2
+        # a deleted manifest (half-finished node) rebuilds instead of skipping
+        import os
+
+        os.remove(sinks.manifest_path(out))
+        m4 = sinks.write_sharded_copy(build, out, "spec-b", nshards=4)
+        assert not m4["skipped"] and calls["n"] == 3
+        # row order of the concatenated shards == source order
+        back = pq.ParquetDataset(out).read()
+        assert back.column("a").to_pylist() == t.column("a").to_pylist()
+        # column projection path: the dir reads as nshards blocks
+        d = sinks.sharded_columns(src, ["a"], 4, cache_root=str(tmp_path / "cache"))
+        ds = ray.data.read_parquet(d, override_num_blocks=4)
+        assert ds.count() == 1000 and ds.schema().names == ["a"]
+        d2 = sinks.sharded_columns(src, ["a"], 4, cache_root=str(tmp_path / "cache"))
+        assert d2 == d

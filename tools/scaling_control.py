@@ -152,7 +152,12 @@ def main() -> None:
     if mode == "pipeline":
         from spatialjoincountovershells_ray.sources.synthetic import _sharded_lineitem_keys
 
-        shards = _sharded_lineitem_keys(SF_DIR, NSHARDS)
+        shard_dir = _sharded_lineitem_keys(SF_DIR, NSHARDS)
+        shards = sorted(
+            os.path.join(shard_dir, f)
+            for f in os.listdir(shard_dir)
+            if f.endswith(".parquet")
+        )
         stride = max(1, len(shards) // n)
         ps = [
             Process(target=worker_pipeline, args=(q, barrier, i, duration, shards, stride))
