@@ -127,7 +127,12 @@ def _topk_finish(
         if exclude_self:
             m = v != q
             q, v, s = q[m], v[m], s[m]
-        order = np.lexsort((v, -s, q))
+        # NaN sims (zero-norm embeddings) rank LAST deterministically,
+        # matching the pandas sort_values(ascending=False) this replaced
+        # (lexsort on -NaN has unspecified placement otherwise); the
+        # emitted sim column keeps the original values
+        skey = np.nan_to_num(s, nan=-np.inf)
+        order = np.lexsort((v, -skey, q))
         q, v, s = q[order], v[order], s[order]
         n = len(q)
         starts = np.flatnonzero(np.r_[True, q[1:] != q[:-1]]) if n else np.array([], np.int64)

@@ -160,7 +160,12 @@ def event_window_agg(sf_dir_or_ds) -> "ray.data.Dataset":
         ).to_numpy()
         if len(win) and (int(win.min()) < 0 or int(win.max()) >= K):
             raise ValueError("event_window_agg window ordinal outside the packable range")
-        uw = batch.column("user_id").to_numpy() * K + win
+        uid = batch.column("user_id").to_numpy()
+        # both pack fields guarded (grid_ffill's contract): a user_id
+        # >= 2^41 would silently overflow int64 and scramble groups
+        if len(uid) and (int(uid.min()) < 0 or int(uid.max()) >= (1 << 41)):
+            raise ValueError("event_window_agg user_id outside the packable range")
+        uw = uid * K + win
         keys = pa.table({"uw": pa.array(uw, pa.int64()), "value": batch.column("value")})
         g = keys.group_by("uw").aggregate(
             [("value", "count"), ("value", "min"), ("value", "max")]
@@ -715,9 +720,11 @@ def props_key_agg(ds: "ray.data.Dataset", pattern: str = r'"k":\s*(?P<v>-?\d+)')
         ds.select_columns(["event_type", "props"])
         .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
         .materialize()
-        .to_arrow_refs()
     )
-    return ray.data.from_arrow_refs([fold.remote(*parts)])
+    refs = parts.to_arrow_refs()
+    if not refs:  # zero-block input: fold(*[]) would IndexError
+        return parts
+    return ray.data.from_arrow_refs([fold.remote(*refs)])
 
 
 def dau_retention(ds: "ray.data.Dataset") -> "ray.data.Dataset":
@@ -1206,10 +1213,13 @@ def session_concurrency_daily(sf_dir_or_ds) -> "ray.data.Dataset":
         [_stamp_day_max.remote(r, int(off)) for r, off in zip(refs, offsets)]
     )
     # O(blocks x days) tiny partials — fold on the driver, emit one block
+    # (wrapped back into a Dataset so every path honors the annotation)
     folded = pa.concat_tables([p for p in parts if p.num_rows])
     if folded.num_rows == 0:
-        return pa.table(
-            {"day": pa.array([], pa.string()), "max_conc": pa.array([], pa.int64())}
+        return ray.data.from_arrow(
+            pa.table(
+                {"day": pa.array([], pa.string()), "max_conc": pa.array([], pa.int64())}
+            )
         )
     day_i = folded.column("day_i").to_numpy()
     mx = folded.column("mx").to_numpy()
@@ -1220,8 +1230,10 @@ def session_concurrency_daily(sf_dir_or_ds) -> "ray.data.Dataset":
         pc.multiply(pa.array(day_i[s], pa.int64()), _DAY_US_).cast(pa.timestamp("us")),
         format="%Y-%m-%d",
     )
-    return pa.table(
-        {"day": day, "max_conc": pa.array(np.maximum.reduceat(mx, s), pa.int64())}
+    return ray.data.from_arrow(
+        pa.table(
+            {"day": day, "max_conc": pa.array(np.maximum.reduceat(mx, s), pa.int64())}
+        )
     )
 
 

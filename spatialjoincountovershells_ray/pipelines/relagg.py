@@ -1783,4 +1783,6 @@ def grouped_ols_moments(
         return g.sort_by(group)
 
     refs = parts.materialize().to_arrow_refs()
+    if not refs:  # zero-block input: fold(*[]) would IndexError
+        return parts
     return ray.data.from_arrow_refs([fold.remote(*refs)])

@@ -187,6 +187,8 @@ def top_terms_per_source(docs: "ray.data.Dataset", k: int = 5) -> "ray.data.Data
     )
     pruned = keyed_partition_apply(parts, "h", bucket_merge)
     refs = pruned.materialize().to_arrow_refs()
+    if not refs:  # zero-block input: fold(*[]) would IndexError
+        return pruned
     return ray.data.from_arrow_refs([fold.remote(*refs)])
 
 
