@@ -103,6 +103,73 @@ def ball_cover_cells(xyz: np.ndarray, rmax: float, grid: GridSpec, tighten: bool
     return row, cell
 
 
+def cyl_cover_cells(
+    xyz: np.ndarray, rp_max: float, pi_max: float, grid: GridSpec, tighten: bool = True
+):
+    """Replicate each point to every cell overlapping its periodic
+    CYLINDER: transverse radius ``rp_max`` in the x-y plane, half-length
+    ``pi_max`` along z (round-5, verdict item 4a).
+
+    The cylindrical pair kernel previously used
+    :func:`ball_cover_cells` with the circumscribed radius
+    ``hypot(rp_max, pi_max)`` — complete but a documented ~2.8×
+    candidate over-fetch. This cover keeps a cell iff its closest point
+    lies within the transverse DISC (dx²+dy² ≤ rp_max²) AND the z SLAB
+    (|dz| ≤ pi_max), which is exactly the support of the (rp, π)
+    binning, so completeness is unchanged while corner/cap cells drop.
+    Same contracts as ball_cover_cells: modular cell ranges, span
+    capped at ncells (wrap dedup), tighten skipped for points whose
+    cover wraps a full axis.
+    """
+    n = xyz.shape[0]
+    nc = grid.ncells
+    rad = np.array([rp_max, rp_max, pi_max])
+    lo = np.floor((xyz - rad) / grid.L).astype(np.int64)
+    hi = np.floor((xyz + rad) / grid.L).astype(np.int64)
+    span = np.minimum(hi - lo + 1, nc)
+    counts = span[:, 0] * span[:, 1] * span[:, 2]
+    total = int(counts.sum())
+    if total == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    row = np.repeat(np.arange(n, dtype=np.int64), counts)
+    offsets = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    local = np.arange(total, dtype=np.int64) - np.repeat(offsets, counts)
+    sy = span[row, 1]
+    sz = span[row, 2]
+    dz = local % sz
+    rem = local // sz
+    dy = rem % sy
+    dx = rem // sy
+    ux = lo[row, 0] + dx
+    uy = lo[row, 1] + dy
+    uz = lo[row, 2] + dz
+    if tighten:
+        capped = (span >= nc).any(axis=1)
+        dmin2_t = np.zeros(total)
+        for u, ax in ((ux, 0), (uy, 1)):
+            c = xyz[row, ax]
+            low = u * grid.L
+            upp = low + grid.L
+            d = np.maximum(low - c, c - upp)
+            np.maximum(d, 0.0, out=d)
+            dmin2_t += d * d
+        cz = xyz[row, 2]
+        lowz = uz * grid.L
+        dzmin = np.maximum(np.maximum(lowz - cz, cz - (lowz + grid.L)), 0.0)
+        # same tiny relative margin as ball_cover_cells: float error must
+        # never drop a cell holding a countable pair
+        keep = (
+            (dmin2_t <= rp_max * rp_max * (1.0 + 1e-9))
+            & (dzmin <= pi_max * (1.0 + 1e-9))
+        ) | capped[row]
+        row, ux, uy, uz = row[keep], ux[keep], uy[keep], uz[keep]
+    ix = np.mod(ux, nc)
+    iy = np.mod(uy, nc)
+    iz = np.mod(uz, nc)
+    cell = flatten_cell(ix, iy, iz, grid)
+    return row, cell
+
+
 def tile_id_2d(x: np.ndarray, y: np.ndarray, L: float, ntiles: int) -> np.ndarray:
     """2-D tile key (raster<->vector assignment): floor(c/L) per axis,
     flattened row-major. No wrap — tiles are a partition of the box."""

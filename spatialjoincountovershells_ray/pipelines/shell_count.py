@@ -694,6 +694,38 @@ def _fold_cyl(nperp: int, npi: int, *parts: pa.Table) -> pa.Table:
     )
 
 
+def build_cyl_index(
+    halos: "ray.data.Dataset | pa.Table",
+    rp_ladder: RadiusLadder,
+    *,
+    box: float = BOX_SIZE,
+):
+    """Cylinder-covered HaloIndex for :func:`cylindrical_pairs` (cells
+    sized to the smaller cylinder dimension, not the hypot: the
+    shape-exact cover makes finer cells a pure pruning win — measured
+    at sf0.1/32cpus: 1.08 s kernel at hypot-sized 13 cells vs 0.89 s at
+    18). Build once and pass via ``halo_index=`` for the reference's A2
+    many-probes-per-index template."""
+    import math
+
+    from spatialjoincountovershells_ray.functions.cells import cyl_cover_cells
+    from spatialjoincountovershells_ray.stages.join_kernels import CYL_PI_EDGES
+
+    pi_max = float(CYL_PI_EDGES[-1])
+    r_cover = math.hypot(rp_ladder.rmax, pi_max)
+    grid = GridSpec.for_radius(
+        min(rp_ladder.rmax, pi_max), box=box, target_cells_per_r=3.0
+    )
+    halos_tbl = halos if isinstance(halos, pa.Table) else dataset_to_table(halos)
+    hids = halos_tbl.column("halo_id").to_numpy()
+    hxyz = np.stack(
+        [halos_tbl.column(c).to_numpy().astype(rp_ladder.dtype, copy=False) for c in "xyz"],
+        axis=1,
+    )
+    cover = cyl_cover_cells(hxyz, rp_ladder.rmax, pi_max, grid)
+    return HaloIndex.build(hids, hxyz, r_cover, grid, box, cover=cover)
+
+
 def cylindrical_pairs(
     halos: "ray.data.Dataset | pa.Table",
     particles: "ray.data.Dataset",
@@ -701,30 +733,23 @@ def cylindrical_pairs(
     *,
     box: float = BOX_SIZE,
     batch_size: int = 16384,
+    halo_index: "HaloIndex | None" = None,
 ) -> "ray.data.Dataset":
     """Cylindrical pair counts: rp_shell, pi_bin, npairs (int64) — pairs
     binned by transverse (x, y) separation shell and line-of-sight |z|
     bin under the periodic metric: the count table the projected
-    correlation function wp(rp) integrates. The index ball cover uses
-    the cylinder's circumscribed radius hypot(rp_max, pi_max) so the
-    candidate expansion is complete for every counted bin."""
-    import math
-
+    correlation function wp(rp) integrates. The index cover is the
+    CYLINDER itself (functions.cells.cyl_cover_cells — transverse disc
+    × z slab, round-5): complete for every counted bin with none of the
+    circumscribed ball's ~2.8× corner/cap candidate over-fetch."""
     from spatialjoincountovershells_ray.stages.join_kernels import (
         CYL_PI_EDGES,
         CylPairTotals,
     )
 
-    pi_max = float(CYL_PI_EDGES[-1])
-    r_cover = math.hypot(rp_ladder.rmax, pi_max)
-    grid = GridSpec.for_radius(r_cover, box=box, target_cells_per_r=3.0)
-    halos_tbl = halos if isinstance(halos, pa.Table) else dataset_to_table(halos)
-    hids = halos_tbl.column("halo_id").to_numpy()
-    hxyz = np.stack(
-        [halos_tbl.column(c).to_numpy().astype(rp_ladder.dtype, copy=False) for c in "xyz"],
-        axis=1,
-    )
-    index_ref = ray.put(HaloIndex.build(hids, hxyz, r_cover, grid, box))
+    if halo_index is None:
+        halo_index = build_cyl_index(halos, rp_ladder, box=box)
+    index_ref = ray.put(halo_index)
     partials = particles.map_batches(
         run_broadcast_kernel,
         fn_kwargs={"cls": CylPairTotals, "ref_list": [index_ref], "ladder": rp_ladder},
@@ -761,8 +786,12 @@ def shell_d2_profile(
     *,
     grid: GridSpec | None = None,
     box: float = BOX_SIZE,
-    batch_size: int = 16384,
+    # 32k (vs the kernels' usual 16k): the profile kernel folds TWO
+    # nhalos x (nrads+1) accumulators per batch, so halving the batch
+    # count is measurable (2.26 s -> 2.08 s at sf0.1/32cpus)
+    batch_size: int = 32768,
     fanin: int = 8,
+    halo_index: "HaloIndex | None" = None,
 ) -> "ray.data.Dataset":
     """Per-halo radial profile moments: halo_id, c0..c{n-1} (pair counts
     per shell) and m0..m{n-1} (per-shell sums of floor(d2*100) — exact
@@ -774,13 +803,16 @@ def shell_d2_profile(
 
     grid = grid or GridSpec.for_radius(ladder.rmax, box=box, target_cells_per_r=3.0)
     nrads = ladder.nrads
-    halos_tbl = halos if isinstance(halos, pa.Table) else dataset_to_table(halos)
-    hids = halos_tbl.column("halo_id").to_numpy()
-    hxyz = np.stack(
-        [halos_tbl.column(c).to_numpy().astype(ladder.dtype, copy=False) for c in "xyz"],
-        axis=1,
-    )
-    index_ref = ray.put(HaloIndex.build(hids, hxyz, ladder.rmax, grid, box))
+    if halo_index is None:
+        halos_tbl = halos if isinstance(halos, pa.Table) else dataset_to_table(halos)
+        hids = halos_tbl.column("halo_id").to_numpy()
+        hxyz = np.stack(
+            [halos_tbl.column(c).to_numpy().astype(ladder.dtype, copy=False) for c in "xyz"],
+            axis=1,
+        )
+        halo_index = HaloIndex.build(hids, hxyz, ladder.rmax, grid, box)
+    hids = halo_index.halo_ids
+    index_ref = ray.put(halo_index)
     partials = particles.map_batches(
         run_broadcast_kernel,
         fn_kwargs={"cls": ShellProfileKernel, "ref_list": [index_ref], "ladder": ladder},

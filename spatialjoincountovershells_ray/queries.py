@@ -421,12 +421,26 @@ def q_fof_multiplicity(sf_dir: str):
     return sc.fof_multiplicity(synthetic.halos_dataset(sf_dir), FOF_B)
 
 
+def cyl_index_for(sf_dir: str, ladder: RadiusLadder):
+    """Driver-side cached cylinder-covered halo index (the halo_index_for
+    A2 template applied to the cylindrical kernel, round-5)."""
+    key = ("cyl", sf_dir, float(ladder.rmax), ladder.dtype.str)
+    idx = _INDEX_CACHE.get(key)
+    if idx is None:
+        if len(_INDEX_CACHE) >= 8:
+            _INDEX_CACHE.clear()
+        idx = sc.build_cyl_index(synthetic.halos_dataset(sf_dir), ladder)
+        _INDEX_CACHE[key] = idx
+    return idx
+
+
 def q_cylindrical_pairs(sf_dir: str):
     """Cylindrical (r_perp, pi) pair-count table — the wp(rp) binning."""
     return sc.cylindrical_pairs(
-        synthetic.halos_dataset(sf_dir),
+        None,
         synthetic.particles_dataset(sf_dir),
         LADDER,
+        halo_index=cyl_index_for(sf_dir, LADDER),
     )
 
 
@@ -434,9 +448,10 @@ def q_shell_profile(sf_dir: str):
     """Per-halo per-shell pair counts + exact quantized-d2 moment sums
     (radial density-profile moments pushed into the spatial kernel)."""
     return sc.shell_d2_profile(
-        synthetic.halos_dataset(sf_dir),
+        None,
         synthetic.particles_dataset(sf_dir),
         LADDER,
+        halo_index=halo_index_for(sf_dir, LADDER),
     )
 
 

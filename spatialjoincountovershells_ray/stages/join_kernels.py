@@ -69,9 +69,18 @@ class HaloIndex:
 
     @classmethod
     def build(
-        cls, halo_ids: np.ndarray, xyz: np.ndarray, rmax: float, grid: GridSpec, box: float = BOX_SIZE
+        cls,
+        halo_ids: np.ndarray,
+        xyz: np.ndarray,
+        rmax: float,
+        grid: GridSpec,
+        box: float = BOX_SIZE,
+        cover: "tuple[np.ndarray, np.ndarray] | None" = None,
     ) -> "HaloIndex":
-        row, cell = ball_cover_cells(xyz, rmax, grid)
+        """``cover`` overrides the default ball cover with a precomputed
+        ``(row, cell)`` replica set (e.g. functions.cells.cyl_cover_cells
+        for the cylindrical kernel's shape-exact cover)."""
+        row, cell = cover if cover is not None else ball_cover_cells(xyz, rmax, grid)
         order = np.argsort(cell, kind="stable")
         cell = cell[order]
         row = row[order]
@@ -608,8 +617,12 @@ class ShellProfileKernel(_BroadcastKernel):
 
     The d2 moment is exact end to end: floor(d2 * 100) of the bit-exact
     float64 pair distance is an integer both engines compute identically,
-    and integer sums are order-free. Uses the pure-f64 pair path (the
-    moment needs d2 anyway, so the two-phase screen buys nothing).
+    and integer sums are order-free. Uses the pure-f64 pair path: the
+    moment needs the full-precision d2 for every IN-ladder pair, and a
+    round-5 experiment with the flagship's phase-1 f32 screen measured
+    SLOWER (2.67 s vs 2.22 s kernel time at sf0.1/32cpus) — with ~half
+    the tightened-cover candidates landing in-ladder, the f32 pass +
+    subset-gather + f64 recompute exceeds one straight f64 pass.
 
     Output per batch: halo_id, c0..c{n-1} (counts), m0..m{n-1} (sums) —
     touched halos only.
@@ -682,8 +695,10 @@ class CylPairTotals(_BroadcastKernel):
     the plain line-of-sight bounds. The wrap/square expressions mirror
     the SQL twin term for term in float64 (no two-phase screen — both
     components are needed anyway, so phase-1 pruning buys nothing).
-    NOTE: the index must be built with rmax = hypot(rp_max, pi_max) so
-    the cell cover is complete for the cylinder's circumscribed ball.
+    NOTE: the index cover must contain every cell whose closest point
+    satisfies BOTH the transverse-disc and z-slab bounds — build it
+    with functions.cells.cyl_cover_cells (shape-exact, round-5) or any
+    superset such as the circumscribed hypot(rp_max, pi_max) ball.
 
     Output per batch: rp_shell, pi_bin, npairs (fixed-size partial).
     """

@@ -124,6 +124,34 @@ class TestCells:
         cells = point_cells(xyz, grid)
         assert cells.min() >= 0 and cells.max() < 7**3
 
+    def test_cyl_cover_complete_and_subset_of_ball(self):
+        # round-5: the cylinder cover must contain the cell of EVERY
+        # point inside the periodic cylinder (completeness) while never
+        # exceeding the circumscribed ball cover (the pruning claim)
+        from spatialjoincountovershells_ray.functions.cells import cyl_cover_cells
+
+        rng = np.random.default_rng(3)
+        grid = GridSpec(ncells=9)
+        rp, pi = 120.0, 180.0
+        centers = rng.uniform(0, 1000, size=(40, 3))
+        row_c, cell_c = cyl_cover_cells(centers, rp, pi, grid)
+        row_b, cell_b = ball_cover_cells(centers, float(np.hypot(rp, pi)), grid)
+        cov = [set(cell_c[row_c == i]) for i in range(len(centers))]
+        ball = [set(cell_b[row_b == i]) for i in range(len(centers))]
+        assert all(c <= b for c, b in zip(cov, ball))
+        assert sum(len(c) for c in cov) < sum(len(b) for b in ball)
+        # completeness: sample points inside each cylinder (min-image)
+        for i, c in enumerate(centers):
+            ang = rng.uniform(0, 2 * np.pi, 50)
+            rr = np.sqrt(rng.uniform(0, 1, 50)) * rp
+            dz = rng.uniform(-pi, pi, 50)
+            pts = np.stack(
+                [c[0] + rr * np.cos(ang), c[1] + rr * np.sin(ang), c[2] + dz], axis=1
+            )
+            pts = np.mod(pts, 1000.0)
+            pc = point_cells(pts, grid)
+            assert set(pc.tolist()) <= cov[i]
+
 
 class TestMT19937:
     def test_reference_vectors(self):
