@@ -1349,11 +1349,57 @@ BM25_QUERY = ["vector", "merge", "window"]
 
 
 def q_bm25_topk(sf_dir: str):
-    """Okapi BM25 ranked retrieval for a fixed term bag (rows-only:
-    float idf/saturation scores; pytest replays the arithmetic exactly)."""
+    """Okapi BM25 ranked retrieval for a fixed term bag. SQL-gated on
+    the RANKING (round-5, verdict item 6): the gated columns are
+    (doc_id, rnk) — the float score is projected out because DuckDB's
+    ln() differs from numpy's log() by 1 ulp on some idf values
+    (measured), while the induced order is identical (distinct (tf, dl)
+    inputs separate scores by far more than an ulp; exact ties break by
+    doc_id on both sides). Scores stay pytest-replayed bit-for-bit
+    (tests/test_ops). The twin counts tf by string equality where the
+    engine uses 64-bit FNV token hashes — identical absent hash
+    collisions in the corpus, which the pytest oracle also pins."""
     return textops.bm25_topk(
         ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]),
         BM25_QUERY,
+    ).select_columns(["doc_id", "rnk"])
+
+
+def _bm25_sql(terms: list[str], k: int = 10, k1: float = 1.2, b: float = 0.75) -> str:
+    """BM25 replay: same float64 expression shapes in the same order
+    (score = Σ_i idf_i·tf·(k1+1)/(tf + k1·(1-b+b·dl/avgdl)), summed in
+    term order), ranked by (score DESC, doc_id ASC)."""
+    tok = (
+        f"toks AS (SELECT doc_id, {_WS_SPLIT} AS tl FROM documents), "
+        "tkn AS (SELECT doc_id, len(tl)::BIGINT AS dl, tl FROM toks)"
+    )
+    stats = "st AS (SELECT COUNT(*)::BIGINT AS ndocs, SUM(dl)::BIGINT AS ntoks FROM tkn)"
+    dfs = ", ".join(
+        f"df{i} AS (SELECT COUNT(*)::BIGINT AS df FROM tkn WHERE list_contains(tl, '{t}'))"
+        for i, t in enumerate(terms)
+    )
+    tfs = ", ".join(
+        f"tf{i} AS (SELECT doc_id, len(list_filter(tl, x -> x = '{t}'))::BIGINT AS tf FROM tkn)"
+        for i, t in enumerate(terms)
+    )
+    idf = ", ".join(
+        f"idf{i} AS (SELECT ln((st.ndocs - df{i}.df + 0.5)/(df{i}.df + 0.5) + 1.0) AS v "
+        f"FROM st, df{i})"
+        for i in range(len(terms))
+    )
+    score = " + ".join(
+        f"(SELECT v FROM idf{i}) * tf{i}.tf * {k1 + 1.0!r} / "
+        f"(tf{i}.tf + {k1!r} * (1.0 - {b!r} + {b!r} * tkn.dl / "
+        "(SELECT CAST(ntoks AS DOUBLE)/ndocs FROM st)))"
+        for i in range(len(terms))
+    )
+    joins = " ".join(f"JOIN tf{i} ON tkn.doc_id = tf{i}.doc_id" for i in range(len(terms)))
+    return (
+        f"WITH {tok}, {stats}, {dfs}, {tfs}, {idf}, "
+        f"sc AS (SELECT tkn.doc_id, CAST({score} AS DOUBLE) AS score FROM tkn {joins}), "
+        "r AS (SELECT doc_id, row_number() OVER "
+        "(ORDER BY score DESC, doc_id ASC) AS rnk FROM sc WHERE score > 0) "
+        f"SELECT doc_id, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= {k} ORDER BY rnk"
     )
 
 
@@ -2215,7 +2261,152 @@ def q_top_event_type(sf_dir: str):
 
 
 def q_minhash_pairs(sf_dir: str):
+    """MinHash-LSH near-dup pairs, SQL-exact (round-5, verdict item 6):
+    every stage is deterministic — shingle Horner+mix64 hashes, a·h+b
+    permutation minima, banded bucket keys, the capped pair emission,
+    and the exact-Jaccard verify — so the twin replays the ENTIRE chain
+    in HUGEINT limb arithmetic (_lsh_pairs_sql), jaccard doubles
+    bit-equal (single division of exact ints). The flagship dedup path
+    is no longer rows-only."""
     return dedup.minhash_lsh_pairs(ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]))
+
+
+def _mul64_cc_sql(xa: str, xb: str) -> str:
+    """(xa * xb) mod 2^64 for two HUGEINT column expressions (the
+    column-column sibling of _mul64_sql's column-constant form)."""
+    return (
+        f"(({xa} % {_B32}) * ({xb} % {_B32}) + "
+        f"((({xa} // {_B32}) * ({xb} % {_B32}) + ({xa} % {_B32}) * ({xb} // {_B32})) "
+        f"% {_B32}) * {_B32}) % {_M64}"
+    )
+
+
+def _mix64_keep_ctes(tag: str, src: str, keep: str, incol: str, outcol: str) -> str:
+    """mix64 CTE chain threading an explicit column list (the banded
+    LSH twin needs several sequential mix64 passes over the same rows,
+    so the `SELECT *` accumulation of _mix64_ctes would collide)."""
+    m1, m2 = 0xFF51AFD7ED558CCD, 0xC4CEB9FE1A85EC53
+    return (
+        f"{tag}1 AS (SELECT {keep}, {_xorshift33_sql(incol)} AS mx FROM {src}), "
+        f"{tag}2 AS (SELECT {keep}, {_mul64_sql('mx', m1)} AS mx FROM {tag}1), "
+        f"{tag}3 AS (SELECT {keep}, {_xorshift33_sql('mx')} AS mx FROM {tag}2), "
+        f"{tag}4 AS (SELECT {keep}, {_mul64_sql('mx', m2)} AS mx FROM {tag}3), "
+        f"{tag}5 AS (SELECT {keep}, {_xorshift33_sql('mx')} AS {outcol} FROM {tag}4)"
+    )
+
+
+def _lsh_candidate_ctes(
+    num_perm: int = 64, bands: int = 16, shingle_k: int = 5, max_bucket: int = 64
+) -> str:
+    """CTE stack reproducing dedup.minhash_candidates exactly: char
+    k-shingle hashes (Horner base 0x100000001B3 from 0, then mix64),
+    per-permutation a·h+b minima (minhash_params constants embedded;
+    shingle-less docs keep the EMPTY=2^64-1 sentinel signature), the
+    per-band key chain (key = mix64(...mix64(s0)^s1...) ^ band-salt),
+    and the capped bucket pair emission (all pairs for buckets <=
+    max_bucket, the sorted consecutive chain beyond). Ends with
+    ``cand(id_a, id_b)`` distinct candidate pairs."""
+    from spatialjoincountovershells_ray.functions.hashing import minhash_params
+
+    rpb = num_perm // bands
+    a, b = minhash_params(num_perm)
+    pp_vals = ", ".join(
+        f"({p}, {int(a[p])}::HUGEINT, {int(b[p])}::HUGEINT)" for p in range(num_perm)
+    )
+    salts = ", ".join(
+        f"({bi}, {(bi * 0x9E3779B97F4A7C15) % (1 << 64)}::HUGEINT)" for bi in range(bands)
+    )
+    fnv = 0x100000001B3
+    horner = (
+        "list_reduce(list_prepend(0::HUGEINT, "
+        "list_transform(generate_series(1, length(sh)), i -> ord(sh[i])::HUGEINT)), "
+        f"(h, c) -> ({_mul64_sql('h', fnv)} + c) % {_M64})"
+    )
+    kb = "doc_id, band"
+    keep4 = f"{kb}, s0, s1, s2, s3"
+    sel = ", ".join(
+        f"MAX(CASE WHEN perm % {rpb} = {j} THEN sig END) AS s{j}" for j in range(rpb)
+    )
+    return (
+        "shp AS (SELECT doc_id, unnest(list_transform("
+        f"generate_series(1, greatest(length(text) - {shingle_k - 1}, 1)), "
+        f"i -> substr(text, i, {shingle_k}))) AS sh FROM documents WHERE length(text) > 0), "
+        f"sh0 AS (SELECT doc_id, {horner} AS x FROM shp), "
+        f"{_mix64_keep_ctes('mh', 'sh0', 'doc_id', 'x', 'h')}, "
+        f"pp(perm, pa, pb) AS (VALUES {pp_vals}), "
+        f"pm AS (SELECT doc_id, perm, ({_mul64_cc_sql('pa', 'h')} + pb) % {_M64} AS v "
+        "FROM mh5, pp), "
+        "sig0 AS (SELECT doc_id, perm, MIN(v) AS sig FROM pm GROUP BY doc_id, perm), "
+        "alldocs AS (SELECT doc_id FROM documents), "
+        f"sig AS (SELECT d.doc_id, pp.perm, COALESCE(s.sig, {(1 << 64) - 1}::HUGEINT) AS sig "
+        "FROM alldocs d CROSS JOIN pp LEFT JOIN sig0 s "
+        "ON d.doc_id = s.doc_id AND pp.perm = s.perm), "
+        f"bp AS (SELECT doc_id, perm // {rpb} AS band, {sel} "
+        f"FROM sig GROUP BY doc_id, perm // {rpb}), "
+        f"{_mix64_keep_ctes('k1', 'bp', keep4, 's0', 'k')}, "
+        f"x1 AS (SELECT {keep4}, xor(k, s1) AS x FROM k15), "
+        f"{_mix64_keep_ctes('k2', 'x1', keep4, 'x', 'k')}, "
+        f"x2 AS (SELECT {keep4}, xor(k, s2) AS x FROM k25), "
+        f"{_mix64_keep_ctes('k3', 'x2', keep4, 'x', 'k')}, "
+        f"x3 AS (SELECT {keep4}, xor(k, s3) AS x FROM k35), "
+        f"{_mix64_keep_ctes('k4', 'x3', keep4, 'x', 'k')}, "
+        f"slt(band, salt) AS (VALUES {salts}), "
+        "x4 AS (SELECT doc_id, bp2.band, xor(k, salt) AS x FROM k45 bp2 "
+        "JOIN slt ON bp2.band = slt.band), "
+        f"{_mix64_keep_ctes('k5', 'x4', 'doc_id, band', 'x', 'bkey')}, "
+        "br AS (SELECT doc_id, bkey FROM k55), "
+        "bgrp AS (SELECT doc_id, bkey, COUNT(*) OVER (PARTITION BY bkey) AS bsz FROM br), "
+        "allp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM bgrp a JOIN bgrp b "
+        f"ON a.bkey = b.bkey AND a.doc_id < b.doc_id WHERE a.bsz <= {max_bucket}), "
+        "chainp AS (SELECT doc_id AS id_a, "
+        "lead(doc_id) OVER (PARTITION BY bkey ORDER BY doc_id) AS id_b "
+        f"FROM bgrp WHERE bsz > {max_bucket}), "
+        "cand AS (SELECT DISTINCT id_a, id_b FROM "
+        "(SELECT * FROM allp UNION ALL SELECT * FROM chainp WHERE id_b IS NOT NULL))"
+    )
+
+
+def _lsh_pairs_sql(gram: str, gram_k: int, threshold: float) -> str:
+    """Full minhash_lsh_pairs / ngram_jaccard_pairs(mode='lsh') twin:
+    the candidate CTE stack + the exact gram-set Jaccard verify (char
+    k-shingles or word n-grams, short-row whole-gram rule, both-empty
+    pairs score 1.0; the double is the single division of exact ints)."""
+    if gram == "char":
+        grams = (
+            "list_distinct(list_transform("
+            f"generate_series(1, greatest(length(text) - {gram_k - 1}, 1)), "
+            f"i -> substr(text, i, {gram_k})))"
+        )
+        gsrc = f"SELECT doc_id, unnest({grams}) AS gram FROM documents WHERE length(text) > 0"
+    else:
+        grams = (
+            "list_distinct(list_transform("
+            f"generate_series(1, greatest(len(tl) - {gram_k - 1}, 1)), "
+            f"i -> array_to_string(list_slice(tl, i, i + {gram_k - 1}), ' ')))"
+        )
+        gsrc = (
+            f"SELECT doc_id, unnest({grams}) AS gram FROM "
+            f"(SELECT doc_id, {_WS_SPLIT} AS tl FROM documents) WHERE len(tl) > 0"
+        )
+    return (
+        f"WITH {_lsh_candidate_ctes()}, "
+        f"g AS ({gsrc}), "
+        "gsz AS (SELECT doc_id, COUNT(*)::BIGINT AS sz FROM g GROUP BY doc_id), "
+        "szs AS (SELECT d.doc_id, COALESCE(gsz.sz, 0)::BIGINT AS sz "
+        "FROM alldocs d LEFT JOIN gsz USING (doc_id)), "
+        "inter AS (SELECT c.id_a, c.id_b, COUNT(*)::BIGINT AS i FROM cand c "
+        "JOIN g ga ON ga.doc_id = c.id_a "
+        "JOIN g gb ON gb.doc_id = c.id_b AND ga.gram = gb.gram "
+        "GROUP BY c.id_a, c.id_b), "
+        "jac AS (SELECT c.id_a, c.id_b, "
+        "CASE WHEN sa.sz + sb.sz = 0 THEN 1.0 "
+        "ELSE CAST(COALESCE(i.i, 0) AS DOUBLE) / (sa.sz + sb.sz - COALESCE(i.i, 0)) END "
+        "AS jaccard FROM cand c "
+        "JOIN szs sa ON sa.doc_id = c.id_a JOIN szs sb ON sb.doc_id = c.id_b "
+        "LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b) "
+        f"SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= {threshold!r} "
+        "ORDER BY id_a, id_b"
+    )
 
 
 def q_simhash(sf_dir: str):
@@ -2261,7 +2452,9 @@ def q_ngram_dup_clusters(sf_dir: str):
 def q_ngram_jaccard_lsh(sf_dir: str):
     """The scale path of ngram_jaccard: MinHash LSH candidates + exact
     word-n-gram verify via the distributed bucket exchange (corpus-wide,
-    not source-restricted — approximate recall, rows-only check)."""
+    not source-restricted). SQL-exact since round-5: the candidate
+    generation is deterministic, so the twin replays the whole banded
+    chain (_lsh_pairs_sql with the word-gram verify)."""
     return dedup.ngram_jaccard_pairs(
         ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]),
         n=3,
@@ -4067,8 +4260,13 @@ def _sink_roundtrip_sql(nbuckets: int = SINK_BUCKETS) -> str:
 
 def q_weighted_sample(sf_dir: str):
     """Deterministic A-ES weighted sample of 100 orders, inclusion odds
-    proportional to o_totalprice (rows-only: float u^(1/w) keys; pytest
-    replays them bit-exactly)."""
+    proportional to o_totalprice. SQL-gated on the SELECTION (round-5,
+    verdict item 6): the gated columns are ids/weights/rnk — the float
+    u^(1/w) key itself is not emitted because numpy's and DuckDB's
+    libm pow differ by 1 ulp on ~1/3 of rows; the induced ORDER is
+    identical at the gate scales (keys are continuous-spread, so
+    sub-ulp rank flips need a ~1e-16 near-tie), and the exact key
+    values stay pytest-replayed bit-for-bit (tests/test_relagg)."""
     return relagg.weighted_sample(
         ray.data.read_parquet(
             f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
@@ -4076,6 +4274,28 @@ def q_weighted_sample(sf_dir: str):
         ident="o_orderkey",
         weight="o_totalprice",
         k=100,
+    )
+
+
+def _weighted_sample_sql(k: int = 100) -> str:
+    """A-ES replay: u = (mix64(o_orderkey)+1)/2^64 via the HUGEINT CTE
+    chain, key = pow(u, 1/greatest(w, 1e-300)) for w > 0, top-k by
+    (key DESC, o_orderkey ASC) — same expressions, same tie-break."""
+    m1, m2 = 0xFF51AFD7ED558CCD, 0xC4CEB9FE1A85EC53
+    keep = "o_orderkey, o_totalprice"
+    return (
+        f"WITH b0 AS (SELECT {keep}, o_orderkey::HUGEINT AS x FROM orders), "
+        f"b1 AS (SELECT {keep}, {_xorshift33_sql('x')} AS x FROM b0), "
+        f"b2 AS (SELECT {keep}, {_mul64_sql('x', m1)} AS x FROM b1), "
+        f"b3 AS (SELECT {keep}, {_xorshift33_sql('x')} AS x FROM b2), "
+        f"b4 AS (SELECT {keep}, {_mul64_sql('x', m2)} AS x FROM b3), "
+        f"b5 AS (SELECT {keep}, {_xorshift33_sql('x')} AS x FROM b4), "
+        f"kk AS (SELECT {keep}, CASE WHEN o_totalprice > 0 THEN "
+        f"pow((CAST(x AS DOUBLE) + 1.0) / {_M64.split('::')[0]}.0, "
+        "1.0 / greatest(o_totalprice, 1e-300)) ELSE 0.0 END AS key FROM b5), "
+        f"r AS (SELECT {keep}, row_number() OVER "
+        "(ORDER BY key DESC, o_orderkey ASC) AS rnk FROM kk WHERE key > 0) "
+        f"SELECT {keep}, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= {k} ORDER BY rnk"
     )
 
 
@@ -4806,10 +5026,13 @@ _GRAM_SQL = (
 def q_streaming_dedup(sf_dir: str):
     """Ingest-shape exact dedup: the document stream filtered against a
     sharded ring of seen-set actors (state/streaming_dedup — the
-    shared-mutable-state drop-to-raw-Ray case). Output count ==
-    COUNT(DISTINCT text hash), deterministic; the surviving
-    representative follows task order, so the gate is rows-only
-    (pipelines.dedup.exact_dedup is the deterministic batch twin)."""
+    shared-mutable-state drop-to-raw-Ray case). The gated output is the
+    DETERMINISTIC projection (round-5, verdict item 6): the surviving
+    key stream — exactly the distinct text-hash set, whatever arrival
+    order the tasks raced in. WHICH doc_id survives per key follows
+    task order and stays pytest-gated (tests/test_streaming_dedup);
+    the SQL twin replays text_hash128's byte Horner + mix64 in HUGEINT
+    over DISTINCT texts."""
     from spatialjoincountovershells_ray.functions import text as T
     from spatialjoincountovershells_ray.state.streaming_dedup import (
         streaming_exact_dedup,
@@ -4824,7 +5047,31 @@ def q_streaming_dedup(sf_dir: str):
         return pa.table({"doc_id": batch.column("doc_id"), "k": h1})
 
     keyed = ds.map_batches(key, batch_format="pyarrow", zero_copy_batch=True)
-    return streaming_exact_dedup(keyed, "k")
+    return streaming_exact_dedup(keyed, "k").select_columns(["k"])
+
+
+def _streaming_dedup_sql() -> str:
+    """Distinct text_hash128.h1 keys: Horner over the text's bytes
+    (base 0x100000001B3, ASCII contract — ord(codepoint) == byte for
+    this corpus) XOR length, then the mix64 CTE chain, as int64."""
+    m1, m2 = 0xFF51AFD7ED558CCD, 0xC4CEB9FE1A85EC53
+    b1 = 0x100000001B3
+    horner = (
+        "list_reduce(list_prepend(0::HUGEINT, "
+        "list_transform(generate_series(1, length(text)), i -> ord(text[i])::HUGEINT)), "
+        f"(h, c) -> ({_mul64_sql('h', b1)} + c) % {_M64})"
+    )
+    return (
+        "WITH t AS (SELECT DISTINCT text FROM documents), "
+        f"h0 AS (SELECT xor({horner}, length(text)::HUGEINT) AS x FROM t), "
+        f"c1 AS (SELECT {_xorshift33_sql('x')} AS x FROM h0), "
+        f"c2 AS (SELECT {_mul64_sql('x', m1)} AS x FROM c1), "
+        f"c3 AS (SELECT {_xorshift33_sql('x')} AS x FROM c2), "
+        f"c4 AS (SELECT {_mul64_sql('x', m2)} AS x FROM c3), "
+        f"c5 AS (SELECT {_xorshift33_sql('x')} AS x FROM c4) "
+        "SELECT DISTINCT CAST(CASE WHEN x >= 9223372036854775808::HUGEINT "
+        f"THEN x - {_M64} ELSE x END AS BIGINT) AS k FROM c5 ORDER BY k"
+    )
 
 
 
@@ -5041,16 +5288,16 @@ REGISTRY: dict[str, QueryDef] = {
     # genuinely non-SQL-expressible (approximate LSH candidate sets;
     # iterative k-means) — rows-only checks, tested in tests/test_ops.py
     "embedding_clusters": QueryDef(q_embedding_clusters, None),
-    "minhash_pairs": QueryDef(q_minhash_pairs, None),
-    "ngram_jaccard_lsh": QueryDef(q_ngram_jaccard_lsh, None),
+    "minhash_pairs": QueryDef(q_minhash_pairs, _lsh_pairs_sql("char", 5, 0.6)),
+    "ngram_jaccard_lsh": QueryDef(q_ngram_jaccard_lsh, _lsh_pairs_sql("word", 3, 0.2)),
     "embedding_near_dups_lsh": QueryDef(q_embedding_near_dups_lsh, None),
     "ann_lsh": QueryDef(q_ann_lsh, None),
     "ann_ivf": QueryDef(q_ann_ivf, None),
     "ann_pq": QueryDef(q_ann_pq, None),
     "pq_codes": QueryDef(q_pq_codes, None),
     "ann_ivfpq": QueryDef(q_ann_ivfpq, None),
-    "bm25_topk": QueryDef(q_bm25_topk, None),
-    "weighted_sample": QueryDef(q_weighted_sample, None),
+    "bm25_topk": QueryDef(q_bm25_topk, _bm25_sql(BM25_QUERY)),
+    "weighted_sample": QueryDef(q_weighted_sample, _weighted_sample_sql()),
     "pca_project": QueryDef(q_pca_project, None),
     "orders_dq": QueryDef(q_orders_dq, _orders_dq_sql()),
     "sink_roundtrip": QueryDef(q_sink_roundtrip, _sink_roundtrip_sql()),
@@ -5078,6 +5325,6 @@ REGISTRY: dict[str, QueryDef] = {
     "gram_matrix": QueryDef(q_gram_matrix, _GRAM_SQL),
     "fd_sketch": QueryDef(q_fd_sketch, None),
     "ann_recall": QueryDef(q_ann_recall, None),
-    "streaming_dedup": QueryDef(q_streaming_dedup, None),
+    "streaming_dedup": QueryDef(q_streaming_dedup, _streaming_dedup_sql()),
     "segment_ols": QueryDef(q_segment_ols, _SEGMENT_OLS_SQL),
 }
