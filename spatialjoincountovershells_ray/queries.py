@@ -4506,6 +4506,15 @@ _DOC_CHUNKS_SQL = (
 _BASKET_MIN_SUPPORT = 2
 
 
+def q_part_pagerank_shuffle(sf_dir: str):
+    """part_pagerank with mode='shuffle': every iteration is a
+    score/edge bucket exchange instead of the driver-held dense vector
+    — the plan for node sets that outgrow one machine. Same integer
+    recurrence, bit-identical scores (pinned by the mode-equality test
+    and the shared unrolled-iteration SQL twin)."""
+    return graph.part_pagerank(sf_dir, mode="shuffle")
+
+
 def q_basket_pairs(sf_dir: str):
     # sharded read: the monolithic one-row-group file is ONE read task
     # and fusion pulls the per-batch dedupe into it (the round-4 fusion
@@ -5233,6 +5242,9 @@ REGISTRY: dict[str, QueryDef] = {
     "order_rank": QueryDef(q_order_rank, _ORDER_RANK_SQL),
     "order_dist_stats": QueryDef(q_order_dist_stats, _ORDER_DIST_SQL),
     "part_pagerank": QueryDef(graph.part_pagerank, _pagerank_sql()),
+    # the fully distributed per-iteration score/edge exchange — the scale
+    # plan, bit-identical to dense (round-5: benched with a recorded cost)
+    "part_pagerank_shuffle": QueryDef(q_part_pagerank_shuffle, _pagerank_sql()),
     "part_components": QueryDef(graph.part_components, _cc_sql()),
     "coorder_triangles": QueryDef(graph.coorder_triangles, _TRIANGLES_SQL),
     "user_event_paths": QueryDef(q_user_event_paths, _EVENT_PATHS_SQL),
