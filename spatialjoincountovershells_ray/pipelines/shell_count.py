@@ -243,6 +243,49 @@ def shell_count(
             zeros = pa.table(zcols)
         return _merge_partials_tree(partials, zeros, nrads, sort)
 
+    if mode == "rtree":
+        # SURVEY §2.3 T2: the reference's second physical plan — an
+        # insertion-built Guttman R-tree instead of the grid CSR; same
+        # exact distance/binning kernels, bit-identical histograms
+        from spatialjoincountovershells_ray.stages.rtree import (
+            RTreeIndex,
+            RTreeShellCount,
+        )
+
+        if halo_index is not None:
+            index = halo_index
+        else:
+            halos_tbl = halos if isinstance(halos, pa.Table) else dataset_to_table(halos)
+            index = RTreeIndex.build(
+                halos_tbl.column("halo_id").to_numpy(),
+                np.stack(
+                    [halos_tbl.column(c).to_numpy() for c in "xyz"], axis=1
+                ),
+                box,
+            )
+        hids = index.halo_ids
+        index_ref = getattr(index, "_ref", None) or ray.put(index)
+        index._ref = index_ref
+        partials = particles.map_batches(
+            run_broadcast_kernel,
+            fn_kwargs={
+                "cls": RTreeShellCount,
+                "ref_list": [index_ref],
+                "ladder": ladder,
+            },
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=batch_size,
+        )
+        zeros = None
+        if include_zero_halos:
+            zcols = {"halo_id": pa.array(hids, pa.int64())}
+            z = pa.array(np.zeros(len(hids), dtype=np.int64))
+            for i in range(nrads):
+                zcols[f"s{i}"] = z
+            zeros = pa.table(zcols)
+        return _merge_partials_tree(partials, zeros, nrads, sort)
+
     if mode == "shuffle":
         if isinstance(halos, pa.Table):
             halos = ray.data.from_arrow(halos)

@@ -363,6 +363,40 @@ def q_shell_count(sf_dir: str):
     )
 
 
+def rtree_index_for(sf_dir: str):
+    """Driver-side cached Guttman R-tree halo index (SURVEY §2.3 T2 —
+    the reference's second physical plan, round-5)."""
+    from spatialjoincountovershells_ray.stages.rtree import RTreeIndex
+
+    key = ("rtree", sf_dir)
+    idx = _INDEX_CACHE.get(key)
+    if idx is None:
+        if len(_INDEX_CACHE) >= 8:
+            _INDEX_CACHE.clear()
+        ht = sc.dataset_to_table(synthetic.halos_dataset(sf_dir))
+        idx = RTreeIndex.build(
+            ht.column("halo_id").to_numpy(),
+            np.stack([ht.column(c).to_numpy() for c in "xyz"], axis=1),
+        )
+        _INDEX_CACHE[key] = idx
+    return idx
+
+
+def q_shell_count_rtree(sf_dir: str):
+    """The Guttman R-tree physical plan of the flagship join (round-5:
+    closes SURVEY §2.3 T2, the last unimplemented inventory row):
+    insertion-built tree broadcast once, mirror-probe PBC handling per
+    the reference's RTree variant, identical exact distance/binning —
+    hash-equal to shell_count's grid plan and to the same SQL twin."""
+    return sc.shell_count(
+        None,
+        synthetic.particles_dataset(sf_dir),
+        LADDER,
+        mode="rtree",
+        halo_index=rtree_index_for(sf_dir),
+    )
+
+
 def q_pair_correlation(sf_dir: str):
     """Two-point cross-correlation estimate per shell (DD, DR, w) with a
     derived random catalog — both probes share one broadcast halo index."""
@@ -5133,6 +5167,7 @@ _SEGMENT_OLS_SQL = (
 
 REGISTRY: dict[str, QueryDef] = {
     "shell_count": QueryDef(q_shell_count, _shell_sql()),
+    "shell_count_rtree": QueryDef(q_shell_count_rtree, _shell_sql()),
     "shell_count_shuffle": QueryDef(q_shell_count_shuffle, _shell_sql()),
     "shell_count_salted": QueryDef(q_shell_count_salted, _shell_sql()),
     "shell_count_docs": QueryDef(q_shell_count_docs, _shell_sql()),

@@ -62,7 +62,7 @@ def _tables(hxyz, pxyz, dtype):
     return halos, ray.data.from_arrow(parts)
 
 
-@pytest.mark.parametrize("mode", ["broadcast", "shuffle"])
+@pytest.mark.parametrize("mode", ["broadcast", "shuffle", "rtree"])
 def test_periodic_boundary_corner_fixture(mode):
     """Both halos must see [1, 0, 7] with radii (0.5, 1, 2) — all seven
     mirror combinations of the reference's periodic search."""
@@ -75,7 +75,7 @@ def test_periodic_boundary_corner_fixture(mode):
 
 
 @pytest.mark.parametrize("dtype", [np.float32, np.float64])
-@pytest.mark.parametrize("mode", ["broadcast", "shuffle"])
+@pytest.mark.parametrize("mode", ["broadcast", "shuffle", "rtree"])
 def test_shell_count_matches_oracle_uniform(mode, dtype):
     """t1-smoke-style: MT19937 uniform tables vs the brute-force oracle,
     bit for bit, in both precisions and both physical plans."""
