@@ -2459,11 +2459,76 @@ def q_embedding_near_dups(sf_dir: str):
 
 def q_embedding_near_dups_lsh(sf_dir: str):
     """Hyperplane-LSH-blocked near-dup pairs: the 100-TB path (task count
-    linear in vectors, not O(B^2) block pairs). Approximate recall
-    (tested >= 0.95 vs the exact join); rows-only check."""
+    linear in vectors, not O(B^2) block pairs). SQL-exact since round-5
+    (verdict item 6): the hyperplane family is DETERMINISTIC (planes are
+    mix64 of a seeded counter), so the twin replays normalization,
+    per-table sign codes, the banded key mix, the capped bucket pair
+    emission, and the cosine-threshold verify. Float caveat (same class
+    as weighted_sample/bm25): the twin's norm/dot SUMs are unordered vs
+    numpy's BLAS pairwise sums — decisions differ only on sub-ulp
+    near-ties of a sign or the threshold, none of which occur at the
+    gate scales; the exact join's twin already relies on the identical
+    list_cosine_similarity threshold robustness."""
     return dedup.embedding_near_dups_lsh(
         ray.data.read_parquet(f"{sf_dir}/embeddings.parquet"),
         threshold=NEAR_DUP_THRESHOLD,
+    )
+
+
+def _embedding_lsh_sql(
+    nbits: int = 4,
+    ntables: int = 24,
+    dim: int = 64,
+    max_bucket: int = 2048,
+    threshold: float = NEAR_DUP_THRESHOLD,
+    seed: int = 7,
+) -> str:
+    """Full embedding_near_dups_lsh twin: hyperplane values from the
+    mix64 counter chain (no data-derived literals — the 24 per-table
+    band salts are fixed engine constants, embedded like minhash's a/b),
+    sign codes, band keys, capped pairs, cosine verify."""
+    from spatialjoincountovershells_ray.functions.hashing import mix64
+
+    gold = 0x9E3779B97F4A7C15
+    tmix = {
+        t: int(mix64(np.uint64((t + 1) * gold % (1 << 64)))) for t in range(ntables)
+    }
+    tm_vals = ", ".join(f"({t}, {tmix[t]}::HUGEINT)" for t in range(ntables))
+    seeds = ", ".join(f"({t}, {seed + 7919 * t})" for t in range(ntables))
+    return (
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+        "ex AS (SELECT vec_id, CAST(generate_subscripts(v, 1) AS BIGINT) - 1 AS j, "
+        "unnest(v) AS x FROM e), "
+        "nr0 AS (SELECT vec_id, sqrt(SUM(x*x)) AS n FROM ex GROUP BY vec_id), "
+        "nrm AS (SELECT vec_id, CASE WHEN n = 0 THEN 1.0 ELSE n END AS n FROM nr0), "
+        "vn AS (SELECT ex.vec_id, j, x / n AS x FROM ex JOIN nrm USING (vec_id)), "
+        f"tt(t, sd) AS (VALUES {seeds}), "
+        f"kk AS (SELECT unnest(generate_series(0, {nbits * dim - 1})) AS k), "
+        f"p0 AS (SELECT t, k, ((k + sd) % {1 << 64})::HUGEINT AS x FROM tt, kk), "
+        f"{_mix64_keep_ctes('pm', 'p0', 't, k', 'x', 'praw')}, "
+        f"planes AS (SELECT t, k // {dim} AS b, k % {dim} AS j, "
+        f"CAST(praw AS DOUBLE) / {float(2**64)!r} - 0.5 AS p FROM pm5), "
+        "dots AS (SELECT vn.vec_id, pl.t, pl.b, SUM(vn.x * pl.p) AS d "
+        "FROM vn JOIN planes pl ON vn.j = pl.j GROUP BY 1, 2, 3), "
+        "codes AS (SELECT vec_id, t, SUM(CASE WHEN d > 0 THEN (1 << b) ELSE 0 END)::HUGEINT "
+        "AS code FROM dots GROUP BY vec_id, t), "
+        f"tm(t, tmix) AS (VALUES {tm_vals}), "
+        "x0 AS (SELECT vec_id, codes.t, xor(code, tmix) AS x FROM codes "
+        "JOIN tm ON codes.t = tm.t), "
+        f"{_mix64_keep_ctes('bk', 'x0', 'vec_id', 'x', 'bkey')}, "
+        "br AS (SELECT vec_id, bkey FROM bk5), "
+        "bgrp AS (SELECT vec_id, bkey, COUNT(*) OVER (PARTITION BY bkey) AS bsz FROM br), "
+        "allp AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM bgrp a JOIN bgrp b "
+        f"ON a.bkey = b.bkey AND a.vec_id < b.vec_id WHERE a.bsz <= {max_bucket}), "
+        "chainp AS (SELECT vec_id AS id_a, "
+        "lead(vec_id) OVER (PARTITION BY bkey ORDER BY vec_id) AS id_b "
+        f"FROM bgrp WHERE bsz > {max_bucket}), "
+        "cand AS (SELECT DISTINCT id_a, id_b FROM "
+        "(SELECT * FROM allp UNION ALL SELECT * FROM chainp WHERE id_b IS NOT NULL)) "
+        "SELECT c.id_a AS vec_id_a, c.id_b AS vec_id_b FROM cand c "
+        "JOIN e ea ON ea.vec_id = c.id_a JOIN e eb ON eb.vec_id = c.id_b "
+        f"WHERE list_cosine_similarity(ea.v, eb.v) >= {threshold!r} "
+        "ORDER BY vec_id_a, vec_id_b"
     )
 
 
@@ -5337,7 +5402,7 @@ REGISTRY: dict[str, QueryDef] = {
     "embedding_clusters": QueryDef(q_embedding_clusters, None),
     "minhash_pairs": QueryDef(q_minhash_pairs, _lsh_pairs_sql("char", 5, 0.6)),
     "ngram_jaccard_lsh": QueryDef(q_ngram_jaccard_lsh, _lsh_pairs_sql("word", 3, 0.2)),
-    "embedding_near_dups_lsh": QueryDef(q_embedding_near_dups_lsh, None),
+    "embedding_near_dups_lsh": QueryDef(q_embedding_near_dups_lsh, _embedding_lsh_sql()),
     "ann_lsh": QueryDef(q_ann_lsh, None),
     "ann_ivf": QueryDef(q_ann_ivf, None),
     "ann_pq": QueryDef(q_ann_pq, None),
