@@ -4121,13 +4121,70 @@ def q_embedding_clusters(sf_dir: str):
     """Deterministic distributed Lloyd's k-means (iterative
     broadcast-refine; exact int64 moment sums make assignments
     bit-identical under any blocking — pytest replays the algorithm
-    single-process and matches exactly). Genuinely non-SQL-expressible
-    (iterative), so rows-only at the driver gate."""
+    single-process and matches exactly). SQL-exact since round-5: the
+    fixed iteration count unrolls into CTE rounds exactly like the
+    PageRank twin — the fixed-point quantization makes every centroid
+    component ONE correctly-rounded division of exact integers, and the
+    expanded-form distance (qq - 2·dot + cc) is replayed term for term.
+    Float caveats (documented, same class as the other round-5 flips):
+    SQL SUM order vs numpy's reduction differs sub-ulp (an argmin flip
+    would need a cross-cluster distance near-tie), and the twin's
+    round() is half-away where np.rint is half-even (no embedding
+    component lands on an exact half at the fixed-point scale)."""
     return ann.kmeans_assign(
         ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]),
         k=8,
         iters=5,
     )
+
+
+def _kmeans_sql(k: int = 8, iters: int = 5) -> str:
+    """kmeans_assign twin: unrolled Lloyd iterations in CTE rounds
+    (seeds = the k lowest vec_ids on the fixed-point grid; per round an
+    argmin assignment, integer moment sums, and the divide-once
+    centroid update with empty clusters keeping their centroid)."""
+    s = ann.KMEANS_FP_SCALE
+    base = (
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+        "ex AS (SELECT vec_id, CAST(generate_subscripts(v, 1) AS BIGINT) - 1 AS j, "
+        f"round(unnest(v) * {s}) AS x FROM e), "
+        "qq AS (SELECT vec_id, SUM(x*x) AS qq FROM ex GROUP BY vec_id), "
+        f"c0 AS (SELECT vec_id AS cluster, j, x AS c FROM ex WHERE vec_id < {k})"
+    )
+    ctes = [base]
+    prev = "c0"
+    for it in range(iters):
+        t = f"i{it}"
+        ctes.append(
+            f"{t}_dot AS (SELECT ex.vec_id, {prev}.cluster, SUM(ex.x * {prev}.c) AS dot, "
+            f"SUM({prev}.c * {prev}.c) AS cc FROM ex JOIN {prev} ON ex.j = {prev}.j "
+            "GROUP BY 1, 2), "
+            f"{t}_d2 AS (SELECT d.vec_id, d.cluster, qq.qq - 2.0 * d.dot + d.cc AS d2 "
+            f"FROM {t}_dot d JOIN qq USING (vec_id)), "
+            f"{t}_asg AS (SELECT vec_id, cluster FROM (SELECT vec_id, cluster, "
+            "row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn "
+            f"FROM {t}_d2) WHERE rn = 1), "
+            f"{t}_mom AS (SELECT a.cluster, ex.j, COUNT(DISTINCT a.vec_id) AS n, "
+            f"SUM(ex.x) AS sx FROM {t}_asg a JOIN ex ON ex.vec_id = a.vec_id "
+            "GROUP BY 1, 2), "
+            f"{t}_cent AS (SELECT m.cluster, m.j, CAST(m.sx AS DOUBLE) / m.n AS c "
+            f"FROM {t}_mom m), "
+            f"c{it + 1} AS (SELECT p.cluster, p.j, COALESCE(n2.c, p.c) AS c "
+            f"FROM {prev} p LEFT JOIN {t}_cent n2 "
+            "ON p.cluster = n2.cluster AND p.j = n2.j)"
+        )
+        prev = f"c{it + 1}"
+    final = (
+        f"f_dot AS (SELECT ex.vec_id, {prev}.cluster, SUM(ex.x * {prev}.c) AS dot, "
+        f"SUM({prev}.c * {prev}.c) AS cc FROM ex JOIN {prev} ON ex.j = {prev}.j "
+        "GROUP BY 1, 2), "
+        "f_d2 AS (SELECT d.vec_id, d.cluster, qq.qq - 2.0 * d.dot + d.cc AS d2 "
+        "FROM f_dot d JOIN qq USING (vec_id)) "
+        "SELECT vec_id, CAST(cluster AS BIGINT) AS cluster FROM "
+        "(SELECT vec_id, cluster, row_number() OVER (PARTITION BY vec_id "
+        "ORDER BY d2, cluster) AS rn FROM f_d2) WHERE rn = 1 ORDER BY vec_id"
+    )
+    return "WITH " + ", ".join(ctes) + ", " + final
 
 
 def q_revenue_by_nation(sf_dir: str):
@@ -5460,7 +5517,7 @@ REGISTRY: dict[str, QueryDef] = {
     "event_rollup": QueryDef(q_event_rollup, _ROLLUP_SQL),
     # genuinely non-SQL-expressible (approximate LSH candidate sets;
     # iterative k-means) — rows-only checks, tested in tests/test_ops.py
-    "embedding_clusters": QueryDef(q_embedding_clusters, None),
+    "embedding_clusters": QueryDef(q_embedding_clusters, _kmeans_sql()),
     "minhash_pairs": QueryDef(q_minhash_pairs, _lsh_pairs_sql("char", 5, 0.6)),
     "ngram_jaccard_lsh": QueryDef(q_ngram_jaccard_lsh, _lsh_pairs_sql("word", 3, 0.2)),
     "embedding_near_dups_lsh": QueryDef(q_embedding_near_dups_lsh, _embedding_lsh_sql()),
