@@ -278,12 +278,16 @@ class RTreeIndex:
         return c
 
     def probe(self, centers: np.ndarray, r: float) -> tuple[np.ndarray, np.ndarray]:
-        """All (probe_idx, halo_row) pairs whose halo lies inside the
-        axis-aligned query box center ± r — the MultiRangeCount descent
-        (reference src/objects/RTree/MultiRangeCount.c:86-114),
-        vectorized level-by-level over a (probe, node) frontier with
-        per-axis progressive compression (each axis test shrinks the
-        candidate pair list before the next gather)."""
+        """Candidate (probe_idx, halo_row) pairs for a radius-r query —
+        the MultiRangeCount descent (reference
+        src/objects/RTree/MultiRangeCount.c:86-114), vectorized
+        level-by-level over a (probe, node) frontier with per-axis
+        progressive compression. Contract: the result CONTAINS every
+        halo within Euclidean distance r of its probe center (internal
+        levels use the sphere-tightened MBR distance test) and is
+        CONTAINED in the cube |Δ|∞ ≤ r membership set (the leaf point
+        test — the mirror-probe exactly-once guarantee); candidates in
+        between land in the kernel's overflow shell and cost nothing."""
         P = len(centers)
         out_p: list = []
         out_h: list = []
@@ -291,8 +295,10 @@ class RTreeIndex:
             e = np.empty(0, np.int64)
             return e, e
         cl, cu = self._soa()
+        cq = tuple(np.ascontiguousarray(centers[:, d]) for d in range(3))
         lo_q = tuple(np.ascontiguousarray(centers[:, d] - r) for d in range(3))
         hi_q = tuple(np.ascontiguousarray(centers[:, d] + r) for d in range(3))
+        r2 = r * r
         fp = np.arange(P, dtype=np.int64)
         fn = np.full(P, self.root, dtype=np.int64)
         while len(fn):
@@ -312,8 +318,10 @@ class RTreeIndex:
             all_leaf = bool(self.node_isleaf[fn[0]]) and bool(self.node_isleaf[fn].all())
             if all_leaf:
                 # leaf entries are POINTS (low == upp): one gather per
-                # axis, one combined compare — the dominant level, so
-                # this halves its memory traffic
+                # axis, one combined compare. The CUBE test stays here —
+                # it is the mirror-probe disjointness contract (a sphere
+                # test would also be fine for completeness, but the cube
+                # is what guarantees each pair is emitted exactly once)
                 for d in range(3):
                     x = cl[d][ci]
                     keep = (x <= hi_q[d][pq]) & (x >= lo_q[d][pq])
@@ -321,12 +329,20 @@ class RTreeIndex:
                 out_p.append(pq)
                 out_h.append(self.child_ref[ci])
                 break
+            # internal levels: SPHERE-tightened MBR test (the grid
+            # cover's pi/6 trick) — keep a child iff the squared
+            # distance from the probe center to its MBR is <= r^2;
+            # progressive per-axis compression since the accumulator
+            # only grows. Complete: any point within r of the center
+            # lies in a chain of MBRs each within distance r.
             leaf = np.repeat(self.node_isleaf[fn], cnt)
+            acc = None
             for d in range(3):
-                keep = cl[d][ci] <= hi_q[d][pq]
-                ci, pq, leaf = ci[keep], pq[keep], leaf[keep]
-                keep = cu[d][ci] >= lo_q[d][pq]
-                ci, pq, leaf = ci[keep], pq[keep], leaf[keep]
+                gap = np.maximum(cl[d][ci] - cq[d][pq], cq[d][pq] - cu[d][ci])
+                np.maximum(gap, 0.0, out=gap)
+                acc = gap * gap if acc is None else acc + gap * gap
+                keep = acc <= r2
+                ci, pq, leaf, acc = ci[keep], pq[keep], leaf[keep], acc[keep]
             out_p.append(pq[leaf])
             out_h.append(self.child_ref[ci[leaf]])
             np.logical_not(leaf, out=leaf)

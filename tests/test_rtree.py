@@ -61,19 +61,28 @@ class TestBuildInvariants:
 
 
 class TestProbe:
-    def test_probe_matches_brute_force_box(self):
+    def test_probe_contains_sphere_within_cube(self):
+        # the probe contract: sphere members ⊆ result ⊆ cube members
+        # (internal levels sphere-tighten, the leaf point test is the
+        # cube — see RTreeIndex.probe docstring), with no duplicates
         idx, pts = _build(600, seed=9)
         rng = np.random.default_rng(1)
         centers = rng.uniform(0, 1000, size=(50, 3))
         r = 120.0
         pp, hh = idx.probe(centers, r)
         got = {(int(p), int(h)) for p, h in zip(pp, hh)}
-        want = set()
+        assert len(got) == len(pp)  # exactly-once emission
+        cube = set()
+        sphere = set()
         for pi, c in enumerate(centers):
-            inside = (np.abs(pts - c) <= r).all(axis=1)
-            for h in np.flatnonzero(inside):
-                want.add((pi, int(h)))
-        assert got == want
+            d = pts - c
+            in_cube = (np.abs(d) <= r).all(axis=1)
+            in_sphere = (d * d).sum(axis=1) <= r * r
+            for h in np.flatnonzero(in_cube):
+                cube.add((pi, int(h)))
+            for h in np.flatnonzero(in_sphere):
+                sphere.add((pi, int(h)))
+        assert sphere <= got <= cube
 
     def test_mirror_probes_cover_wrap_and_stay_disjoint(self):
         # every point within min-image radius r of c must fall inside
